@@ -1,0 +1,155 @@
+"""Segmentation boundary oracle — the reference's off-by-one rules.
+
+Modeled on the reference's exact-expectation strategy
+(tests/test_strided_rolling.py:139-210): for a grid of
+(window, stride(s), include_final_window, window_idx) combos, assert the
+Spark engine produces exactly the segment starts / output indexes /
+per-segment values the formula dictates.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import ref_segment_starts
+from tsflex_spark import FeatureCollection, FeatureDescriptor
+
+
+def _seq_df(spark, n=20):
+    pdf = pd.DataFrame({"ts": np.arange(n, dtype=np.int64), "val": np.arange(n, dtype=np.float64)})
+    return spark.createDataFrame(pdf), pdf
+
+
+@pytest.mark.parametrize("window,stride", [(5, 2), (5, 5), (3, 7), (20, 3), (25, 3)])
+@pytest.mark.parametrize("include_final", [False, True])
+def test_sequence_segment_counts(spark, window, stride, include_final):
+    sdf, pdf = _seq_df(spark)
+    fc = FeatureCollection(FeatureDescriptor("sum", "val", window, stride))
+    out = fc.calculate(
+        sdf, ts_col="ts", include_final_window=include_final, window_idx="begin"
+    ).toPandas()
+    starts = ref_segment_starts(0, 19, window, [stride], include_final)
+    assert list(out["ts"]) == list(starts)
+    col = f"val__sum__w={window}"
+    for st, got in zip(starts, out[col]):
+        exp = pdf[(pdf.ts >= st) & (pdf.ts < st + window)]["val"].sum()
+        assert got == pytest.approx(exp)
+
+
+def test_multi_stride_union(spark):
+    sdf, _ = _seq_df(spark)
+    fc = FeatureCollection(FeatureDescriptor("count", "val", 4, [2, 3]))
+    out = fc.calculate(sdf, ts_col="ts", window_idx="begin").toPandas()
+    starts = ref_segment_starts(0, 19, 4, [2, 3])
+    assert list(out["ts"]) == list(starts)
+
+
+@pytest.mark.parametrize("window_idx", ["begin", "middle", "end"])
+def test_window_idx_positions(spark, window_idx):
+    sdf, _ = _seq_df(spark)
+    fc = FeatureCollection(FeatureDescriptor("mean", "val", 4, 4))
+    out = fc.calculate(sdf, ts_col="ts", window_idx=window_idx).toPandas()
+    starts = ref_segment_starts(0, 19, 4, [4])
+    shift = {"begin": 0, "middle": 2, "end": 4}[window_idx]
+    assert list(out["ts"]) == list(starts + shift)
+
+
+def test_half_open_boundary(spark):
+    # value at ts == seg_end must be excluded ([start, end) slicing)
+    pdf = pd.DataFrame({"ts": [0, 1, 2, 3, 4, 5], "val": [1.0, 1, 1, 1, 1, 100]})
+    sdf = spark.createDataFrame(pdf)
+    fc = FeatureCollection(FeatureDescriptor("sum", "val", 5, 5))
+    out = fc.calculate(sdf, ts_col="ts", window_idx="begin").toPandas()
+    assert out[f"val__sum__w=5"].iloc[0] == 5.0  # excludes ts=5
+
+
+def test_time_domain_grid(spark, dummy_sdf, dummy_pdf):
+    fc = FeatureCollection(FeatureDescriptor(np.mean, "EDA", "30s", "10s"))
+    out = fc.calculate(dummy_sdf, ts_col="ts").toPandas()
+    t0, t1 = dummy_pdf.ts.min(), dummy_pdf.ts.max()
+    starts = ref_segment_starts(
+        int(t0.value // 1000), int(t1.value // 1000), 30_000_000, [10_000_000]
+    )
+    assert len(out) == len(starts)
+    # spot-check a few values against pandas
+    col = "EDA__mean__w=30s"
+    for i in [0, 5, len(out) - 1]:
+        end = out["ts"].iloc[i]
+        start = end - pd.Timedelta(seconds=30)
+        exp = dummy_pdf[(dummy_pdf.ts >= start) & (dummy_pdf.ts < end)]["EDA"].mean()
+        assert out[col].iloc[i] == pytest.approx(exp)
+
+
+def test_empty_segments_nan_and_zero(spark):
+    # gap in the data → empty segments: mean→NaN, sum→0, count→0
+    pdf = pd.DataFrame({"ts": [0, 1, 2, 30, 31], "val": [1.0, 2, 3, 4, 5]})
+    sdf = spark.createDataFrame(pdf)
+    fc = FeatureCollection(
+        [
+            FeatureDescriptor("mean", "val", 5, 5),
+            FeatureDescriptor("sum", "val", 5, 5),
+            FeatureDescriptor("count", "val", 5, 5),
+        ]
+    )
+    out = fc.calculate(sdf, ts_col="ts", window_idx="begin").toPandas().set_index("ts")
+    assert out.loc[10, "val__count__w=5"] == 0
+    assert out.loc[10, "val__sum__w=5"] == 0.0
+    assert np.isnan(out.loc[10, "val__mean__w=5"])
+    assert out.loc[0, "val__mean__w=5"] == pytest.approx(2.0)
+
+
+def test_manual_segments(spark):
+    sdf, pdf = _seq_df(spark)
+    fc = FeatureCollection(FeatureDescriptor("sum", "val", None, None))
+    out = fc.calculate(
+        sdf,
+        ts_col="ts",
+        segment_start_idxs=[0, 5, 10],
+        segment_end_idxs=[4, 15, 12],
+        window_idx="begin",
+    ).toPandas()
+    assert sorted(out["ts"]) == [0, 5, 10]
+    got = out.set_index("ts")["val__sum__w=manual"]
+    assert got.loc[0] == sum(range(0, 4))
+    assert got.loc[5] == sum(range(5, 15))
+    assert got.loc[10] == sum(range(10, 12))
+
+
+def test_population_std_matches_numpy(spark, dummy_sdf, dummy_pdf):
+    fc = FeatureCollection(FeatureDescriptor(np.std, "EDA", "60s", "60s"))
+    out = fc.calculate(dummy_sdf, ts_col="ts").toPandas()
+    col = "EDA__std__w=1m"
+    end = out["ts"].iloc[0]
+    window = dummy_pdf[
+        (dummy_pdf.ts >= end - pd.Timedelta(seconds=60)) & (dummy_pdf.ts < end)
+    ]["EDA"]
+    assert out[col].iloc[0] == pytest.approx(np.std(window.to_numpy()))  # ddof=0
+
+
+def test_udf_tier_arbitrary_callable(spark, dummy_sdf, dummy_pdf):
+    def iqr(x: np.ndarray) -> float:
+        return float(np.quantile(x, 0.75) - np.quantile(x, 0.25))
+
+    fc = FeatureCollection(FeatureDescriptor(iqr, "EDA", "60s", "60s"))
+    out = fc.calculate(dummy_sdf, ts_col="ts").toPandas()
+    col = "EDA__iqr__w=1m"
+    end = out["ts"].iloc[0]
+    w = dummy_pdf[(dummy_pdf.ts >= end - pd.Timedelta(seconds=60)) & (dummy_pdf.ts < end)]["EDA"].to_numpy()
+    assert out[col].iloc[0] == pytest.approx(iqr(w))
+
+
+def test_naming_and_reduce(spark, dummy_sdf):
+    fc = FeatureCollection(
+        [
+            FeatureDescriptor("mean", "EDA", "30s", "30s"),
+            FeatureDescriptor("std", "EDA", "30s", "30s"),
+            FeatureDescriptor("mean", "TMP", "30s", "30s"),
+        ]
+    )
+    cols = set(fc.output_columns())
+    assert cols == {"EDA__mean__w=30s", "EDA__std__w=30s", "TMP__mean__w=30s"}
+    red = fc.reduce(["EDA__std__w=30s"])
+    assert red.output_columns() == ["EDA__std__w=30s"]
+    out = red.calculate(dummy_sdf, ts_col="ts").toPandas()
+    assert list(out.columns) == ["ts", "EDA__std__w=30s"]

@@ -1,0 +1,30 @@
+"""tsflex_spark — a PySpark-native time-series processing & feature-extraction engine.
+
+Re-expresses the semantics of predict-idlab/tsflex (strided-rolling window
+segmentation, feature functions, series pipelines, chunking) on Spark
+DataFrame / Catalyst primitives, and extends them with large-scale
+training-data-pipeline operators (dedup, similarity search, text analysis,
+multimodal plumbing) that the single-node reference does not have.
+
+Reference semantics: /root/reference (tsflex v0.4.1). This is NOT a port —
+the execution engine is Spark SQL; the reference is cited per-rule in
+docstrings as ``file:line`` for parity checking only.
+"""
+
+__version__ = "0.1.0"
+
+from tsflex_spark.features.feature import FeatureDescriptor, MultipleFeatureDescriptors
+from tsflex_spark.features.feature_collection import FeatureCollection
+from tsflex_spark.features.function_wrapper import FuncWrapper
+from tsflex_spark.processing.series_pipeline import SeriesPipeline
+from tsflex_spark.processing.series_processor import SeriesProcessor, dataframe_func
+
+__all__ = [
+    "FeatureDescriptor",
+    "MultipleFeatureDescriptors",
+    "FeatureCollection",
+    "FuncWrapper",
+    "SeriesPipeline",
+    "SeriesProcessor",
+    "dataframe_func",
+]

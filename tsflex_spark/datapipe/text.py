@@ -1,0 +1,114 @@
+"""Text-analysis operators: token counts, quality scoring, language-ID,
+document fingerprinting. All JVM-side (``F.*`` only) — no Python in the
+hot path, safe at 100 TB.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "was", "for", "on", "are", "as", "with", "at", "be", "this",
+]
+
+
+def _tokens(col: Column) -> Column:
+    """Whitespace tokens with empties removed (split-on-\\s+ semantics)."""
+    return F.filter(F.split(col, r"\s+"), lambda x: x != F.lit(""))
+
+
+def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Char + token counts per document (oracle-matched in DuckDB)."""
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        F.size(_tokens(F.col(text_col))).alias("n_tokens"),
+    ).orderBy(id_col)
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic quality features: length, mean word length, punctuation /
+    digit / uppercase / stopword ratios, plus a composite [0,1] score —
+    the standard pre-training-corpus filters, entirely in codegen'd exprs."""
+    toks = _tokens(F.col(text_col))
+    n_chars = F.length(text_col).cast("double")
+    n_tokens = F.size(toks).cast("double")
+    safe_chars = F.greatest(n_chars, F.lit(1.0))
+    safe_toks = F.greatest(n_tokens, F.lit(1.0))
+    n_punct = (n_chars - F.length(F.regexp_replace(F.col(text_col), r"[\.,;:!\?'\"]", ""))).cast("double")
+    n_digit = (n_chars - F.length(F.regexp_replace(F.col(text_col), r"[0-9]", ""))).cast("double")
+    n_upper = (n_chars - F.length(F.regexp_replace(F.col(text_col), r"[A-Z]", ""))).cast("double")
+    lower_toks = F.transform(toks, F.lower)
+    n_stop = F.size(F.array_intersect(lower_toks, F.array(*[F.lit(s) for s in _STOPWORDS]))).cast("double")
+    mean_word_len = (
+        F.aggregate(toks, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t)) / safe_toks
+    )
+    punct_ratio = n_punct / safe_chars
+    digit_ratio = n_digit / safe_chars
+    upper_ratio = n_upper / safe_chars
+    stop_ratio = n_stop / safe_toks
+    score = (
+        F.when((n_tokens >= 10) & (n_tokens <= 100000), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when((mean_word_len >= 3) & (mean_word_len <= 12), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(digit_ratio < 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio > 0.0, F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    return df.select(
+        F.col(id_col),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(digit_ratio, 4).alias("digit_ratio"),
+        F.round(upper_ratio, 4).alias("upper_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def token_count_bpe_ish(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Token count under a BPE-ish regex (GPT-2-style word/number/punct
+    pieces) — approximates tokenizer cost for budget accounting."""
+    pieces = F.regexp_extract_all(
+        F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(pieces).alias("n_bpe_tokens"),
+    ).orderBy(id_col)
+
+
+_LANG_MARKERS = {
+    # tiny n-gram/stopword heuristic — deterministic, dependency-free
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "la", "les", "est", "et"],
+    "es": ["el", "los", "es", "una", "que"],
+    "nl": ["de", "het", "een", "en", "van"],
+}
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword hit counts;
+    'und' (undetermined) when no marker hits."""
+    lower_toks = F.transform(_tokens(F.col(text_col)), F.lower)
+    scores = []
+    for lang, markers in _LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        hits = F.size(F.filter(lower_toks, lambda t: F.array_contains(marker_arr, t)))
+        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return df.select(
+        F.col(id_col),
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit content fingerprint (xxhash64 of normalized text) — the
+    rolling-hash-style doc identity used by exact dedup."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return df.select(F.col(id_col), F.xxhash64(norm).alias("fingerprint"))

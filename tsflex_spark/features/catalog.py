@@ -1,0 +1,155 @@
+"""Function-recognition table: known feature functions → native Catalyst aggregates.
+
+This is the engine's "optimizer": at plan-build time (driver-side) each
+feature function is looked up here; a hit compiles to a JVM-side,
+whole-stage-codegen'd aggregate expression over the segment groupBy — the
+100 TB-friendly path. A miss falls back to the Arrow ``applyInPandas`` UDF
+tier. (SURVEY §4 item 3.)
+
+Semantics gotchas encoded here (reference parity, SURVEY §2.4):
+- ``np.std`` / ``np.var`` default ``ddof=0`` → **population** moments
+  (``stddev_pop`` / ``var_pop``), not Spark's sample default.
+- ``scipy.stats.skew(bias=True)`` ≡ Spark ``skewness`` (population g1);
+  ``scipy.stats.kurtosis(fisher=True, bias=True)`` ≡ Spark ``kurtosis``
+  (excess population).
+- Empty segments: the reference calls ``f`` on an empty slice
+  (strided_rolling.py:455-470) → ``np.sum(∅)=0.0``, ``len(∅)=0``, moments
+  → NaN. Each entry carries its empty-segment fill value.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, Optional
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+try:  # scipy is optional in this environment
+    from scipy import stats as _sstats
+except Exception:  # pragma: no cover
+    _sstats = None
+
+
+@dataclass(frozen=True)
+class NativeSpec:
+    """A recognized aggregate: how to build its Catalyst expression."""
+
+    name: str
+    # (value_col, ts_numeric_col, kwargs) -> aggregate Column
+    build: Callable[[Column, Column, dict], Column]
+    # value an empty segment produces (None → NULL/NaN)
+    empty: Optional[float] = None
+
+
+def _simple(fn: Callable[[Column], Column]) -> Callable[[Column, Column, dict], Column]:
+    return lambda v, tsn, kw: fn(v)
+
+
+_REGISTRY: dict[str, NativeSpec] = {}
+
+
+def _reg(name: str, build: Callable[[Column, Column, dict], Column], empty: Optional[float] = None) -> None:
+    _REGISTRY[name] = NativeSpec(name, build, empty)
+
+
+def _std_build(v: Column, tsn: Column, kw: dict) -> Column:
+    return F.stddev_samp(v) if kw.get("ddof", 0) == 1 else F.stddev_pop(v)
+
+
+def _var_build(v: Column, tsn: Column, kw: dict) -> Column:
+    return F.var_samp(v) if kw.get("ddof", 0) == 1 else F.var_pop(v)
+
+
+def _quantile_build(v: Column, tsn: Column, kw: dict) -> Column:
+    q = kw.get("q", 0.5)
+    return F.percentile(v, F.lit(float(q)))
+
+
+_reg("sum", _simple(F.sum), empty=0.0)
+_reg("nansum", _simple(F.sum), empty=0.0)
+_reg("mean", _simple(F.avg))
+_reg("nanmean", _simple(F.avg))
+_reg("min", _simple(F.min))
+_reg("amin", _simple(F.min))
+_reg("nanmin", _simple(F.min))
+_reg("max", _simple(F.max))
+_reg("amax", _simple(F.max))
+_reg("nanmax", _simple(F.max))
+_reg("median", _simple(F.median))
+_reg("nanmedian", _simple(F.median))
+_reg("std", _std_build)
+_reg("nanstd", _std_build)
+_reg("var", _var_build)
+_reg("nanvar", _var_build)
+_reg("skew", _simple(F.skewness))
+_reg("kurtosis", _simple(F.kurtosis))
+_reg("count", _simple(F.count), empty=0.0)
+_reg("len", _simple(F.count), empty=0.0)
+_reg("quantile", _quantile_build)
+_reg("nanquantile", _quantile_build)
+_reg("percentile", lambda v, tsn, kw: F.percentile(v, F.lit(float(kw.get("q", 50.0)) / 100.0)))
+# time-series extras (Spark-native, no numpy counterpart needed)
+_reg("first", lambda v, tsn, kw: F.min_by(v, tsn))
+_reg("last", lambda v, tsn, kw: F.max_by(v, tsn))
+_reg("rms", lambda v, tsn, kw: F.sqrt(F.avg(v * v)))
+_reg("abs_energy", lambda v, tsn, kw: F.sum(v * v), empty=0.0)
+_reg("mean_abs", lambda v, tsn, kw: F.avg(F.abs(v)))
+_reg("ptp", lambda v, tsn, kw: F.max(v) - F.min(v))
+_reg("n_unique", lambda v, tsn, kw: F.count_distinct(v), empty=0.0)
+# slope of the least-squares fit of value against the index expressed in
+# SECONDS (TIME domain) or raw units (SEQUENCE) — reference tests use
+# scipy.stats.linregress (tests/test_features_feature_collection.py:1880-1907)
+_reg("slope", lambda v, tsn, kw: F.regr_slope(v, tsn / F.lit(1_000_000.0)))
+_reg("intercept", lambda v, tsn, kw: F.regr_intercept(v, tsn / F.lit(1_000_000.0)))
+
+
+# --- callable → registry-name recognition (by identity) ---------------------
+_CALLABLE_TABLE: dict[int, str] = {}
+
+
+def _reg_callable(fn: Any, name: str) -> None:
+    try:
+        _CALLABLE_TABLE[id(fn)] = name
+    except Exception:  # pragma: no cover
+        pass
+
+
+for _np_fn, _nm in [
+    (np.sum, "sum"), (np.nansum, "nansum"), (np.mean, "mean"), (np.nanmean, "nanmean"),
+    (np.min, "min"), (np.max, "max"), (np.nanmin, "nanmin"), (np.nanmax, "nanmax"),
+    (np.median, "median"), (np.nanmedian, "nanmedian"), (np.std, "std"),
+    (np.nanstd, "nanstd"), (np.var, "var"), (np.nanvar, "nanvar"),
+    (np.quantile, "quantile"), (np.nanquantile, "nanquantile"),
+    (np.percentile, "percentile"), (len, "len"), (sum, "sum"), (min, "min"), (max, "max"),
+]:
+    _reg_callable(_np_fn, _nm)
+
+if _sstats is not None:  # pragma: no cover
+    _reg_callable(_sstats.skew, "skew")
+    _reg_callable(_sstats.kurtosis, "kurtosis")
+
+
+def lookup_native(func: Any, kwargs: dict) -> Optional[NativeSpec]:
+    """Return the NativeSpec for a recognized function, else None.
+
+    Strings are looked up directly; callables by identity. Unsupported
+    kwargs (anything beyond ddof/q) disqualify recognition — the UDF tier
+    then honors them bit-exactly.
+    """
+    name: Optional[str] = None
+    if isinstance(func, str):
+        name = func
+    else:
+        name = _CALLABLE_TABLE.get(id(func))
+    if name is None or name not in _REGISTRY:
+        return None
+    allowed = {"ddof", "q"}
+    if any(k not in allowed for k in kwargs):
+        return None
+    return _REGISTRY[name]
+
+
+def native_names() -> list[str]:
+    return sorted(_REGISTRY)

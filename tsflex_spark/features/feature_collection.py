@@ -1,0 +1,512 @@
+"""FeatureCollection — compiles a set of FeatureDescriptors into one Spark plan.
+
+The registry mirrors the reference's plan dict
+``{(series_tuple, window): [FeatureDescriptor]}`` (feature_collection.py:88-93),
+but compilation FUSES every descriptor that shares the same numeric
+(window, strides) config into a single segment-assignment + a single
+``groupBy(seg_start)`` — recognized functions become JVM aggregate
+expressions in that one groupBy (native tier), unrecognized Python callables
+run in one Arrow ``applyInPandas`` over the same grouping (UDF tier). The
+reference runs each function as a separate multiprocess task; Catalyst fuses
+ours into a handful of stages.
+
+Output naming grammar (API — ``reduce()`` parses it back):
+``'|'.join(series)__<output>__w=<win_str>`` (reference strided_rolling.py:502-507).
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tsflex_spark.features.feature import FeatureDescriptor, MultipleFeatureDescriptors
+from tsflex_spark.features import segmenter as seg
+from tsflex_spark.features.segmenter import (
+    END,
+    OUT_IDX,
+    SEG,
+    SEG_END,
+    SEG_ID,
+    START,
+    TSN,
+)
+from tsflex_spark.utils.data import DataType, determine_type
+from tsflex_spark.utils.time_args import to_numeric_units
+
+FeatureInput = Union[
+    FeatureDescriptor, MultipleFeatureDescriptors, "FeatureCollection", List
+]
+
+
+def _col_name(series_tuple: Tuple[str, ...], output_name: str, win_str: str) -> str:
+    return f"{'|'.join(series_tuple)}__{output_name}__w={win_str}"
+
+
+class FeatureCollection:
+    def __init__(self, feature_descriptors: Optional[FeatureInput] = None):
+        self._feature_desc_dict: Dict[Tuple[Tuple[str, ...], str], List[FeatureDescriptor]] = {}
+        if feature_descriptors is not None:
+            self.add(feature_descriptors)
+
+    # ------------------------------------------------------------- registry
+    def add(self, features: FeatureInput) -> "FeatureCollection":
+        if isinstance(features, list):
+            for f in features:
+                self.add(f)
+        elif isinstance(features, MultipleFeatureDescriptors):
+            self.add(features.feature_descriptions)
+        elif isinstance(features, FeatureCollection):
+            self.add([fd for lst in features._feature_desc_dict.values() for fd in lst])
+        elif isinstance(features, FeatureDescriptor):
+            key = (features.series_name, features.window_str)
+            self._feature_desc_dict.setdefault(key, []).append(features)
+        else:
+            raise TypeError(f"cannot add {type(features)} to FeatureCollection")
+        self._check_unique_outputs()
+        return self
+
+    @property
+    def descriptors(self) -> List[FeatureDescriptor]:
+        return [fd for lst in self._feature_desc_dict.values() for fd in lst]
+
+    def get_required_series(self) -> List[str]:
+        seen: Dict[str, None] = {}
+        for (series_tuple, _), _fds in self._feature_desc_dict.items():
+            for s in series_tuple:
+                seen.setdefault(s)
+        return list(seen)
+
+    def get_nb_output_features(self) -> int:
+        return sum(fd.get_nb_output_features() for fd in self.descriptors)
+
+    def output_columns(self) -> List[str]:
+        cols = []
+        for (series_tuple, win_str), fds in self._feature_desc_dict.items():
+            for fd in fds:
+                for out in fd.function.output_names:
+                    cols.append(_col_name(series_tuple, out, win_str))
+        return cols
+
+    def _check_unique_outputs(self) -> None:
+        cols = self.output_columns()
+        dupes = {c for c in cols if cols.count(c) > 1}
+        assert not dupes, f"duplicate output feature columns: {sorted(dupes)}"
+
+    def reduce(self, feat_cols_to_keep: Sequence[str]) -> "FeatureCollection":
+        """Prune to the descriptors producing ``feat_cols_to_keep``.
+
+        Plan-level pruning (reference feature_collection.py:1282-1353) —
+        parses the naming grammar back out of the column names.
+        """
+        keep = set(feat_cols_to_keep)
+        out = FeatureCollection()
+        matched: set = set()
+        for (series_tuple, win_str), fds in self._feature_desc_dict.items():
+            for fd in fds:
+                outs = [
+                    o for o in fd.function.output_names
+                    if _col_name(series_tuple, o, win_str) in keep
+                ]
+                matched.update(_col_name(series_tuple, o, win_str) for o in outs)
+                if outs:
+                    out.add(fd)
+        unmatched = keep - matched
+        assert not unmatched, f"reduce(): unknown feature columns {sorted(unmatched)}"
+        return out
+
+    def serialize(self, path: str) -> None:
+        """Persist the descriptor registry (cloudpickle — what PySpark itself
+        ships closures with; reference uses dill, feature_collection.py:1264-1280)."""
+        from pyspark import cloudpickle
+
+        with open(path, "wb") as fh:
+            cloudpickle.dump(self, fh)
+
+    @staticmethod
+    def deserialize(path: str) -> "FeatureCollection":
+        from pyspark import cloudpickle
+
+        with open(path, "rb") as fh:
+            obj = cloudpickle.load(fh)
+        assert isinstance(obj, FeatureCollection)
+        return obj
+
+    # ------------------------------------------------------------- calculate
+    def calculate(
+        self,
+        data: DataFrame,
+        *,
+        ts_col: str = "ts",
+        key_cols: Sequence[str] = (),
+        stride: Optional[Any] = None,
+        segment_start_idxs: Optional[Sequence] = None,
+        segment_end_idxs: Optional[Sequence] = None,
+        return_df: bool = True,
+        window_idx: str = "end",
+        include_final_window: bool = False,
+        bound_method: str = "inner",
+        approve_sparsity: bool = True,
+        group_by_all: Optional[str] = None,
+        group_by_consecutive: Optional[str] = None,
+    ) -> Union[DataFrame, List[DataFrame]]:
+        """Compute every registered feature over ``data``.
+
+        ``data``: wide DataFrame — ``ts_col`` + one column per series
+        (+ optional ``key_cols`` for per-entity extraction, the Spark-scale
+        extension the single-entity reference doesn't have).
+        Lifecycle parity: reference feature_collection.py:840-1262.
+        """
+        assert not (group_by_all and group_by_consecutive), "choose one group_by mode"
+        if group_by_all:
+            return self._calculate_group_by_all(data, group_by_all, ts_col)
+        if group_by_consecutive:
+            return self._calculate_group_by_consecutive(data, group_by_consecutive, ts_col, key_cols)
+
+        domain = determine_type(data, ts_col)
+        assert domain != DataType.UNDEFINED, f"unsupported index dtype for {ts_col}"
+        is_time = domain == DataType.TIME
+        key_cols = list(key_cols)
+
+        required = self.get_required_series()
+        missing = [s for s in required if s not in data.columns]
+        assert not missing, f"series not in data: {missing}"
+
+        data_n = seg.numeric_index(
+            data.select(ts_col, *key_cols, *required), ts_col, domain
+        ).drop(ts_col)
+        bounds = seg.make_bounds(data_n, required, key_cols, bound_method)
+
+        manual = segment_start_idxs is not None or segment_end_idxs is not None
+
+        # group descriptors by numeric (window, strides) config → fusion
+        configs: Dict[Tuple, List[Tuple[Tuple[str, ...], str, FeatureDescriptor]]] = {}
+        for (series_tuple, win_str), fds in self._feature_desc_dict.items():
+            for fd in fds:
+                if manual:
+                    cfg = ("manual",)
+                    if segment_start_idxs is not None and segment_end_idxs is not None:
+                        win_str_eff = "manual"
+                        window_n = None
+                    else:
+                        assert fd.window is not None, (
+                            "window required when only one of segment_start/end_idxs is given"
+                        )
+                        win_str_eff = win_str
+                        window_n = to_numeric_units(fd.window, is_time)
+                    cfg = ("manual", window_n)
+                    configs.setdefault(cfg, []).append((series_tuple, win_str_eff, fd))
+                    continue
+                strides = [stride] if stride is not None else fd.stride
+                assert fd.window is not None, f"descriptor {fd} has no window"
+                assert strides, (
+                    f"descriptor {fd} has no stride and no stride-override/segment idxs given"
+                )
+                window_n = to_numeric_units(fd.window, is_time)
+                strides_n = tuple(sorted({to_numeric_units(s, is_time) for s in strides}))
+                configs.setdefault((window_n, strides_n), []).append((series_tuple, win_str, fd))
+
+        outputs: List[DataFrame] = []
+        for cfg, entries in configs.items():
+            if cfg[0] == "manual":
+                out = self._run_manual_config(
+                    data_n, bounds, entries, cfg[1], segment_start_idxs,
+                    segment_end_idxs, key_cols, window_idx, domain, ts_col,
+                )
+            else:
+                window_n, strides_n = cfg
+                out = self._run_grid_config(
+                    data_n, bounds, entries, window_n, list(strides_n),
+                    include_final_window, key_cols, window_idx, domain, ts_col,
+                )
+            outputs.append(out)
+
+        if not return_df:
+            return outputs
+        result = outputs[0]
+        for other in outputs[1:]:
+            result = result.join(other, on=[ts_col, *key_cols], how="full")
+        feat_cols = sorted(c for c in result.columns if c not in (ts_col, *key_cols))
+        return result.select(ts_col, *key_cols, *feat_cols).orderBy(*key_cols, ts_col)
+
+    # ----------------------------------------------------------- internals
+    def _split_tiers(
+        self, entries: List[Tuple[Tuple[str, ...], str, FeatureDescriptor]]
+    ) -> Tuple[List[Tuple], List[Tuple]]:
+        """Split (series, win_str, fd) entries into native vs UDF tier."""
+        native, udf = [], []
+        for series_tuple, win_str, fd in entries:
+            spec = fd.function.native_spec if len(series_tuple) == 1 else None
+            if spec is not None:
+                native.append((series_tuple, win_str, fd, spec))
+            else:
+                udf.append((series_tuple, win_str, fd))
+        return native, udf
+
+    def _native_agg_exprs(self, native_entries: List[Tuple]) -> List[Column]:
+        exprs = []
+        for series_tuple, win_str, fd, spec in native_entries:
+            out_name = _col_name(series_tuple, fd.function.output_names[0], win_str)
+            col = spec.build(F.col(series_tuple[0]), F.col(TSN), fd.function.kwargs)
+            exprs.append(col.alias(out_name))
+        return exprs
+
+    def _native_empty_fills(self, native_entries: List[Tuple]) -> Dict[str, float]:
+        fills = {}
+        for series_tuple, win_str, fd, spec in native_entries:
+            if spec.empty is not None:
+                fills[_col_name(series_tuple, fd.function.output_names[0], win_str)] = spec.empty
+        return fills
+
+    def _udf_apply(
+        self,
+        assigned: DataFrame,
+        udf_entries: List[Tuple],
+        group_cols: List[str],
+    ) -> DataFrame:
+        """UDF tier: one Arrow ``applyInPandas`` computing every Python
+        feature function of this config per segment group."""
+        out_specs: List[Tuple[str, Tuple[str, ...], Any]] = []  # (colname, series, FuncWrapper)
+        for series_tuple, win_str, fd in udf_entries:
+            out_specs.append((series_tuple, win_str, fd.function))
+
+        out_fields = [assigned.schema[c] for c in group_cols]
+        out_names: List[str] = []
+        for series_tuple, win_str, fw in out_specs:
+            for o in fw.output_names:
+                out_names.append(_col_name(series_tuple, o, win_str))
+        schema = T.StructType(
+            out_fields + [T.StructField(n, T.DoubleType(), True) for n in out_names]
+        )
+
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(TSN)
+            row: Dict[str, Any] = {c: pdf[c].iloc[0] for c in group_cols}
+            for series_tuple, win_str, fw in out_specs:
+                series_vals = [pdf[s].dropna() for s in series_tuple]
+                try:
+                    outs = fw.apply(series_vals)
+                except Exception:
+                    outs = [np.nan] * len(fw.output_names)
+                for o, v in zip(fw.output_names, outs):
+                    try:
+                        row[_col_name(series_tuple, o, win_str)] = float(v)
+                    except (TypeError, ValueError):
+                        row[_col_name(series_tuple, o, win_str)] = np.nan
+            return pd.DataFrame([row])
+
+        return assigned.groupBy(*group_cols).applyInPandas(run, schema)
+
+    def _run_grid_config(
+        self,
+        data_n: DataFrame,
+        bounds: DataFrame,
+        entries: List[Tuple],
+        window_n,
+        strides_n: List,
+        include_final_window: bool,
+        key_cols: List[str],
+        window_idx: str,
+        domain: DataType,
+        ts_col: str,
+    ) -> DataFrame:
+        native, udf = self._split_tiers(entries)
+        needed = sorted({s for series_tuple, _, _fd in entries for s in series_tuple})
+        assigned = seg.assign_segments(
+            data_n.select(TSN, *key_cols, *needed),
+            bounds, window_n, strides_n, include_final_window, key_cols,
+        )
+        group_cols = [*key_cols, SEG]
+
+        parts: List[DataFrame] = []
+        if native:
+            parts.append(assigned.groupBy(*group_cols).agg(*self._native_agg_exprs(native)))
+        if udf:
+            parts.append(self._udf_apply(assigned, udf, group_cols))
+        result = parts[0]
+        for p in parts[1:]:
+            result = result.join(p, on=group_cols, how="full")
+
+        spine = seg.make_segment_spine(bounds, window_n, strides_n, include_final_window, key_cols)
+        out = spine.join(result, on=group_cols, how="left")
+        for colname, fill in self._native_empty_fills(native).items():
+            out = out.withColumn(colname, F.coalesce(F.col(colname), F.lit(fill)))
+        out = out.withColumn(OUT_IDX, seg.out_idx_expr(window_idx, domain))
+        out = out.withColumn(ts_col, seg.output_index(F.col(OUT_IDX), domain))
+        return out.drop(SEG, SEG_END, OUT_IDX)
+
+    def _run_manual_config(
+        self,
+        data_n: DataFrame,
+        bounds: DataFrame,
+        entries: List[Tuple],
+        window_n,
+        segment_start_idxs,
+        segment_end_idxs,
+        key_cols: List[str],
+        window_idx: str,
+        domain: DataType,
+        ts_col: str,
+    ) -> DataFrame:
+        """Explicit user segments (reference strided_rolling.py:198-214,
+        feature_collection.py:895-927): both arrays ⇒ variable-length
+        'manual' windows; one array ⇒ the other derived from ``window``."""
+        is_time = domain == DataType.TIME
+
+        def _to_num(arr) -> np.ndarray:
+            a = pd.Series(list(arr))
+            if is_time:
+                return pd.to_datetime(a).astype("int64").to_numpy() // 1000
+            return a.to_numpy()
+
+        if segment_start_idxs is not None and segment_end_idxs is not None:
+            starts, ends = _to_num(segment_start_idxs), _to_num(segment_end_idxs)
+            assert len(starts) == len(ends), "segment start/end arrays must have equal length"
+            assert np.all(starts <= ends), "segment_start_idxs must be <= segment_end_idxs"
+        elif segment_start_idxs is not None:
+            starts = _to_num(segment_start_idxs)
+            ends = starts + window_n
+        else:
+            ends = _to_num(segment_end_idxs)
+            starts = ends - window_n
+
+        spark = data_n.sparkSession
+        key_rows = data_n.select(*key_cols).distinct() if key_cols else None
+        spine = seg.manual_segment_spine(spark, starts, ends, key_rows)
+
+        native, udf = self._split_tiers(entries)
+        needed = sorted({s for series_tuple, _, _fd in entries for s in series_tuple})
+        max_len = float(np.max(ends - starts)) if len(starts) else 1.0
+        assigned = seg.assign_manual_segments(
+            data_n.select(TSN, *key_cols, *needed), spine, max_len, key_cols
+        )
+        group_cols = [*key_cols, SEG_ID]
+
+        parts: List[DataFrame] = []
+        if native:
+            parts.append(assigned.groupBy(*group_cols).agg(*self._native_agg_exprs(native)))
+        if udf:
+            parts.append(self._udf_apply(assigned.drop(SEG, SEG_END), udf, group_cols))
+        result = parts[0]
+        for p in parts[1:]:
+            result = result.join(p, on=group_cols, how="full")
+
+        out = spine.join(result, on=group_cols, how="left")
+        for colname, fill in self._native_empty_fills(native).items():
+            out = out.withColumn(colname, F.coalesce(F.col(colname), F.lit(fill)))
+        out = out.withColumn(OUT_IDX, seg.out_idx_expr(window_idx, domain))
+        out = out.withColumn(ts_col, seg.output_index(F.col(OUT_IDX), domain))
+        return out.drop(SEG, SEG_END, SEG_ID, OUT_IDX)
+
+    # ------------------------------------------------------ group-by modes
+    def _grouped_outputs(
+        self, entries: List[Tuple], gcol: str
+    ) -> Tuple[List[Tuple], List[Tuple]]:
+        return self._split_tiers(entries)
+
+    def _calculate_group_by_all(self, data: DataFrame, gcol: str, ts_col: str) -> DataFrame:
+        """SQL-style GROUP BY features (reference feature_collection.py:484-566):
+        one output row per distinct key; NULL/NaN keys dropped; window label
+        'manual'; strides/windows ignored."""
+        domain = determine_type(data, ts_col)
+        data_n = seg.numeric_index(data, ts_col, domain)
+        entries = [
+            (series_tuple, "manual", fd)
+            for (series_tuple, _w), fds in self._feature_desc_dict.items()
+            for fd in fds
+        ]
+        native, udf = self._split_tiers(entries)
+        # NULL (and float-NaN) group keys are dropped — Spark groupBy keeps
+        # them, the reference drops them with a warning (:509-519)
+        cond = F.col(gcol).isNotNull()
+        if isinstance(data.schema[gcol].dataType, (T.FloatType, T.DoubleType)):
+            cond = cond & ~F.isnan(F.col(gcol))
+        clean = data_n.where(cond)
+        parts: List[DataFrame] = []
+        if native:
+            parts.append(clean.groupBy(gcol).agg(*self._native_agg_exprs(native)))
+        if udf:
+            parts.append(self._udf_apply(clean, udf, [gcol]))
+        result = parts[0]
+        for p in parts[1:]:
+            result = result.join(p, on=[gcol], how="full")
+        feat_cols = sorted(c for c in result.columns if c != gcol)
+        return result.select(gcol, *feat_cols).orderBy(gcol)
+
+    def _calculate_group_by_consecutive(
+        self, data: DataFrame, gcol: str, ts_col: str, key_cols: Sequence[str] = ()
+    ) -> DataFrame:
+        """Gaps-and-islands grouping (reference feature_collection.py:568-724):
+        runs of equal consecutive ``gcol`` values become segments
+        ``[run_start, next_run_start)``; the last run's end is +1 day (TIME)
+        or +1 (SEQUENCE) past its last index (exclusive-bound fix,
+        reference :678-688). Output: ``ts`` (= run start), ``gcol``,
+        ``__start``, ``__end`` + feature columns labeled ``w=manual``.
+
+        Scale note: island numbering needs a running sum ordered by ts —
+        per ``key_cols`` partition when keys are given; a single global
+        ordering otherwise (matches the single-series reference; pass
+        key_cols for distributed runs).
+        """
+        domain = determine_type(data, ts_col)
+        is_time = domain == DataType.TIME
+        key_cols = list(key_cols)
+        data_n = seg.numeric_index(data, ts_col, domain)
+        clean = data_n.where(F.col(gcol).isNotNull())
+
+        w = W.partitionBy(*key_cols).orderBy(TSN) if key_cols else W.orderBy(TSN)
+        changed = F.when(
+            F.lag(F.col(gcol)).over(w).isNull()
+            | (F.col(gcol) != F.lag(F.col(gcol)).over(w)),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        islands = clean.withColumn("__island", F.sum(changed).over(w))
+
+        entries = [
+            (series_tuple, "manual", fd)
+            for (series_tuple, _w), fds in self._feature_desc_dict.items()
+            for fd in fds
+        ]
+        native, udf = self._split_tiers(entries)
+        group_cols = [*key_cols, "__island"]
+        base_aggs = [
+            F.first(F.col(gcol)).alias(gcol),
+            F.min(TSN).alias("__start_n"),
+            F.max(TSN).alias("__last_n"),
+        ]
+        parts: List[DataFrame] = []
+        parts.append(islands.groupBy(*group_cols).agg(*base_aggs, *self._native_agg_exprs(native)))
+        if udf:
+            parts.append(self._udf_apply(islands, udf, group_cols))
+        result = parts[0]
+        for p in parts[1:]:
+            result = result.join(p, on=group_cols, how="full")
+
+        # end = next run's start; last run end = last index +1day/+1
+        w2 = (
+            W.partitionBy(*key_cols).orderBy("__start_n") if key_cols else W.orderBy("__start_n")
+        )
+        bump = 86_400_000_000 if is_time else 1  # +1 day in micros / +1
+        result = result.withColumn(
+            "__end_n",
+            F.coalesce(F.lead("__start_n").over(w2), F.col("__last_n") + F.lit(bump)),
+        )
+        result = (
+            result.withColumn(ts_col, seg.output_index(F.col("__start_n"), domain))
+            .withColumn("__start", seg.output_index(F.col("__start_n"), domain))
+            .withColumn("__end", seg.output_index(F.col("__end_n"), domain))
+        )
+        feat_cols = sorted(
+            c
+            for c in result.columns
+            if c not in (ts_col, gcol, "__start", "__end", "__start_n", "__last_n", "__end_n", "__island", *key_cols)
+        )
+        return result.select(
+            ts_col, *key_cols, F.col(gcol), F.col("__start"), F.col("__end"), *feat_cols
+        ).orderBy(*key_cols, ts_col)

@@ -1,0 +1,163 @@
+"""SeriesProcessor — apply a function to (tuples of) series on a wide DataFrame.
+
+Parity: reference tsflex/processing/series_processor.py:57-237 (N-in/M-out
+function application per series-name tuple) with the reference's
+output-merge rules (:277-370): an unnamed 1-column result **replaces** the
+(single) input series; named outputs **add or replace** columns by name.
+
+Spark-first tiers:
+- ``input_type="column"`` (native): ``function(*Columns, **kwargs) -> Column
+  | {name: Column}`` — one ``withColumn``, JVM codegen, the 100 TB path.
+- ``input_type="pandas"|"numpy"`` (UDF): the function sees each whole series
+  ts-sorted (as the reference does — needed for order-dependent transforms
+  like interpolation/resampling). Executed per ``key_cols`` group via
+  Arrow ``applyInPandas``; without keys the series is one group (matches the
+  single-machine reference; pass key_cols to distribute).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def dataframe_func(func: Callable) -> Callable:
+    """Mark ``func`` as operating on the whole wide pandas DataFrame
+    (reference series_processor.py:19-54 — e.g. row-wise ``dropna``)."""
+    func.__dataframe_func__ = True
+    return func
+
+
+def _to_tuple(names: Union[str, Sequence[str]]) -> Tuple[str, ...]:
+    return (names,) if isinstance(names, str) else tuple(names)
+
+
+class SeriesProcessor:
+    def __init__(
+        self,
+        function: Callable,
+        series_names: Union[str, Sequence[str], List[Sequence[str]]],
+        input_type: str = "numpy",
+        **kwargs: Any,
+    ):
+        if isinstance(series_names, str) or (
+            isinstance(series_names, tuple) and all(isinstance(s, str) for s in series_names)
+        ):
+            series_names = [series_names]
+        self.series_names: List[Tuple[str, ...]] = [_to_tuple(s) for s in series_names]
+        self.function = function
+        self.kwargs = kwargs
+        assert input_type in ("column", "numpy", "pandas")
+        self.input_type = input_type
+        self.name = getattr(function, "__name__", str(function))
+
+    def get_required_series(self) -> List[str]:
+        out: Dict[str, None] = {}
+        for tup in self.series_names:
+            for s in tup:
+                out.setdefault(s)
+        return list(out)
+
+    # ------------------------------------------------------------------
+    def __call__(self, df: DataFrame, ts_col: str, key_cols: Sequence[str]) -> DataFrame:
+        if getattr(self.function, "__dataframe_func__", False):
+            return self._apply_pandas_frame(df, ts_col, key_cols, whole_frame=True)
+        if self.input_type == "column":
+            for tup in self.series_names:
+                out = self.function(*[F.col(s) for s in tup], **self.kwargs)
+                if isinstance(out, dict):
+                    for name, col in out.items():
+                        df = df.withColumn(name, col)
+                elif isinstance(out, Column):
+                    assert len(tup) == 1, (
+                        "unnamed single-Column output only replaces a single input series"
+                    )
+                    df = df.withColumn(tup[0], out)
+                else:
+                    raise TypeError("column-tier function must return Column or {name: Column}")
+            return df
+        return self._apply_pandas_frame(df, ts_col, key_cols, whole_frame=False)
+
+    # ------------------------------------------------------------------
+    def _apply_pandas_frame(
+        self, df: DataFrame, ts_col: str, key_cols: Sequence[str], whole_frame: bool
+    ) -> DataFrame:
+        key_cols = list(key_cols)
+        func, kwargs = self.function, self.kwargs
+        series_names, input_type, pname = self.series_names, self.input_type, self.name
+
+        def handle_output(pdf: pd.DataFrame, out: Any, tup: Tuple[str, ...]) -> pd.DataFrame:
+            # reference output-merge rules (series_processor.py:277-370)
+            if isinstance(out, np.ndarray):
+                assert len(tup) == 1, "ndarray output requires a single input series"
+                assert len(out) == len(pdf), "ndarray output must have same length"
+                pdf[tup[0]] = out
+            elif isinstance(out, pd.Series):
+                name = out.name if out.name is not None else (tup[0] if len(tup) == 1 else None)
+                assert name is not None, "unnamed Series output requires single input series"
+                pdf[name] = out.to_numpy() if len(out) == len(pdf) else out.reindex(pdf.index)
+            elif isinstance(out, pd.DataFrame):
+                for c in out.columns:
+                    pdf[c] = out[c].to_numpy() if len(out) == len(pdf) else out[c].reindex(pdf.index)
+            elif isinstance(out, list) and all(isinstance(s, pd.Series) for s in out):
+                for s_out in out:
+                    assert s_out.name is not None, "list output Series must be named"
+                    pdf[s_out.name] = s_out.to_numpy() if len(s_out) == len(pdf) else s_out.reindex(pdf.index)
+            else:
+                raise TypeError(f"unsupported processor output type {type(out)}")
+            return pdf
+
+        # discover output schema by running on an empty-ish sample driver-side
+        # is fragile; instead require the UDF to emit the union of input
+        # columns plus whatever the function adds — we probe with a small
+        # sample to learn added column names/types.
+        sample = df.limit(100).toPandas().sort_values(ts_col)
+        probe = sample.copy()
+        if whole_frame:
+            probe = func(probe.set_index(ts_col), **kwargs).reset_index()
+        else:
+            for tup in series_names:
+                if input_type == "numpy":
+                    args = [probe[s].to_numpy() for s in tup]
+                else:
+                    args = [pd.Series(probe[s].to_numpy(), index=probe[ts_col], name=s) for s in tup]
+                out = func(*args, **kwargs)
+                probe = handle_output(probe, out, tup)
+        fields = []
+        for c in probe.columns:
+            if c in df.columns:
+                fields.append(df.schema[c])
+            else:
+                fields.append(T.StructField(c, T.DoubleType(), True))
+        schema = T.StructType(fields)
+        out_cols = [f.name for f in fields]
+
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+            if whole_frame:
+                res = func(pdf.set_index(ts_col), **kwargs).reset_index()
+            else:
+                res = pdf
+                for tup in series_names:
+                    if input_type == "numpy":
+                        args = [res[s].to_numpy() for s in tup]
+                    else:
+                        args = [pd.Series(res[s].to_numpy(), index=res[ts_col], name=s) for s in tup]
+                    out = func(*args, **kwargs)
+                    res = handle_output(res, out, tup)
+            for c in out_cols:
+                if c not in res.columns:
+                    res[c] = np.nan
+            return res[out_cols]
+
+        if key_cols:
+            return df.groupBy(*key_cols).applyInPandas(run, schema)
+        return df.groupBy(F.lit(1)).applyInPandas(run, schema)
+
+    def __repr__(self) -> str:
+        return f"SeriesProcessor({self.name}, {self.series_names})"

@@ -1,0 +1,53 @@
+"""Sources: parquet/csv/json readers with nanosecond-timestamp handling.
+
+The reference's only built-in reader is a parquet loader
+(tsflex/utils/data.py:161-193); Spark gives every format for free. The one
+real gap: Spark (as of 4.x) rejects parquet TIMESTAMP(NANOS) columns
+(PARQUET_TYPE_ILLEGAL). ``read_parquet`` transparently reads them via the
+``nanosAsLong`` legacy conf and rewrites the column to a microsecond
+TimestampType with exact integer division (``ns div 1000`` — never through
+double, which loses precision above 2^53).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _nanos_ts_cols(path: str) -> list[str]:
+    try:
+        schema = pq.read_schema(path.removeprefix("file://"))
+    except Exception:
+        return []
+    import pyarrow as pa
+
+    return [
+        f.name
+        for f in schema
+        if isinstance(f.type, pa.TimestampType) and f.type.unit == "ns"
+    ]
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` that tolerates TIMESTAMP(NANOS) columns."""
+    ns_cols = _nanos_ts_cols(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    # left set for the session: the scan may consult it again at execution
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_parquet(spark, f"{sf_dir}/{name}.parquet")
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "events")

@@ -1,0 +1,85 @@
+"""Data-model utilities: TIME/SEQUENCE domain detection and wide⇄long converters.
+
+Engine-native layout is **wide**: one DataFrame with an index column (``ts``)
+plus one column per series. Wide is parquet-columnar-friendly (required-series
+pruning == Catalyst column pruning) and lets one groupBy compute every
+(series × function) aggregate in a single fused plan. ``NULL`` in a series
+column means "this series has no sample at this ts" — exactly the NaN-padding
+of the reference's outer-merged wide frame (reference: tsflex/utils/data.py:16-71).
+
+Long format ``(ts, series_name, value)`` is supported at the boundary via the
+converters below (reference doc model: docs/pdoc_include/root_documentation.md:56-104).
+"""
+
+from __future__ import annotations
+
+from enum import IntEnum
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class DataType(IntEnum):
+    """Index-domain of a dataset (reference: tsflex/utils/attribute_parsing.py:14-20)."""
+
+    UNDEFINED = 0
+    SEQUENCE = 1
+    TIME = 2
+
+
+def determine_type(df: DataFrame, ts_col: str) -> DataType:
+    """Dispatch on the Spark type of the index column.
+
+    TimestampType/DateType → TIME; integral/fractional → SEQUENCE
+    (reference dtype-regex dispatch: tsflex/utils/attribute_parsing.py:28-57).
+    """
+    dtype = df.schema[ts_col].dataType
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        return DataType.TIME
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType, T.DoubleType, T.DecimalType)):
+        return DataType.SEQUENCE
+    return DataType.UNDEFINED
+
+
+def wide_to_long(
+    df: DataFrame,
+    ts_col: str = "ts",
+    series_cols: Sequence[str] | None = None,
+    name_col: str = "series_name",
+    value_col: str = "value",
+) -> DataFrame:
+    """Wide → long. Narrow transform (per-row explode), no shuffle.
+
+    NULL cells are dropped — a NULL in wide format means "no sample".
+    """
+    if series_cols is None:
+        series_cols = [c for c in df.columns if c != ts_col]
+    pairs = F.array(
+        *[
+            F.struct(F.lit(c).alias(name_col), F.col(c).cast("double").alias(value_col))
+            for c in series_cols
+        ]
+    )
+    out = df.select(F.col(ts_col), F.explode(pairs).alias("_kv")).select(
+        ts_col, f"_kv.{name_col}", f"_kv.{value_col}"
+    )
+    return out.where(F.col(value_col).isNotNull())
+
+
+def long_to_wide(
+    df: DataFrame,
+    ts_col: str = "ts",
+    name_col: str = "series_name",
+    value_col: str = "value",
+    series_names: Sequence[str] | None = None,
+) -> DataFrame:
+    """Long → wide via groupBy(ts).pivot — one shuffle on ts.
+
+    Pass ``series_names`` to skip the distinct-values discovery job
+    (a full extra scan at 100 TB).
+    """
+    g = df.groupBy(ts_col)
+    piv = g.pivot(name_col, list(series_names)) if series_names else g.pivot(name_col)
+    return piv.agg(F.first(value_col))
