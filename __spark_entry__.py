@@ -164,6 +164,286 @@ FROM der ORDER BY ts
 """
 
 
+def q_rolling_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantiles (percentile, not approx — SURVEY §2.4) over 2h
+    tumbling windows: p25/p50/p75 of events.value."""
+    _utc(spark)
+    from tsflex_spark import FuncWrapper
+
+    ev = _events(spark, sf_dir).select("ts", "value")
+    fc = FeatureCollection(
+        [
+            FeatureDescriptor(FuncWrapper("quantile", output_names="q25", q=0.25), "value", "2h", "2h"),
+            FeatureDescriptor(FuncWrapper("quantile", output_names="q50", q=0.50), "value", "2h", "2h"),
+            FeatureDescriptor(FuncWrapper("quantile", output_names="q75", q=0.75), "value", "2h", "2h"),
+        ]
+    )
+    out = fc.calculate(ev, ts_col="ts")
+    return out.select(
+        "ts",
+        F.col("value__q25__w=2h").alias("q25"),
+        F.col("value__q50__w=2h").alias("q50"),
+        F.col("value__q75__w=2h").alias("q75"),
+    )
+
+
+def _oracle_rolling_quantiles() -> str:
+    w = 2 * H1
+    return f"""
+WITH b AS (SELECT epoch_us(min(ts)) AS t0, epoch_us(max(ts)) AS t1 FROM events),
+k AS (SELECT t0, t1,
+             greatest(CAST(floor((t1 - t0 - {w}) / {w}.0) AS BIGINT) + 1, 0) AS nb
+      FROM b),
+seg AS (SELECT t0 + kk * {w} AS s_start
+        FROM k CROSS JOIN generate_series(0, 100000) AS g(kk)
+        WHERE kk < nb)
+SELECT make_timestamp(s_start + {w}) AS ts,
+       quantile_cont(e.value, 0.25) AS q25,
+       quantile_cont(e.value, 0.50) AS q50,
+       quantile_cont(e.value, 0.75) AS q75
+FROM seg LEFT JOIN events e
+  ON epoch_us(e.ts) >= s_start AND epoch_us(e.ts) < s_start + {w}
+GROUP BY s_start ORDER BY ts
+"""
+
+
+def q_rolling_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness/kurtosis (scipy bias=True / fisher=True parity —
+    SURVEY §2.4) over 2h tumbling windows, derived from exact decimal power
+    sums so both engines compute identical doubles."""
+    _utc(spark)
+    v = F.col("value")
+    ev = _events(spark, sf_dir).select(
+        "ts",
+        v.cast("decimal(18,2)").alias("v1"),
+        (v * v).cast("decimal(28,4)").alias("v2"),
+        (v * v * v).cast("decimal(38,6)").alias("v3"),
+        (v * v * v * v).cast("decimal(38,8)").alias("v4"),
+    )
+    fc = FeatureCollection(
+        [
+            FeatureDescriptor("sum", "v1", "2h", "2h"),
+            FeatureDescriptor("count", "v1", "2h", "2h"),
+            FeatureDescriptor("sum", "v2", "2h", "2h"),
+            FeatureDescriptor("sum", "v3", "2h", "2h"),
+            FeatureDescriptor("sum", "v4", "2h", "2h"),
+        ]
+    )
+    out = fc.calculate(ev, ts_col="ts")
+    n = F.col("v1__count__w=2h").cast("bigint")
+    mu = F.try_divide(F.col("v1__sum__w=2h").cast("double"), n)
+    r2 = F.try_divide(F.col("v2__sum__w=2h").cast("double"), n)
+    r3 = F.try_divide(F.col("v3__sum__w=2h").cast("double"), n)
+    r4 = F.try_divide(F.col("v4__sum__w=2h").cast("double"), n)
+    m2 = r2 - mu * mu
+    m3 = r3 - F.lit(3.0) * mu * r2 + F.lit(2.0) * mu * mu * mu
+    m4 = r4 - F.lit(4.0) * mu * r3 + F.lit(6.0) * mu * mu * r2 - F.lit(3.0) * mu * mu * mu * mu
+    skew = F.when(m2 > 0, m3 / (m2 * F.sqrt(m2)))
+    kurt = F.when(m2 > 0, m4 / (m2 * m2) - F.lit(3.0))
+    return out.select("ts", skew.alias("skew_val"), kurt.alias("kurt_val"), n.alias("cnt_val"))
+
+
+def _oracle_rolling_skew_kurt() -> str:
+    w = 2 * H1
+    return f"""
+WITH b AS (SELECT epoch_us(min(ts)) AS t0, epoch_us(max(ts)) AS t1 FROM events),
+k AS (SELECT t0, t1,
+             greatest(CAST(floor((t1 - t0 - {w}) / {w}.0) AS BIGINT) + 1, 0) AS nb
+      FROM b),
+seg AS (SELECT t0 + kk * {w} AS s_start
+        FROM k CROSS JOIN generate_series(0, 100000) AS g(kk)
+        WHERE kk < nb),
+agg AS (SELECT s_start,
+               sum(CAST(e.value AS DECIMAL(18,2)))                         AS s1,
+               sum(CAST(e.value * e.value AS DECIMAL(28,4)))               AS s2,
+               sum(CAST(e.value * e.value * e.value AS DECIMAL(38,6)))     AS s3,
+               sum(CAST(e.value * e.value * e.value * e.value AS DECIMAL(38,8))) AS s4,
+               count(e.value) AS n
+        FROM seg LEFT JOIN events e
+          ON epoch_us(e.ts) >= s_start AND epoch_us(e.ts) < s_start + {w}
+        GROUP BY s_start),
+r AS (SELECT s_start, n,
+             CAST(s1 AS DOUBLE) / n AS mu,
+             CAST(s2 AS DOUBLE) / n AS r2,
+             CAST(s3 AS DOUBLE) / n AS r3,
+             CAST(s4 AS DOUBLE) / n AS r4
+      FROM agg),
+m AS (SELECT s_start, n, mu, r2,
+             r2 - mu * mu AS m2,
+             r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+             r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2 - 3.0 * mu * mu * mu * mu AS m4
+      FROM r)
+SELECT make_timestamp(s_start + {w}) AS ts,
+       CASE WHEN m2 > 0 THEN m3 / (m2 * sqrt(m2)) END AS skew_val,
+       CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3.0 END AS kurt_val,
+       n AS cnt_val
+FROM m ORDER BY ts
+"""
+
+
+# epoch micros of 2024-01-01 UTC — events tables start here (TESTDATA.md)
+T0_2024 = 1_704_067_200_000_000
+
+
+def q_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares slope of value vs time (units/second — SURVEY §2.4
+    linregress parity) over 4h tumbling windows, from exact integer sums:
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), x in micros since 2024-01-01,
+    y in cents. All sums are exact decimals; only the final division is
+    floating point."""
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    xd = (F.unix_micros(F.col("ts")) - F.lit(T0_2024)).cast("decimal(18,0)")
+    vc = F.col("value").cast("decimal(18,2)") * F.lit(100).cast("decimal(3,0)")
+    ev = ev.select(
+        "ts",
+        xd.alias("xd"),
+        (xd * xd).alias("xx"),
+        (xd.cast("decimal(18,0)") * vc.cast("decimal(12,2)")).alias("xv"),
+        vc.alias("vc"),
+    )
+    fc = FeatureCollection(
+        [
+            FeatureDescriptor("sum", "xd", "4h", "4h"),
+            FeatureDescriptor("sum", "xx", "4h", "4h"),
+            FeatureDescriptor("sum", "xv", "4h", "4h"),
+            FeatureDescriptor("sum", "vc", "4h", "4h"),
+            FeatureDescriptor("count", "vc", "4h", "4h"),
+        ]
+    )
+    out = fc.calculate(ev, ts_col="ts")
+    n = F.col("vc__count__w=4h").cast("bigint")
+    sx, sxx = F.col("xd__sum__w=4h"), F.col("xx__sum__w=4h")
+    sxy, sy = F.col("xv__sum__w=4h"), F.col("vc__sum__w=4h")
+    num = (n * sxy - sx * sy).cast("double")
+    den = (n * sxx - sx * sx).cast("double")
+    slope = F.when(den > 0, num / den * F.lit(1e4))  # cents/us -> units/s
+    return out.select("ts", slope.alias("slope_val"), n.alias("cnt_val"))
+
+
+def _oracle_rolling_slope() -> str:
+    w = 4 * H1
+    return f"""
+WITH b AS (SELECT epoch_us(min(ts)) AS t0, epoch_us(max(ts)) AS t1 FROM events),
+k AS (SELECT t0, t1,
+             greatest(CAST(floor((t1 - t0 - {w}) / {w}.0) AS BIGINT) + 1, 0) AS nb
+      FROM b),
+seg AS (SELECT t0 + kk * {w} AS s_start
+        FROM k CROSS JOIN generate_series(0, 100000) AS g(kk)
+        WHERE kk < nb),
+prep AS (SELECT ts, CAST(epoch_us(ts) - {T0_2024} AS DECIMAL(18,0)) AS xd,
+                CAST(value AS DECIMAL(18,2)) * CAST(100 AS DECIMAL(3,0)) AS vc
+         FROM events),
+agg AS (SELECT s_start,
+               sum(p.xd)                                              AS sx,
+               sum(CAST(p.xd AS DECIMAL(19,0)) * CAST(p.xd AS DECIMAL(19,0))) AS sxx,
+               sum(CAST(p.xd AS DECIMAL(19,0)) * CAST(p.vc AS DECIMAL(19,2))) AS sxy,
+               sum(p.vc)                                              AS sy,
+               count(p.vc)                                            AS n
+        FROM seg LEFT JOIN prep p
+          ON epoch_us(p.ts) >= s_start AND epoch_us(p.ts) < s_start + {w}
+        GROUP BY s_start),
+der AS (SELECT s_start, n,
+               CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+               CAST(n * sxx - sx * sx AS DOUBLE) AS den
+        FROM agg)
+SELECT make_timestamp(s_start + {w}) AS ts,
+       CASE WHEN den > 0 THEN num / den * 1e4 END AS slope_val,
+       n AS cnt_val
+FROM der ORDER BY ts
+"""
+
+
+def q_sequence_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE-domain strided rolling (SURVEY §2.5 SequenceStridedRolling):
+    numeric index = o_orderkey, window=1000 keys, stride=500."""
+    _utc(spark)
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("price")
+    )
+    fc = FeatureCollection(
+        [
+            FeatureDescriptor("sum", "price", 1000, 500),
+            FeatureDescriptor("count", "price", 1000, 500),
+            FeatureDescriptor("max", "price", 1000, 500),
+        ]
+    )
+    out = fc.calculate(od, ts_col="o_orderkey")
+    return out.select(
+        F.col("o_orderkey").cast("bigint").alias("seg_end"),
+        F.coalesce(F.col("price__sum__w=1000").cast("double"), F.lit(0.0)).alias("sum_price"),
+        F.col("price__count__w=1000").cast("bigint").alias("cnt"),
+        F.col("price__max__w=1000").cast("double").alias("max_price"),
+    )
+
+
+def _oracle_sequence_rolling() -> str:
+    w, s = 1000, 500
+    return f"""
+WITH b AS (SELECT min(o_orderkey) AS t0, max(o_orderkey) AS t1 FROM orders),
+k AS (SELECT t0, t1,
+             greatest(CAST(floor((t1 - t0 - {w}) / {s}.0) AS BIGINT) + 1, 0) AS nb
+      FROM b),
+seg AS (SELECT t0 + kk * {s} AS s_start
+        FROM k CROSS JOIN generate_series(0, 1000000) AS g(kk)
+        WHERE kk < nb),
+agg AS (SELECT s_start,
+               sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS sum_dec,
+               count(o.o_totalprice)                      AS cnt,
+               max(o.o_totalprice)                        AS max_raw
+        FROM seg LEFT JOIN orders o
+          ON o.o_orderkey >= s_start AND o.o_orderkey < s_start + {w}
+        GROUP BY s_start)
+SELECT s_start + {w} AS seg_end,
+       coalesce(CAST(sum_dec AS DOUBLE), 0.0) AS sum_price,
+       cnt,
+       max_raw AS max_price
+FROM agg ORDER BY seg_end
+"""
+
+
+def q_count_based_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based windows on a TIME index (SURVEY §2.5
+    TimeIndexSampleStridedRolling): int window=256 samples, stride=128;
+    output index = the timestamp AT the end sample position."""
+    _utc(spark)
+    ev = _events(spark, sf_dir).select(
+        "ts", F.col("value").cast("decimal(18,2)").alias("value")
+    )
+    fc = FeatureCollection(
+        [
+            FeatureDescriptor("sum", "value", 256, 128),
+            FeatureDescriptor("count", "value", 256, 128),
+        ]
+    )
+    out = fc.calculate(ev, ts_col="ts")
+    return out.select(
+        "ts",
+        F.col("value__sum__w=256").cast("double").alias("sum_val"),
+        F.col("value__count__w=256").cast("bigint").alias("cnt_val"),
+    )
+
+
+def _oracle_count_based_rolling() -> str:
+    w, s = 256, 128
+    return f"""
+WITH d AS (SELECT ts, value, row_number() OVER (ORDER BY ts) - 1 AS rn FROM events),
+b AS (SELECT max(rn) AS endp FROM d),
+k AS (SELECT endp, greatest(CAST(floor((endp - {w}) / {s}.0) AS BIGINT) + 1, 0) AS nb FROM b),
+seg AS (SELECT kk * {s} AS s_start
+        FROM k CROSS JOIN generate_series(0, 1000000) AS g(kk)
+        WHERE kk < nb),
+agg AS (SELECT s_start,
+               sum(CAST(d.value AS DECIMAL(18,2))) AS sum_dec,
+               count(d.value) AS cnt
+        FROM seg JOIN d ON d.rn >= s_start AND d.rn < s_start + {w}
+        GROUP BY s_start)
+SELECT t.ts, CAST(a.sum_dec AS DOUBLE) AS sum_val, a.cnt AS cnt_val
+FROM agg a LEFT JOIN d t ON t.rn = a.s_start + {w}
+ORDER BY t.ts
+"""
+
+
 def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """group_by_all mode (SURVEY §2.6): features per distinct event_type."""
     _utc(spark)
@@ -199,6 +479,202 @@ SELECT event_type,
        max(value)   AS max_val
 FROM events WHERE event_type IS NOT NULL
 GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_group_by_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group_by_consecutive (SURVEY §2.6 gaps-and-islands): runs of equal
+    consecutive event_type values become segments with __start/__end
+    (last run end = last ts + 1 day, reference exclusive-bound fix)."""
+    _utc(spark)
+    fc = FeatureCollection(
+        [
+            FeatureDescriptor("sum", "value", "1h", "1h"),
+            FeatureDescriptor("count", "value", "1h", "1h"),
+        ]
+    )
+    out = fc.calculate(
+        _events(spark, sf_dir).select(
+            "ts", "event_type", F.col("value").cast("decimal(18,2)").alias("value")
+        ),
+        ts_col="ts",
+        group_by_consecutive="event_type",
+    )
+    return out.select(
+        "ts",
+        "event_type",
+        F.col("__start").alias("run_start"),
+        F.col("__end").alias("run_end"),
+        F.col("value__sum__w=manual").cast("double").alias("sum_val"),
+        F.col("value__count__w=manual").cast("bigint").alias("cnt_val"),
+    )
+
+
+def _oracle_group_by_consecutive() -> str:
+    return """
+WITH d AS (SELECT ts, event_type, CAST(value AS DECIMAL(18,2)) AS v,
+                  CASE WHEN lag(event_type) OVER (ORDER BY ts) IS NULL
+                         OR event_type <> lag(event_type) OVER (ORDER BY ts)
+                       THEN 1 ELSE 0 END AS chg
+           FROM events WHERE event_type IS NOT NULL),
+i AS (SELECT *, sum(chg) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) AS isl FROM d),
+g AS (SELECT isl, any_value(event_type) AS event_type,
+             min(ts) AS run_start, max(ts) AS last_ts,
+             CAST(sum(v) AS DOUBLE) AS sum_val, count(v) AS cnt_val
+      FROM i GROUP BY isl)
+SELECT run_start AS ts, event_type, run_start,
+       coalesce(lead(run_start) OVER (ORDER BY run_start),
+                last_ts + INTERVAL 1 DAY) AS run_end,
+       sum_val, cnt_val
+FROM g ORDER BY run_start
+"""
+
+
+def q_manual_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit user segments (SURVEY §2.5 segment_start/end_idxs): 30 daily
+    [00:00, 06:00) windows over events — variable segments, window='manual'."""
+    _utc(spark)
+    import pandas as pd
+
+    starts = pd.date_range("2024-01-01", periods=30, freq="1D")
+    ends = starts + pd.Timedelta("6h")
+    ev = _events(spark, sf_dir).select(
+        "ts", F.col("value").cast("decimal(18,2)").alias("value")
+    )
+    fc = FeatureCollection(
+        [
+            FeatureDescriptor("sum", "value"),
+            FeatureDescriptor("count", "value"),
+            FeatureDescriptor("min", "value"),
+        ]
+    )
+    out = fc.calculate(
+        ev,
+        ts_col="ts",
+        segment_start_idxs=list(starts),
+        segment_end_idxs=list(ends),
+        window_idx="begin",
+    )
+    return out.select(
+        "ts",
+        F.coalesce(F.col("value__sum__w=manual").cast("double"), F.lit(0.0)).alias("sum_val"),
+        F.col("value__count__w=manual").cast("bigint").alias("cnt_val"),
+        F.col("value__min__w=manual").cast("double").alias("min_val"),
+    )
+
+
+def _oracle_manual_segments() -> str:
+    return f"""
+WITH seg AS (SELECT {T0_2024} + kk * 86400000000 AS s_start
+             FROM generate_series(0, 29) AS g(kk)),
+agg AS (SELECT s_start,
+               sum(CAST(e.value AS DECIMAL(18,2))) AS sum_dec,
+               count(e.value) AS cnt,
+               min(e.value)   AS min_raw
+        FROM seg LEFT JOIN events e
+          ON epoch_us(e.ts) >= s_start AND epoch_us(e.ts) < s_start + {6 * H1}
+        GROUP BY s_start)
+SELECT make_timestamp(s_start) AS ts,
+       coalesce(CAST(sum_dec AS DOUBLE), 0.0) AS sum_val,
+       cnt AS cnt_val,
+       min_raw AS min_val
+FROM agg ORDER BY ts
+"""
+
+
+def q_processing_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SeriesPipeline of column-tier SeriesProcessors (SURVEY §2.8): clip →
+    sqrt → add/replace semantics, all fused into one codegen projection."""
+    _utc(spark)
+    from tsflex_spark import SeriesPipeline, SeriesProcessor
+
+    def clip(v):
+        return F.least(F.greatest(v, F.lit(10.0)), F.lit(100.0))
+
+    def sqrt_of(v):
+        return {"value_sqrt": F.sqrt(v)}
+
+    pipe = SeriesPipeline(
+        [
+            SeriesProcessor(clip, "value", input_type="column"),
+            SeriesProcessor(sqrt_of, "value", input_type="column"),
+        ]
+    )
+    out = pipe.process(_events(spark, sf_dir).select("ts", "event_id", "value"), ts_col="ts")
+    return out.select("event_id", F.col("value").alias("value_clip"), "value_sqrt").orderBy(
+        "event_id"
+    )
+
+
+def _oracle_processing_pipeline() -> str:
+    return """
+SELECT event_id,
+       least(greatest(value, 10.0), 100.0) AS value_clip,
+       sqrt(least(greatest(value, 10.0), 100.0)) AS value_sqrt
+FROM events ORDER BY event_id
+"""
+
+
+def q_chunk_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chunk_data (SURVEY §2.11): gap-aware chunk detection, max_gap=10m."""
+    _utc(spark)
+    from tsflex_spark.chunking import chunk_data
+
+    return chunk_data(_events(spark, sf_dir), ts_col="ts", value_col="value", max_gap="10m")
+
+
+def _oracle_chunk_islands() -> str:
+    return """
+WITH d AS (SELECT ts,
+                  CASE WHEN lag(ts) OVER (ORDER BY ts) IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER (ORDER BY ts)) > 600000000
+                       THEN 1 ELSE 0 END AS chg
+           FROM events WHERE value IS NOT NULL),
+i AS (SELECT ts, sum(chg) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) AS isl FROM d),
+g AS (SELECT isl, min(ts) AS chunk_start, max(ts) AS chunk_end, count(*) AS n_samples
+      FROM i GROUP BY isl)
+SELECT CAST(row_number() OVER (ORDER BY chunk_start) - 1 AS INT) AS chunk_id,
+       chunk_start, chunk_end, n_samples
+FROM g ORDER BY chunk_id
+"""
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessionization (session_window semantics in batch —
+    SURVEY §2.9): 30m inactivity gap, keyed by user_id. Same gaps-and-islands
+    core as chunk_data, partitioned per key → fully distributed."""
+    _utc(spark)
+    from tsflex_spark.chunking import chunk_data
+
+    out = chunk_data(
+        _events(spark, sf_dir), ts_col="ts", key_cols=["user_id"], max_gap="30m"
+    )
+    return out.select(
+        "user_id",
+        F.col("chunk_id").alias("session_id"),
+        F.col("chunk_start").alias("session_start"),
+        F.col("chunk_end").alias("session_end"),
+        F.col("n_samples").alias("n_events"),
+    )
+
+
+def _oracle_sessionization() -> str:
+    return """
+WITH d AS (SELECT user_id, ts,
+                  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+                       THEN 1 ELSE 0 END AS chg
+           FROM events),
+i AS (SELECT user_id, ts,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS isl
+      FROM d),
+g AS (SELECT user_id, isl, min(ts) AS session_start, max(ts) AS session_end,
+             count(*) AS n_events
+      FROM i GROUP BY user_id, isl)
+SELECT user_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY session_start) - 1 AS INT) AS session_id,
+       session_start, session_end, n_events
+FROM g ORDER BY user_id, session_id
 """
 
 
@@ -295,7 +771,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rolling_stats": q_rolling_stats,
         "rolling_pop_moments": q_rolling_pop_moments,
+        "rolling_quantiles": q_rolling_quantiles,
+        "rolling_skew_kurt": q_rolling_skew_kurt,
+        "rolling_slope": q_rolling_slope,
+        "sequence_rolling": q_sequence_rolling,
+        "count_based_rolling": q_count_based_rolling,
         "group_by_all": q_group_by_all,
+        "group_by_consecutive": q_group_by_consecutive,
+        "manual_segments": q_manual_segments,
+        "processing_pipeline": q_processing_pipeline,
+        "chunk_islands": q_chunk_islands,
+        "sessionization": q_sessionization,
         "tpch_q1": q_tpch_q1,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
@@ -306,7 +792,17 @@ def oracle_sql() -> dict[str, str]:
     return {
         "rolling_stats": _oracle_rolling_stats(),
         "rolling_pop_moments": _oracle_rolling_pop_moments(),
+        "rolling_quantiles": _oracle_rolling_quantiles(),
+        "rolling_skew_kurt": _oracle_rolling_skew_kurt(),
+        "rolling_slope": _oracle_rolling_slope(),
+        "sequence_rolling": _oracle_sequence_rolling(),
+        "count_based_rolling": _oracle_count_based_rolling(),
         "group_by_all": _oracle_group_by_all(),
+        "group_by_consecutive": _oracle_group_by_consecutive(),
+        "manual_segments": _oracle_manual_segments(),
+        "processing_pipeline": _oracle_processing_pipeline(),
+        "chunk_islands": _oracle_chunk_islands(),
+        "sessionization": _oracle_sessionization(),
         "tpch_q1": _oracle_tpch_q1(),
         "dedup_exact": _oracle_dedup_exact(),
         "text_stats": _oracle_text_stats(),

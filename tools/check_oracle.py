@@ -3,7 +3,7 @@
 same sf dir; compare row count, sorted column names, and values
 (order-insensitive, column-name-sorted).
 
-Usage: python tools/check_oracle.py [sf_dir]
+Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
 """
 
 from __future__ import annotations
@@ -47,6 +47,9 @@ def main() -> int:
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    if len(sys.argv) > 2:
+        only = set(sys.argv[2:])
+        queries = {k: v for k, v in queries.items() if k in only}
     failures = 0
     for name, fn in queries.items():
         try:

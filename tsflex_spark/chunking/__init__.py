@@ -1,0 +1,3 @@
+from tsflex_spark.chunking.chunking import chunk_data
+
+__all__ = ["chunk_data"]

@@ -1,0 +1,117 @@
+"""chunk_data — gap-aware splitting of series into continuous chunks.
+
+Parity (semantics only): reference tsflex/chunking/chunking.py:15-191 —
+a gap is a sample interval ``> max_gap`` (the reference derives
+``max_gap = 1.5 / fs`` from a sampling frequency; here the caller passes
+either ``fs`` or ``max_gap`` directly); chunks shorter than
+``min_chunk_dur`` are dropped; chunks longer than ``max_chunk_dur`` are
+split into sub-chunks with ``sub_chunk_overlap/2`` margins on each side
+(reference :164-190).
+
+Spark-first design: the reference's out-of-core motivation is obsolete
+(partitioning is native) but gap-aware chunking survives as a *semantic*
+operator. One window-function pass (``lag`` diff → island id via running
+sum) + one groupBy — classic gaps-and-islands, two shuffles total, scales
+per ``key_cols`` partition. Returns a small ``(keys..., chunk_id, chunk_start,
+chunk_end, n_samples)`` table; join it back to data when per-chunk
+processing is needed.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from tsflex_spark.features.segmenter import TSN, numeric_index
+from tsflex_spark.utils.data import DataType, determine_type
+from tsflex_spark.utils.time_args import to_numeric_units
+
+
+def chunk_data(
+    data: DataFrame,
+    *,
+    ts_col: str = "ts",
+    value_col: Optional[str] = None,
+    key_cols: Sequence[str] = (),
+    fs: Optional[float] = None,
+    max_gap: Optional[Union[str, pd.Timedelta, int, float]] = None,
+    min_chunk_dur: Optional[Union[str, pd.Timedelta, int, float]] = None,
+    max_chunk_dur: Optional[Union[str, pd.Timedelta, int, float]] = None,
+    sub_chunk_overlap: Optional[Union[str, pd.Timedelta, int, float]] = None,
+) -> DataFrame:
+    """Detect continuous chunks of ``data`` separated by sampling gaps.
+
+    Exactly one of ``fs`` (expected sampling rate, Hz — gap threshold
+    becomes ``1.5/fs`` seconds, reference :123-135) or ``max_gap`` must be
+    given. Returns ``(keys..., chunk_id, chunk_start, chunk_end, n_samples)``
+    where ``chunk_id`` numbers chunks per key in time order and the chunk
+    range is the inclusive ``[first_ts, last_ts]`` span of its samples.
+    """
+    assert (fs is None) != (max_gap is None), "pass exactly one of fs / max_gap"
+    domain = determine_type(data, ts_col)
+    is_time = domain == DataType.TIME
+    if value_col is not None:
+        data = data.where(F.col(value_col).isNotNull())
+
+    if max_gap is not None:
+        gap_n = to_numeric_units(max_gap, is_time)
+    else:
+        gap_n = (1.5 / float(fs)) * (1_000_000 if is_time else 1)
+
+    d = numeric_index(data.select(ts_col, *key_cols), ts_col, domain)
+    w = W.partitionBy(*key_cols).orderBy(TSN) if key_cols else W.orderBy(TSN)
+    prev = F.lag(TSN).over(w)
+    new_chunk = F.when(prev.isNull() | ((F.col(TSN) - prev) > F.lit(gap_n)), 1).otherwise(0)
+    d = d.withColumn("__chunk", F.sum(new_chunk).over(w))
+
+    chunks = d.groupBy(*key_cols, "__chunk").agg(
+        F.min(TSN).alias("__cs"),
+        F.max(TSN).alias("__ce"),
+        F.count(F.lit(1)).alias("n_samples"),
+    )
+
+    if min_chunk_dur is not None:
+        min_n = to_numeric_units(min_chunk_dur, is_time)
+        chunks = chunks.where((F.col("__ce") - F.col("__cs")) >= F.lit(min_n))
+
+    if max_chunk_dur is not None:
+        max_n = to_numeric_units(max_chunk_dur, is_time)
+        margin = (
+            to_numeric_units(sub_chunk_overlap, is_time) / 2 if sub_chunk_overlap is not None else 0
+        )
+        # split [cs, ce] into ceil(span/max_n) sub-chunks with +-margin
+        # (reference :164-190) — sequence/explode, fully distributed
+        nsub = F.greatest(
+            F.ceil((F.col("__ce") - F.col("__cs")) / F.lit(max_n)), F.lit(1).cast("long")
+        )
+        chunks = chunks.withColumn("__k", F.explode(F.sequence(F.lit(0).cast("long"), nsub - 1)))
+        sub_start = F.col("__cs") + F.col("__k") * F.lit(max_n)
+        sub_end = F.least(sub_start + F.lit(max_n), F.col("__ce"))
+        chunks = chunks.select(
+            *key_cols,
+            F.greatest(sub_start - F.lit(margin), F.col("__cs")).alias("__cs"),
+            F.least(sub_end + F.lit(margin), F.col("__ce")).alias("__ce"),
+            F.col("n_samples"),
+        )
+
+    w2 = (
+        W.partitionBy(*key_cols).orderBy("__cs") if key_cols else W.orderBy("__cs")
+    )
+    out = chunks.withColumn("chunk_id", F.row_number().over(w2) - 1)
+
+    if is_time:
+        start = F.timestamp_micros(F.col("__cs").cast("long"))
+        end = F.timestamp_micros(F.col("__ce").cast("long"))
+    else:
+        start, end = F.col("__cs"), F.col("__ce")
+    return out.select(
+        *key_cols,
+        "chunk_id",
+        start.alias("chunk_start"),
+        end.alias("chunk_end"),
+        "n_samples",
+    ).orderBy(*key_cols, "chunk_id")

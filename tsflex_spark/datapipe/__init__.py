@@ -1,0 +1,3 @@
+from tsflex_spark.datapipe import dedup, similarity, text
+
+__all__ = ["dedup", "similarity", "text"]

@@ -1,0 +1,134 @@
+"""Embedding similarity search over ``array<float>`` columns.
+
+Two tiers (SURVEY north-star: ANN over the ``embeddings`` table):
+
+- ``cosine_topk``: brute-force exact top-k — one JVM-side pass
+  (``F.aggregate``/``F.zip_with`` dot product, no Python), then a top-k.
+  The scan is embarrassingly parallel; the top-k is a per-partition
+  ``takeOrdered``-style reduction, so no full sort/shuffle of the corpus.
+- ``lsh_bucket_topk``: the scale path — deterministic random-hyperplane
+  LSH signatures bucket the corpus; only the query's bucket (plus
+  multi-probe neighbors) is scanned. At 100 TB the bucket column becomes
+  the partition key so a query touches a bounded partition subset.
+
+Hyperplanes are derived from ``xxhash64(dim_index, plane_seed)`` signs —
+fully deterministic, no stored model, identical across executors.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot_lit(vec_col: Column, q: Sequence[float]) -> Column:
+    """<vec, q> with the literal query unrolled — left-to-right sum, exact
+    expression-tree parity with the DuckDB oracle."""
+    terms = [F.element_at(vec_col, i + 1).cast("double") * F.lit(float(v)) for i, v in enumerate(q)]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def _norm(vec_col: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            vec_col,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+
+
+def cosine_similarity_col(vec_col: Column, q: Sequence[float]) -> Column:
+    import math
+
+    qn = math.sqrt(sum(float(v) * float(v) for v in q))
+    return _dot_lit(vec_col, q) / (_norm(vec_col) * F.lit(qn))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact brute-force cosine top-k against a literal query vector.
+
+    ``ORDER BY cosine DESC, id LIMIT k`` — Catalyst plans a TakeOrderedAndProject
+    (per-partition heap + driver merge), never a global sort.
+    """
+    scored = df.select(
+        F.col(id_col),
+        cosine_similarity_col(F.col(vec_col), query_vec).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def lsh_signature_col(vec_col: Column, num_planes: int, dim: int, seed: int = 7) -> Column:
+    """Random-hyperplane LSH signature (bit-packed into a LONG).
+
+    Plane p has components sign(xxhash64(i, seed+p)) ∈ {-1, +1} for
+    dimension i; bit p of the signature = [ <vec, plane_p> > 0 ].
+    Deterministic — executors regenerate planes from the seed; nothing is
+    broadcast or stored.
+    """
+    sig = F.lit(0).cast("long")
+    for p in range(num_planes):
+        terms: List[Column] = []
+        for i in range(dim):
+            sign = F.when(
+                F.xxhash64(F.lit(i), F.lit(seed + p)) % 2 == 0, F.lit(1.0)
+            ).otherwise(F.lit(-1.0))
+            terms.append(F.element_at(vec_col, i + 1).cast("double") * sign)
+        proj = terms[0]
+        for t in terms[1:]:
+            proj = proj + t
+        sig = sig.bitwiseOR(
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))
+        )
+    return sig
+
+
+def lsh_bucket_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    num_planes: int = 8,
+    dim: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_hamming: int = 1,
+    seed: int = 7,
+) -> DataFrame:
+    """ANN top-k with the query given as a (broadcastable) one-row DataFrame
+    ``(q_vec array<float>)`` — signatures for corpus AND query are computed
+    by the same JVM expression, so they agree bit-for-bit.
+
+    Join on hamming(bucket_q, bucket_row) <= probe_hamming via broadcast of
+    the single query row, then exact cosine re-rank of the candidates.
+    """
+    sig = lsh_signature_col(F.col(vec_col), num_planes, dim, seed)
+    corpus = df.withColumn("__sig", sig)
+    q = query_df.select(
+        F.col("q_vec"),
+        lsh_signature_col(F.col("q_vec"), num_planes, dim, seed).alias("__qsig"),
+    )
+    joined = corpus.join(F.broadcast(q))
+    ham = F.bit_count(F.col("__sig").bitwiseXOR(F.col("__qsig")))
+    cand = joined.where(ham <= probe_hamming)
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col("q_vec"), lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (_norm(F.col(vec_col)) * _norm(F.col("q_vec")))
+    return (
+        cand.select(F.col(id_col), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -208,6 +208,16 @@ class FeatureCollection:
                 assert strides, (
                     f"descriptor {fd} has no stride and no stride-override/segment idxs given"
                 )
+                if is_time and isinstance(fd.window, int) and not isinstance(fd.window, bool):
+                    # int window on a TIME index = count-based segmentation
+                    # (reference TimeIndexSampleStridedRolling,
+                    # strided_rolling_factory.py:74-98, strided_rolling.py:627-698)
+                    window_c = int(fd.window)
+                    strides_c = tuple(sorted({int(s) for s in strides}))
+                    configs.setdefault(("count", window_c, strides_c), []).append(
+                        (series_tuple, win_str, fd)
+                    )
+                    continue
                 window_n = to_numeric_units(fd.window, is_time)
                 strides_n = tuple(sorted({to_numeric_units(s, is_time) for s in strides}))
                 configs.setdefault((window_n, strides_n), []).append((series_tuple, win_str, fd))
@@ -218,6 +228,11 @@ class FeatureCollection:
                 out = self._run_manual_config(
                     data_n, bounds, entries, cfg[1], segment_start_idxs,
                     segment_end_idxs, key_cols, window_idx, domain, ts_col,
+                )
+            elif cfg[0] == "count":
+                out = self._run_count_config(
+                    data_n, entries, cfg[1], list(cfg[2]),
+                    include_final_window, key_cols, window_idx, bound_method, ts_col,
                 )
             else:
                 window_n, strides_n = cfg
@@ -340,6 +355,60 @@ class FeatureCollection:
         out = out.withColumn(OUT_IDX, seg.out_idx_expr(window_idx, domain))
         out = out.withColumn(ts_col, seg.output_index(F.col(OUT_IDX), domain))
         return out.drop(SEG, SEG_END, OUT_IDX)
+
+    def _run_count_config(
+        self,
+        data_n: DataFrame,
+        entries: List[Tuple],
+        window_c: int,
+        strides_c: List[int],
+        include_final_window: bool,
+        key_cols: List[str],
+        window_idx: str,
+        bound_method: str,
+        ts_col: str,
+    ) -> DataFrame:
+        """Count-based windows on a TIME index: segment in sample-position
+        space, stitch the time index back onto the output positions
+        (reference TimeIndexSampleStridedRolling, strided_rolling.py:627-698).
+
+        Position numbering is a per-key ``row_number`` ordered by ts — one
+        window-function pass; everything downstream reuses the grid path in
+        position space. Output ts = the timestamp AT the output position
+        (begin/middle/end sample), exactly the reference's
+        ``series_index[df.index]`` stitch.
+        """
+        needed = sorted({s for series_tuple, _, _fd in entries for s in series_tuple})
+        w = W.partitionBy(*key_cols).orderBy(TSN) if key_cols else W.orderBy(TSN)
+        pos = data_n.withColumn("__rn", F.row_number().over(w) - 1)
+        pos_map = pos.select(*key_cols, F.col("__rn").alias(OUT_IDX), F.col(TSN).alias("__out_tsn"))
+        data_ps = pos.drop(TSN).withColumnRenamed("__rn", TSN)
+
+        bounds = seg.make_bounds(data_ps, needed, key_cols, bound_method)
+        assigned = seg.assign_segments(
+            data_ps.select(TSN, *key_cols, *needed),
+            bounds, window_c, strides_c, include_final_window, key_cols,
+        )
+        group_cols = [*key_cols, SEG]
+        native, udf = self._split_tiers(entries)
+        parts: List[DataFrame] = []
+        if native:
+            parts.append(assigned.groupBy(*group_cols).agg(*self._native_agg_exprs(native)))
+        if udf:
+            parts.append(self._udf_apply(assigned, udf, group_cols))
+        result = parts[0]
+        for p in parts[1:]:
+            result = result.join(p, on=group_cols, how="full")
+
+        spine = seg.make_segment_spine(bounds, window_c, strides_c, include_final_window, key_cols)
+        out = spine.join(result, on=group_cols, how="left")
+        for colname, fill in self._native_empty_fills(native).items():
+            out = out.withColumn(colname, F.coalesce(F.col(colname), F.lit(fill)))
+        # positions are integers; middle floors (numpy int division)
+        out = out.withColumn(OUT_IDX, F.floor(seg.out_idx_expr(window_idx, DataType.SEQUENCE)))
+        out = out.join(pos_map, on=[*key_cols, OUT_IDX], how="left")
+        out = out.withColumn(ts_col, seg.output_index(F.col("__out_tsn"), DataType.TIME))
+        return out.drop(SEG, SEG_END, OUT_IDX, "__out_tsn")
 
     def _run_manual_config(
         self,
