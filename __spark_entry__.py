@@ -761,6 +761,311 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality features (SURVEY north-star): length / word-length /
+    punct / digit / upper / stopword ratios + composite score — pure
+    codegen expressions, no Python."""
+    _utc(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from tsflex_spark.datapipe.text import quality_score
+
+    return quality_score(docs, "text", id_col="doc_id").orderBy("doc_id")
+
+
+def _oracle_quality_score() -> str:
+    stop = "['the','a','an','and','or','of','to','in','is','it','that','was','for','on','are','as','with','at','be','this']"
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks,
+         CAST(length(text) AS DOUBLE) AS n_chars
+  FROM documents),
+d AS (
+  SELECT doc_id, n_chars, toks,
+         CAST(len(toks) AS DOUBLE) AS n_tokens,
+         greatest(n_chars, 1.0) AS safe_chars,
+         greatest(CAST(len(toks) AS DOUBLE), 1.0) AS safe_toks,
+         CAST(n_chars - length(regexp_replace(text, '[\\.,;:!\\?''"]', '', 'g')) AS DOUBLE) AS n_punct,
+         CAST(n_chars - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digit,
+         CAST(n_chars - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) AS n_upper,
+         CAST(len(list_distinct(list_intersect(list_transform(toks, x -> lower(x)), {stop}))) AS DOUBLE) AS n_stop,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS mean_word_len
+  FROM t)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       mean_word_len,
+       n_punct / safe_chars AS punct_ratio,
+       n_digit / safe_chars AS digit_ratio,
+       n_upper / safe_chars AS upper_ratio,
+       n_stop / safe_toks AS stopword_ratio,
+       (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.25 ELSE 0.0 END
+        + CASE WHEN mean_word_len >= 3 AND mean_word_len <= 12 THEN 0.25 ELSE 0.0 END
+        + CASE WHEN n_digit / safe_chars < 0.2 THEN 0.25 ELSE 0.0 END
+        + CASE WHEN n_stop / safe_toks > 0.0 THEN 0.25 ELSE 0.0 END) AS quality_score
+FROM d ORDER BY doc_id
+"""
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (SURVEY north-star): argmax of per-language
+    stopword hits over {en,de,fr,es,nl}; 'und' when nothing matches."""
+    _utc(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from tsflex_spark.datapipe.text import language_id
+
+    return language_id(docs, "text", id_col="doc_id").orderBy("doc_id")
+
+
+def _oracle_language_id() -> str:
+    # mirror of _LANG_MARKERS; argmax = lexicographic max over (hits, lang)
+    # structs — matches Spark's array_max struct ordering
+    markers = {
+        "en": "['the','and','of','to','is']",
+        "de": "['der','die','und','ist','nicht']",
+        "fr": "['le','la','les','est','et']",
+        "es": "['el','los','es','una','que']",
+        "nl": "['de','het','een','en','van']",
+    }
+    hit_cols = ",\n         ".join(
+        f"len(list_filter(lt, x -> list_contains({m}, x))) AS h_{lang}"
+        for lang, m in markers.items()
+    )
+    structs = ", ".join(f"{{'hits': h_{lang}, 'lang': '{lang}'}}" for lang in markers)
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+                        x -> lower(x)) AS lt
+  FROM documents),
+h AS (
+  SELECT doc_id,
+         {hit_cols}
+  FROM t),
+b AS (
+  SELECT doc_id, list_sort([{structs}])[-1] AS best FROM h)
+SELECT doc_id,
+       CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang_pred
+FROM b ORDER BY doc_id
+"""
+
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (SURVEY north-star): GPT-2-style
+    word/digit/punct pieces via regexp_extract_all — JVM regex only."""
+    _utc(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from tsflex_spark.datapipe.text import token_count_bpe_ish
+
+    return token_count_bpe_ish(docs, "text", id_col="doc_id")
+
+
+def _oracle_bpe_token_count() -> str:
+    return r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]', 0)) AS n_bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (SURVEY north-star): 64-bit content hash of
+    normalized text; checked via group structure (distinct fingerprints ==
+    distinct normalized texts)."""
+    _utc(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from tsflex_spark.datapipe.text import fingerprint
+
+    fp = fingerprint(docs, "text", id_col="doc_id")
+    return fp.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("fingerprint").alias("n_unique"),
+    )
+
+
+def _oracle_fingerprint_dedup() -> str:
+    return r"""
+SELECT count(*) AS n_docs,
+       count(DISTINCT lower(regexp_replace(text, '\s+', ' ', 'g'))) AS n_unique
+FROM documents
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram (5-shingle) Jaccard similarity on consecutive-doc pairs
+    (SURVEY north-star near-dup verification stage)."""
+    _utc(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from tsflex_spark.datapipe.dedup import ngram_jaccard
+
+    pairs = docs.select(F.col("doc_id").alias("id_a")).where(
+        F.col("id_a") % 2 == 0
+    ).withColumn("id_b", F.col("id_a") + 1)
+    pairs = pairs.join(
+        docs.select(F.col("doc_id").alias("id_b")), on="id_b", how="left_semi"
+    )
+    return ngram_jaccard(docs, pairs, "text", id_col="doc_id").orderBy("id_a")
+
+
+def _oracle_ngram_jaccard() -> str:
+    return r"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(
+             range(1, greatest(length(n) - 4, 1) + 1),
+             i -> substr(n, i::INT, 5))) AS s
+  FROM (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS n FROM documents)),
+p AS (SELECT a.doc_id AS id_a, a.doc_id + 1 AS id_b
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id % 2 = 0)
+SELECT p.id_a, p.id_b,
+       CAST(len(list_distinct(list_intersect(sa.s, sb.s))) AS DOUBLE)
+         / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS jaccard
+FROM p JOIN sh sa ON sa.doc_id = p.id_a JOIN sh sb ON sb.doc_id = p.id_b
+ORDER BY p.id_a
+"""
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 against the vec_id=0 embedding
+    (SURVEY north-star similarity search). Per-partition heap top-k —
+    no global sort."""
+    _utc(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from tsflex_spark.datapipe.similarity import _norm
+
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_vec"))
+    joined = emb.where(F.col("vec_id") != 0).join(F.broadcast(q))
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding"), F.col("q_vec"), lambda a, b: a.cast("double") * b.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (_norm(F.col("embedding")) * _norm(F.col("q_vec")))
+    return (
+        joined.select(F.col("vec_id"), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+def _oracle_cosine_topk() -> str:
+    return """
+WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id,
+         list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                     i -> e.embedding[i]::DOUBLE * q.q_vec[i]::DOUBLE),
+                     (a, b) -> a + b)
+         / (sqrt(list_reduce(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b))
+            * sqrt(list_reduce(list_transform(q.q_vec, x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b))) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> 0)
+SELECT vec_id, cosine FROM s ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via deterministic random-hyperplane LSH buckets with
+    multi-probe (hamming <= 2). Approximate by design — rows-only check."""
+    _utc(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from tsflex_spark.datapipe.similarity import lsh_bucket_topk
+
+    dim = len(emb.select("embedding").first()[0])
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_vec"))
+    return lsh_bucket_topk(
+        emb.where(F.col("vec_id") != 0), q, k=10, num_planes=8, dim=dim, probe_hamming=2
+    )
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup removal (shingle → 64 minhashes → 16 bands →
+    bucket self-join → exact-Jaccard >= 0.8 verify). Rows-only check
+    (xxhash64 signatures are engine-specific)."""
+    _utc(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from tsflex_spark.datapipe.dedup import minhash_dedup
+
+    out = minhash_dedup(docs, "text", id_col="doc_id", threshold=0.8)
+    return out.select("doc_id").orderBy("doc_id")
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit fingerprints (SURVEY north-star). Rows-only check."""
+    _utc(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from tsflex_spark.datapipe.dedup import simhash
+
+    return simhash(docs, "text", id_col="doc_id").orderBy("doc_id")
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational substrate: TPC-H Q6 forecasting revenue change — pure
+    filter + aggregate; predicates push down to the parquet scan."""
+    _utc(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = li.where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+        & (F.col("l_discount").between(0.02, 0.04))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(
+            (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(28,4)")
+        ).alias("_rev"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return out.select(F.col("_rev").cast("double").alias("revenue"), "n_rows")
+
+
+def _oracle_tpch_q6() -> str:
+    return """
+SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24
+"""
+
+
+def q_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational substrate: star-schema join lineitem ⋈ orders ⋈ customer ⋈
+    nation with explicit broadcast of the small dimensions (SURVEY scale
+    guidance: broadcast small dims, shuffle only the fact table once)."""
+    _utc(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,4)")
+    out = (
+        li.join(F.broadcast(od.select("o_orderkey", "o_custkey")), li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(na.select("n_nationkey", "n_name")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("_rev"), F.count(F.lit(1)).alias("n_items"))
+    )
+    return out.select(
+        "n_name", F.col("_rev").cast("double").alias("revenue"), "n_items"
+    ).orderBy("n_name")
+
+
+def _oracle_revenue_per_nation() -> str:
+    return """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: strided-rolling multi-agg
     feature extraction over the events stream."""
@@ -783,8 +1088,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_islands": q_chunk_islands,
         "sessionization": q_sessionization,
         "tpch_q1": q_tpch_q1,
+        "tpch_q6": q_tpch_q6,
+        "revenue_per_nation": q_revenue_per_nation,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
+        "quality_score": q_quality_score,
+        "language_id": q_language_id,
+        "bpe_token_count": q_bpe_token_count,
+        "fingerprint_dedup": q_fingerprint_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "cosine_topk": q_cosine_topk,
+        "lsh_ann": q_lsh_ann,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash": q_simhash,
     }
 
 
@@ -804,6 +1120,16 @@ def oracle_sql() -> dict[str, str]:
         "chunk_islands": _oracle_chunk_islands(),
         "sessionization": _oracle_sessionization(),
         "tpch_q1": _oracle_tpch_q1(),
+        "tpch_q6": _oracle_tpch_q6(),
+        "revenue_per_nation": _oracle_revenue_per_nation(),
         "dedup_exact": _oracle_dedup_exact(),
         "text_stats": _oracle_text_stats(),
+        "quality_score": _oracle_quality_score(),
+        "language_id": _oracle_language_id(),
+        "bpe_token_count": _oracle_bpe_token_count(),
+        "fingerprint_dedup": _oracle_fingerprint_dedup(),
+        "ngram_jaccard": _oracle_ngram_jaccard(),
+        "cosine_topk": _oracle_cosine_topk(),
+        # lsh_ann / minhash_dedup / simhash: engine-specific hashes —
+        # rows-only checks by design
     }

@@ -1,0 +1,239 @@
+"""Tests for chunking, count-based windows, dedup, similarity, text,
+multimodal, and streaming operators — pandas/numpy oracles on small
+fixtures (the reference's test strategy, SURVEY §5)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tsflex_spark import FeatureCollection, FeatureDescriptor
+
+
+# ------------------------------------------------------------- chunking
+def test_chunk_data_gaps(spark):
+    from tsflex_spark.chunking import chunk_data
+
+    # 3 chunks: 0-9s, 100-104s, 200s (gap > 30s)
+    ts = (
+        list(pd.date_range("2024-01-01", periods=10, freq="1s"))
+        + list(pd.date_range("2024-01-01 00:01:40", periods=5, freq="1s"))
+        + [pd.Timestamp("2024-01-01 00:03:20")]
+    )
+    df = spark.createDataFrame(pd.DataFrame({"ts": ts, "v": 1.0}))
+    out = chunk_data(df, ts_col="ts", max_gap="30s").toPandas()
+    assert list(out["chunk_id"]) == [0, 1, 2]
+    assert list(out["n_samples"]) == [10, 5, 1]
+    assert out["chunk_start"].iloc[1] == pd.Timestamp("2024-01-01 00:01:40")
+    assert out["chunk_end"].iloc[0] == pd.Timestamp("2024-01-01 00:00:09")
+
+
+def test_chunk_data_fs_and_min_dur(spark):
+    from tsflex_spark.chunking import chunk_data
+
+    ts = list(pd.date_range("2024-01-01", periods=8, freq="1s")) + [
+        pd.Timestamp("2024-01-01 00:01:00")
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"ts": ts, "v": 1.0}))
+    # fs=1 Hz -> gap threshold 1.5s; min_chunk_dur drops the singleton
+    out = chunk_data(df, ts_col="ts", fs=1.0, min_chunk_dur="3s").toPandas()
+    assert len(out) == 1
+    assert out["n_samples"].iloc[0] == 8
+
+
+def test_chunk_data_max_dur_subchunks(spark):
+    from tsflex_spark.chunking import chunk_data
+
+    ts = pd.date_range("2024-01-01", periods=100, freq="1s")
+    df = spark.createDataFrame(pd.DataFrame({"ts": ts, "v": 1.0}))
+    out = chunk_data(df, ts_col="ts", max_gap="10s", max_chunk_dur="30s").toPandas()
+    # 99s span -> 4 sub-chunks of <=30s
+    assert len(out) == 4
+    spans = (out["chunk_end"] - out["chunk_start"]).dt.total_seconds()
+    assert (spans <= 30).all()
+
+
+# ------------------------------------------------- count-based windows
+def test_count_based_window_positions(spark):
+    ts = pd.date_range("2024-01-01", periods=10, freq="1s")
+    df = spark.createDataFrame(pd.DataFrame({"ts": ts, "v": np.arange(10.0)}))
+    fc = FeatureCollection([FeatureDescriptor("sum", "v", 5, 3)])
+    out = fc.calculate(df, ts_col="ts").toPandas()
+    # nb = (9-5)//3+1 = 2 -> starts {0,3}; sums 10, 25; end positions 5, 8
+    assert list(out["v__sum__w=5"]) == [10.0, 25.0]
+    assert list(out["ts"]) == [ts[5], ts[8]]
+
+
+def test_count_based_window_idx_begin(spark):
+    ts = pd.date_range("2024-01-01", periods=10, freq="1s")
+    df = spark.createDataFrame(pd.DataFrame({"ts": ts, "v": np.arange(10.0)}))
+    fc = FeatureCollection([FeatureDescriptor("count", "v", 4, 4)])
+    out = fc.calculate(df, ts_col="ts", window_idx="begin").toPandas()
+    assert list(out["ts"]) == [ts[0], ts[4]]
+    assert list(out["v__count__w=4"]) == [4, 4]
+
+
+# ----------------------------------------------------------------- dedup
+def test_dedup_exact_keeps_min_id(spark):
+    pdf = pd.DataFrame({"id": [1, 2, 3, 4], "t": ["a", "b", "a", "a"]})
+    df = spark.createDataFrame(pdf)
+    from tsflex_spark.datapipe.dedup import dedup_exact
+
+    out = dedup_exact(df, "t", id_col="id").toPandas().sort_values("id")
+    assert list(out["id"]) == [1, 2]
+
+
+def test_minhash_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 5
+    near = base.replace("lazy", "sleepy")
+    other = "completely different content about spark dataframes and catalyst " * 5
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1, 2], "text": [base, near, other]})
+    )
+    from tsflex_spark.datapipe.dedup import minhash_dedup, minhash_lsh_candidates, minhash_signatures
+
+    sigs = minhash_signatures(df, "text", "doc_id", num_hashes=32)
+    cands = minhash_lsh_candidates(sigs, "doc_id", num_bands=8).toPandas()
+    assert (0, 1) in set(zip(cands["id_a"], cands["id_b"]))
+    survivors = minhash_dedup(df, "text", "doc_id", threshold=0.5).toPandas()
+    assert set(survivors["doc_id"]) == {0, 2}
+
+
+def test_simhash_similar_docs_close(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    near = base.replace("dog", "cat")
+    other = "numbers 123 456 789 and totally unrelated words here " * 10
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1, 2], "text": [base, near, other]})
+    )
+    from tsflex_spark.datapipe.dedup import simhash
+
+    out = simhash(df, "text", "doc_id").toPandas().set_index("doc_id")["simhash"]
+
+    def ham(a, b):
+        return bin((int(a) ^ int(b)) & ((1 << 64) - 1)).count("1")
+
+    assert ham(out[0], out[1]) < ham(out[0], out[2])
+
+
+# ------------------------------------------------------------ similarity
+def test_cosine_topk_exact(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(50, 8)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(50), "embedding": [list(map(float, v)) for v in vecs]})
+    df = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+    q = vecs[0]
+    from tsflex_spark.datapipe.similarity import cosine_topk
+
+    got = cosine_topk(df, [float(x) for x in q], k=5).toPandas()
+    sims = (vecs @ q) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    exp = np.argsort(-sims, kind="stable")[:5]
+    assert list(got["vec_id"]) == list(exp)
+
+
+def test_lsh_ann_recalls_self(spark):
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(100, 8)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(100), "embedding": [list(map(float, v)) for v in vecs]})
+    df = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+    from tsflex_spark.datapipe.similarity import lsh_bucket_topk
+
+    q = spark.createDataFrame(
+        pd.DataFrame({"q_vec": [list(map(float, vecs[3]))]}), "q_vec array<float>"
+    )
+    got = lsh_bucket_topk(df, q, k=3, num_planes=6, dim=8, probe_hamming=1).toPandas()
+    # the query vector itself lands in its own bucket -> rank 1, cosine ~1
+    assert got["vec_id"].iloc[0] == 3
+    assert abs(got["cosine"].iloc[0] - 1.0) < 1e-6
+
+
+# ------------------------------------------------------------- text ops
+def test_language_id_marks_english(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "text": [
+                    "the cat and the dog is of great fame",
+                    "zzz qqq xxx",
+                ],
+            }
+        )
+    )
+    from tsflex_spark.datapipe.text import language_id
+
+    out = language_id(df, "text", "doc_id").toPandas().set_index("doc_id")["lang_pred"]
+    assert out[0] == "en"
+    assert out[1] == "und"
+
+
+def test_quality_score_ranges(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    from tsflex_spark.datapipe.text import quality_score
+
+    out = quality_score(docs, "text", "doc_id").toPandas()
+    assert ((out["quality_score"] >= 0) & (out["quality_score"] <= 1)).all()
+    assert ((out["punct_ratio"] >= 0) & (out["punct_ratio"] <= 1)).all()
+
+
+# ------------------------------------------------------------ multimodal
+def test_multimodal_decode_plumbing(spark):
+    pdf = pd.DataFrame(
+        {"id": [0, 1, 2], "media": [b"\x10" * 128, b"\xff" * 64, b""]}
+    )
+    df = spark.createDataFrame(pdf, "id long, media binary")
+    from tsflex_spark.datapipe.multimodal import decode_image_features, frame_sample
+
+    out = decode_image_features(df).toPandas().sort_values("id")
+    assert len(out) == 3
+    assert abs(out["img_mean"].iloc[1] - 1.0) < 1e-6  # 0xff/255 = 1.0
+    assert out["img_mean"].iloc[2] == 0.0  # empty blob -> zeros
+    assert all(len(v) == 16 for v in out["img_vec"])
+
+    frames = frame_sample(df, every_nth=1).toPandas()
+    assert len(frames[frames["id"] == 0]) == 2  # 128 bytes -> 2 "frames"
+
+
+# ------------------------------------------------------------- streaming
+def test_streaming_rolling_features(spark, tmp_path):
+    ts = pd.date_range("2024-01-01", periods=120, freq="1s")
+    pdf = pd.DataFrame({"ts": ts, "v": np.arange(120.0)})
+    src = str(tmp_path / "src")
+    spark.createDataFrame(pdf).write.parquet(src)
+
+    from tsflex_spark.streaming.rolling import rolling_features_stream
+
+    stream = spark.readStream.schema("ts timestamp, v double").parquet(src)
+    feats = rolling_features_stream(
+        stream, {"v": ["sum", "count"]}, window="60 seconds", watermark="0 seconds"
+    )
+    sink = str(tmp_path / "sink")
+    q = (
+        feats.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(sink).toPandas().sort_values("ts")
+    # watermark closes the first of the two 60s tumbling windows
+    assert len(out) >= 1
+    first = out.iloc[0]
+    assert first["v__sum__w=60seconds"] == sum(range(60))
+    assert first["v__count__w=60seconds"] == 60
+
+
+def test_streaming_batch_parity(spark):
+    # the same helper on a batch frame gives the batch answer
+    ts = pd.date_range("2024-01-01", periods=100, freq="1s")
+    df = spark.createDataFrame(pd.DataFrame({"ts": ts, "v": np.ones(100)}))
+    from tsflex_spark.streaming.rolling import rolling_features_stream
+
+    out = (
+        rolling_features_stream(df, {"v": ["sum"]}, window="50 seconds")
+        .toPandas()
+        .sort_values("ts")
+    )
+    assert list(out["v__sum__w=50seconds"]) == [50.0, 50.0]

@@ -158,23 +158,22 @@ def simhash(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 5) -> Da
     For each bit b: sign(sum over shingles of ±1 by shingle-hash bit b).
     """
     sh = df.select(F.col(id_col), _shingles(F.col(text_col), shingle_k).alias("__sh"))
-    hashes = F.transform(F.col("__sh"), lambda s: F.xxhash64(s))
-    bit_sums = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda b: F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b.cast("int")).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        ),
-    )
-    fingerprint = F.aggregate(
-        F.zip_with(
-            bit_sums,
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda s, b: F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), b.cast("int"))).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
-    )
-    return sh.select(F.col(id_col), fingerprint.alias("simhash"))
+    # materialize the shingle-hash array once; the 64 per-bit aggregates
+    # then fold over it without re-hashing (bit index must be a Python int
+    # for shiftright, so the bits are unrolled driver-side)
+    hashed = sh.withColumn("__h", F.transform(F.col("__sh"), lambda s: F.xxhash64(s)))
+    def _bit_merge(b: int):
+        # NB: must be a 2-arg lambda — pyspark binds one lambda variable per
+        # parameter, so a defaulted 3rd arg would receive a Column
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    fingerprint = F.lit(0).cast("long")
+    for b in range(64):
+        bit_sum = F.aggregate(F.col("__h"), F.lit(0).cast("long"), _bit_merge(b))
+        mask = F.lit(-(2**63) if b == 63 else (1 << b)).cast("long")
+        fingerprint = fingerprint.bitwiseOR(
+            F.when(bit_sum > 0, mask).otherwise(F.lit(0).cast("long"))
+        )
+    return hashed.select(F.col(id_col), fingerprint.alias("simhash"))

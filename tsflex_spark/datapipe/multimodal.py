@@ -1,0 +1,124 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary + metadata.
+
+The decode step is STUBBED (image/audio libs are not in this container —
+``decode_fn=None`` uses a deterministic fake so the Spark-side plumbing is
+fully testable). The real structure — schema contracts, Arrow batch shape,
+``mapInPandas`` signatures, partition sizing — is production-shaped:
+
+- media rows are ``(id, media binary, meta struct)``;
+- decode/feature-extract run as ``mapInPandas`` (arrow batches, streaming
+  iterator — constant memory per task no matter the file sizes);
+- batch size is controlled by ``spark.sql.execution.arrow.maxRecordsPerBatch``
+  (set it low for large blobs — 10 MB blobs × 10k default batch = OOM);
+- outputs are fixed-size float arrays / scalars, never re-encoded blobs,
+  so downstream stays columnar.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+
+def _fake_decode(blob: bytes) -> np.ndarray:
+    """Deterministic stand-in for an image decoder: 8x8 grayscale derived
+    from the blob bytes. Replace with PIL/cv2 in production."""
+    if blob is None or len(blob) == 0:
+        return np.zeros((8, 8), dtype=np.float32)
+    arr = np.frombuffer(blob[:64].ljust(64, b"\0"), dtype=np.uint8)
+    return (arr.reshape(8, 8) / 255.0).astype(np.float32)
+
+
+def decode_image_features(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "id",
+    decode_fn: Optional[Callable[[bytes], "np.ndarray"]] = None,
+    batch_size_hint: int = 64,
+) -> DataFrame:
+    """binary blobs → per-image feature vector (mean/std/histogram-ish).
+
+    ``decode_fn``: bytes → 2-D ndarray. None uses the deterministic fake
+    (container has no image libs); pass a real decoder in production.
+    """
+    decode = decode_fn or _fake_decode
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("img_mean", T.DoubleType()),
+            T.StructField("img_std", T.DoubleType()),
+            T.StructField("img_vec", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:  # one arrow batch at a time — bounded memory
+            rows = []
+            for _id, blob in zip(pdf[id_col], pdf[media_col]):
+                img = decode(blob)
+                rows.append(
+                    {
+                        id_col: _id,
+                        "img_mean": float(img.mean()),
+                        "img_std": float(img.std()),
+                        "img_vec": img.ravel()[:16].astype(np.float32).tolist(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.select(id_col, media_col).mapInPandas(run, schema)
+
+
+def frame_sample(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "id",
+    every_nth: int = 10,
+    decode_fn: Optional[Callable[[bytes], "np.ndarray"]] = None,
+) -> DataFrame:
+    """Video frame sampling stub: emits one row per sampled frame
+    ``(id, frame_idx, frame_vec)`` — a 1→N ``mapInPandas`` (UDTF shape).
+
+    The fake treats every 64-byte window of the blob as one "frame".
+    """
+    decode = decode_fn or _fake_decode
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_vec", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _id, blob in zip(pdf[id_col], pdf[media_col]):
+                blob = blob or b""
+                n_frames = max(len(blob) // 64, 1)
+                for k in range(0, n_frames, every_nth):
+                    frame = decode(blob[k * 64 : (k + 1) * 64])
+                    rows.append(
+                        {
+                            id_col: _id,
+                            "frame_idx": k,
+                            "frame_vec": frame.ravel()[:8].astype(np.float32).tolist(),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.select(id_col, media_col).mapInPandas(run, schema)

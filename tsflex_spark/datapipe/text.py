@@ -57,15 +57,18 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         + F.when(digit_ratio < 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
         + F.when(stop_ratio > 0.0, F.lit(0.25)).otherwise(F.lit(0.0))
     )
+    # NOTE: ratios are left unrounded — they are exact int/int double
+    # divisions, bit-identical across engines; round() is the one operation
+    # Spark and DuckDB disagree on at .XXXX5 boundaries.
     return df.select(
         F.col(id_col),
         n_tokens.cast("long").alias("n_tokens"),
-        F.round(mean_word_len, 4).alias("mean_word_len"),
-        F.round(punct_ratio, 4).alias("punct_ratio"),
-        F.round(digit_ratio, 4).alias("digit_ratio"),
-        F.round(upper_ratio, 4).alias("upper_ratio"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(score, 4).alias("quality_score"),
+        mean_word_len.alias("mean_word_len"),
+        punct_ratio.alias("punct_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        upper_ratio.alias("upper_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
     )
 
 
