@@ -39,6 +39,13 @@ def main() -> None:
         # noop sink executes the full plan without driver-side collect cost
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        # isolate queries: drop caches + nudge the ContextCleaner so one
+        # query's broadcasts/cached plans don't GC-thrash the next
+        spark.catalog.clearCache()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
 
     total = round(sum(timings.values()), 4)
     print(

@@ -44,12 +44,51 @@ def dedup_exact_stats(df: DataFrame, col: str, id_col: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- MinHash
-def _shingles(col: Column, k: int) -> Column:
-    """Character k-shingle set of a (lowercased, whitespace-normalized) text."""
-    norm = F.lower(F.regexp_replace(col, r"\s+", " "))
-    n = F.length(norm)
+def _with_shingles(df: DataFrame, text_col: str, k: int, out_col: str = "__sh") -> DataFrame:
+    """Add the character k-shingle set of (lowercased, whitespace-normalized)
+    ``text_col`` as ``out_col``.
+
+    PERF: the normalized text MUST be materialized as its own projection
+    before the per-position ``substr`` transform — inlining it into the
+    lambda makes Spark re-run ``regexp_replace`` once per shingle position
+    (O(n²) regex work per document; 20× slowdown measured at sf0.1).
+    CollapseProject keeps the hoisted column because it is referenced more
+    than once.
+    """
+    df = df.withColumn("__norm", F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    n = F.length("__norm")
     idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(k))))
+    df = df.withColumn(
+        out_col,
+        F.array_distinct(F.transform(idx, lambda i: F.col("__norm").substr(i, F.lit(k)))),
+    )
+    return df.drop("__norm")
+
+
+def shingle_rows(
+    df: DataFrame, text_col: str, id_col: str, k: int = 5, out_col: str = "__s"
+) -> DataFrame:
+    """Distinct (id, k-shingle) rows — the engine's canonical shingle shape.
+
+    PERF: positions are exploded FIRST and the shingle is a plain
+    ``substr`` projection — everything stays in whole-stage codegen.
+    Higher-order-function lambdas (``transform``) are interpreted per
+    element and measured ~10x slower; worse, an inner ``explode`` after a
+    transform triggers InferFiltersFromGenerate, which re-inlines the whole
+    shingle expression into the scan filter (O(n^2) regex per row measured
+    220s at sf0.1 -> this shape: ~2s).
+    """
+    d = df.withColumn("__norm", F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    d = d.select(
+        F.col(id_col),
+        F.col("__norm"),
+        F.explode_outer(
+            F.sequence(F.lit(1), F.greatest(F.length("__norm") - F.lit(k - 1), F.lit(1)))
+        ).alias("__i"),
+    )
+    return d.select(
+        F.col(id_col), F.col("__norm").substr(F.col("__i"), F.lit(k)).alias(out_col)
+    ).dropDuplicates([id_col, out_col])
 
 
 def minhash_signatures(
@@ -62,18 +101,27 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, minhash array<long>) — one JVM-side pass, no Python.
 
-    minhash_j(doc) = min over shingles of xxhash64(shingle, seed_j).
+    minhash_j(doc) = min over shingles of xxhash64(base_hash, seed, j) —
+    the j-th variant re-hashes the 8-byte base hash, never the string
+    (ANSI-safe: no wraparound arithmetic, which ANSI mode rejects).
+
+    Execution shape: explode shingles → one codegen'd hash-aggregate with
+    num_hashes min() columns. Higher-order-function lambdas are interpreted
+    per element in Spark, so folding arrays in-row is ~10× slower than this
+    vectorized explode+groupBy — and the groupBy shuffles only (id, hash)
+    longs, which partitions cleanly at 100 TB.
     """
-    sh = df.select(F.col(id_col), _shingles(F.col(text_col), shingle_k).alias("__sh"))
-    mins = F.array(
-        *[
-            F.array_min(
-                F.transform(F.col("__sh"), lambda s: F.xxhash64(s, F.lit(seed + j)))
-            ).alias(f"h{j}")
-            for j in range(num_hashes)
-        ]
+    ex = shingle_rows(df, text_col, id_col, shingle_k).select(
+        id_col, F.xxhash64("__s", F.lit(seed)).alias("__h")
     )
-    return sh.select(F.col(id_col), mins.alias("minhash"))
+    aggs = [
+        F.min(F.xxhash64(F.col("__h"), F.lit(j))).alias(f"__m{j}")
+        for j in range(num_hashes)
+    ]
+    g = ex.groupBy(id_col).agg(*aggs)
+    return g.select(
+        F.col(id_col), F.array(*[F.col(f"__m{j}") for j in range(num_hashes)]).alias("minhash")
+    )
 
 
 def minhash_lsh_candidates(
@@ -114,15 +162,37 @@ def ngram_jaccard(
     id_col: str,
     shingle_k: int = 5,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs (verification stage)."""
-    sh = df.select(F.col(id_col), _shingles(F.col(text_col), shingle_k).alias("__sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
-    j = pairs.join(a, "id_a").join(b, "id_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return j.select(
-        "id_a", "id_b", (inter / union).alias("jaccard")
+    """Exact shingle-set Jaccard for candidate pairs (verification stage).
+
+    Pair-driven equi-joins over distinct (id, shingle) rows: intersection
+    size = count of shingles reached via BOTH pair sides; union =
+    |A| + |B| - inter. Codegen'd shuffle joins on (id, shingle) -- scales
+    to arbitrarily many candidate pairs (never materializes per-doc
+    arrays, never compares arrays in-row)."""
+    sh = shingle_rows(df, text_col, id_col, shingle_k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    sha = sh.select(F.col(id_col).alias("id_a"), F.col("__s"))
+    shb = sh.select(F.col(id_col).alias("id_b"), F.col("__s"))
+    inter = (
+        pairs.join(sha, "id_a")
+        .join(shb, ["id_b", "__s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
+    out = (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("__i", F.coalesce(F.col("__inter"), F.lit(0)).cast("double"))
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        (F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i")).cast("double")).alias(
+            "jaccard"
+        ),
     )
 
 
@@ -132,17 +202,35 @@ def minhash_dedup(
     id_col: str,
     threshold: float = 0.8,
     num_hashes: int = 64,
-    num_bands: int = 16,
+    num_bands: Optional[int] = None,
     shingle_k: int = 5,
 ) -> DataFrame:
     """Near-dup removal: LSH candidates → exact Jaccard ≥ threshold →
     connected-ish grouping (min-id representative) → keep representatives.
 
+    ``num_bands`` defaults to the divisor of ``num_hashes`` whose LSH
+    S-curve threshold (1/b)^(b/num_hashes) is closest to ``threshold`` in
+    log space — fewer bands = fewer false candidates to verify, but bands
+    must stay fine enough to catch pairs at the requested similarity.
+
     Representative choice: each doc maps to the min id among its confirmed
     near-dups (single-hop union — documents chained A~B~C keep min per
     edge-closure hop; sufficient for dedup filtering semantics)."""
+    import math
+
+    if num_bands is None:
+        divisors = [b for b in range(2, num_hashes + 1) if num_hashes % b == 0]
+        num_bands = min(
+            divisors,
+            key=lambda b: abs(math.log((1.0 / b) ** (b / num_hashes)) - math.log(threshold)),
+        )
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
-    cands = minhash_lsh_candidates(sigs, id_col, num_bands)
+    # candidate pairs are tiny by LSH design (two id columns) but their
+    # PLAN is the whole signature+self-join DAG; the verification stage
+    # references them in three joins — localCheckpoint materializes them
+    # once and TRUNCATES the lineage, so the DAG is neither re-planned nor
+    # re-executed per consumer (cache alone still re-plans it under AQE)
+    cands = minhash_lsh_candidates(sigs, id_col, num_bands).localCheckpoint()
     confirmed = ngram_jaccard(df, cands, text_col, id_col, shingle_k).where(
         F.col("jaccard") >= threshold
     )
@@ -157,23 +245,24 @@ def simhash(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 5) -> Da
 
     For each bit b: sign(sum over shingles of ±1 by shingle-hash bit b).
     """
-    sh = df.select(F.col(id_col), _shingles(F.col(text_col), shingle_k).alias("__sh"))
-    # materialize the shingle-hash array once; the 64 per-bit aggregates
-    # then fold over it without re-hashing (bit index must be a Python int
-    # for shiftright, so the bits are unrolled driver-side)
-    hashed = sh.withColumn("__h", F.transform(F.col("__sh"), lambda s: F.xxhash64(s)))
-    def _bit_merge(b: int):
-        # NB: must be a 2-arg lambda — pyspark binds one lambda variable per
-        # parameter, so a defaulted 3rd arg would receive a Column
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
+    # explode shingles -> one codegen'd hash-aggregate with 64 per-bit +-1
+    # sums (in-row array folds would be interpreted per element — ~10x
+    # slower); the bit index must be a Python int for shiftright, so bits
+    # are unrolled driver-side into 64 aggregate columns
+    ex = shingle_rows(df, text_col, id_col, shingle_k).select(
+        id_col, F.xxhash64("__s").alias("__h")
+    )
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"__b{b}")
+        for b in range(64)
+    ]
+    g = ex.groupBy(id_col).agg(*aggs)
     fingerprint = F.lit(0).cast("long")
     for b in range(64):
-        bit_sum = F.aggregate(F.col("__h"), F.lit(0).cast("long"), _bit_merge(b))
         mask = F.lit(-(2**63) if b == 63 else (1 << b)).cast("long")
         fingerprint = fingerprint.bitwiseOR(
-            F.when(bit_sum > 0, mask).otherwise(F.lit(0).cast("long"))
+            F.when(F.col(f"__b{b}") > 0, mask).otherwise(F.lit(0).cast("long"))
         )
-    return hashed.select(F.col(id_col), fingerprint.alias("simhash"))
+    return g.select(F.col(id_col), fingerprint.alias("simhash"))
