@@ -444,6 +444,141 @@ ORDER BY t.ts
 """
 
 
+def q_multi_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-stride union + include_final_window + window_idx='middle'
+    (SURVEY §2.5): window=2h, strides=[2h, 3h] — start grids are unioned
+    and deduped; one trailing (possibly partial) window is added."""
+    _utc(spark)
+    ev = _events(spark, sf_dir).select(
+        "ts", F.col("value").cast("decimal(18,2)").alias("value")
+    )
+    fc = FeatureCollection(
+        [
+            FeatureDescriptor("sum", "value", "2h", ["2h", "3h"]),
+            FeatureDescriptor("count", "value", "2h", ["2h", "3h"]),
+        ]
+    )
+    out = fc.calculate(ev, ts_col="ts", window_idx="middle", include_final_window=True)
+    return out.select(
+        "ts",
+        F.coalesce(F.col("value__sum__w=2h").cast("double"), F.lit(0.0)).alias("sum_val"),
+        F.col("value__count__w=2h").cast("bigint").alias("cnt_val"),
+    )
+
+
+def _oracle_multi_stride() -> str:
+    w, s1, s2 = 2 * H1, 2 * H1, 3 * H1
+    return f"""
+WITH b AS (SELECT epoch_us(min(ts)) AS t0, epoch_us(max(ts)) AS t1 FROM events),
+k1 AS (SELECT t0, t1,
+              greatest(CAST(floor((t1 - t0 - {w}) / {s1}.0) AS BIGINT) + 1, 0) AS nb0
+       FROM b),
+k1f AS (SELECT t0, t1, nb0 + CASE WHEN t0 + {s1} * nb0 <= t1 THEN 1 ELSE 0 END AS nb FROM k1),
+k2 AS (SELECT t0, t1,
+              greatest(CAST(floor((t1 - t0 - {w}) / {s2}.0) AS BIGINT) + 1, 0) AS nb0
+       FROM b),
+k2f AS (SELECT t0, t1, nb0 + CASE WHEN t0 + {s2} * nb0 <= t1 THEN 1 ELSE 0 END AS nb FROM k2),
+seg AS (
+  SELECT DISTINCT s_start FROM (
+    SELECT t0 + kk * {s1} AS s_start FROM k1f CROSS JOIN generate_series(0, 100000) AS g(kk) WHERE kk < nb
+    UNION ALL
+    SELECT t0 + kk * {s2} AS s_start FROM k2f CROSS JOIN generate_series(0, 100000) AS g(kk) WHERE kk < nb)),
+agg AS (SELECT s_start,
+               sum(CAST(e.value AS DECIMAL(18,2))) AS sum_dec,
+               count(e.value) AS cnt
+        FROM seg LEFT JOIN events e
+          ON epoch_us(e.ts) >= s_start AND epoch_us(e.ts) < s_start + {w}
+        GROUP BY s_start)
+SELECT make_timestamp(s_start + CAST(floor({w} / 2.0) AS BIGINT)) AS ts,
+       coalesce(CAST(sum_dec AS DOUBLE), 0.0) AS sum_val,
+       cnt AS cnt_val
+FROM agg ORDER BY ts
+"""
+
+
+def _udf_range_fn(a):
+    import numpy as np
+
+    if len(a) == 0:
+        return np.nan
+    return float(np.max(a) - np.min(a))
+
+
+def _udf_two_series_fn(a, b):
+    import numpy as np
+
+    maxdiff = (
+        float(np.max(a) - np.max(b)) if len(a) > 0 and len(b) > 0 else np.nan
+    )
+    return [float(len(a)), float(len(b)), maxdiff]
+
+
+def q_udf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDF tier (SURVEY §2.10): arbitrary Python feature functions via one
+    Arrow applyInPandas per window config — a single-series custom range
+    and a MULTI-series (tuple series_name) 3-output function over ragged
+    per-series segment data (click-values vs view-values)."""
+    _utc(spark)
+    from tsflex_spark import FuncWrapper
+
+    ev = _events(spark, sf_dir).select(
+        "ts",
+        F.when(F.col("event_type") == "click", F.col("value")).alias("va"),
+        F.when(F.col("event_type") == "view", F.col("value")).alias("vb"),
+        F.col("value").alias("v"),
+    )
+    fc = FeatureCollection(
+        [
+            FeatureDescriptor(
+                FuncWrapper(_udf_range_fn, output_names="vrange"), "v", "4h", "4h"
+            ),
+            FeatureDescriptor(
+                FuncWrapper(_udf_two_series_fn, output_names=["n_a", "n_b", "maxdiff"]),
+                ("va", "vb"),
+                "4h",
+                "4h",
+            ),
+        ]
+    )
+    out = fc.calculate(ev, ts_col="ts", bound_method="outer")
+
+    def denan(c):
+        col = F.col(c)
+        return F.when(~F.isnan(col), col)
+
+    return out.select(
+        "ts",
+        denan("v__vrange__w=4h").alias("vrange"),
+        F.coalesce(F.col("va|vb__n_a__w=4h"), F.lit(0.0)).cast("bigint").alias("n_click"),
+        F.coalesce(F.col("va|vb__n_b__w=4h"), F.lit(0.0)).cast("bigint").alias("n_view"),
+        denan("va|vb__maxdiff__w=4h").alias("maxdiff"),
+    )
+
+
+def _oracle_udf_features() -> str:
+    w = 4 * H1
+    return f"""
+WITH b AS (SELECT epoch_us(min(ts)) AS t0, epoch_us(max(ts)) AS t1 FROM events),
+k AS (SELECT t0, t1,
+             greatest(CAST(floor((t1 - t0 - {w}) / {w}.0) AS BIGINT) + 1, 0) AS nb
+      FROM b),
+seg AS (SELECT t0 + kk * {w} AS s_start
+        FROM k CROSS JOIN generate_series(0, 100000) AS g(kk)
+        WHERE kk < nb),
+agg AS (SELECT s_start,
+               max(e.value) - min(e.value) AS vrange,
+               count(e.value) FILTER (WHERE e.event_type = 'click') AS n_click,
+               count(e.value) FILTER (WHERE e.event_type = 'view')  AS n_view,
+               max(e.value) FILTER (WHERE e.event_type = 'click')
+                 - max(e.value) FILTER (WHERE e.event_type = 'view') AS maxdiff
+        FROM seg LEFT JOIN events e
+          ON epoch_us(e.ts) >= s_start AND epoch_us(e.ts) < s_start + {w}
+        GROUP BY s_start)
+SELECT make_timestamp(s_start + {w}) AS ts, vrange, n_click, n_view, maxdiff
+FROM agg ORDER BY ts
+"""
+
+
 def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """group_by_all mode (SURVEY §2.6): features per distinct event_type."""
     _utc(spark)
@@ -1081,6 +1216,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_slope": q_rolling_slope,
         "sequence_rolling": q_sequence_rolling,
         "count_based_rolling": q_count_based_rolling,
+        "multi_stride": q_multi_stride,
+        "udf_features": q_udf_features,
         "group_by_all": q_group_by_all,
         "group_by_consecutive": q_group_by_consecutive,
         "manual_segments": q_manual_segments,
@@ -1113,6 +1250,8 @@ def oracle_sql() -> dict[str, str]:
         "rolling_slope": _oracle_rolling_slope(),
         "sequence_rolling": _oracle_sequence_rolling(),
         "count_based_rolling": _oracle_count_based_rolling(),
+        "multi_stride": _oracle_multi_stride(),
+        "udf_features": _oracle_udf_features(),
         "group_by_all": _oracle_group_by_all(),
         "group_by_consecutive": _oracle_group_by_consecutive(),
         "manual_segments": _oracle_manual_segments(),

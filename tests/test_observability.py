@@ -1,0 +1,99 @@
+"""Tests for execution-time logging, log analytics, and integration wrappers."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tsflex_spark import FeatureCollection, FeatureDescriptor
+
+
+def test_log_execution_and_stats(tmp_path):
+    from tsflex_spark.utils.logging import (
+        get_feature_logs,
+        get_function_stats,
+        get_series_names_stats,
+        log_execution,
+    )
+
+    log_file = str(tmp_path / "feat.log")
+    with log_execution("mean", "EDA", "10s", "5s", "EDA__mean__w=10s", log_file):
+        pass
+    with log_execution("std", "TMP", "30s", "5s", "TMP__std__w=30s", log_file):
+        pass
+    logs = get_feature_logs(log_file)
+    assert len(logs) == 2
+    assert set(logs["function"]) == {"mean", "std"}
+    assert (logs["duration"] >= 0).all()
+
+    stats = get_function_stats(log_file)
+    assert len(stats) == 2
+    sstats = get_series_names_stats(log_file)
+    assert set(sstats["series_names"]) == {"EDA", "TMP"}
+
+
+def test_seglearn_wrapper_shape():
+    from tsflex_spark.features.integrations import seglearn_wrapper
+
+    def mean_2d(x):
+        return np.mean(x, axis=1)
+
+    fw = seglearn_wrapper(mean_2d, "mymean")
+    assert fw.output_names == ["mymean"]
+    out = fw.apply([pd.Series([1.0, 2.0, 3.0])])
+    assert out == [2.0]
+
+
+def test_tsfresh_combiner_wrapper():
+    from tsflex_spark.features.integrations import tsfresh_combiner_feature_wrapper
+
+    def combiner(x, param):
+        return [(str(p), float(np.quantile(x, p["q"]))) for p in param]
+
+    fw = tsfresh_combiner_feature_wrapper(combiner, param=[{"q": 0.25}, {"q": 0.75}])
+    assert len(fw.output_names) == 2
+    out = fw.apply([pd.Series(np.arange(5.0))])
+    assert out == [1.0, 3.0]
+
+
+def test_catch22_wrapper_fake():
+    from tsflex_spark.features.integrations import catch22_wrapper
+
+    def fake_catch22_all(x, catch24=False):
+        return {"names": ["f1", "f2"], "values": [float(len(x)), float(np.sum(x))]}
+
+    fw = catch22_wrapper(fake_catch22_all)
+    assert fw.output_names == ["f1", "f2"]
+    assert fw.apply([pd.Series([1.0, 2.0])]) == [2.0, 3.0]
+
+
+def test_udf_tier_in_collection(spark):
+    """A custom Python function flows through the Arrow UDF tier and matches
+    the numpy answer per segment."""
+    from tsflex_spark import FuncWrapper
+
+    # 101 points at 1s -> span 100s -> nb = (100-50)//50+1 = 2 windows
+    ts = pd.date_range("2024-01-01", periods=101, freq="1s")
+    vals = np.arange(101.0)
+    df = spark.createDataFrame(pd.DataFrame({"ts": ts, "v": vals}))
+
+    def my_range(x):
+        return float(np.max(x) - np.min(x))
+
+    fc = FeatureCollection(
+        [FeatureDescriptor(FuncWrapper(my_range, output_names="rng"), "v", "50s", "50s")]
+    )
+    out = fc.calculate(df, ts_col="ts").toPandas().sort_values("ts")
+    assert list(out["v__rng__w=50s"]) == [49.0, 49.0]
+
+
+def test_make_robust_min_samples(spark):
+    from tsflex_spark import FuncWrapper
+    from tsflex_spark.features.function_wrapper import make_robust
+
+    ts = pd.date_range("2024-01-01", periods=10, freq="1s")
+    df = spark.createDataFrame(pd.DataFrame({"ts": ts, "v": np.arange(10.0)}))
+    robust = make_robust(np.sum, min_nb_samples=20, error_val=-1.0, output_names="rsum")
+    fc = FeatureCollection([FeatureDescriptor(robust, "v", "5s", "5s")])
+    out = fc.calculate(df, ts_col="ts").toPandas()
+    # every 5s window has 5 < 20 samples -> error_val
+    assert (out.filter(like="rsum").iloc[:, 0] == -1.0).all()

@@ -181,7 +181,10 @@ class FeatureCollection:
         data_n = seg.numeric_index(
             data.select(ts_col, *key_cols, *required), ts_col, domain
         ).drop(ts_col)
-        bounds = seg.make_bounds(data_n, required, key_cols, bound_method)
+        # bounds are O(#keys) rows but their plan is a full scan; both the
+        # segment-assignment and the spine consume them — materialize once
+        # (eager tiny job) so the scan never runs twice per config
+        bounds = seg.make_bounds(data_n, required, key_cols, bound_method).localCheckpoint()
 
         manual = segment_start_idxs is not None or segment_end_idxs is not None
 
