@@ -579,6 +579,63 @@ FROM agg ORDER BY ts
 """
 
 
+def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-mode feature extraction (SURVEY §2.9) exercised in batch:
+    the same helper compiles to a streaming plan on a readStream input
+    (tests/test_operators.py); F.window aligns tumbling windows to the
+    epoch grid — oracle = GROUP BY floor(epoch/window)."""
+    _utc(spark)
+    from tsflex_spark.streaming.rolling import rolling_features_stream
+
+    ev = _events(spark, sf_dir).select(
+        "ts", F.col("value").cast("decimal(18,2)").alias("value")
+    )
+    out = rolling_features_stream(ev, {"value": ["sum", "count", "max"]}, window="1 hour")
+    return out.select(
+        F.col("win_start"),
+        F.col("value__sum__w=1hour").cast("double").alias("sum_val"),
+        F.col("value__count__w=1hour").cast("bigint").alias("cnt_val"),
+        F.col("value__max__w=1hour").cast("double").alias("max_val"),
+    ).orderBy("win_start")
+
+
+def _oracle_streaming_window() -> str:
+    return f"""
+SELECT make_timestamp(CAST(floor(epoch_us(ts) / {H1}.0) AS BIGINT) * {H1}) AS win_start,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
+       count(value) AS cnt_val,
+       max(value) AS max_val
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_processing_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas-tier SeriesProcessor (SURVEY §2.8): an order-dependent
+    whole-series transform (first difference) via grouped Arrow UDF —
+    the path for interpolate/filter/resample-style functions."""
+    _utc(spark)
+    import pandas as pd
+
+    from tsflex_spark import SeriesPipeline, SeriesProcessor
+
+    def diff_series(v: pd.Series) -> pd.Series:
+        return pd.Series(v.to_numpy(), index=v.index, name="value_diff").diff()
+
+    pipe = SeriesPipeline([SeriesProcessor(diff_series, "value", input_type="pandas")])
+    out = pipe.process(
+        _events(spark, sf_dir).select("ts", "event_id", "value"), ts_col="ts"
+    )
+    return out.select("event_id", "value", "value_diff").orderBy("event_id")
+
+
+def _oracle_processing_diff() -> str:
+    return """
+SELECT event_id, value,
+       value - lag(value) OVER (ORDER BY ts) AS value_diff
+FROM events ORDER BY event_id
+"""
+
+
 def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """group_by_all mode (SURVEY §2.6): features per distinct event_type."""
     _utc(spark)
@@ -1222,6 +1279,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_by_consecutive": q_group_by_consecutive,
         "manual_segments": q_manual_segments,
         "processing_pipeline": q_processing_pipeline,
+        "processing_diff": q_processing_diff,
+        "streaming_window": q_streaming_window,
         "chunk_islands": q_chunk_islands,
         "sessionization": q_sessionization,
         "tpch_q1": q_tpch_q1,
@@ -1256,6 +1315,8 @@ def oracle_sql() -> dict[str, str]:
         "group_by_consecutive": _oracle_group_by_consecutive(),
         "manual_segments": _oracle_manual_segments(),
         "processing_pipeline": _oracle_processing_pipeline(),
+        "processing_diff": _oracle_processing_diff(),
+        "streaming_window": _oracle_streaming_window(),
         "chunk_islands": _oracle_chunk_islands(),
         "sessionization": _oracle_sessionization(),
         "tpch_q1": _oracle_tpch_q1(),

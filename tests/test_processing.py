@@ -1,0 +1,152 @@
+"""SeriesProcessor / SeriesPipeline output-merge rule tests
+(reference series_processor.py:277-370 semantics, SURVEY §2.8)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import warnings
+from pyspark.sql import functions as F
+
+from tsflex_spark import (
+    FeatureCollection,
+    FeatureDescriptor,
+    SeriesPipeline,
+    SeriesProcessor,
+    dataframe_func,
+)
+
+
+@pytest.fixture()
+def small_sdf(spark):
+    ts = pd.date_range("2024-01-01", periods=20, freq="1s")
+    return spark.createDataFrame(
+        pd.DataFrame({"ts": ts, "a": np.arange(20.0), "b": np.arange(20.0) * 2})
+    )
+
+
+def test_column_tier_replace(small_sdf):
+    def clip(v):
+        return F.least(v, F.lit(10.0))
+
+    out = SeriesPipeline([SeriesProcessor(clip, "a", input_type="column")]).process(
+        small_sdf, ts_col="ts"
+    )
+    pdf = out.toPandas()
+    assert pdf["a"].max() == 10.0
+    assert pdf["b"].max() == 38.0  # untouched
+
+
+def test_column_tier_add_named(small_sdf):
+    def plus(v):
+        return {"a_plus_1": v + 1}
+
+    out = SeriesPipeline([SeriesProcessor(plus, "a", input_type="column")]).process(
+        small_sdf, ts_col="ts"
+    )
+    assert "a_plus_1" in out.columns
+    assert out.toPandas()["a_plus_1"].iloc[0] == 1.0
+
+
+def test_numpy_tier_ndarray_replaces(spark, small_sdf):
+    def double(v: np.ndarray) -> np.ndarray:
+        return v * 2
+
+    out = SeriesPipeline([SeriesProcessor(double, "a", input_type="numpy")]).process(
+        small_sdf, ts_col="ts"
+    )
+    pdf = out.toPandas().sort_values("ts")
+    assert list(pdf["a"]) == [x * 2 for x in range(20)]
+
+
+def test_pandas_tier_named_series_adds(spark, small_sdf):
+    def cumsum(v: pd.Series) -> pd.Series:
+        out = v.cumsum()
+        out.name = "a_cumsum"
+        return out
+
+    out = SeriesPipeline([SeriesProcessor(cumsum, "a", input_type="pandas")]).process(
+        small_sdf, ts_col="ts"
+    )
+    pdf = out.toPandas().sort_values("ts")
+    assert "a_cumsum" in pdf.columns
+    assert pdf["a_cumsum"].iloc[-1] == sum(range(20))
+
+
+def test_multi_series_input(spark, small_sdf):
+    def ratio(a: np.ndarray, b: np.ndarray):
+        return pd.Series(np.where(b != 0, a / np.where(b == 0, 1, b), np.nan), name="ab_ratio")
+
+    out = SeriesPipeline(
+        [SeriesProcessor(ratio, ("a", "b"), input_type="numpy")]
+    ).process(small_sdf, ts_col="ts")
+    pdf = out.toPandas().sort_values("ts")
+    assert pdf["ab_ratio"].iloc[1] == 0.5
+
+
+def test_dataframe_func(spark, small_sdf):
+    @dataframe_func
+    def drop_high(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["a"] < 5]
+
+    out = SeriesPipeline([SeriesProcessor(drop_high, "a")]).process(small_sdf, ts_col="ts")
+    assert out.count() == 5
+
+
+def test_pipeline_sees_prior_outputs(spark, small_sdf):
+    def add_c(v):
+        return {"c": v + 100}
+
+    def double_c(v):
+        return {"c2": v * 2}
+
+    pipe = SeriesPipeline(
+        [
+            SeriesProcessor(add_c, "a", input_type="column"),
+            SeriesProcessor(double_c, "c", input_type="column"),  # uses step-1 output
+        ]
+    )
+    pdf = pipe.process(small_sdf, ts_col="ts").toPandas().sort_values("ts")
+    assert pdf["c2"].iloc[0] == 200.0
+
+
+def test_drop_keys_and_required_only(spark, small_sdf):
+    def ident(v):
+        return {"a2": v}
+
+    pipe = SeriesPipeline([SeriesProcessor(ident, "a", input_type="column")])
+    out = pipe.process(small_sdf, ts_col="ts", return_all_series=False, drop_keys=["a"])
+    assert set(out.columns) == {"ts", "a2"}
+
+
+def test_sparsity_warning(spark):
+    # 10 samples, a gap -> windows with unequal counts must warn
+    ts = list(pd.date_range("2024-01-01", periods=10, freq="1s")) + list(
+        pd.date_range("2024-01-01 00:00:30", periods=10, freq="1s")
+    )
+    df = spark.createDataFrame(pd.DataFrame({"ts": ts, "v": 1.0}))
+    fc = FeatureCollection([FeatureDescriptor("sum", "v", "10s", "10s")])
+    with pytest.warns(RuntimeWarning, match="gaps"):
+        fc.calculate(df, ts_col="ts", approve_sparsity=False)
+
+
+def test_serialization_roundtrip(spark, small_sdf, tmp_path):
+    fc = FeatureCollection([FeatureDescriptor("mean", "a", "5s", "5s")])
+    p = str(tmp_path / "fc.pkl")
+    fc.serialize(p)
+    fc2 = FeatureCollection.deserialize(p)
+    out1 = fc.calculate(small_sdf, ts_col="ts").toPandas()
+    out2 = fc2.calculate(small_sdf, ts_col="ts").toPandas()
+    pd.testing.assert_frame_equal(out1, out2)
+
+
+def test_reduce_prunes(spark):
+    fc = FeatureCollection(
+        [
+            FeatureDescriptor("mean", "a", "5s", "5s"),
+            FeatureDescriptor("sum", "a", "5s", "5s"),
+        ]
+    )
+    red = fc.reduce(["a__mean__w=5s"])
+    assert red.output_columns() == ["a__mean__w=5s"]
+    with pytest.raises(AssertionError):
+        fc.reduce(["a__nope__w=5s"])

@@ -34,7 +34,10 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Heuristic quality features: length, mean word length, punctuation /
     digit / uppercase / stopword ratios, plus a composite [0,1] score —
     the standard pre-training-corpus filters, entirely in codegen'd exprs."""
-    toks = _tokens(F.col(text_col))
+    # hoist the token array into a projected column — inline references
+    # would re-run the regex split once per consuming expression (6×)
+    df = df.withColumn("__toks", _tokens(F.col(text_col)))
+    toks = F.col("__toks")
     n_chars = F.length(text_col).cast("double")
     n_tokens = F.size(toks).cast("double")
     safe_chars = F.greatest(n_chars, F.lit(1.0))
@@ -97,7 +100,8 @@ _LANG_MARKERS = {
 def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Heuristic language ID: argmax of per-language stopword hit counts;
     'und' (undetermined) when no marker hits."""
-    lower_toks = F.transform(_tokens(F.col(text_col)), F.lower)
+    df = df.withColumn("__lt", F.transform(_tokens(F.col(text_col)), F.lower))
+    lower_toks = F.col("__lt")
     scores = []
     for lang, markers in _LANG_MARKERS.items():
         marker_arr = F.array(*[F.lit(m) for m in markers])

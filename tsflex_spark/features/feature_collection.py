@@ -225,6 +225,9 @@ class FeatureCollection:
                 strides_n = tuple(sorted({to_numeric_units(s, is_time) for s in strides}))
                 configs.setdefault((window_n, strides_n), []).append((series_tuple, win_str, fd))
 
+        if not approve_sparsity and not manual:
+            self._check_sparsity(data_n, bounds, configs, key_cols, include_final_window)
+
         outputs: List[DataFrame] = []
         for cfg, entries in configs.items():
             if cfg[0] == "manual":
@@ -252,6 +255,46 @@ class FeatureCollection:
             result = result.join(other, on=[ts_col, *key_cols], how="full")
         feat_cols = sorted(c for c in result.columns if c not in (ts_col, *key_cols))
         return result.select(ts_col, *key_cols, *feat_cols).orderBy(*key_cols, ts_col)
+
+    def _check_sparsity(
+        self,
+        data_n: DataFrame,
+        bounds: DataFrame,
+        configs: Dict,
+        key_cols: List[str],
+        include_final_window: bool,
+    ) -> None:
+        """Warn when windows have unequal sample counts
+        (reference strided_rolling.py:230-239). Eager tiny job per config:
+        countDistinct over per-segment counts."""
+        for cfg, entries in configs.items():
+            if cfg[0] in ("manual", "count"):
+                continue
+            window_n, strides_n = cfg
+            needed = sorted({s for st, _, _fd in entries for s in st})
+            assigned = seg.assign_segments(
+                data_n.select(TSN, *key_cols, *needed),
+                bounds, window_n, list(strides_n), include_final_window, key_cols,
+            )
+            # empty segments drop out of the data-side assignment — restore
+            # them from the independently generated spine so a gap (count 0
+            # vs count n) is detected, like the reference's per-window counts
+            spine = seg.make_segment_spine(
+                bounds, window_n, list(strides_n), include_final_window, key_cols
+            )
+            for s in needed:
+                counts = assigned.groupBy(*key_cols, SEG).agg(
+                    F.count(F.col(s)).alias("__c")
+                )
+                counts = spine.join(counts, on=[*key_cols, SEG], how="left").select(
+                    F.coalesce(F.col("__c"), F.lit(0)).alias("__c")
+                )
+                n_distinct = counts.select(F.count_distinct("__c")).first()[0]
+                if n_distinct and n_distinct > 1:
+                    warnings.warn(
+                        f"There are gaps in the sequence of the {s!r} series!",
+                        RuntimeWarning,
+                    )
 
     # ----------------------------------------------------------- internals
     def _split_tiers(

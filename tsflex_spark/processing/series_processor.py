@@ -157,7 +157,12 @@ class SeriesProcessor:
 
         if key_cols:
             return df.groupBy(*key_cols).applyInPandas(run, schema)
-        return df.groupBy(F.lit(1)).applyInPandas(run, schema)
+        # single group = whole series (matches the single-machine reference;
+        # pass key_cols to distribute). NB: groupBy(lit(1)) resolves as a
+        # GROUP BY *ordinal* in Spark 4 — use a named constant column.
+        return (
+            df.withColumn("__g", F.lit(1)).groupBy("__g").applyInPandas(run, schema)
+        )
 
     def __repr__(self) -> str:
         return f"SeriesProcessor({self.name}, {self.series_names})"
