@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from tsflex_spark.features.segmenter import TSN, numeric_index
 from tsflex_spark.utils.data import DataType, determine_type
+from tsflex_spark.utils.distributed import with_global_islands, with_global_row_number
 from tsflex_spark.utils.time_args import to_numeric_units
 
 
@@ -63,10 +64,14 @@ def chunk_data(
         gap_n = (1.5 / float(fs)) * (1_000_000 if is_time else 1)
 
     d = numeric_index(data.select(ts_col, *key_cols), ts_col, domain)
-    w = W.partitionBy(*key_cols).orderBy(TSN) if key_cols else W.orderBy(TSN)
-    prev = F.lag(TSN).over(w)
-    new_chunk = F.when(prev.isNull() | ((F.col(TSN) - prev) > F.lit(gap_n)), 1).otherwise(0)
-    d = d.withColumn("__chunk", F.sum(new_chunk).over(w))
+    d = with_global_islands(
+        d,
+        TSN,
+        TSN,
+        lambda prev: prev.isNull() | ((F.col(TSN) - prev) > F.lit(gap_n)),
+        "__chunk",
+        key_cols=key_cols,
+    )
 
     chunks = d.groupBy(*key_cols, "__chunk").agg(
         F.min(TSN).alias("__cs"),
@@ -98,10 +103,9 @@ def chunk_data(
             F.col("n_samples"),
         )
 
-    w2 = (
-        W.partitionBy(*key_cols).orderBy("__cs") if key_cols else W.orderBy("__cs")
-    )
-    out = chunks.withColumn("chunk_id", F.row_number().over(w2) - 1)
+    out = with_global_row_number(
+        chunks, "__cs", "chunk_id", key_cols=key_cols, zero_based=True
+    ).withColumn("chunk_id", F.col("chunk_id").cast("int"))
 
     if is_time:
         start = F.timestamp_micros(F.col("__cs").cast("long"))

@@ -38,6 +38,11 @@ from tsflex_spark.features.segmenter import (
     TSN,
 )
 from tsflex_spark.utils.data import DataType, determine_type
+from tsflex_spark.utils.distributed import (
+    with_global_islands,
+    with_global_row_number,
+    with_global_shift,
+)
 from tsflex_spark.utils.time_args import to_numeric_units
 
 FeatureInput = Union[
@@ -425,8 +430,9 @@ class FeatureCollection:
         ``series_index[df.index]`` stitch.
         """
         needed = sorted({s for series_tuple, _, _fd in entries for s in series_tuple})
-        w = W.partitionBy(*key_cols).orderBy(TSN) if key_cols else W.orderBy(TSN)
-        pos = data_n.withColumn("__rn", F.row_number().over(w) - 1)
+        pos = with_global_row_number(
+            data_n, TSN, "__rn", key_cols=key_cols, zero_based=True
+        )
         pos_map = pos.select(*key_cols, F.col("__rn").alias(OUT_IDX), F.col(TSN).alias("__out_tsn"))
         data_ps = pos.drop(TSN).withColumnRenamed("__rn", TSN)
 
@@ -575,13 +581,14 @@ class FeatureCollection:
         data_n = seg.numeric_index(data, ts_col, domain)
         clean = data_n.where(F.col(gcol).isNotNull())
 
-        w = W.partitionBy(*key_cols).orderBy(TSN) if key_cols else W.orderBy(TSN)
-        changed = F.when(
-            F.lag(F.col(gcol)).over(w).isNull()
-            | (F.col(gcol) != F.lag(F.col(gcol)).over(w)),
-            F.lit(1),
-        ).otherwise(F.lit(0))
-        islands = clean.withColumn("__island", F.sum(changed).over(w))
+        islands = with_global_islands(
+            clean,
+            TSN,
+            gcol,
+            lambda prev: prev.isNull() | (F.col(gcol) != prev),
+            "__island",
+            key_cols=key_cols,
+        )
 
         entries = [
             (series_tuple, "manual", fd)
@@ -604,14 +611,14 @@ class FeatureCollection:
             result = result.join(p, on=group_cols, how="full")
 
         # end = next run's start; last run end = last index +1day/+1
-        w2 = (
-            W.partitionBy(*key_cols).orderBy("__start_n") if key_cols else W.orderBy("__start_n")
-        )
         bump = 86_400_000_000 if is_time else 1  # +1 day in micros / +1
+        result = with_global_shift(
+            result, "__start_n", "__start_n", "__next_start", offset=1, key_cols=key_cols
+        )
         result = result.withColumn(
             "__end_n",
-            F.coalesce(F.lead("__start_n").over(w2), F.col("__last_n") + F.lit(bump)),
-        )
+            F.coalesce(F.col("__next_start"), F.col("__last_n") + F.lit(bump)),
+        ).drop("__next_start")
         result = (
             result.withColumn(ts_col, seg.output_index(F.col("__start_n"), domain))
             .withColumn("__start", seg.output_index(F.col("__start_n"), domain))

@@ -1,0 +1,186 @@
+"""Distributed global-order primitives (row_number / shift / islands).
+
+The reference's single-series ops (count-based windows,
+``group_by_consecutive`` runs, ``chunk_data`` gap islands — reference
+tsflex/features/feature_collection.py:568-724,
+tsflex/chunking/chunking.py:123-150) need a *total order* over one
+logical series. The naive Spark translation is
+``Window.orderBy(ts)`` with no partition spec, which moves every row to
+ONE partition — correct on 60k rows, fatal on 100 TB.
+
+These helpers keep the same semantics with a scalable plan:
+
+1. ``repartitionByRange(order_col)`` — one shuffle; partition *i* holds a
+   contiguous, ordered slice of the key space (RangePartitioning is
+   index-ordered, equal keys co-located).
+2. partition-local window (sort within partition only — no data motion).
+3. a per-partition aggregate (counts / sums / boundary values) — a few
+   hundred rows — combined into exclusive prefix offsets with a window
+   over ``lit(0)`` (tiny by construction: ≤ shuffle.partitions rows),
+   then **broadcast**-joined back on partition id.
+
+The per-partition aggregate branch and the row branch both read the same
+range exchange, so Catalyst's ReuseExchange executes the shuffle once.
+Net cost vs the single-partition plan: one broadcast of ~N_partitions
+rows — and every executor stays busy.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+PID = "__gpid"
+
+__all__ = [
+    "with_global_row_number",
+    "with_global_shift",
+    "with_global_islands",
+]
+
+
+def _ranged(df: DataFrame, order_col: str) -> DataFrame:
+    """Range-partition by ``order_col`` and stamp the post-shuffle
+    partition id (evaluated after the exchange — ``spark_partition_id``
+    is non-deterministic, so Catalyst cannot push it below the shuffle)."""
+    return df.repartitionByRange(F.col(order_col)).withColumn(PID, F.spark_partition_id())
+
+
+def _prefix(
+    tiny: DataFrame, val_col: str, out_col: str, *, how: str = "sum", reverse: bool = False
+) -> DataFrame:
+    """Exclusive prefix over a per-partition aggregate table (≤
+    shuffle.partitions rows): a broadcast self-join over ``pid' < pid``
+    instead of an unpartitioned window (which Catalyst would constant-fold
+    into a single-partition WindowExec). O(P²) on P ≈ hundreds of rows.
+
+    ``how='sum'``: exclusive running sum. ``how='edge'``: value from the
+    nearest earlier (``reverse=False``) / later (``reverse=True``)
+    partition."""
+    b = tiny.select(F.col(PID).alias("__bp"), F.col(val_col).alias("__bv"))
+    cond = F.col("__bp") > F.col(PID) if reverse else F.col("__bp") < F.col(PID)
+    j = tiny.join(F.broadcast(b), cond, "left")
+    if how == "sum":
+        agg = F.coalesce(F.sum("__bv"), F.lit(0)).alias(out_col)
+    else:  # "edge"
+        pick = F.min_by if reverse else F.max_by
+        agg = pick(F.col("__bv"), F.col("__bp")).alias(out_col)
+    return j.groupBy(PID, val_col).agg(agg)
+
+
+def with_global_row_number(
+    df: DataFrame,
+    order_col: str,
+    out_col: str = "__rn",
+    *,
+    key_cols: Sequence[str] = (),
+    zero_based: bool = False,
+) -> DataFrame:
+    """Global ``row_number() OVER (ORDER BY order_col)`` without a
+    single-partition sort. With ``key_cols`` it degrades to a plain
+    per-key window (already distributed)."""
+    key_cols = list(key_cols)
+    if key_cols:
+        w = W.partitionBy(*key_cols).orderBy(order_col)
+        rn = F.row_number().over(w) - (1 if zero_based else 0)
+        return df.withColumn(out_col, rn)
+
+    d = _ranged(df, order_col)
+    counts = d.groupBy(PID).agg(F.count(F.lit(1)).alias("__cnt"))
+    offs = _prefix(counts, "__cnt", "__off").select(PID, "__off")
+    local = F.row_number().over(W.partitionBy(PID).orderBy(order_col))
+    out = d.join(F.broadcast(offs), on=PID, how="left").withColumn(
+        out_col, F.col("__off") + local - (1 if zero_based else 0)
+    )
+    return out.drop(PID, "__off")
+
+
+def with_global_shift(
+    df: DataFrame,
+    col: str,
+    order_col: str,
+    out_col: str,
+    *,
+    offset: int = -1,
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Global ``lag`` (``offset=-1``) / ``lead`` (``offset=+1``) of ``col``
+    ordered by ``order_col``. Partition-local shift + a boundary value
+    carried over from the neighbouring partition (broadcast). Assumes
+    ``col`` is non-null (true for the engine's internal numeric index /
+    cleaned group keys); only |offset| = 1 is supported."""
+    assert offset in (-1, 1), "only single-step shifts are supported"
+    key_cols = list(key_cols)
+    if key_cols:
+        w = W.partitionBy(*key_cols).orderBy(order_col)
+        fn = F.lag if offset == -1 else F.lead
+        return df.withColumn(out_col, fn(F.col(col)).over(w))
+
+    d = _ranged(df, order_col)
+    wloc = W.partitionBy(PID).orderBy(order_col)
+    if offset == -1:
+        local = F.lag(F.col(col)).over(wloc)
+        # boundary for partition p = last value of the nearest earlier
+        # non-empty partition (window `last ignorenulls` handles gaps)
+        edges = d.groupBy(PID).agg(F.max_by(F.col(col), F.col(order_col)).alias("__edge"))
+        edges = _prefix(edges, "__edge", "__bnd", how="edge").select(PID, "__bnd")
+        at_edge = F.row_number().over(wloc) == 1
+    else:
+        local = F.lead(F.col(col)).over(wloc)
+        edges = d.groupBy(PID).agg(F.min_by(F.col(col), F.col(order_col)).alias("__edge"))
+        # first value of the nearest later non-empty partition
+        edges = _prefix(edges, "__edge", "__bnd", how="edge", reverse=True).select(PID, "__bnd")
+        at_edge = F.row_number().over(W.partitionBy(PID).orderBy(F.col(order_col).desc())) == 1
+    out = d.join(F.broadcast(edges), on=PID, how="left").withColumn(
+        out_col, F.when(at_edge, F.col("__bnd")).otherwise(local)
+    )
+    return out.drop(PID, "__bnd")
+
+
+def with_global_islands(
+    df: DataFrame,
+    order_col: str,
+    lag_of: str,
+    change_when: Callable[[Column], Column],
+    out_col: str = "__island",
+    *,
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Gaps-and-islands id: ``sum(change) OVER (ORDER BY order_col)``
+    where ``change = change_when(lag(lag_of))`` — the core of
+    ``group_by_consecutive`` and ``chunk_data``. One range shuffle; the
+    lag boundary and the cumulative-sum offset both come from tiny
+    per-partition aggregates broadcast back (ReuseExchange dedups the
+    scans). ``change_when(prev)`` must yield true when ``prev`` is null
+    at the true start of the data."""
+    key_cols = list(key_cols)
+    if key_cols:
+        w = W.partitionBy(*key_cols).orderBy(order_col)
+        chg = F.when(change_when(F.lag(F.col(lag_of)).over(w)), 1).otherwise(0)
+        return df.withColumn(out_col, F.sum(chg).over(w))
+
+    d = _ranged(df, order_col)
+    wloc = W.partitionBy(PID).orderBy(order_col)
+    wrun = wloc.rowsBetween(W.unboundedPreceding, 0)
+
+    # true previous value: partition-local lag, edge row patched with the
+    # last value of the nearest earlier non-empty partition
+    edges = d.groupBy(PID).agg(F.max_by(F.col(lag_of), F.col(order_col)).alias("__edge"))
+    edges = _prefix(edges, "__edge", "__bnd", how="edge").select(PID, "__bnd")
+    d = d.join(F.broadcast(edges), on=PID, how="left")
+    prev = F.when(
+        F.row_number().over(wloc) == 1, F.col("__bnd")
+    ).otherwise(F.lag(F.col(lag_of)).over(wloc))
+    d = d.withColumn("__chg", F.when(change_when(prev), 1).otherwise(0))
+
+    # global running sum of __chg = local running sum + exclusive prefix
+    # of per-partition sums
+    sums = d.groupBy(PID).agg(F.sum("__chg").alias("__s"))
+    offs = _prefix(sums, "__s", "__off").select(PID, "__off")
+    out = d.join(F.broadcast(offs), on=PID, how="left").withColumn(
+        out_col, F.sum("__chg").over(wrun) + F.col("__off")
+    )
+    return out.drop(PID, "__bnd", "__chg", "__off")
