@@ -1258,6 +1258,77 @@ GROUP BY n_name ORDER BY n_name
 """
 
 
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (SURVEY north-star dedup):
+    exact all-pairs cosine >= 0.45 — JVM zip_with/aggregate fold, norms
+    precomputed once per row; the LSH-candidates variant is the 100 TB
+    path (tsflex_spark/datapipe/dedup.py embedding_neardup)."""
+    _utc(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from tsflex_spark.datapipe.dedup import embedding_neardup
+
+    out = embedding_neardup(emb, threshold=0.45, vec_col="embedding", id_col="vec_id")
+    return out.orderBy("id_a", "id_b")
+
+
+def _oracle_embedding_neardup() -> str:
+    return """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]),
+                         (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y))) AS cosine
+      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.45 ORDER BY id_a, id_b
+"""
+
+
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10 (SURVEY north-star scale path): seeded MLlib KMeans
+    coarse quantizer, nprobe=4 of nlist=16 cells scanned, exact cosine
+    re-rank. Approximate by design — rows-only check."""
+    _utc(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from tsflex_spark.datapipe.similarity import ivf_topk
+
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return ivf_topk(
+        emb.where(F.col("vec_id") != 0), qv, k=10, nlist=16, nprobe=4
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (SURVEY §2.3 — absent in the reference, added as a
+    first-class op): for every click, the most recent view value of the
+    same user at-or-before the click. Union-and-carry plan: one per-user
+    window pass, no BroadcastNestedLoop."""
+    _utc(spark)
+    from tsflex_spark.relational import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = ev.where(F.col("event_type") == "view").select("user_id", "ts", "value")
+    out = asof_join(clicks, views, on="ts", by=["user_id"], value_cols=["value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("value").alias("view_value"),
+        F.col("ts_r").alias("view_ts"),
+    ).orderBy("event_id")
+
+
+def _oracle_asof_join() -> str:
+    return """
+SELECT c.event_id, c.user_id, v.value AS view_value, v.ts AS view_ts
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND v.ts <= c.ts
+ORDER BY c.event_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: strided-rolling multi-agg
     feature extraction over the events stream."""
@@ -1297,6 +1368,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann": q_lsh_ann,
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
+        "embedding_neardup": q_embedding_neardup,
+        "ivf_ann": q_ivf_ann,
+        "asof_join": q_asof_join,
     }
 
 
@@ -1330,6 +1404,8 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_dedup": _oracle_fingerprint_dedup(),
         "ngram_jaccard": _oracle_ngram_jaccard(),
         "cosine_topk": _oracle_cosine_topk(),
-        # lsh_ann / minhash_dedup / simhash: engine-specific hashes —
-        # rows-only checks by design
+        "embedding_neardup": _oracle_embedding_neardup(),
+        "asof_join": _oracle_asof_join(),
+        # lsh_ann / minhash_dedup / simhash / ivf_ann: engine-specific
+        # hashes or approximate — rows-only checks by design
     }

@@ -237,3 +237,97 @@ def test_streaming_batch_parity(spark):
         .sort_values("ts")
     )
     assert list(out["v__sum__w=50seconds"]) == [50.0, 50.0]
+
+
+# ---------------------------------------------------------- asof join
+def test_asof_join_backward_basic(spark):
+    from tsflex_spark.relational import asof_join
+
+    lts = pd.to_datetime(["2024-01-01 00:00:05", "2024-01-01 00:00:10", "2024-01-01 00:00:20"])
+    rts = pd.to_datetime(["2024-01-01 00:00:03", "2024-01-01 00:00:10", "2024-01-01 00:00:30"])
+    left = spark.createDataFrame(pd.DataFrame({"ts": lts, "k": ["a"] * 3, "lid": [1, 2, 3]}))
+    right = spark.createDataFrame(pd.DataFrame({"ts": rts, "k": ["a"] * 3, "rv": [10.0, 20.0, 30.0]}))
+    out = (
+        asof_join(left, right, on="ts", by=["k"], value_cols=["rv"])
+        .orderBy("lid")
+        .toPandas()
+    )
+    # 05 -> rv@03; 10 -> rv@10 (inclusive tie); 20 -> rv@10
+    assert list(out["rv"]) == [10.0, 20.0, 20.0]
+    assert out["ts_r"].iloc[1] == pd.Timestamp("2024-01-01 00:00:10")
+
+
+def test_asof_join_forward_and_tolerance(spark):
+    from tsflex_spark.relational import asof_join
+
+    lts = pd.to_datetime(["2024-01-01 00:00:05", "2024-01-01 00:00:50"])
+    rts = pd.to_datetime(["2024-01-01 00:00:07", "2024-01-01 00:01:40"])
+    left = spark.createDataFrame(pd.DataFrame({"ts": lts, "k": ["a", "a"], "lid": [1, 2]}))
+    right = spark.createDataFrame(pd.DataFrame({"ts": rts, "k": ["a", "a"], "rv": [1.0, 2.0]}))
+    fwd = asof_join(left, right, on="ts", by=["k"], value_cols=["rv"], direction="forward")
+    fwd = fwd.orderBy("lid").toPandas()
+    assert list(fwd["rv"]) == [1.0, 2.0]  # 05 -> next@07, 50 -> next@100
+    tol = asof_join(
+        left, right, on="ts", by=["k"], value_cols=["rv"], direction="forward", tolerance="10s"
+    ).orderBy("lid").toPandas()
+    assert tol["rv"].iloc[0] == 1.0
+    assert pd.isna(tol["rv"].iloc[1])  # 50s -> 100s is beyond 10s tolerance
+
+
+def test_asof_join_no_match_is_null(spark):
+    from tsflex_spark.relational import asof_join
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"ts": pd.to_datetime(["2024-01-01 00:00:01"]), "k": ["a"], "lid": [1]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"ts": pd.to_datetime(["2024-01-01 00:00:05"]), "k": ["a"], "rv": [9.0]})
+    )
+    out = asof_join(left, right, on="ts", by=["k"], value_cols=["rv"]).toPandas()
+    assert pd.isna(out["rv"].iloc[0]) and pd.isna(out["ts_r"].iloc[0])
+
+
+# ------------------------------------------------ embedding near-dup
+def test_embedding_neardup_exact_pairs(spark):
+    from tsflex_spark.datapipe.dedup import embedding_neardup
+
+    vecs = {
+        0: [1.0, 0.0, 0.0],
+        1: [0.999, 0.01, 0.0],  # near-dup of 0
+        2: [0.0, 1.0, 0.0],
+        3: [0.0, 0.99, 0.1],  # near-dup of 2
+    }
+    pdf = pd.DataFrame({"vec_id": list(vecs), "embedding": [vecs[k] for k in vecs]})
+    df = spark.createDataFrame(pdf)
+    out = embedding_neardup(df, threshold=0.95).orderBy("id_a", "id_b").toPandas()
+    assert list(zip(out["id_a"], out["id_b"])) == [(0, 1), (2, 3)]
+    assert (out["cosine"] >= 0.95).all()
+
+
+def test_embedding_neardup_candidates_path(spark):
+    from tsflex_spark.datapipe.dedup import embedding_neardup
+
+    pdf = pd.DataFrame(
+        {"vec_id": [0, 1, 2], "embedding": [[1.0, 0.0], [1.0, 0.01], [0.99, 0.02]]}
+    )
+    df = spark.createDataFrame(pdf)
+    cand = spark.createDataFrame(pd.DataFrame({"id_a": [0], "id_b": [1]}))
+    out = embedding_neardup(df, threshold=0.5, candidates=cand).toPandas()
+    # only the supplied candidate pair is scored, (0,2)/(1,2) never computed
+    assert list(zip(out["id_a"], out["id_b"])) == [(0, 1)]
+
+
+# ------------------------------------------------------------ IVF ANN
+def test_ivf_topk_matches_bruteforce_on_probed_cells(spark):
+    from tsflex_spark.datapipe.similarity import cosine_topk, ivf_topk
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame(
+        {"vec_id": range(60), "embedding": [rng.normal(size=8).tolist() for _ in range(60)]}
+    )
+    df = spark.createDataFrame(pdf)
+    q = pdf["embedding"].iloc[0]
+    # probing ALL cells must equal exact brute force
+    ivf_all = ivf_topk(df, q, k=5, nlist=4, nprobe=4).toPandas()
+    brute = cosine_topk(df, q, k=5).toPandas()
+    assert list(ivf_all["vec_id"]) == list(brute["vec_id"])

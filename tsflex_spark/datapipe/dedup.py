@@ -266,3 +266,112 @@ def simhash(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 5) -> Da
             F.when(F.col(f"__b{b}") > 0, mask).otherwise(F.lit(0).cast("long"))
         )
     return g.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def embedding_neardup(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    candidates: Optional[DataFrame] = None,
+    num_blocks: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: ``(id_a, id_b, cosine)`` for
+    all pairs with cosine similarity >= ``threshold`` (id_a < id_b).
+
+    Without ``candidates`` this is the exact all-pairs path as a **blocked
+    GEMM**: rows are hashed into ``num_blocks`` blocks, each row is
+    replicated to every (block_a <= block_b) pair-group it participates
+    in, and one Arrow ``applyInPandas`` per group computes the full
+    block-vs-block cosine matrix with a single numpy matmul (BLAS) —
+    ~1000x fewer Python/interpreter transitions than a per-pair
+    expression fold. Work is O(n²/B²) per task × O(B²) tasks; pick
+    ``num_blocks`` so a block fits executor memory and every core gets a
+    tile. Quadratic by definition — the verification stage.
+
+    At scale pass ``candidates`` — an ``(id_a, id_b)`` pair table from
+    ``lsh_signature_col`` bucketing or ``minhash_lsh_candidates`` — and
+    only those pairs are scored (two hash equi-joins against the corpus,
+    never O(n²)).
+    """
+    if candidates is not None:
+        dot_self = F.aggregate(
+            F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+        base = df.select(F.col(id_col), F.col(vec_col), F.sqrt(dot_self).alias("__nrm"))
+        a = base.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), F.col("__nrm").alias("__na")
+        )
+        b = base.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), F.col("__nrm").alias("__nb")
+        )
+        pairs = candidates.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("__va"), F.col("__vb"), lambda x, y: x.cast("double") * y.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cos = dot / (F.col("__na") * F.col("__nb"))
+        return pairs.select("id_a", "id_b", cos.alias("cosine")).where(
+            F.col("cosine") >= F.lit(float(threshold))
+        )
+
+    import numpy as np
+    import pandas as pd
+
+    nb = int(num_blocks)
+    thr = float(threshold)
+    d = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        (F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb))).cast("int").alias("__b"),
+    )
+    # row in block b joins pair-group (i,j) as side A when i == b (j >= b)
+    # and as side B when j == b (i <= b); group key = i * nb + j
+    keys_a = F.transform(
+        F.sequence(F.col("__b"), F.lit(nb - 1)),
+        lambda j: F.struct(
+            (F.col("__b") * nb + j).cast("int").alias("k"), F.lit("A").alias("s")
+        ),
+    )
+    keys_b = F.transform(
+        F.sequence(F.lit(0), F.col("__b")),
+        lambda i: F.struct((i * nb + F.col("__b")).cast("int").alias("k"), F.lit("B").alias("s")),
+    )
+    exploded = (
+        d.withColumn("__ks", F.explode(F.concat(keys_a, keys_b)))
+        .select("id", "v", F.col("__ks.k").alias("k"), F.col("__ks.s").alias("s"))
+    )
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64"),
+                              "cosine": pd.Series(dtype="float64")})
+        A = pdf[pdf["s"] == "A"]
+        B = pdf[pdf["s"] == "B"]
+        if A.empty or B.empty:
+            return empty
+        MA = np.asarray(A["v"].tolist(), dtype="float64")
+        MB = np.asarray(B["v"].tolist(), dtype="float64")
+        MA /= np.linalg.norm(MA, axis=1, keepdims=True)
+        MB /= np.linalg.norm(MB, axis=1, keepdims=True)
+        C = MA @ MB.T
+        ia, jb = np.where(C >= thr)
+        if len(ia) == 0:
+            return empty
+        ids_a = A["id"].to_numpy()[ia]
+        ids_b = B["id"].to_numpy()[jb]
+        out = pd.DataFrame(
+            {
+                "id_a": np.minimum(ids_a, ids_b),
+                "id_b": np.maximum(ids_a, ids_b),
+                "cosine": C[ia, jb],
+            }
+        )
+        # same-block groups see each unordered pair twice (and the diagonal)
+        out = out[out["id_a"] < out["id_b"]].drop_duplicates(["id_a", "id_b"])
+        return out
+
+    return exploded.groupBy("k").applyInPandas(score, "id_a long, id_b long, cosine double")
