@@ -78,7 +78,11 @@ def shingle_rows(
     shingle expression into the scan filter (O(n^2) regex per row measured
     220s at sf0.1 -> this shape: ~2s).
     """
-    d = df.withColumn("__norm", F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    from tsflex_spark.utils.data import fan_out
+
+    d = fan_out(df).withColumn(
+        "__norm", F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    )
     d = d.select(
         F.col(id_col),
         F.col("__norm"),
@@ -98,6 +102,7 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_k: int = 5,
     seed: int = 42,
+    shingles: Optional[DataFrame] = None,
 ) -> DataFrame:
     """(id, minhash array<long>) — one JVM-side pass, no Python.
 
@@ -111,9 +116,8 @@ def minhash_signatures(
     vectorized explode+groupBy — and the groupBy shuffles only (id, hash)
     longs, which partitions cleanly at 100 TB.
     """
-    ex = shingle_rows(df, text_col, id_col, shingle_k).select(
-        id_col, F.xxhash64("__s", F.lit(seed)).alias("__h")
-    )
+    sh = shingles if shingles is not None else shingle_rows(df, text_col, id_col, shingle_k)
+    ex = sh.select(id_col, F.xxhash64("__s", F.lit(seed)).alias("__h"))
     aggs = [
         F.min(F.xxhash64(F.col("__h"), F.lit(j))).alias(f"__m{j}")
         for j in range(num_hashes)
@@ -161,6 +165,7 @@ def ngram_jaccard(
     text_col: str,
     id_col: str,
     shingle_k: int = 5,
+    shingles: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (verification stage).
 
@@ -169,7 +174,7 @@ def ngram_jaccard(
     |A| + |B| - inter. Codegen'd shuffle joins on (id, shingle) -- scales
     to arbitrarily many candidate pairs (never materializes per-doc
     arrays, never compares arrays in-row)."""
-    sh = shingle_rows(df, text_col, id_col, shingle_k)
+    sh = shingles if shingles is not None else shingle_rows(df, text_col, id_col, shingle_k)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
     sha = sh.select(F.col(id_col).alias("id_a"), F.col("__s"))
     shb = sh.select(F.col(id_col).alias("id_b"), F.col("__s"))
@@ -224,14 +229,23 @@ def minhash_dedup(
             divisors,
             key=lambda b: abs(math.log((1.0 / b) ** (b / num_hashes)) - math.log(threshold)),
         )
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    # the shingle table feeds BOTH the signature pass and the Jaccard
+    # verification — materialize it once (localCheckpoint truncates the
+    # lineage so the regex+explode shingling runs exactly once; plain
+    # cache still re-plans the subtree per consumer under AQE)
+    sh = shingle_rows(df, text_col, id_col, shingle_k).localCheckpoint()
+    # the LSH banding self-joins the signature table (a ⋈ b) — without a
+    # checkpoint the 64-min-agg subtree executes once per join side
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_k, shingles=sh
+    ).localCheckpoint()
     # candidate pairs are tiny by LSH design (two id columns) but their
     # PLAN is the whole signature+self-join DAG; the verification stage
     # references them in three joins — localCheckpoint materializes them
     # once and TRUNCATES the lineage, so the DAG is neither re-planned nor
     # re-executed per consumer (cache alone still re-plans it under AQE)
     cands = minhash_lsh_candidates(sigs, id_col, num_bands).localCheckpoint()
-    confirmed = ngram_jaccard(df, cands, text_col, id_col, shingle_k).where(
+    confirmed = ngram_jaccard(df, cands, text_col, id_col, shingle_k, shingles=sh).where(
         F.col("jaccard") >= threshold
     )
     # drop the higher id of every confirmed pair

@@ -10,6 +10,8 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from tsflex_spark.utils.data import fan_out
+
 _STOPWORDS = [
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
     "was", "for", "on", "are", "as", "with", "at", "be", "this",
@@ -23,6 +25,7 @@ def _tokens(col: Column) -> Column:
 
 def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Char + token counts per document (oracle-matched in DuckDB)."""
+    df = fan_out(df)
     return df.select(
         F.col(id_col),
         F.length(text_col).alias("n_chars"),
@@ -34,6 +37,7 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Heuristic quality features: length, mean word length, punctuation /
     digit / uppercase / stopword ratios, plus a composite [0,1] score —
     the standard pre-training-corpus filters, entirely in codegen'd exprs."""
+    df = fan_out(df)
     # hoist the token array into a projected column — inline references
     # would re-run the regex split once per consuming expression (6×)
     df = df.withColumn("__toks", _tokens(F.col(text_col)))
@@ -78,6 +82,7 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def token_count_bpe_ish(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Token count under a BPE-ish regex (GPT-2-style word/number/punct
     pieces) — approximates tokenizer cost for budget accounting."""
+    df = fan_out(df)
     pieces = F.regexp_extract_all(
         F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0
     )
@@ -100,6 +105,7 @@ _LANG_MARKERS = {
 def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Heuristic language ID: argmax of per-language stopword hit counts;
     'und' (undetermined) when no marker hits."""
+    df = fan_out(df)
     df = df.withColumn("__lt", F.transform(_tokens(F.col(text_col)), F.lower))
     lower_toks = F.col("__lt")
     scores = []
@@ -117,5 +123,6 @@ def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit content fingerprint (xxhash64 of normalized text) — the
     rolling-hash-style doc identity used by exact dedup."""
+    df = fan_out(df)
     norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
     return df.select(F.col(id_col), F.xxhash64(norm).alias("fingerprint"))

@@ -83,3 +83,21 @@ def long_to_wide(
     g = df.groupBy(ts_col)
     piv = g.pivot(name_col, list(series_names)) if series_names else g.pivot(name_col)
     return piv.agg(F.first(value_col))
+
+
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition a narrow input before compute-amplifying ops.
+
+    A small parquet file (one row group) scans as ONE partition, so an
+    explode/regex-heavy operator downstream runs on one core no matter how
+    many the cluster has. When the scan has fewer partitions than the
+    target (default ``sc.defaultParallelism``), round-robin repartition —
+    the shuffle moves only the narrow input (cheap), the amplified work
+    then spreads across every core. A 100 TB input already has thousands
+    of splits and passes through untouched.
+    """
+    sc = df.sparkSession.sparkContext
+    target = int(min_partitions or sc.defaultParallelism)
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
