@@ -1329,6 +1329,88 @@ ORDER BY c.event_id
 """
 
 
+def q_processing_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample + linear interpolation (SURVEY §2.8 canonical processing
+    funcs) onto a per-user 1h grid: sequence/explode grid + two as-of
+    joins (backward/forward neighbour) + interp expression — three
+    per-key shuffles, no pandas, no driver loop."""
+    _utc(spark)
+    from tsflex_spark.processing.resample import resample_interpolate
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    out = resample_interpolate(
+        ev, ts_col="ts", value_col="value", period="1h", key_cols=["user_id"]
+    )
+    return out.select("user_id", "ts", F.col("value").alias("value_interp")).orderBy(
+        "user_id", "ts"
+    )
+
+
+def _oracle_processing_resample() -> str:
+    return f"""
+WITH b AS (SELECT user_id, epoch_us(min(ts)) AS t0, epoch_us(max(ts)) AS t1
+           FROM events GROUP BY user_id),
+g AS (SELECT user_id, unnest(generate_series(t0, t1, {H1})) AS gt FROM b),
+p AS (SELECT g.user_id, g.gt, e.value AS vp, epoch_us(e.ts) AS tp
+      FROM g ASOF LEFT JOIN events e
+        ON e.user_id = g.user_id AND epoch_us(e.ts) <= g.gt),
+n AS (SELECT p.user_id, p.gt, p.vp, p.tp, e.value AS vn, epoch_us(e.ts) AS tn
+      FROM p ASOF LEFT JOIN events e
+        ON e.user_id = p.user_id AND epoch_us(e.ts) >= p.gt)
+SELECT user_id, make_timestamp(gt) AS ts,
+       CASE WHEN tn = tp THEN vp
+            ELSE vp + (vn - vp) * (gt - tp) / (tn - tp) END AS value_interp
+FROM n ORDER BY user_id, ts
+"""
+
+
+def q_robust_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """make_robust semantics (SURVEY §2.10, reference utils.py:153-256):
+    min_nb_samples gate returns error_val (NaN -> NULL) when a window has
+    too few samples — UDF tier with the robust wrapper."""
+    _utc(spark)
+    import numpy as np
+
+    from tsflex_spark import FuncWrapper  # noqa: F401  (public surface)
+    from tsflex_spark.features.function_wrapper import make_robust
+
+    ev = _events(spark, sf_dir).select("ts", "value")
+    fw = make_robust(np.mean, min_nb_samples=60, output_names="robust_mean")
+    fc = FeatureCollection(
+        [
+            FeatureDescriptor(fw, "value", "1h", "1h"),
+            FeatureDescriptor("count", "value", "1h", "1h"),
+        ]
+    )
+    out = fc.calculate(ev, ts_col="ts")
+    rm = F.col("value__robust_mean__w=1h")
+    return out.select(
+        "ts",
+        F.when(~F.isnan(rm), rm).alias("robust_mean"),
+        F.col("value__count__w=1h").cast("bigint").alias("cnt_val"),
+    )
+
+
+def _oracle_robust_features() -> str:
+    return f"""
+WITH b AS (SELECT epoch_us(min(ts)) AS t0, epoch_us(max(ts)) AS t1 FROM events),
+k AS (SELECT t0, t1,
+             greatest(CAST(floor((t1 - t0 - {H1}) / {H1}.0) AS BIGINT) + 1, 0) AS nb
+      FROM b),
+seg AS (SELECT t0 + kk * {H1} AS s_start
+        FROM k CROSS JOIN generate_series(0, 100000) AS g(kk)
+        WHERE kk < nb),
+agg AS (SELECT s_start, avg(e.value) AS mean_raw, count(e.value) AS n
+        FROM seg LEFT JOIN events e
+          ON epoch_us(e.ts) >= s_start AND epoch_us(e.ts) < s_start + {H1}
+        GROUP BY s_start)
+SELECT make_timestamp(s_start + {H1}) AS ts,
+       CASE WHEN n >= 60 THEN mean_raw END AS robust_mean,
+       n AS cnt_val
+FROM agg ORDER BY ts
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: strided-rolling multi-agg
     feature extraction over the events stream."""
@@ -1371,6 +1453,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ivf_ann": q_ivf_ann,
         "asof_join": q_asof_join,
+        "processing_resample": q_processing_resample,
+        "robust_features": q_robust_features,
     }
 
 
@@ -1406,6 +1490,8 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": _oracle_cosine_topk(),
         "embedding_neardup": _oracle_embedding_neardup(),
         "asof_join": _oracle_asof_join(),
+        "processing_resample": _oracle_processing_resample(),
+        "robust_features": _oracle_robust_features(),
         # lsh_ann / minhash_dedup / simhash / ivf_ann: engine-specific
         # hashes or approximate — rows-only checks by design
     }

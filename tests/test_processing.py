@@ -150,3 +150,41 @@ def test_reduce_prunes(spark):
     assert red.output_columns() == ["a__mean__w=5s"]
     with pytest.raises(AssertionError):
         fc.reduce(["a__nope__w=5s"])
+
+
+# ------------------------------------------------- resample/interpolate
+def test_resample_interpolate_linear(spark):
+    import pandas as pd
+
+    from tsflex_spark.processing.resample import resample_interpolate
+
+    ts = pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 00:00:10", "2024-01-01 00:00:40"])
+    df = spark.createDataFrame(pd.DataFrame({"ts": ts, "k": ["a"] * 3, "value": [0.0, 10.0, 40.0]}))
+    out = (
+        resample_interpolate(df, ts_col="ts", value_col="value", period="5s", key_cols=["k"])
+        .orderBy("ts")
+        .toPandas()
+    )
+    # grid 0,5,...,40; exact hits at 0/10/40; linear between
+    assert len(out) == 9
+    assert out["value"].tolist() == [0.0, 5.0, 10.0, 15.0, 20.0, 25.0, 30.0, 35.0, 40.0]
+
+
+def test_resample_interpolate_per_key_and_single_sample(spark):
+    import pandas as pd
+
+    from tsflex_spark.processing.resample import resample_interpolate
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00", "2024-01-01 00:00:10", "2024-01-01 00:05:00"]
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame({"ts": ts, "k": ["a", "a", "b"], "value": [1.0, 3.0, 7.0]})
+    )
+    out = resample_interpolate(
+        df, ts_col="ts", value_col="value", period="10s", key_cols=["k"]
+    ).toPandas()
+    a = out[out["k"] == "a"].sort_values("ts")
+    b = out[out["k"] == "b"]
+    assert a["value"].tolist() == [1.0, 3.0]  # grid = first..last per key
+    assert len(b) == 1 and b["value"].iloc[0] == 7.0  # single sample -> itself

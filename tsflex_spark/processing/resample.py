@@ -1,0 +1,108 @@
+"""Distributed resampling with linear interpolation.
+
+The reference's processing docs/tests use pandas ``resample`` /
+``interpolate`` as the canonical SeriesProcessor functions (reference
+tests/test_processing_series_pipeline.py:21-115). The pandas-tier
+``SeriesProcessor(input_type="pandas")`` runs those verbatim per series;
+this module is the *Spark-first* equivalent for large series: the grid
+is a ``sequence``/``explode`` (no driver loop), and the neighbour lookup
+is two as-of joins (union-and-carry window passes — see
+tsflex_spark/relational.py), so the whole thing is three shuffles keyed
+by ``key_cols`` and scales per key group.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tsflex_spark.relational import asof_join
+from tsflex_spark.utils.data import DataType, determine_type
+from tsflex_spark.utils.time_args import to_numeric_units
+
+
+def resample_interpolate(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    period: Union[str, pd.Timedelta, int, float],
+    key_cols: Sequence[str] = (),
+    origin: Optional[Union[str, pd.Timestamp, int, float]] = None,
+) -> DataFrame:
+    """Resample ``value_col`` onto a regular ``period`` grid with linear
+    interpolation between the surrounding samples.
+
+    The grid spans ``[ceil(min_ts), max_ts]`` per key (aligned to
+    ``origin`` when given, else to the key's first sample). Grid points
+    that coincide with a sample return the sample value exactly; points
+    between samples interpolate linearly; no extrapolation (a grid point
+    before the first / after the last sample would be null — impossible
+    with this grid span). Output: ``(keys..., ts, value_col)``.
+    """
+    key_cols = list(key_cols)
+    domain = determine_type(df, ts_col)
+    is_time = domain == DataType.TIME
+    step = int(to_numeric_units(period, is_time))
+
+    tsn = (
+        F.unix_micros(F.col(ts_col)) if is_time else F.col(ts_col).cast("double")
+    )
+    data = df.select(*key_cols, tsn.alias("__tsn"), F.col(value_col).cast("double").alias("__v"))
+    if origin is not None:
+        org = (
+            int(pd.Timestamp(origin).value // 1_000) if is_time else float(origin)
+        )
+        org_expr = F.lit(org)
+    else:
+        org_expr = None
+
+    b = data.groupBy(*key_cols).agg(F.min("__tsn").alias("__t0"), F.max("__tsn").alias("__t1"))
+    if org_expr is not None:
+        # first grid point >= t0 on the origin-aligned lattice
+        start = org_expr + F.ceil((F.col("__t0") - org_expr) / step).cast("long") * step
+    else:
+        start = F.col("__t0")
+    grid = b.select(
+        *key_cols,
+        F.explode(F.sequence(start.cast("long"), F.col("__t1").cast("long"), F.lit(step))).alias(
+            "__g"
+        ),
+    )
+
+    if is_time:
+        g_ts = F.timestamp_micros(F.col("__g"))
+        d_ts = F.timestamp_micros(F.col("__tsn").cast("long"))
+        left = grid.select(*key_cols, g_ts.alias("__gts"))
+        right = data.select(*key_cols, d_ts.alias("__gts"), F.col("__v"))
+        on = "__gts"
+    else:
+        left = grid.select(*key_cols, F.col("__g").cast("double").alias("__gts"))
+        right = data.select(*key_cols, F.col("__tsn").alias("__gts"), F.col("__v"))
+        on = "__gts"
+
+    prev = asof_join(
+        left, right, on=on, by=key_cols, value_cols=["__v"], direction="backward", suffix="_p"
+    ).withColumnRenamed("__v", "__vp").withColumnRenamed(f"{on}_p", "__tp")
+    both = asof_join(
+        prev, right, on=on, by=key_cols, value_cols=["__v"], direction="forward", suffix="_n"
+    ).withColumnRenamed("__v", "__vn").withColumnRenamed(f"{on}_n", "__tn")
+
+    if is_time:
+        num = F.unix_micros(F.col(on)) - F.unix_micros(F.col("__tp"))
+        den = F.unix_micros(F.col("__tn")) - F.unix_micros(F.col("__tp"))
+    else:
+        num = F.col(on) - F.col("__tp")
+        den = F.col("__tn") - F.col("__tp")
+    interp = F.when(den == 0, F.col("__vp")).otherwise(
+        F.col("__vp") + (F.col("__vn") - F.col("__vp")) * num / den
+    )
+    out = both.select(
+        *key_cols,
+        F.col(on).alias(ts_col),
+        interp.alias(value_col),
+    )
+    return out
