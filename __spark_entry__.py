@@ -1411,6 +1411,67 @@ FROM agg ORDER BY ts
 """
 
 
+def q_intersample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-sample time statistics (SURVEY §2.4, reference tests
+    :1872-1962 — features over the ts-diff series): per 6h tumbling
+    window, count / mean / max of the gap to the previous event. The
+    previous-ts column comes from the distributed global shift
+    (tsflex_spark/utils/distributed.py), then gaps feed the normal
+    strided-rolling path — all integer micros, hash-exact."""
+    _utc(spark)
+    from tsflex_spark.utils.distributed import with_global_shift
+
+    ev = _events(spark, sf_dir).select("ts").withColumn("__tsn", F.unix_micros("ts"))
+    ev = with_global_shift(ev, "__tsn", "__tsn", "__prev", offset=-1)
+    ev = ev.select(
+        "ts", (F.col("__tsn") - F.col("__prev")).alias("gap")  # null for first row
+    )
+    fc = FeatureCollection(
+        [
+            FeatureDescriptor("sum", "gap", "6h", "6h"),
+            FeatureDescriptor("count", "gap", "6h", "6h"),
+            FeatureDescriptor("max", "gap", "6h", "6h"),
+        ]
+    )
+    out = fc.calculate(ev, ts_col="ts")
+    n = F.col("gap__count__w=6h").cast("bigint")
+    return out.select(
+        "ts",
+        F.try_divide(F.col("gap__sum__w=6h").cast("double"), n).alias("mean_gap_us"),
+        F.col("gap__max__w=6h").cast("bigint").alias("max_gap_us"),
+        n.alias("cnt_val"),
+    )
+
+
+def _oracle_intersample_stats() -> str:
+    w = 6 * H1
+    return f"""
+WITH d AS (SELECT ts,
+                  epoch_us(ts) - lag(epoch_us(ts)) OVER (ORDER BY ts) AS gap
+           FROM events),
+-- the gap series starts at its first non-null sample (the 2nd event):
+-- series bounds come from the series' own index, not the raw table
+b AS (SELECT epoch_us(min(ts)) AS t0, epoch_us(max(ts)) AS t1
+      FROM d WHERE gap IS NOT NULL),
+k AS (SELECT t0, t1,
+             greatest(CAST(floor((t1 - t0 - {w}) / {w}.0) AS BIGINT) + 1, 0) AS nb
+      FROM b),
+seg AS (SELECT t0 + kk * {w} AS s_start
+        FROM k CROSS JOIN generate_series(0, 100000) AS g(kk)
+        WHERE kk < nb),
+agg AS (SELECT s_start,
+               sum(d.gap) AS sum_gap, count(d.gap) AS n, max(d.gap) AS max_gap
+        FROM seg LEFT JOIN d
+          ON epoch_us(d.ts) >= s_start AND epoch_us(d.ts) < s_start + {w}
+        GROUP BY s_start)
+SELECT make_timestamp(s_start + {w}) AS ts,
+       CAST(sum_gap AS DOUBLE) / n AS mean_gap_us,
+       max_gap AS max_gap_us,
+       n AS cnt_val
+FROM agg ORDER BY ts
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: strided-rolling multi-agg
     feature extraction over the events stream."""
@@ -1455,6 +1516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "processing_resample": q_processing_resample,
         "robust_features": q_robust_features,
+        "intersample_stats": q_intersample_stats,
     }
 
 
@@ -1492,6 +1554,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": _oracle_asof_join(),
         "processing_resample": _oracle_processing_resample(),
         "robust_features": _oracle_robust_features(),
+        "intersample_stats": _oracle_intersample_stats(),
         # lsh_ann / minhash_dedup / simhash / ivf_ann: engine-specific
         # hashes or approximate — rows-only checks by design
     }

@@ -1,0 +1,102 @@
+"""Physical-plan shape guards — the 100 TB story as regression tests.
+
+These assert the *plan*, not the result: filters reach the parquet scan,
+small dimensions broadcast, top-k never global-sorts, global-order ops
+range-partition instead of collapsing to one partition, and duplicated
+subtrees reuse one exchange. A refactor that silently breaks one of
+these still returns correct rows at test scale — and falls over at
+cluster scale; this file is what catches it.
+"""
+
+import contextlib
+import io
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """TPC-H Q6-style predicates must land in PushedFilters of the scan."""
+    import __spark_entry__ as E
+
+    plan = plan_of(E.queries()["tpch_q6"](spark, SF_DIR))
+    assert "PushedFilters:" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters:" in ln]
+    assert any("l_shipdate" in ln for ln in pushed), pushed
+    # column pruning: the scan must not read all 16 lineitem columns
+    schema = [ln for ln in plan.splitlines() if "ReadSchema:" in ln]
+    assert schema and "l_comment" not in schema[0]
+
+
+def test_small_dims_broadcast(spark):
+    """Star join: every dimension side must hash-broadcast, the fact table
+    must not be globally sorted for a SortMergeJoin."""
+    import __spark_entry__ as E
+
+    plan = plan_of(E.queries()["revenue_per_nation"](spark, SF_DIR), "simple")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_never_global_sorts(spark):
+    """cosine_topk compiles to TakeOrderedAndProject (per-partition heap +
+    driver merge), not Sort + Limit over the whole corpus."""
+    import __spark_entry__ as E
+
+    plan = plan_of(E.queries()["cosine_topk"](spark, SF_DIR), "simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_global_order_ops_range_partition(spark):
+    """Unkeyed gaps-and-islands must range-partition (distributed two-pass
+    scheme), never an empty-partition-spec window that drains to one task."""
+    from tsflex_spark.chunking import chunk_data
+
+    ts = pd.date_range("2024-01-01", periods=64, freq="1s")
+    df = spark.createDataFrame(pd.DataFrame({"ts": ts, "v": 1.0}))
+    out = chunk_data(df, ts_col="ts", max_gap="10s")
+    plan = plan_of(out, "simple")
+    assert "rangepartitioning" in plan.lower(), plan
+    # the per-partition aggregate branches re-read the same range exchange —
+    # AQE only materializes the reuse in the final (executed) plan
+    out.collect()
+    final = plan_of(out, "simple")
+    assert "Reused" in final, final
+
+
+def test_rolling_native_tier_stays_in_codegen(spark):
+    """Native-tier rolling aggregation: whole-stage codegen spans exist and
+    no Python evaluation node appears anywhere in the plan."""
+    import __spark_entry__ as E
+
+    df = E.queries()["rolling_stats"](spark, SF_DIR)
+    df.collect()  # AQE: codegen spans only render in the final plan
+    plan = plan_of(df, "simple")
+    assert "*(" in plan  # WholeStageCodegen spans render as *(n) in simple mode
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert marker not in plan, marker
+
+
+def test_streaming_plan_is_incremental(spark):
+    """The streaming helper must produce an unresolved *streaming* plan on
+    a readStream source (watermark + stateful aggregate), proving the same
+    declaration runs incrementally."""
+    from tsflex_spark.streaming.rolling import rolling_features_stream
+
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+        .select(F.col("timestamp").alias("ts"), F.col("value").cast("double").alias("value"))
+    )
+    out = rolling_features_stream(src, {"value": ["sum"]}, window="1 minute", watermark="2 minutes")
+    assert out.isStreaming
