@@ -1472,6 +1472,73 @@ FROM agg ORDER BY ts
 """
 
 
+def q_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming op (SURVEY §2.9 applyInPandasWithState):
+    per-user running count/mean/var_pop/min/max with O(1) state per key
+    (Chan parallel-moment merge). Runs a real availableNow streaming job
+    over the events parquet, then returns the final state per user."""
+    _utc(spark)
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window as W
+
+    from tsflex_spark.streaming.stateful import running_stats_stream
+
+    # nanosecond-timestamp parquet: stream the micros-converted copy
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    tmp = tempfile.mkdtemp(prefix="tsfs_stateful_")
+    src = f"{tmp}/src"
+    ev.write.parquet(src)
+    stream = spark.readStream.schema("user_id long, ts timestamp, value double").parquet(src)
+    # exact fixed-point state: identical results regardless of micro-batch
+    # boundaries, and hash-identical to the SQL oracle's derived moments
+    out = running_stats_stream(
+        stream, value_col="value", key_cols=["user_id"], exact_decimals=2
+    )
+    name = "q_stateful_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    res = spark.table(name)
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy(F.col("n").desc()))
+    final = res.withColumn("__rn", rn).where(F.col("__rn") == 1).drop("__rn")
+    return final.select(
+        "user_id",
+        F.col("n").alias("cnt_val"),
+        F.col("mean").alias("mean_val"),
+        F.col("var_pop").alias("var_val"),
+        F.col("min").alias("min_val"),
+        F.col("max").alias("max_val"),
+    ).orderBy("user_id")
+
+
+def _oracle_streaming_stateful() -> str:
+    # derive mean/var from exact integer cent sums with the same op order
+    # as the stateful operator's exact_decimals path
+    return """
+WITH c AS (SELECT user_id, value, CAST(round(value * 100) AS BIGINT) AS cv FROM events),
+a AS (SELECT user_id, count(value) AS n, sum(cv) AS s1, sum(cv * cv) AS s2,
+             min(value) AS mn, max(value) AS mx
+      FROM c GROUP BY user_id)
+SELECT user_id,
+       n AS cnt_val,
+       (CAST(s1 AS DOUBLE) / 100) / n AS mean_val,
+       greatest((CAST(s2 AS DOUBLE) / 10000) / n
+                - ((CAST(s1 AS DOUBLE) / 100) / n) * ((CAST(s1 AS DOUBLE) / 100) / n),
+                0.0) AS var_val,
+       mn AS min_val,
+       mx AS max_val
+FROM a ORDER BY user_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: strided-rolling multi-agg
     feature extraction over the events stream."""
@@ -1517,6 +1584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "processing_resample": q_processing_resample,
         "robust_features": q_robust_features,
         "intersample_stats": q_intersample_stats,
+        "streaming_stateful": q_streaming_stateful,
     }
 
 
@@ -1555,6 +1623,7 @@ def oracle_sql() -> dict[str, str]:
         "processing_resample": _oracle_processing_resample(),
         "robust_features": _oracle_robust_features(),
         "intersample_stats": _oracle_intersample_stats(),
+        "streaming_stateful": _oracle_streaming_stateful(),
         # lsh_ann / minhash_dedup / simhash / ivf_ann: engine-specific
         # hashes or approximate — rows-only checks by design
     }

@@ -331,3 +331,51 @@ def test_ivf_topk_matches_bruteforce_on_probed_cells(spark):
     ivf_all = ivf_topk(df, q, k=5, nlist=4, nprobe=4).toPandas()
     brute = cosine_topk(df, q, k=5).toPandas()
     assert list(ivf_all["vec_id"]) == list(brute["vec_id"])
+
+
+def test_stateful_running_stats_stream(spark, tmp_path):
+    """applyInPandasWithState running moments: final emitted row per key
+    must equal the batch groupBy stats, across multiple micro-batches."""
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-01-01", periods=300, freq="1s"),
+            "user_id": rng.integers(0, 3, size=300),
+            "value": rng.normal(50, 10, size=300).round(2),
+        }
+    )
+    src = str(tmp_path / "src")
+    # two files -> availableNow with maxFilesPerTrigger=1 gives 2 batches,
+    # exercising the state merge (not just single-batch init)
+    spark.createDataFrame(pdf.iloc[:150]).write.parquet(src)
+    spark.createDataFrame(pdf.iloc[150:]).write.parquet(src, mode="append")
+
+    from tsflex_spark.streaming.stateful import running_stats_stream
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = running_stats_stream(stream, value_col="value", key_cols=["user_id"])
+    sink_tbl = "stateful_sink"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink_tbl)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table(sink_tbl).toPandas()
+    # final state = row with max n per key
+    final = got.sort_values("n").groupby("user_id").tail(1).set_index("user_id")
+    exp = pdf.groupby("user_id")["value"].agg(["count", "mean", "min", "max"])
+    var = pdf.groupby("user_id")["value"].agg(lambda v: v.var(ddof=0))
+    for uid in exp.index:
+        assert final.loc[uid, "n"] == exp.loc[uid, "count"]
+        assert abs(final.loc[uid, "mean"] - exp.loc[uid, "mean"]) < 1e-9
+        assert abs(final.loc[uid, "var_pop"] - var.loc[uid]) < 1e-9
+        assert final.loc[uid, "min"] == exp.loc[uid, "min"]
+        assert final.loc[uid, "max"] == exp.loc[uid, "max"]
