@@ -1539,6 +1539,42 @@ FROM a ORDER BY user_id
 """
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing (SURVEY north-star): documents
+    encoded as opaque blobs -> mapInPandas decode (deterministic 8x8 fake
+    — image libs are stubbed) -> per-image mean/std features. The oracle
+    recomputes the same float32-quantized pixels from the bytes."""
+    _utc(spark)
+    from tsflex_spark.datapipe.multimodal import decode_image_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = docs.select(
+        F.col("doc_id"), F.encode(F.col("text"), "UTF-8").alias("media")
+    )
+    out = decode_image_features(media, media_col="media", id_col="doc_id")
+    return out.select("doc_id", "img_mean", "img_std").orderBy("doc_id")
+
+
+def _oracle_multimodal_decode() -> str:
+    # pixel i = float32(byte_i/255), bytes zero-padded to 64 (docs are
+    # pure ASCII so unicode(char) == byte value)
+    return """
+WITH b AS (
+  SELECT doc_id,
+         list_transform(range(1, 65),
+           i -> CAST(CAST(CASE WHEN i <= length(text)
+                               THEN unicode(substr(text, CAST(i AS INT), 1))
+                               ELSE 0 END / 255.0 AS REAL) AS DOUBLE)) AS px
+  FROM documents),
+s AS (SELECT doc_id,
+             list_sum(px) / 64 AS m,
+             list_sum(list_transform(px, x -> x * x)) / 64 AS m2
+      FROM b)
+SELECT doc_id, m AS img_mean, sqrt(greatest(m2 - m * m, 0)) AS img_std
+FROM s ORDER BY doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: strided-rolling multi-agg
     feature extraction over the events stream."""
@@ -1585,6 +1621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_features": q_robust_features,
         "intersample_stats": q_intersample_stats,
         "streaming_stateful": q_streaming_stateful,
+        "multimodal_decode": q_multimodal_decode,
     }
 
 
@@ -1624,6 +1661,7 @@ def oracle_sql() -> dict[str, str]:
         "robust_features": _oracle_robust_features(),
         "intersample_stats": _oracle_intersample_stats(),
         "streaming_stateful": _oracle_streaming_stateful(),
+        "multimodal_decode": _oracle_multimodal_decode(),
         # lsh_ann / minhash_dedup / simhash / ivf_ann: engine-specific
         # hashes or approximate — rows-only checks by design
     }

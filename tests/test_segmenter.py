@@ -153,3 +153,34 @@ def test_naming_and_reduce(spark, dummy_sdf):
     assert red.output_columns() == ["EDA__std__w=30s"]
     out = red.calculate(dummy_sdf, ts_col="ts").toPandas()
     assert list(out.columns) == ["ts", "EDA__std__w=30s"]
+
+
+def test_timezone_invariant_instants(spark):
+    """SURVEY hard part (reference strided_rolling.py:585-596): windows are
+    computed on instants, so changing the session time zone must not move
+    segment boundaries or change values — only the rendering."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from tsflex_spark import FeatureCollection, FeatureDescriptor
+
+    ts = pd.date_range("2024-03-30 22:00:00", periods=360, freq="1min")  # spans DST jump
+    pdf = pd.DataFrame({"ts": ts, "v": range(360)})
+    fc = FeatureCollection([FeatureDescriptor("sum", "v", "1h", "1h")])
+
+    outs = {}
+    for tz in ("UTC", "Europe/Brussels"):
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        try:
+            df = spark.createDataFrame(pdf)
+            out = fc.calculate(df, ts_col="ts")
+            outs[tz] = (
+                out.select(F.unix_micros("ts").alias("us"), F.col("v__sum__w=1h"))
+                .orderBy("us")
+                .toPandas()
+            )
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # identical instants and identical values under both session zones
+    assert outs["UTC"]["us"].tolist() == outs["Europe/Brussels"]["us"].tolist()
+    assert outs["UTC"]["v__sum__w=1h"].tolist() == outs["Europe/Brussels"]["v__sum__w=1h"].tolist()

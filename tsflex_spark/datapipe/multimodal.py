@@ -70,11 +70,14 @@ def decode_image_features(
             rows = []
             for _id, blob in zip(pdf[id_col], pdf[media_col]):
                 img = decode(blob)
+                # stats in float64 over the float32 pixels: deterministic
+                # and bit-matchable by a double-precision SQL oracle
+                img64 = np.asarray(img, dtype=np.float64)
                 rows.append(
                     {
                         id_col: _id,
-                        "img_mean": float(img.mean()),
-                        "img_std": float(img.std()),
+                        "img_mean": float(img64.mean()),
+                        "img_std": float(img64.std()),
                         "img_vec": img.ravel()[:16].astype(np.float32).tolist(),
                     }
                 )
