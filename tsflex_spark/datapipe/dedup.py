@@ -68,7 +68,12 @@ def _with_shingles(df: DataFrame, text_col: str, k: int, out_col: str = "__sh") 
 def shingle_rows(
     df: DataFrame, text_col: str, id_col: str, k: int = 5, out_col: str = "__s"
 ) -> DataFrame:
-    """Distinct (id, k-shingle) rows — the engine's canonical shingle shape.
+    """Distinct (id, shingle-hash) rows — the engine's canonical shingle
+    shape. ``out_col`` is the 64-bit ``xxhash64`` of the k-char shingle,
+    not the string: every downstream consumer (minhash, simhash, Jaccard
+    set ops) only needs identity, and 16-byte (id, long) rows make the
+    distinct + joins shuffle ~3x less than 5-char strings. Collisions:
+    ~n²/2^64 for n distinct shingles per doc — irrelevant below ~10^8.
 
     PERF: positions are exploded FIRST and the shingle is a plain
     ``substr`` projection — everything stays in whole-stage codegen.
@@ -90,9 +95,12 @@ def shingle_rows(
             F.sequence(F.lit(1), F.greatest(F.length("__norm") - F.lit(k - 1), F.lit(1)))
         ).alias("__i"),
     )
-    return d.select(
-        F.col(id_col), F.col("__norm").substr(F.col("__i"), F.lit(k)).alias(out_col)
-    ).dropDuplicates([id_col, out_col])
+    d = d.select(
+        F.col(id_col), F.col("__norm").substr(F.col("__i"), F.lit(k)).alias("__str")
+    ).dropDuplicates([id_col, "__str"])
+    # hash AFTER the distinct: one xxhash64 per distinct shingle (not per
+    # exploded position), and every downstream join/agg keys on a long
+    return d.select(F.col(id_col), F.xxhash64(F.col("__str")).alias(out_col))
 
 
 def minhash_signatures(
