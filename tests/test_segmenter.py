@@ -184,3 +184,79 @@ def test_timezone_invariant_instants(spark):
     # identical instants and identical values under both session zones
     assert outs["UTC"]["us"].tolist() == outs["Europe/Brussels"]["us"].tolist()
     assert outs["UTC"]["v__sum__w=1h"].tolist() == outs["Europe/Brussels"]["v__sum__w=1h"].tolist()
+
+
+# Reference boundary oracle, ported verbatim as expectations (reference
+# tests/test_strided_rolling.py:139-210): 5-point sequence index [0..4],
+# expected BEGIN indices per (window, stride, include_final_window).
+_REF_BOUNDARY_TABLE = [
+    (3, 1, False, [0, 1]),
+    (3, 2, False, [0]),
+    (3, 3, False, [0]),
+    (3, 4, False, [0]),
+    (3, 5, False, [0]),
+    (3, 50, False, [0]),
+    (4, 1, False, [0]),
+    (5, 1, False, []),
+    (5, 2, False, []),
+    (6, 1, False, []),
+    (6, 2, False, []),
+    (3, 1, True, [0, 1, 2]),
+    (3, 2, True, [0, 2]),
+    (3, 4, True, [0, 4]),
+    (3, 5, True, [0]),
+    (3, 50, True, [0]),
+    (4, 1, True, [0, 1]),
+    (5, 1, True, [0]),
+    (5, 2, True, [0]),
+    (6, 1, True, [0]),
+    (6, 2, True, [0]),
+]
+
+
+@pytest.mark.parametrize("window,stride,final,expected", _REF_BOUNDARY_TABLE)
+def test_reference_boundary_table(spark, window, stride, final, expected):
+    import pandas as pd
+
+    from tsflex_spark import FeatureCollection, FeatureDescriptor
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"pos": [0, 1, 2, 3, 4], "v": [0.0, 1.0, 2.0, 3.0, 4.0]})
+    )
+    fc = FeatureCollection([FeatureDescriptor("count", "v", window, stride)])
+    out = fc.calculate(
+        df, ts_col="pos", window_idx="begin", include_final_window=final
+    )
+    got = sorted(r["pos"] for r in out.select("pos").collect())
+    assert got == expected, (window, stride, final)
+
+
+@pytest.mark.parametrize(
+    "n_rows,idx_mode,expected_last",
+    [
+        # reference tests/test_strided_rolling.py:59-91 — window=1000,
+        # stride=200 over sequence positions [0, n_rows)
+        (2198, "end", 2000),
+        (2199, "end", 2000),
+        (2200, "end", 2000),
+        (2201, "end", 2200),
+        (2202, "end", 2200),
+        (2198, "begin", 1000),
+        (2199, "begin", 1000),
+        (2200, "begin", 1000),
+        (2201, "begin", 1200),
+        (2202, "begin", 1200),
+    ],
+)
+def test_last_full_window_rule(spark, n_rows, idx_mode, expected_last):
+    import pandas as pd
+
+    from tsflex_spark import FeatureCollection, FeatureDescriptor
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"pos": range(2202), "v": [float(i) for i in range(2202)]})
+    ).where(F.col("pos") < n_rows)
+    fc = FeatureCollection([FeatureDescriptor("min", "v", 1000, 200)])
+    out = fc.calculate(df, ts_col="pos", window_idx=idx_mode)
+    last = out.agg(F.max("pos")).first()[0]
+    assert last == expected_last
