@@ -103,9 +103,15 @@ def chunk_data(
             F.col("n_samples"),
         )
 
-    out = with_global_row_number(
-        chunks, "__cs", "chunk_id", key_cols=key_cols, zero_based=True
-    ).withColumn("chunk_id", F.col("chunk_id").cast("int"))
+    if min_chunk_dur is None and max_chunk_dur is None:
+        # island ids are already consecutive per key in time order — the
+        # chunk id is island-1, no ranking pass needed
+        out = chunks.withColumn("chunk_id", (F.col("__chunk") - 1).cast("int"))
+    else:
+        # filters/splits leave gaps in the island numbering — re-rank
+        out = with_global_row_number(
+            chunks, "__cs", "chunk_id", key_cols=key_cols, zero_based=True
+        ).withColumn("chunk_id", F.col("chunk_id").cast("int"))
 
     if is_time:
         start = F.timestamp_micros(F.col("__cs").cast("long"))

@@ -41,7 +41,6 @@ from tsflex_spark.utils.data import DataType, determine_type
 from tsflex_spark.utils.distributed import (
     with_global_islands,
     with_global_row_number,
-    with_global_shift,
 )
 from tsflex_spark.utils.time_args import to_numeric_units
 
@@ -610,11 +609,16 @@ class FeatureCollection:
         for p in parts[1:]:
             result = result.join(p, on=group_cols, how="full")
 
-        # end = next run's start; last run end = last index +1day/+1
+        # end = next run's start; last run end = last index +1day/+1.
+        # island ids are consecutive integers per key, so "next run" is a
+        # hash equi-join on island+1 — no second ordered shuffle needed
         bump = 86_400_000_000 if is_time else 1  # +1 day in micros / +1
-        result = with_global_shift(
-            result, "__start_n", "__start_n", "__next_start", offset=1, key_cols=key_cols
+        nxt = result.select(
+            *key_cols,
+            (F.col("__island") - 1).alias("__island"),
+            F.col("__start_n").alias("__next_start"),
         )
+        result = result.join(nxt, on=[*key_cols, "__island"], how="left")
         result = result.withColumn(
             "__end_n",
             F.coalesce(F.col("__next_start"), F.col("__last_n") + F.lit(bump)),
