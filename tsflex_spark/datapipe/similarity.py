@@ -170,7 +170,11 @@ def ivf_topk(
     corp = df.withColumn(
         "__v", array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double")))
     )
-    model = KMeans(k=nlist, seed=seed, featuresCol="__v", predictionCol="__cell").fit(corp)
+    # a coarse quantizer does not need convergence — 10 Lloyd iterations
+    # give stable cells at a fraction of the default-20 fit cost
+    model = KMeans(
+        k=nlist, seed=seed, maxIter=10, featuresCol="__v", predictionCol="__cell"
+    ).fit(corp)
     assigned = model.transform(corp)
 
     q = np.asarray(list(query_vec), dtype="float64")
