@@ -379,3 +379,50 @@ def test_stateful_running_stats_stream(spark, tmp_path):
         assert abs(final.loc[uid, "var_pop"] - var.loc[uid]) < 1e-9
         assert final.loc[uid, "min"] == exp.loc[uid, "min"]
         assert final.loc[uid, "max"] == exp.loc[uid, "max"]
+
+
+def test_asof_join_unkeyed_distributed(spark):
+    """Unkeyed as-of join runs the distributed carry path — verify against
+    pandas merge_asof on shuffled multi-partition input, both directions
+    plus tolerance."""
+    rng = np.random.default_rng(7)
+    base = pd.Timestamp("2024-01-01")
+    lpdf = pd.DataFrame(
+        {
+            "ts": base + pd.to_timedelta(np.sort(rng.choice(100000, 800, replace=False)), unit="s"),
+            "lid": range(800),
+        }
+    )
+    rpdf = pd.DataFrame(
+        {
+            "ts": base + pd.to_timedelta(np.sort(rng.choice(100000, 500, replace=False)), unit="s"),
+            "rv": rng.normal(size=500).round(3),
+        }
+    )
+    left = spark.createDataFrame(lpdf).repartition(11)
+    right = spark.createDataFrame(rpdf).repartition(13)
+
+    from tsflex_spark.relational import asof_join
+
+    for direction in ("backward", "forward"):
+        got = (
+            asof_join(left, right, on="ts", value_cols=["rv"], direction=direction)
+            .orderBy("lid")
+            .toPandas()
+        )
+        exp = pd.merge_asof(lpdf, rpdf, on="ts", direction=direction)
+        ok = (got["rv"].to_numpy() == exp["rv"].to_numpy()) | (
+            got["rv"].isna().to_numpy() & exp["rv"].isna().to_numpy()
+        )
+        assert ok.all(), direction
+
+    got = (
+        asof_join(left, right, on="ts", value_cols=["rv"], tolerance="60s")
+        .orderBy("lid")
+        .toPandas()
+    )
+    exp = pd.merge_asof(lpdf, rpdf, on="ts", tolerance=pd.Timedelta("60s"))
+    ok = (got["rv"].to_numpy() == exp["rv"].to_numpy()) | (
+        got["rv"].isna().to_numpy() & exp["rv"].isna().to_numpy()
+    )
+    assert ok.all()

@@ -68,25 +68,36 @@ def asof_join(
             r_tag = r_tag.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
     u = l_tag.unionByName(r_tag)
 
-    if direction == "backward":
-        w = W.partitionBy(*by).orderBy(F.col(on).asc(), F.col("__tag").asc()) if by else W.orderBy(
-            F.col(on).asc(), F.col("__tag").asc()
-        )
+    carry_cols = ["__rts"] + [f"__rv_{c}" for c in value_cols]
+    if by:
+        ts_ord = F.col(on).asc() if direction == "backward" else F.col(on).desc()
+        w = W.partitionBy(*by).orderBy(ts_ord, F.col("__tag").asc())
         frame = w.rowsBetween(W.unboundedPreceding, 0)
         pick = lambda c: F.last(c, ignorenulls=True).over(frame)  # noqa: E731
+        carried = u.select(
+            *[F.col(c) for c in left.columns],
+            F.col("__tag"),
+            pick("__rts").alias("__mts"),
+            *[pick(f"__rv_{c}").alias(f"__m_{c}") for c in value_cols],
+        ).where(F.col("__tag") == 1)
     else:
-        w = W.partitionBy(*by).orderBy(F.col(on).desc(), F.col("__tag").asc()) if by else W.orderBy(
-            F.col(on).desc(), F.col("__tag").asc()
-        )
-        frame = w.rowsBetween(W.unboundedPreceding, 0)
-        pick = lambda c: F.last(c, ignorenulls=True).over(frame)  # noqa: E731
+        # unkeyed: distributed carry (range partition + boundary patch) —
+        # never an empty-partition-spec window (utils/distributed.py)
+        from tsflex_spark.utils.distributed import with_global_carry
 
-    carried = u.select(
-        *[F.col(c) for c in left.columns],
-        F.col("__tag"),
-        pick("__rts").alias("__mts"),
-        *[pick(f"__rv_{c}").alias(f"__m_{c}") for c in value_cols],
-    ).where(F.col("__tag") == 1)
+        is_time_on = str(left.schema[on].dataType).startswith("Timestamp")
+        ordn = F.unix_micros(F.col(on)) if is_time_on else F.col(on).cast("double")
+        if direction == "forward":
+            ordn = -ordn
+        u = u.withColumn("__ord", ordn)
+        carried = with_global_carry(u, carry_cols, ["__ord", "__tag"], out_prefix="__m_")
+        carried = (
+            carried.where(F.col("__tag") == 1)
+            .withColumnRenamed("__m___rts", "__mts")
+            .drop("__ord", *carry_cols)
+        )
+        for c in value_cols:
+            carried = carried.withColumnRenamed(f"__m___rv_{c}", f"__m_{c}")
 
     if tolerance is not None:
         is_time = str(left.schema[on].dataType).startswith("Timestamp")

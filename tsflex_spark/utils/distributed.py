@@ -39,6 +39,7 @@ __all__ = [
     "with_global_row_number",
     "with_global_shift",
     "with_global_islands",
+    "with_global_carry",
 ]
 
 
@@ -184,3 +185,58 @@ def with_global_islands(
         out_col, F.sum("__chg").over(wrun) + F.col("__off")
     )
     return out.drop(PID, "__bnd", "__chg", "__off")
+
+
+def with_global_carry(
+    df: DataFrame,
+    cols: Sequence[str],
+    order_cols: Sequence[str],
+    out_prefix: str = "__carry_",
+) -> DataFrame:
+    """``last(col, ignorenulls) OVER (ORDER BY order_cols ROWS UNBOUNDED
+    PRECEDING)`` for several columns at once, without a single-partition
+    window — the carry-forward primitive behind the unkeyed as-of join.
+
+    Scheme: range-partition on the order prefix, partition-local carry,
+    then patch local nulls with the latest non-null value from any
+    earlier partition (per-partition ``max_by`` edges, tiny broadcast
+    self-join). ``order_cols`` must be non-null and totally ordered
+    ascending (negate a numeric column for descending carries).
+    """
+    cols = list(cols)
+    order_cols = list(order_cols)
+    d = df.repartitionByRange(*[F.col(c) for c in order_cols]).withColumn(
+        PID, F.spark_partition_id()
+    )
+    wloc = (
+        W.partitionBy(PID)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    ostruct = F.struct(*[F.col(c) for c in order_cols])
+    edges = d.groupBy(PID).agg(
+        *[
+            F.max_by(F.col(c), F.when(F.col(c).isNotNull(), ostruct)).alias(f"__e_{c}")
+            for c in cols
+        ]
+    )
+    b = edges.select(
+        F.col(PID).alias("__bp"), *[F.col(f"__e_{c}").alias(f"__b_{c}") for c in cols]
+    )
+    bnd = (
+        edges.join(F.broadcast(b), F.col("__bp") < F.col(PID), "left")
+        .groupBy(PID)
+        .agg(
+            *[
+                F.max_by(
+                    F.col(f"__b_{c}"), F.when(F.col(f"__b_{c}").isNotNull(), F.col("__bp"))
+                ).alias(f"__bnd_{c}")
+                for c in cols
+            ]
+        )
+    )
+    out = d.join(F.broadcast(bnd), on=PID, how="left")
+    for c in cols:
+        local = F.last(F.col(c), ignorenulls=True).over(wloc)
+        out = out.withColumn(out_prefix + c, F.coalesce(local, F.col(f"__bnd_{c}")))
+    return out.drop(PID, *[f"__bnd_{c}" for c in cols])
