@@ -13,18 +13,23 @@ docstrings as ``file:line`` for parity checking only.
 
 __version__ = "0.1.0"
 
+from tsflex_spark.chunking import chunk_data
 from tsflex_spark.features.feature import FeatureDescriptor, MultipleFeatureDescriptors
 from tsflex_spark.features.feature_collection import FeatureCollection
-from tsflex_spark.features.function_wrapper import FuncWrapper
+from tsflex_spark.features.function_wrapper import FuncWrapper, make_robust
 from tsflex_spark.processing.series_pipeline import SeriesPipeline
 from tsflex_spark.processing.series_processor import SeriesProcessor, dataframe_func
+from tsflex_spark.relational import asof_join
 
 __all__ = [
     "FeatureDescriptor",
     "MultipleFeatureDescriptors",
     "FeatureCollection",
     "FuncWrapper",
+    "make_robust",
     "SeriesPipeline",
     "SeriesProcessor",
     "dataframe_func",
+    "chunk_data",
+    "asof_join",
 ]
