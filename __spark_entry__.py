@@ -1575,6 +1575,69 @@ FROM s ORDER BY doc_id
 """
 
 
+def q_multi_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple windows in ONE calculate() (reference MultipleFeatureDescriptors
+    usage): value sum/count over 1h AND 2h tumbling windows — two window
+    configs computed independently and full-outer-joined on the output
+    index (reference feature_collection.py:827-838 assembly)."""
+    _utc(spark)
+    from tsflex_spark import MultipleFeatureDescriptors
+
+    ev = _events(spark, sf_dir).select(
+        "ts", F.col("value").cast("decimal(18,2)").alias("value")
+    )
+    # strides applies to every descriptor (reference semantics): the 2h
+    # window slides at 1h stride
+    mfd = MultipleFeatureDescriptors(
+        functions=["sum", "count"],
+        series_names="value",
+        windows=["1h", "2h"],
+        strides="1h",
+    )
+    fc = FeatureCollection(mfd)
+    out = fc.calculate(ev, ts_col="ts")
+    return out.select(
+        "ts",
+        F.col("value__sum__w=1h").cast("double").alias("sum_1h"),
+        F.col("value__count__w=1h").cast("bigint").alias("cnt_1h"),
+        F.col("value__sum__w=2h").cast("double").alias("sum_2h"),
+        F.col("value__count__w=2h").cast("bigint").alias("cnt_2h"),
+    )
+
+
+def _oracle_multi_window() -> str:
+    def grid(w: int, tag: str) -> str:
+        return f"""
+g{tag} AS (SELECT t0 + kk * {H1} AS s_start
+           FROM k{tag} CROSS JOIN generate_series(0, 100000) AS g(kk)
+           WHERE kk < nb),
+a{tag} AS (SELECT s_start + {w} AS ts_n,
+                  sum(CAST(e.value AS DECIMAL(18,2))) AS sum_dec,
+                  count(e.value) AS cnt
+           FROM g{tag} LEFT JOIN events e
+             ON epoch_us(e.ts) >= s_start AND epoch_us(e.ts) < s_start + {w}
+           GROUP BY s_start)"""
+
+    return f"""
+WITH b AS (SELECT epoch_us(min(ts)) AS t0, epoch_us(max(ts)) AS t1 FROM events),
+k1 AS (SELECT t0, t1, greatest(CAST(floor((t1 - t0 - {H1}) / {H1}.0) AS BIGINT) + 1, 0) AS nb FROM b),
+k2 AS (SELECT t0, t1, greatest(CAST(floor((t1 - t0 - {2 * H1}) / {H1}.0) AS BIGINT) + 1, 0) AS nb FROM b),
+{grid(H1, "1")},
+{grid(2 * H1, "2")}
+SELECT make_timestamp(coalesce(a1.ts_n, a2.ts_n)) AS ts,
+       -- empty-window sum fills 0.0 within a config's own spine (np.sum([])
+       -- parity); rows absent from a spine stay NULL (outer-join miss)
+       CASE WHEN a1.ts_n IS NOT NULL
+            THEN coalesce(CAST(a1.sum_dec AS DOUBLE), 0.0) END AS sum_1h,
+       a1.cnt AS cnt_1h,
+       CASE WHEN a2.ts_n IS NOT NULL
+            THEN coalesce(CAST(a2.sum_dec AS DOUBLE), 0.0) END AS sum_2h,
+       a2.cnt AS cnt_2h
+FROM a1 FULL JOIN a2 ON a1.ts_n = a2.ts_n
+ORDER BY ts
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: strided-rolling multi-agg
     feature extraction over the events stream."""
@@ -1622,6 +1685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersample_stats": q_intersample_stats,
         "streaming_stateful": q_streaming_stateful,
         "multimodal_decode": q_multimodal_decode,
+        "multi_window": q_multi_window,
     }
 
 
@@ -1662,6 +1726,7 @@ def oracle_sql() -> dict[str, str]:
         "intersample_stats": _oracle_intersample_stats(),
         "streaming_stateful": _oracle_streaming_stateful(),
         "multimodal_decode": _oracle_multimodal_decode(),
+        "multi_window": _oracle_multi_window(),
         # lsh_ann / minhash_dedup / simhash / ivf_ann: engine-specific
         # hashes or approximate — rows-only checks by design
     }

@@ -72,7 +72,7 @@ def make_bounds(
 ) -> DataFrame:
     """Per-key ``(START, END)`` bounds over the required series.
 
-    inner = max(firsts)..min(lasts); inner-outer = max..max; outer = min..min
+    inner = max(firsts)..min(lasts); inner-outer = max..max; outer = min..max
     (reference tsflex/features/utils.py:59-99). One tiny aggregate — O(#keys)
     rows regardless of data size.
     """
