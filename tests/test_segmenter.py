@@ -260,3 +260,36 @@ def test_last_full_window_rule(spark, n_rows, idx_mode, expected_last):
     out = fc.calculate(df, ts_col="pos", window_idx=idx_mode)
     last = out.agg(F.max("pos")).first()[0]
     assert last == expected_last
+
+
+def test_naming_constraint_errors(spark):
+    """Reference error paths (feature_collection.py:55-67, :207-229 and
+    tests :1704-1750): reserved characters in series names and duplicate
+    output columns must be rejected at construction time."""
+    from tsflex_spark import FeatureCollection, FeatureDescriptor
+
+    with pytest.raises(AssertionError):
+        FeatureDescriptor("sum", "bad|name", "1h", "1h")
+    with pytest.raises(AssertionError):
+        FeatureDescriptor("sum", "bad__name", "1h", "1h")
+    with pytest.raises(AssertionError):
+        FeatureCollection(
+            [
+                FeatureDescriptor("sum", "v", "1h", "1h"),
+                FeatureDescriptor("sum", "v", "1h", "1h"),  # duplicate output
+            ]
+        )
+
+
+def test_missing_stride_requires_override(spark):
+    from tsflex_spark import FeatureCollection, FeatureDescriptor
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"ts": pd.date_range("2024-01-01", periods=4, freq="1h"), "v": 1.0})
+    )
+    fc = FeatureCollection([FeatureDescriptor("sum", "v", "1h")])
+    with pytest.raises(AssertionError):
+        fc.calculate(df, ts_col="ts")  # no stride, no override, no segments
+    # stride override at calculate() time succeeds
+    out = fc.calculate(df, ts_col="ts", stride="1h")
+    assert out.count() > 0
