@@ -1638,6 +1638,146 @@ ORDER BY ts
 """
 
 
+def q_chunk_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-chunk feature extraction (SURVEY §2.11 chunk_data →
+    calculate-per-chunk, collapsed into one distributed pass): the gap
+    island id IS the aggregation key — two shuffles, boundaries and
+    features together."""
+    _utc(spark)
+    from tsflex_spark.chunking import chunk_features
+
+    ev = _events(spark, sf_dir).select(
+        "ts", F.col("value").cast("decimal(18,2)").alias("value")
+    )
+    out = chunk_features(
+        ev, ts_col="ts", value_col="value", aggs=["sum", "count", "max"], max_gap="10m"
+    )
+    return out.select(
+        "chunk_id",
+        "chunk_start",
+        "chunk_end",
+        "n_samples",
+        F.col("value__sum__w=chunk").cast("double").alias("sum_val"),
+        F.col("value__count__w=chunk").cast("bigint").alias("cnt_val"),
+        F.col("value__max__w=chunk").cast("double").alias("max_val"),
+    )
+
+
+def _oracle_chunk_features() -> str:
+    return """
+WITH d AS (SELECT ts, CAST(value AS DECIMAL(18,2)) AS v,
+                  CASE WHEN lag(ts) OVER (ORDER BY ts) IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER (ORDER BY ts)) > 600000000
+                       THEN 1 ELSE 0 END AS chg
+           FROM events WHERE value IS NOT NULL),
+i AS (SELECT ts, v, sum(chg) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) AS isl FROM d)
+SELECT CAST(isl - 1 AS INT) AS chunk_id,
+       min(ts) AS chunk_start, max(ts) AS chunk_end, count(*) AS n_samples,
+       CAST(sum(v) AS DOUBLE) AS sum_val,
+       count(v) AS cnt_val,
+       max(v) AS max_val
+FROM i GROUP BY isl ORDER BY chunk_id
+"""
+
+
+def q_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.session_window features (SURVEY §2.9) in batch: per-user sessions
+    with 30m gap — session end = last event + gap (Spark session-window
+    semantics), native aggs only."""
+    _utc(spark)
+    from tsflex_spark.streaming.rolling import session_features_stream
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "ts", F.col("value").cast("decimal(18,2)").alias("value")
+    )
+    out = session_features_stream(
+        ev, gap="30 minutes", aggs={"value": ["sum", "count"]}, key_cols=["user_id"]
+    )
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.col("value__sum__w=session").cast("double").alias("sum_val"),
+        F.col("value__count__w=session").cast("bigint").alias("cnt_val"),
+    ).orderBy("user_id", "session_start")
+
+
+def _oracle_streaming_session() -> str:
+    return """
+WITH d AS (SELECT user_id, ts, CAST(value AS DECIMAL(18,2)) AS v,
+                  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800000000
+                       THEN 1 ELSE 0 END AS chg
+           FROM events),
+i AS (SELECT user_id, ts, v,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS isl
+      FROM d)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       CAST(sum(v) AS DOUBLE) AS sum_val,
+       count(v) AS cnt_val
+FROM i GROUP BY user_id, isl ORDER BY user_id, session_start
+"""
+
+
+def q_categorical_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical count features (SURVEY §2.4, reference tests
+    :1965-2002): per 6h tumbling window, count of each event_type —
+    F.count(F.when(...)) per category, one codegen aggregate."""
+    _utc(spark)
+    ev = _events(spark, sf_dir).select("ts", "event_type")
+    cats = ["click", "view", "purchase", "error", "signup"]
+    # engine native count + per-category conditional counts via the same
+    # segment assignment: express categories as pre-projected 0/1 series
+    proj = ev.select(
+        "ts",
+        F.col("event_type").alias("event_type"),
+        *[
+            F.when(F.col("event_type") == c, F.lit(1)).alias(f"is_{c}")
+            for c in cats
+        ],
+    )
+    fc = FeatureCollection(
+        [FeatureDescriptor("count", "event_type", "6h", "6h")]
+        + [FeatureDescriptor("count", f"is_{c}", "6h", "6h") for c in cats]
+    )
+    out = fc.calculate(proj, ts_col="ts", bound_method="outer")
+    return out.select(
+        "ts",
+        F.col("event_type__count__w=6h").cast("bigint").alias("n_total"),
+        *[
+            F.col(f"is_{c}__count__w=6h").cast("bigint").alias(f"n_{c}")
+            for c in cats
+        ],
+    )
+
+
+def _oracle_categorical_counts() -> str:
+    w = 6 * H1
+    cats = ["click", "view", "purchase", "error", "signup"]
+    cat_sel = ",\n       ".join(
+        f"count(e.event_type) FILTER (WHERE e.event_type = '{c}') AS n_{c}" for c in cats
+    )
+    return f"""
+WITH b AS (SELECT epoch_us(min(ts)) AS t0, epoch_us(max(ts)) AS t1 FROM events),
+k AS (SELECT t0, t1,
+             greatest(CAST(floor((t1 - t0 - {w}) / {w}.0) AS BIGINT) + 1, 0) AS nb
+      FROM b),
+seg AS (SELECT t0 + kk * {w} AS s_start
+        FROM k CROSS JOIN generate_series(0, 100000) AS g(kk)
+        WHERE kk < nb)
+SELECT make_timestamp(s_start + {w}) AS ts,
+       count(e.event_type) AS n_total,
+       {cat_sel}
+FROM seg LEFT JOIN events e
+  ON epoch_us(e.ts) >= s_start AND epoch_us(e.ts) < s_start + {w}
+GROUP BY s_start ORDER BY ts
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: strided-rolling multi-agg
     feature extraction over the events stream."""
@@ -1686,6 +1826,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stateful": q_streaming_stateful,
         "multimodal_decode": q_multimodal_decode,
         "multi_window": q_multi_window,
+        "chunk_features": q_chunk_features,
+        "streaming_session": q_streaming_session,
+        "categorical_counts": q_categorical_counts,
     }
 
 
@@ -1727,6 +1870,9 @@ def oracle_sql() -> dict[str, str]:
         "streaming_stateful": _oracle_streaming_stateful(),
         "multimodal_decode": _oracle_multimodal_decode(),
         "multi_window": _oracle_multi_window(),
+        "chunk_features": _oracle_chunk_features(),
+        "streaming_session": _oracle_streaming_session(),
+        "categorical_counts": _oracle_categorical_counts(),
         # lsh_ann / minhash_dedup / simhash / ivf_ann: engine-specific
         # hashes or approximate — rows-only checks by design
     }

@@ -1,3 +1,3 @@
-from tsflex_spark.chunking.chunking import chunk_data
+from tsflex_spark.chunking.chunking import chunk_data, chunk_features
 
-__all__ = ["chunk_data"]
+__all__ = ["chunk_data", "chunk_features"]

@@ -125,3 +125,80 @@ def chunk_data(
         end.alias("chunk_end"),
         "n_samples",
     ).orderBy(*key_cols, "chunk_id")
+
+
+def chunk_features(
+    data: DataFrame,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    aggs: Sequence[str] = ("sum", "count", "min", "max"),
+    key_cols: Sequence[str] = (),
+    fs: Optional[float] = None,
+    max_gap: Optional[Union[str, pd.Timedelta, int, float]] = None,
+) -> DataFrame:
+    """Per-chunk feature extraction — the reference's chunk_data →
+    calculate-per-chunk workflow (reference tsflex/chunking/chunking.py:213
+    + processing/utils.py:16-81) collapsed into ONE distributed pass.
+
+    Instead of materializing a chunk list and scheduling per-chunk jobs
+    (the reference's Pool.imap), the island id from gap detection IS the
+    aggregation key: detect islands, groupBy(key_cols, island), aggregate.
+    Two shuffles total; chunk boundaries and features come out together.
+    Output: ``(keys..., chunk_id, chunk_start, chunk_end, n_samples,
+    <value>__<agg>__w=chunk ...)``.
+    """
+    from tsflex_spark.features.catalog import lookup_native
+
+    assert (fs is None) != (max_gap is None), "pass exactly one of fs / max_gap"
+    domain = determine_type(data, ts_col)
+    is_time = domain == DataType.TIME
+    gap_n = (
+        to_numeric_units(max_gap, is_time)
+        if max_gap is not None
+        else (1.5 / float(fs)) * (1_000_000 if is_time else 1)
+    )
+    key_cols = list(key_cols)
+
+    d = numeric_index(
+        data.select(ts_col, value_col, *key_cols).where(F.col(value_col).isNotNull()),
+        ts_col,
+        domain,
+    )
+    d = with_global_islands(
+        d,
+        TSN,
+        TSN,
+        lambda prev: prev.isNull() | ((F.col(TSN) - prev) > F.lit(gap_n)),
+        "__chunk",
+        key_cols=key_cols,
+    )
+    exprs = []
+    for name in aggs:
+        spec = lookup_native(name, {})
+        assert spec is not None, f"{name!r} is not a native catalog function"
+        exprs.append(
+            spec.build(F.col(value_col), F.col(TSN), {}).alias(
+                f"{value_col}__{name}__w=chunk"
+            )
+        )
+    out = d.groupBy(*key_cols, "__chunk").agg(
+        F.min(TSN).alias("__cs"),
+        F.max(TSN).alias("__ce"),
+        F.count(F.lit(1)).alias("n_samples"),
+        *exprs,
+    )
+    if is_time:
+        start = F.timestamp_micros(F.col("__cs").cast("long"))
+        end = F.timestamp_micros(F.col("__ce").cast("long"))
+    else:
+        start, end = F.col("__cs"), F.col("__ce")
+    feat_cols = [f"{value_col}__{name}__w=chunk" for name in aggs]
+    return out.select(
+        *key_cols,
+        (F.col("__chunk") - 1).cast("int").alias("chunk_id"),
+        start.alias("chunk_start"),
+        end.alias("chunk_end"),
+        "n_samples",
+        *feat_cols,
+    ).orderBy(*key_cols, "chunk_id")
