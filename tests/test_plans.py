@@ -100,3 +100,48 @@ def test_streaming_plan_is_incremental(spark):
     )
     out = rolling_features_stream(src, {"value": ["sum"]}, window="1 minute", watermark="2 minutes")
     assert out.isStreaming
+
+
+def test_partitioned_sink_prunes_on_read(spark, tmp_path):
+    """write_partitioned + a ds filter on read-back must prune partitions
+    at the scan (PartitionFilters), not post-filter rows."""
+    import pandas as pd
+
+    from tsflex_spark.sources.io import write_partitioned
+
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-01-01", periods=96, freq="1h"),
+            "feat": range(96),
+        }
+    )
+    path = str(tmp_path / "features")
+    write_partitioned(spark.createDataFrame(pdf), path)
+    back = spark.read.parquet(path).where(F.col("ds") == "2024-01-02")
+    plan = plan_of(back)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "2024-01-02" in pf[0], plan
+    assert back.count() == 24
+
+
+def test_input_dtype_preservation(spark):
+    """Reference matrix 'input datatype preservation': min/max/first/last
+    keep the input column type (int stays int, float32 stays float32)."""
+    import pandas as pd
+
+    import __spark_entry__  # noqa: F401  (env check only)
+    from tsflex_spark import FeatureCollection, FeatureDescriptor
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"pos": range(10), "iv": range(10)})
+    ).select("pos", F.col("iv").cast("int").alias("iv"), F.col("iv").cast("float").alias("fv"))
+    fc = FeatureCollection(
+        [
+            FeatureDescriptor("min", "iv", 5, 5),
+            FeatureDescriptor("max", "fv", 5, 5),
+        ]
+    )
+    out = fc.calculate(df, ts_col="pos")
+    types = dict(out.dtypes)
+    assert types["iv__min__w=5"] == "int"
+    assert types["fv__max__w=5"] == "float"

@@ -51,3 +51,26 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, sf_dir, "events")
+
+
+def write_partitioned(
+    df,
+    path: str,
+    partition_by=("ds",),
+    ts_col: str = "ts",
+    mode: str = "overwrite",
+) -> None:
+    """Feature-frame sink for cluster-scale outputs: derive a date
+    partition column from ``ts_col`` when asked for and not present, then
+    write hive-partitioned parquet. Readers that filter on the partition
+    column scan only the matching directories (PartitionFilters — pruning
+    happens before any file is opened), which is the difference between
+    touching 1 day and 100 TB on a historical query.
+    """
+    from pyspark.sql import functions as F
+
+    partition_by = list(partition_by)
+    out = df
+    if "ds" in partition_by and "ds" not in df.columns:
+        out = out.withColumn("ds", F.to_date(F.col(ts_col)))
+    out.write.partitionBy(*partition_by).mode(mode).parquet(path)
