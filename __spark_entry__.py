@@ -1778,6 +1778,43 @@ GROUP BY s_start ORDER BY ts
 """
 
 
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation over windows (SURVEY §2.4: absent in the
+    reference, Catalyst-native here): exact count_distinct(user_id) per
+    6h tumbling window through the normal segment assignment."""
+    _utc(spark)
+    ev = _events(spark, sf_dir).select("ts", "user_id")
+    from tsflex_spark import FeatureCollection, FeatureDescriptor  # noqa: F811
+    from tsflex_spark import FuncWrapper  # noqa: F401
+
+    fc = FeatureCollection(
+        [FeatureDescriptor("n_unique", "user_id", "6h", "6h")]
+    )
+    out = fc.calculate(ev, ts_col="ts")
+    return out.select(
+        "ts",
+        F.col("user_id__n_unique__w=6h").cast("bigint").alias("n_users"),
+    )
+
+
+def _oracle_distinct_users() -> str:
+    w = 6 * H1
+    return f"""
+WITH b AS (SELECT epoch_us(min(ts)) AS t0, epoch_us(max(ts)) AS t1 FROM events),
+k AS (SELECT t0, t1,
+             greatest(CAST(floor((t1 - t0 - {w}) / {w}.0) AS BIGINT) + 1, 0) AS nb
+      FROM b),
+seg AS (SELECT t0 + kk * {w} AS s_start
+        FROM k CROSS JOIN generate_series(0, 100000) AS g(kk)
+        WHERE kk < nb)
+SELECT make_timestamp(s_start + {w}) AS ts,
+       count(DISTINCT e.user_id) AS n_users
+FROM seg LEFT JOIN events e
+  ON epoch_us(e.ts) >= s_start AND epoch_us(e.ts) < s_start + {w}
+GROUP BY s_start ORDER BY ts
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: strided-rolling multi-agg
     feature extraction over the events stream."""
@@ -1829,6 +1866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_features": q_chunk_features,
         "streaming_session": q_streaming_session,
         "categorical_counts": q_categorical_counts,
+        "distinct_users": q_distinct_users,
     }
 
 
@@ -1873,6 +1911,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_features": _oracle_chunk_features(),
         "streaming_session": _oracle_streaming_session(),
         "categorical_counts": _oracle_categorical_counts(),
+        "distinct_users": _oracle_distinct_users(),
         # lsh_ann / minhash_dedup / simhash / ivf_ann: engine-specific
         # hashes or approximate — rows-only checks by design
     }

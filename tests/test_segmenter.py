@@ -293,3 +293,32 @@ def test_missing_stride_requires_override(spark):
     # stride override at calculate() time succeeds
     out = fc.calculate(df, ts_col="ts", stride="1h")
     assert out.count() > 0
+
+
+def test_time_arg_grammar_roundtrip():
+    """Naming grammar is API: sub-day durations round-trip through
+    parse_time_arg; day-spanning strings match the reference's exact
+    ``$D_$h$m$s.$ms`` format (reduce() matches on string equality, so the
+    formatter — not a re-parse — is the contract there)."""
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from tsflex_spark.utils.time_args import parse_time_arg, timedelta_to_str
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=86_399_999),  # < 1 day, ms units
+    )
+    def roundtrip_subday(n_ms):
+        td = pd.Timedelta(n_ms, unit="ms")
+        s = timedelta_to_str(td)
+        assert parse_time_arg(s) == td, (n_ms, s)
+
+    roundtrip_subday()
+
+    # reference-format fixtures (tsflex/utils/argument_parsing.py:48-85)
+    assert timedelta_to_str(pd.Timedelta("30s")) == "30s"
+    assert timedelta_to_str(pd.Timedelta("1D 2h")) == "1D_2h"
+    assert timedelta_to_str(pd.Timedelta("90min")) == "1h30m"
+    assert timedelta_to_str(pd.Timedelta("1.5s")) == "1.5s"
+    assert timedelta_to_str(-pd.Timedelta("30s")) == "NEG_30s"
