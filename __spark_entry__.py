@@ -1507,6 +1507,10 @@ def q_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     res = spark.table(name)
+    # the memory sink holds the rows; the source copy + checkpoint are done
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
     rn = F.row_number().over(W.partitionBy("user_id").orderBy(F.col("n").desc()))
     final = res.withColumn("__rn", rn).where(F.col("__rn") == 1).drop("__rn")
     return final.select(

@@ -145,3 +145,13 @@ def test_input_dtype_preservation(spark):
     types = dict(out.dtypes)
     assert types["iv__min__w=5"] == "int"
     assert types["fv__max__w=5"] == "float"
+
+
+def test_udf_tier_single_arrow_pass_per_config(spark):
+    """Two UDF-tier descriptors sharing one (window, stride) config must
+    compile to exactly ONE grouped Arrow pass (the reference runs one
+    process per function; here all of a config's functions share a pass)."""
+    import __spark_entry__ as E
+
+    plan = plan_of(E.queries()["udf_features"](spark, SF_DIR), "simple")
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
