@@ -322,3 +322,23 @@ def test_time_arg_grammar_roundtrip():
     assert timedelta_to_str(pd.Timedelta("90min")) == "1h30m"
     assert timedelta_to_str(pd.Timedelta("1.5s")) == "1.5s"
     assert timedelta_to_str(-pd.Timedelta("30s")) == "NEG_30s"
+
+
+def test_vectorized_flag_axis1_func(spark):
+    """vectorized=True funcs (reference strided_rolling.py:379-453) reduce
+    over axis=-1 of a (segments, window) batch — the engine must feed
+    (1, n) per segment so axis-1 reductions work unchanged."""
+    from tsflex_spark import FeatureCollection, FeatureDescriptor, FuncWrapper
+
+    def batch_mean(x):
+        assert x.ndim == 2
+        return np.mean(x, axis=1)
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"pos": range(11), "v": [float(i) for i in range(11)]})
+    )
+    fc = FeatureCollection(
+        [FeatureDescriptor(FuncWrapper(batch_mean, output_names="bm", vectorized=True), "v", 5, 5)]
+    )
+    out = fc.calculate(df, ts_col="pos", window_idx="begin").orderBy("pos").toPandas()
+    assert out["v__bm__w=5"].tolist() == [2.0, 7.0]

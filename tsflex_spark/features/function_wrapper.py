@@ -72,7 +72,13 @@ class FuncWrapper:
         if isinstance(self.func, str):
             raise TypeError(f"catalog function {self.func!r} has no Python body")
         if self.input_type is np.ndarray:
-            args = [s.to_numpy() for s in series_values]
+            if self.vectorized:
+                # vectorized funcs reduce over axis=-1 of an
+                # (n_segments, window) batch (reference
+                # strided_rolling.py:379-453); feed one segment as (1, n)
+                args = [s.to_numpy().reshape(1, -1) for s in series_values]
+            else:
+                args = [s.to_numpy() for s in series_values]
         else:
             args = list(series_values)
         out = self.func(*args, **self.kwargs)
