@@ -530,17 +530,36 @@ class FeatureCollection:
     ) -> Tuple[List[Tuple], List[Tuple]]:
         return self._split_tiers(entries)
 
+
+    def _manual_entries(self) -> List[Tuple]:
+        """Descriptor entries relabeled 'manual' for the group-by modes,
+        with the reference's <=1-window rule (feature_collection.py:432-448):
+        grouping ignores windows, so two windows of the same (series, func)
+        would collapse onto one output name — reject with a clear error."""
+        entries = [
+            (series_tuple, "manual", fd)
+            for (series_tuple, _w), fds in self._feature_desc_dict.items()
+            for fd in fds
+        ]
+        names = [
+            _col_name(series_tuple, out, "manual")
+            for series_tuple, _, fd in entries
+            for out in fd.function.output_names
+        ]
+        dupes = {n for n in names if names.count(n) > 1}
+        assert not dupes, (
+            "group_by modes ignore windows: use max ONE window per "
+            f"(series, function) — duplicate outputs {sorted(dupes)}"
+        )
+        return entries
+
     def _calculate_group_by_all(self, data: DataFrame, gcol: str, ts_col: str) -> DataFrame:
         """SQL-style GROUP BY features (reference feature_collection.py:484-566):
         one output row per distinct key; NULL/NaN keys dropped; window label
         'manual'; strides/windows ignored."""
         domain = determine_type(data, ts_col)
         data_n = seg.numeric_index(data, ts_col, domain)
-        entries = [
-            (series_tuple, "manual", fd)
-            for (series_tuple, _w), fds in self._feature_desc_dict.items()
-            for fd in fds
-        ]
+        entries = self._manual_entries()
         native, udf = self._split_tiers(entries)
         # NULL (and float-NaN) group keys are dropped — Spark groupBy keeps
         # them, the reference drops them with a warning (:509-519)
@@ -589,11 +608,7 @@ class FeatureCollection:
             key_cols=key_cols,
         )
 
-        entries = [
-            (series_tuple, "manual", fd)
-            for (series_tuple, _w), fds in self._feature_desc_dict.items()
-            for fd in fds
-        ]
+        entries = self._manual_entries()
         native, udf = self._split_tiers(entries)
         group_cols = [*key_cols, "__island"]
         base_aggs = [
