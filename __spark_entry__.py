@@ -1819,6 +1819,59 @@ GROUP BY s_start ORDER BY ts
 """
 
 
+def q_sliding_fine_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fine-stride sliding windows (4h window / 10m stride, fan-out 24):
+    exercises the two-level pre-aggregation rewrite — rows bucket at the
+    gcd grain (one un-duplicated shuffle), buckets roll into segments.
+    Decimal sums keep the rewrite bit-exact vs the oracle."""
+    _utc(spark)
+    ev = _events(spark, sf_dir).select(
+        "ts", F.col("value").cast("decimal(18,2)").alias("value")
+    )
+    fc = FeatureCollection(
+        [
+            FeatureDescriptor("sum", "value", "4h", "10m"),
+            FeatureDescriptor("count", "value", "4h", "10m"),
+            FeatureDescriptor("min", "value", "4h", "10m"),
+            FeatureDescriptor("max", "value", "4h", "10m"),
+        ]
+    )
+    out = fc.calculate(ev, ts_col="ts")
+    return out.select(
+        "ts",
+        F.coalesce(F.col("value__sum__w=4h").cast("double"), F.lit(0.0)).alias("sum_val"),
+        F.col("value__count__w=4h").cast("bigint").alias("cnt_val"),
+        F.col("value__min__w=4h").cast("double").alias("min_val"),
+        F.col("value__max__w=4h").cast("double").alias("max_val"),
+    )
+
+
+def _oracle_sliding_fine_stride() -> str:
+    w, s = 4 * H1, 600_000_000
+    return f"""
+WITH b AS (SELECT epoch_us(min(ts)) AS t0, epoch_us(max(ts)) AS t1 FROM events),
+k AS (SELECT t0, t1,
+             greatest(CAST(floor((t1 - t0 - {w}) / {s}.0) AS BIGINT) + 1, 0) AS nb
+      FROM b),
+seg AS (SELECT t0 + kk * {s} AS s_start
+        FROM k CROSS JOIN generate_series(0, 1000000) AS g(kk)
+        WHERE kk < nb),
+agg AS (SELECT s_start,
+               sum(CAST(e.value AS DECIMAL(18,2))) AS sum_dec,
+               count(e.value) AS cnt,
+               min(e.value) AS mn, max(e.value) AS mx
+        FROM seg LEFT JOIN events e
+          ON epoch_us(e.ts) >= s_start AND epoch_us(e.ts) < s_start + {w}
+        GROUP BY s_start)
+SELECT make_timestamp(s_start + {w}) AS ts,
+       coalesce(CAST(sum_dec AS DOUBLE), 0.0) AS sum_val,
+       cnt AS cnt_val,
+       mn AS min_val,
+       mx AS max_val
+FROM agg ORDER BY ts
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: strided-rolling multi-agg
     feature extraction over the events stream."""
@@ -1871,6 +1924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_session": q_streaming_session,
         "categorical_counts": q_categorical_counts,
         "distinct_users": q_distinct_users,
+        "sliding_fine_stride": q_sliding_fine_stride,
     }
 
 
@@ -1916,6 +1970,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_session": _oracle_streaming_session(),
         "categorical_counts": _oracle_categorical_counts(),
         "distinct_users": _oracle_distinct_users(),
+        "sliding_fine_stride": _oracle_sliding_fine_stride(),
         # lsh_ann / minhash_dedup / simhash / ivf_ann: engine-specific
         # hashes or approximate — rows-only checks by design
     }

@@ -342,3 +342,67 @@ def test_vectorized_flag_axis1_func(spark):
     )
     out = fc.calculate(df, ts_col="pos", window_idx="begin").orderBy("pos").toPandas()
     assert out["v__bm__w=5"].tolist() == [2.0, 7.0]
+
+
+def test_two_level_rewrite_equivalence(spark):
+    """The pre-aggregation rewrite must produce exactly the one-level
+    results (decimal/integer inputs → bit-exact) on both TIME and
+    SEQUENCE domains, single and multi stride, with include_final."""
+    from tsflex_spark import FeatureCollection, FeatureDescriptor
+
+    rng = np.random.default_rng(5)
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        np.sort(rng.choice(500_000, size=3000, replace=False)), unit="s"
+    )
+    pdf = pd.DataFrame({"ts": ts, "v": (rng.integers(0, 10000, size=3000) / 100.0)})
+    df = spark.createDataFrame(pdf).withColumn("v", F.col("v").cast("decimal(18,2)"))
+
+    fc = FeatureCollection(
+        [
+            FeatureDescriptor("sum", "v", "4h", ["10m", "15m"]),
+            FeatureDescriptor("count", "v", "4h", ["10m", "15m"]),
+            FeatureDescriptor("min", "v", "4h", ["10m", "15m"]),
+            FeatureDescriptor("max", "v", "4h", ["10m", "15m"]),
+            FeatureDescriptor("first", "v", "4h", ["10m", "15m"]),
+            FeatureDescriptor("last", "v", "4h", ["10m", "15m"]),
+        ]
+    )
+    try:
+        FeatureCollection.TWO_LEVEL_FANOUT_THRESHOLD = 10**9  # force OFF
+        one = fc.calculate(df, ts_col="ts", include_final_window=True).toPandas()
+        FeatureCollection.TWO_LEVEL_FANOUT_THRESHOLD = 1  # force ON
+        two = fc.calculate(df, ts_col="ts", include_final_window=True).toPandas()
+    finally:
+        FeatureCollection.TWO_LEVEL_FANOUT_THRESHOLD = 8
+    one = one.sort_values("ts").reset_index(drop=True)
+    two = two.sort_values("ts").reset_index(drop=True)
+    assert list(one.columns) == list(two.columns)
+    for c in one.columns:
+        a, b = one[c], two[c]
+        same = (a == b) | (a.isna() & b.isna())
+        assert same.all(), (c, one[~same].head(), two[~same].head())
+
+
+def test_two_level_rewrite_triggers(spark):
+    """fanout >= threshold with decomposable aggs must take the bucketed
+    plan: the data-side explode disappears (explode only runs on the
+    bucket table whose rows are already aggregated)."""
+    from tsflex_spark import FeatureCollection, FeatureDescriptor
+
+    pdf = pd.DataFrame(
+        {"ts": pd.date_range("2024-01-01", periods=2000, freq="1min"), "v": 1.0}
+    )
+    df = spark.createDataFrame(pdf)
+    fc = FeatureCollection([FeatureDescriptor("sum", "v", "4h", "10m")])  # fanout 24
+    out = fc.calculate(df, ts_col="ts")
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("simple")
+    plan = buf.getvalue()
+    # bucket partial aggregation keys on floor(...) bucket expr
+    assert "__bkt" in plan or "FLOOR" in plan.upper()
+    # correctness spot check: every full 4h window sums 240 minutes
+    vals = out.toPandas()["v__sum__w=4h"]
+    assert (vals.iloc[2:-2] == 240.0).all()

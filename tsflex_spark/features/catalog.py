@@ -153,3 +153,59 @@ def lookup_native(func: Any, kwargs: dict) -> Optional[NativeSpec]:
 
 def native_names() -> list[str]:
     return sorted(_REGISTRY)
+
+
+# --- two-level (partial/final) decomposition --------------------------------
+# For the pre-aggregation rewrite (feature_collection._run_grid_two_level):
+# a decomposable aggregate is computed as partial aggregates over aligned
+# buckets, then a final aggregate over each segment's buckets. Only
+# algebraically-exact decompositions are registered — order-sensitive or
+# holistic functions (median/quantile/std/var/skew/kurt/slope/n_unique)
+# keep the one-level path.
+#
+# Partial kinds: 'sum' Σv, 'cnt' count(v), 'min', 'max', 'sumsq' Σv²,
+# 'sumabs' Σ|v|, 'firstv'+'mintsn', 'lastv'+'maxtsn'.
+
+_PARTIAL_BUILDERS: dict[str, Callable[[Column, Column], Column]] = {
+    "sum": lambda v, tsn: F.sum(v),
+    "cnt": lambda v, tsn: F.count(v),
+    "min": lambda v, tsn: F.min(v),
+    "max": lambda v, tsn: F.max(v),
+    "sumsq": lambda v, tsn: F.sum(v * v),
+    "sumabs": lambda v, tsn: F.sum(F.abs(v)),
+    "firstv": lambda v, tsn: F.min_by(v, tsn),
+    "mintsn": lambda v, tsn: F.min(tsn),
+    "lastv": lambda v, tsn: F.max_by(v, tsn),
+    "maxtsn": lambda v, tsn: F.max(tsn),
+}
+
+# name -> (needed partial kinds, final builder over {kind: partial Column})
+_DECOMPOSABLE: dict[str, tuple] = {
+    "sum": (("sum",), lambda p: F.sum(p["sum"])),
+    "nansum": (("sum",), lambda p: F.sum(p["sum"])),
+    "count": (("cnt",), lambda p: F.sum(p["cnt"])),
+    "len": (("cnt",), lambda p: F.sum(p["cnt"])),
+    "min": (("min",), lambda p: F.min(p["min"])),
+    "amin": (("min",), lambda p: F.min(p["min"])),
+    "nanmin": (("min",), lambda p: F.min(p["min"])),
+    "max": (("max",), lambda p: F.max(p["max"])),
+    "amax": (("max",), lambda p: F.max(p["max"])),
+    "nanmax": (("max",), lambda p: F.max(p["max"])),
+    "mean": (("sum", "cnt"), lambda p: F.sum(p["sum"]) / F.sum(p["cnt"])),
+    "nanmean": (("sum", "cnt"), lambda p: F.sum(p["sum"]) / F.sum(p["cnt"])),
+    "ptp": (("min", "max"), lambda p: F.max(p["max"]) - F.min(p["min"])),
+    "abs_energy": (("sumsq",), lambda p: F.sum(p["sumsq"])),
+    "rms": (("sumsq", "cnt"), lambda p: F.sqrt(F.sum(p["sumsq"]) / F.sum(p["cnt"]))),
+    "mean_abs": (("sumabs", "cnt"), lambda p: F.sum(p["sumabs"]) / F.sum(p["cnt"])),
+    "first": (("firstv", "mintsn"), lambda p: F.min_by(p["firstv"], p["mintsn"])),
+    "last": (("lastv", "maxtsn"), lambda p: F.max_by(p["lastv"], p["maxtsn"])),
+}
+
+
+def decomposition(name: str):
+    """(partial kinds, final builder) for a decomposable aggregate, else None."""
+    return _DECOMPOSABLE.get(name)
+
+
+def partial_builder(kind: str) -> Callable[[Column, Column], Column]:
+    return _PARTIAL_BUILDERS[kind]

@@ -383,6 +383,13 @@ class FeatureCollection:
     ) -> DataFrame:
         native, udf = self._split_tiers(entries)
         needed = sorted({s for series_tuple, _, _fd in entries for s in series_tuple})
+        two = self._try_two_level(
+            data_n.select(TSN, *key_cols, *needed), bounds, native, udf,
+            window_n, strides_n, include_final_window, key_cols, window_idx,
+            domain, ts_col,
+        )
+        if two is not None:
+            return two
         assigned = seg.assign_segments(
             data_n.select(TSN, *key_cols, *needed),
             bounds, window_n, strides_n, include_final_window, key_cols,
@@ -399,6 +406,125 @@ class FeatureCollection:
             result = result.join(p, on=group_cols, how="full")
 
         spine = seg.make_segment_spine(bounds, window_n, strides_n, include_final_window, key_cols)
+        out = spine.join(result, on=group_cols, how="left")
+        for colname, fill in self._native_empty_fills(native).items():
+            out = out.withColumn(colname, F.coalesce(F.col(colname), F.lit(fill)))
+        out = out.withColumn(OUT_IDX, seg.out_idx_expr(window_idx, domain))
+        out = out.withColumn(ts_col, seg.output_index(F.col(OUT_IDX), domain))
+        return out.drop(SEG, SEG_END, OUT_IDX)
+
+    # pre-aggregation rewrite threshold: rewrite when a row would be
+    # duplicated into >= this many segments by the one-level explode
+    TWO_LEVEL_FANOUT_THRESHOLD = 8
+
+    def _try_two_level(
+        self,
+        data_sel: DataFrame,
+        bounds: DataFrame,
+        native: List[Tuple],
+        udf: List[Tuple],
+        window_n,
+        strides_n: List,
+        include_final_window: bool,
+        key_cols: List[str],
+        window_idx: str,
+        domain: DataType,
+        ts_col: str,
+    ) -> Optional[DataFrame]:
+        """Two-level pre-aggregation for small-stride/large-window configs.
+
+        The one-level plan explodes every row into ~window/stride segments
+        — a window/stride data-duplication factor in the shuffle, fatal at
+        100 TB with fine strides. When every requested aggregate is
+        algebraically decomposable (catalog._DECOMPOSABLE), rewrite:
+
+        1. bucket rows at ``grain = gcd(window, strides)`` aligned to the
+           per-key START — one groupBy, NO row duplication, map-side
+           partial aggregation;
+        2. assign the (tiny) bucket table to segments with the normal
+           segment-assignment logic in bucket space (grain divides both
+           window and every stride, so buckets nest exactly);
+        3. final-aggregate partials per segment; same spine/fill tail.
+
+        Shuffle volume drops from fanout x data to data + fanout x
+        n_buckets. Derived results (mean/rms) may differ from the
+        one-level plan in the last float ulp (double-sum reassociation) —
+        exact for decimal/integer inputs. Returns None when the rewrite
+        does not apply.
+        """
+        from math import gcd
+
+        from tsflex_spark.features.catalog import decomposition, partial_builder
+
+        if udf or not native:
+            return None
+        nums = []
+        for x in [window_n, *strides_n]:
+            if isinstance(x, bool):
+                return None
+            if isinstance(x, int):
+                nums.append(x)
+            elif isinstance(x, float) and x.is_integer():
+                nums.append(int(x))
+            else:
+                return None
+        w, ss = nums[0], nums[1:]
+        fanout = w / min(ss)
+        if fanout < self.TWO_LEVEL_FANOUT_THRESHOLD:
+            return None
+        g = gcd(w, *ss)
+        # a tiny gcd (stride not dividing window) makes buckets ~rows: no win
+        if g <= 0 or (w // g) > 4 * fanout:
+            return None
+        decos = []
+        for series_tuple, win_str, fd, spec in native:
+            d = decomposition(spec.name)
+            if d is None:
+                return None
+            decos.append(d)
+
+        # 1. bucket partials (aligned to per-key START)
+        if key_cols:
+            joined = data_sel.join(F.broadcast(bounds), on=list(key_cols), how="inner")
+        else:
+            joined = data_sel.crossJoin(F.broadcast(bounds))
+        joined = joined.where((F.col(TSN) >= F.col(START)) & (F.col(TSN) <= F.col(END)))
+        bkt = F.col(START) + F.floor((F.col(TSN) - F.col(START)) / F.lit(g)).cast("long") * F.lit(g)
+        joined = joined.withColumn("__bkt", bkt)
+
+        partial_exprs: Dict[Tuple[str, str], str] = {}
+        agg_list: List[Column] = []
+        for (series_tuple, _ws, _fd, _spec), (kinds, _fin) in zip(native, decos):
+            sname = series_tuple[0]
+            for kind in kinds:
+                key = (kind, sname)
+                if key not in partial_exprs:
+                    alias = f"__p_{kind}_{sname}"
+                    partial_exprs[key] = alias
+                    agg_list.append(
+                        partial_builder(kind)(F.col(sname), F.col(TSN)).alias(alias)
+                    )
+        partials = joined.groupBy(*key_cols, "__bkt").agg(*agg_list)
+
+        # 2. bucket table -> segment assignment in bucket space
+        btab = partials.withColumnRenamed("__bkt", TSN)
+        assigned = seg.assign_segments(
+            btab, bounds, w, [int(x) for x in ss], include_final_window, key_cols
+        )
+        group_cols = [*key_cols, SEG]
+
+        # 3. final aggregation over each segment's buckets
+        final_exprs: List[Column] = []
+        for (series_tuple, win_str, fd, spec), (kinds, fin) in zip(native, decos):
+            sname = series_tuple[0]
+            out_name = _col_name(series_tuple, fd.function.output_names[0], win_str)
+            pcols = {k: F.col(partial_exprs[(k, sname)]) for k in kinds}
+            final_exprs.append(fin(pcols).alias(out_name))
+        result = assigned.groupBy(*group_cols).agg(*final_exprs)
+
+        spine = seg.make_segment_spine(
+            bounds, w, [int(x) for x in ss], include_final_window, key_cols
+        )
         out = spine.join(result, on=group_cols, how="left")
         for colname, fill in self._native_empty_fills(native).items():
             out = out.withColumn(colname, F.coalesce(F.col(colname), F.lit(fill)))
