@@ -406,3 +406,26 @@ def test_two_level_rewrite_triggers(spark):
     # correctness spot check: every full 4h window sums 240 minutes
     vals = out.toPandas()["v__sum__w=4h"]
     assert (vals.iloc[2:-2] == 240.0).all()
+
+
+def test_manual_segments_one_array_paths(spark):
+    """Only segment_start_idxs ⇒ end = start + window; only
+    segment_end_idxs ⇒ start = end − window; window label stays the
+    window string (reference strided_rolling.py:198-214 — 'manual' is
+    only for BOTH arrays)."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"ts": range(20), "v": [float(x) for x in range(20)]})
+    )
+    fc = FeatureCollection([FeatureDescriptor("sum", "v", 5)])
+    a = (
+        fc.calculate(df, ts_col="ts", segment_start_idxs=[0, 10], window_idx="begin")
+        .toPandas()
+        .set_index("ts")["v__sum__w=5"]
+    )
+    assert a.loc[0] == 10.0 and a.loc[10] == 60.0  # [0,5), [10,15)
+    b = (
+        fc.calculate(df, ts_col="ts", segment_end_idxs=[5, 15], window_idx="end")
+        .toPandas()
+        .set_index("ts")["v__sum__w=5"]
+    )
+    assert b.loc[5] == 10.0 and b.loc[15] == 60.0  # [0,5), [10,15)
