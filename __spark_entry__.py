@@ -1872,6 +1872,56 @@ FROM agg ORDER BY ts
 """
 
 
+def q_rolling_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity rolling extraction (the Spark-scale extension the
+    single-entity reference lacks): 6h/6h windows per user, each user's
+    grid anchored at its OWN first sample (per-key bounds). One segment
+    shuffle keyed by (user, segment) — the canonical 100 TB layout where
+    millions of entities extract independently."""
+    _utc(spark)
+    ev = _events(spark, sf_dir).select(
+        "user_id", "ts", F.col("value").cast("decimal(18,2)").alias("value")
+    )
+    fc = FeatureCollection(
+        [
+            FeatureDescriptor("sum", "value", "6h", "6h"),
+            FeatureDescriptor("count", "value", "6h", "6h"),
+        ]
+    )
+    out = fc.calculate(ev, ts_col="ts", key_cols=["user_id"])
+    return out.select(
+        "user_id",
+        "ts",
+        F.coalesce(F.col("value__sum__w=6h").cast("double"), F.lit(0.0)).alias("sum_val"),
+        F.col("value__count__w=6h").cast("bigint").alias("cnt_val"),
+    ).orderBy("user_id", "ts")
+
+
+def _oracle_rolling_per_user() -> str:
+    w = 6 * H1
+    return f"""
+WITH b AS (SELECT user_id, epoch_us(min(ts)) AS t0, epoch_us(max(ts)) AS t1
+           FROM events GROUP BY user_id),
+k AS (SELECT user_id, t0, t1,
+             greatest(CAST(floor((t1 - t0 - {w}) / {w}.0) AS BIGINT) + 1, 0) AS nb
+      FROM b),
+seg AS (SELECT user_id, t0 + kk * {w} AS s_start
+        FROM k CROSS JOIN generate_series(0, 100000) AS g(kk)
+        WHERE kk < nb),
+agg AS (SELECT seg.user_id, s_start,
+               sum(CAST(e.value AS DECIMAL(18,2))) AS sum_dec,
+               count(e.value) AS cnt
+        FROM seg LEFT JOIN events e
+          ON e.user_id = seg.user_id
+         AND epoch_us(e.ts) >= s_start AND epoch_us(e.ts) < s_start + {w}
+        GROUP BY seg.user_id, s_start)
+SELECT user_id, make_timestamp(s_start + {w}) AS ts,
+       coalesce(CAST(sum_dec AS DOUBLE), 0.0) AS sum_val,
+       cnt AS cnt_val
+FROM agg ORDER BY user_id, ts
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: strided-rolling multi-agg
     feature extraction over the events stream."""
@@ -1925,6 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "categorical_counts": q_categorical_counts,
         "distinct_users": q_distinct_users,
         "sliding_fine_stride": q_sliding_fine_stride,
+        "rolling_per_user": q_rolling_per_user,
     }
 
 
@@ -1971,6 +2022,7 @@ def oracle_sql() -> dict[str, str]:
         "categorical_counts": _oracle_categorical_counts(),
         "distinct_users": _oracle_distinct_users(),
         "sliding_fine_stride": _oracle_sliding_fine_stride(),
+        "rolling_per_user": _oracle_rolling_per_user(),
         # lsh_ann / minhash_dedup / simhash / ivf_ann: engine-specific
         # hashes or approximate — rows-only checks by design
     }
