@@ -1922,6 +1922,35 @@ FROM agg ORDER BY user_id, ts
 """
 
 
+def q_wide_long_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide⇄long boundary converters (SURVEY §1.5/§2.1): events pivoted
+    to a wide frame (one column per event_type), melted back to long,
+    then per-series stats — the round trip must preserve every sample."""
+    _utc(spark)
+    from tsflex_spark.utils.data import long_to_wide, wide_to_long
+
+    ev = _events(spark, sf_dir).select(
+        "ts", F.col("event_type").alias("series_name"), "value"
+    )
+    cats = ["click", "view", "purchase", "error", "signup"]
+    wide = long_to_wide(ev, series_names=cats)
+    back = wide_to_long(wide, series_cols=cats)
+    return back.groupBy("series_name").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_val"),
+    ).orderBy("series_name")
+
+
+def _oracle_wide_long_roundtrip() -> str:
+    return """
+SELECT event_type AS series_name,
+       count(*) AS n_samples,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+FROM events WHERE value IS NOT NULL
+GROUP BY event_type ORDER BY series_name
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: strided-rolling multi-agg
     feature extraction over the events stream."""
@@ -1976,6 +2005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users": q_distinct_users,
         "sliding_fine_stride": q_sliding_fine_stride,
         "rolling_per_user": q_rolling_per_user,
+        "wide_long_roundtrip": q_wide_long_roundtrip,
     }
 
 
@@ -2023,6 +2053,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users": _oracle_distinct_users(),
         "sliding_fine_stride": _oracle_sliding_fine_stride(),
         "rolling_per_user": _oracle_rolling_per_user(),
+        "wide_long_roundtrip": _oracle_wide_long_roundtrip(),
         # lsh_ann / minhash_dedup / simhash / ivf_ann: engine-specific
         # hashes or approximate — rows-only checks by design
     }
