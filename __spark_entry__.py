@@ -1951,6 +1951,74 @@ GROUP BY event_type ORDER BY series_name
 """
 
 
+def _twm_fn(s):
+    """Time-weighted mean over the window's sample intervals — needs the
+    series INDEX, exercising input_type=pd.Series."""
+    import numpy as np
+
+    if len(s) < 2:
+        return float("nan")
+    t = s.index.view("int64").astype("float64")
+    dt = np.diff(t)
+    return float((s.to_numpy()[:-1] * dt).sum() / dt.sum())
+
+
+def q_time_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-aware UDF tier (SURVEY §2.10 input_type=pd.Series, reference
+    function_wrapper.py:44-143): time-weighted mean per 6h window — the
+    function reads the DatetimeIndex, not just values."""
+    _utc(spark)
+    import pandas as pd
+
+    from tsflex_spark import FuncWrapper
+
+    ev = _events(spark, sf_dir).select("ts", "value")
+    fw = FuncWrapper(_twm_fn, output_names="twm", input_type=pd.Series)
+    fc = FeatureCollection(
+        [
+            FeatureDescriptor(fw, "value", "6h", "6h"),
+            FeatureDescriptor("count", "value", "6h", "6h"),
+        ]
+    )
+    out = fc.calculate(ev, ts_col="ts")
+    twm = F.col("value__twm__w=6h")
+    return out.select(
+        "ts",
+        F.when(~F.isnan(twm), twm).alias("twm"),
+        F.col("value__count__w=6h").cast("bigint").alias("cnt_val"),
+    )
+
+
+def _oracle_time_weighted_mean() -> str:
+    w = 6 * H1
+    return f"""
+WITH b AS (SELECT epoch_us(min(ts)) AS t0, epoch_us(max(ts)) AS t1 FROM events),
+k AS (SELECT t0, t1,
+             greatest(CAST(floor((t1 - t0 - {w}) / {w}.0) AS BIGINT) + 1, 0) AS nb
+      FROM b),
+seg AS (SELECT t0 + kk * {w} AS s_start
+        FROM k CROSS JOIN generate_series(0, 100000) AS g(kk)
+        WHERE kk < nb),
+p AS (SELECT seg.s_start, e.value,
+             CAST(epoch_us(e.ts) AS DOUBLE) * 1000 AS tn,
+             lead(CAST(epoch_us(e.ts) AS DOUBLE) * 1000)
+               OVER (PARTITION BY seg.s_start ORDER BY e.ts) AS tnext
+      FROM seg JOIN events e
+        ON epoch_us(e.ts) >= s_start AND epoch_us(e.ts) < s_start + {w}),
+agg AS (SELECT s_start,
+               sum(value * (tnext - tn)) FILTER (tnext IS NOT NULL) AS num,
+               sum(tnext - tn) FILTER (tnext IS NOT NULL) AS den,
+               count(*) AS cnt
+        FROM p GROUP BY s_start),
+allseg AS (SELECT seg.s_start, a.num, a.den, coalesce(a.cnt, 0) AS cnt
+           FROM seg LEFT JOIN agg a ON a.s_start = seg.s_start)
+SELECT make_timestamp(s_start + {w}) AS ts,
+       CASE WHEN den > 0 THEN num / den END AS twm,
+       cnt AS cnt_val
+FROM allseg ORDER BY ts
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: strided-rolling multi-agg
     feature extraction over the events stream."""
@@ -2006,6 +2074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_fine_stride": q_sliding_fine_stride,
         "rolling_per_user": q_rolling_per_user,
         "wide_long_roundtrip": q_wide_long_roundtrip,
+        "time_weighted_mean": q_time_weighted_mean,
     }
 
 
@@ -2054,6 +2123,7 @@ def oracle_sql() -> dict[str, str]:
         "sliding_fine_stride": _oracle_sliding_fine_stride(),
         "rolling_per_user": _oracle_rolling_per_user(),
         "wide_long_roundtrip": _oracle_wide_long_roundtrip(),
+        "time_weighted_mean": _oracle_time_weighted_mean(),
         # lsh_ann / minhash_dedup / simhash / ivf_ann: engine-specific
         # hashes or approximate — rows-only checks by design
     }

@@ -334,9 +334,14 @@ class FeatureCollection:
         assigned: DataFrame,
         udf_entries: List[Tuple],
         group_cols: List[str],
+        domain: DataType = DataType.SEQUENCE,
     ) -> DataFrame:
         """UDF tier: one Arrow ``applyInPandas`` computing every Python
-        feature function of this config per segment group."""
+        feature function of this config per segment group.
+
+        ``input_type=pd.Series`` functions receive their series with the
+        real index (DatetimeIndex for TIME, numeric for SEQUENCE) —
+        reference function_wrapper.py:44-143 index-aware semantics."""
         out_specs: List[Tuple[str, Tuple[str, ...], Any]] = []  # (colname, series, FuncWrapper)
         for series_tuple, win_str, fd in udf_entries:
             out_specs.append((series_tuple, win_str, fd.function))
@@ -350,11 +355,26 @@ class FeatureCollection:
             out_fields + [T.StructField(n, T.DoubleType(), True) for n in out_names]
         )
 
+        is_time = domain == DataType.TIME
+
         def run(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values(TSN)
             row: Dict[str, Any] = {c: pdf[c].iloc[0] for c in group_cols}
+            idx = None
             for series_tuple, win_str, fw in out_specs:
-                series_vals = [pdf[s].dropna() for s in series_tuple]
+                if fw.input_type is pd.Series:
+                    if idx is None:
+                        idx = (
+                            pd.to_datetime(pdf[TSN], unit="us")
+                            if is_time
+                            else pdf[TSN]
+                        )
+                    series_vals = [
+                        pd.Series(pdf[s].to_numpy(), index=idx, name=s).dropna()
+                        for s in series_tuple
+                    ]
+                else:
+                    series_vals = [pdf[s].dropna() for s in series_tuple]
                 try:
                     outs = fw.apply(series_vals)
                 except Exception:
@@ -400,7 +420,7 @@ class FeatureCollection:
         if native:
             parts.append(assigned.groupBy(*group_cols).agg(*self._native_agg_exprs(native)))
         if udf:
-            parts.append(self._udf_apply(assigned, udf, group_cols))
+            parts.append(self._udf_apply(assigned, udf, group_cols, domain))
         result = parts[0]
         for p in parts[1:]:
             result = result.join(p, on=group_cols, how="full")
@@ -572,7 +592,9 @@ class FeatureCollection:
         if native:
             parts.append(assigned.groupBy(*group_cols).agg(*self._native_agg_exprs(native)))
         if udf:
-            parts.append(self._udf_apply(assigned, udf, group_cols))
+            # count-based windows run in position space — index-aware funcs
+            # see the sample position, not the stitched time index
+            parts.append(self._udf_apply(assigned, udf, group_cols, DataType.SEQUENCE))
         result = parts[0]
         for p in parts[1:]:
             result = result.join(p, on=group_cols, how="full")
@@ -638,7 +660,7 @@ class FeatureCollection:
         if native:
             parts.append(assigned.groupBy(*group_cols).agg(*self._native_agg_exprs(native)))
         if udf:
-            parts.append(self._udf_apply(assigned.drop(SEG, SEG_END), udf, group_cols))
+            parts.append(self._udf_apply(assigned.drop(SEG, SEG_END), udf, group_cols, domain))
         result = parts[0]
         for p in parts[1:]:
             result = result.join(p, on=group_cols, how="full")
@@ -697,7 +719,7 @@ class FeatureCollection:
         if native:
             parts.append(clean.groupBy(gcol).agg(*self._native_agg_exprs(native)))
         if udf:
-            parts.append(self._udf_apply(clean, udf, [gcol]))
+            parts.append(self._udf_apply(clean, udf, [gcol], domain))
         result = parts[0]
         for p in parts[1:]:
             result = result.join(p, on=[gcol], how="full")
@@ -745,7 +767,7 @@ class FeatureCollection:
         parts: List[DataFrame] = []
         parts.append(islands.groupBy(*group_cols).agg(*base_aggs, *self._native_agg_exprs(native)))
         if udf:
-            parts.append(self._udf_apply(islands, udf, group_cols))
+            parts.append(self._udf_apply(islands, udf, group_cols, domain))
         result = parts[0]
         for p in parts[1:]:
             result = result.join(p, on=group_cols, how="full")
