@@ -10,11 +10,13 @@ split into sub-chunks with ``sub_chunk_overlap/2`` margins on each side
 
 Spark-first design: the reference's out-of-core motivation is obsolete
 (partitioning is native) but gap-aware chunking survives as a *semantic*
-operator. One window-function pass (``lag`` diff → island id via running
-sum) + one groupBy — classic gaps-and-islands, two shuffles total, scales
-per ``key_cols`` partition. Returns a small ``(keys..., chunk_id, chunk_start,
-chunk_end, n_samples)`` table; join it back to data when per-chunk
-processing is needed.
+operator. Classic gaps-and-islands — island detection via the
+distributed two-pass primitives (utils/distributed.py: range-partitioned,
+never a single-partition window) + one groupBy; scales per ``key_cols``
+partition and stays distributed without keys. Returns a small
+``(keys..., chunk_id, chunk_start, chunk_end, n_samples)`` table; join it
+back to data when per-chunk processing is needed, or use
+``chunk_features`` to fuse chunking + aggregation into one pass.
 """
 
 from __future__ import annotations
@@ -23,7 +25,6 @@ from typing import Optional, Sequence, Union
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from tsflex_spark.features.segmenter import TSN, numeric_index
