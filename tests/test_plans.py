@@ -155,3 +155,13 @@ def test_udf_tier_single_arrow_pass_per_config(spark):
 
     plan = plan_of(E.queries()["udf_features"](spark, SF_DIR), "simple")
     assert plan.count("FlatMapGroupsInPandas") == 1, plan
+
+
+def test_fine_stride_takes_two_level_plan(spark):
+    """sliding_fine_stride (fan-out 24) must compile through the bucketed
+    pre-aggregation — the __bkt partial-aggregate key appears in the plan
+    and the raw data is never exploded per segment."""
+    import __spark_entry__ as E
+
+    plan = plan_of(E.queries()["sliding_fine_stride"](spark, SF_DIR), "simple")
+    assert "__bkt" in plan, plan[:2000]
