@@ -429,3 +429,23 @@ def test_manual_segments_one_array_paths(spark):
         .set_index("ts")["v__sum__w=5"]
     )
     assert b.loc[5] == 10.0 and b.loc[15] == 60.0  # [0,5), [10,15)
+
+
+def test_group_by_all_composite_key(spark):
+    """group_by_all accepts a composite key list (Spark-side extension of
+    the reference's single-column groupby)."""
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-01-01", periods=12, freq="1h"),
+            "a": ["x", "y"] * 6,
+            "b": ["p", "p", "q", "q"] * 3,
+            "v": [float(i) for i in range(12)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    fc = FeatureCollection([FeatureDescriptor("sum", "v", "1h", "1h")])
+    out = fc.calculate(df, ts_col="ts", group_by_all=["a", "b"]).toPandas()
+    exp = pdf.groupby(["a", "b"])["v"].sum()
+    got = out.set_index(["a", "b"])["v__sum__w=manual"]
+    for k in exp.index:
+        assert got.loc[k] == exp.loc[k]

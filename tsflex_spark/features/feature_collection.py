@@ -157,7 +157,7 @@ class FeatureCollection:
         include_final_window: bool = False,
         bound_method: str = "inner",
         approve_sparsity: bool = True,
-        group_by_all: Optional[str] = None,
+        group_by_all: Optional[Union[str, Sequence[str]]] = None,
         group_by_consecutive: Optional[str] = None,
     ) -> Union[DataFrame, List[DataFrame]]:
         """Compute every registered feature over ``data``.
@@ -701,30 +701,37 @@ class FeatureCollection:
         )
         return entries
 
-    def _calculate_group_by_all(self, data: DataFrame, gcol: str, ts_col: str) -> DataFrame:
+    def _calculate_group_by_all(
+        self, data: DataFrame, gcols: Union[str, Sequence[str]], ts_col: str
+    ) -> DataFrame:
         """SQL-style GROUP BY features (reference feature_collection.py:484-566):
         one output row per distinct key; NULL/NaN keys dropped; window label
-        'manual'; strides/windows ignored."""
+        'manual'; strides/windows ignored. Accepts a composite key (list of
+        columns) — a Spark-side extension over the reference's single col."""
+        gcols = [gcols] if isinstance(gcols, str) else list(gcols)
         domain = determine_type(data, ts_col)
         data_n = seg.numeric_index(data, ts_col, domain)
         entries = self._manual_entries()
         native, udf = self._split_tiers(entries)
         # NULL (and float-NaN) group keys are dropped — Spark groupBy keeps
         # them, the reference drops them with a warning (:509-519)
-        cond = F.col(gcol).isNotNull()
-        if isinstance(data.schema[gcol].dataType, (T.FloatType, T.DoubleType)):
-            cond = cond & ~F.isnan(F.col(gcol))
+        cond = F.lit(True)
+        for g in gcols:
+            c = F.col(g).isNotNull()
+            if isinstance(data.schema[g].dataType, (T.FloatType, T.DoubleType)):
+                c = c & ~F.isnan(F.col(g))
+            cond = cond & c
         clean = data_n.where(cond)
         parts: List[DataFrame] = []
         if native:
-            parts.append(clean.groupBy(gcol).agg(*self._native_agg_exprs(native)))
+            parts.append(clean.groupBy(*gcols).agg(*self._native_agg_exprs(native)))
         if udf:
-            parts.append(self._udf_apply(clean, udf, [gcol], domain))
+            parts.append(self._udf_apply(clean, udf, gcols, domain))
         result = parts[0]
         for p in parts[1:]:
-            result = result.join(p, on=[gcol], how="full")
-        feat_cols = sorted(c for c in result.columns if c != gcol)
-        return result.select(gcol, *feat_cols).orderBy(gcol)
+            result = result.join(p, on=gcols, how="full")
+        feat_cols = sorted(c for c in result.columns if c not in gcols)
+        return result.select(*gcols, *feat_cols).orderBy(*gcols)
 
     def _calculate_group_by_consecutive(
         self, data: DataFrame, gcol: str, ts_col: str, key_cols: Sequence[str] = ()
