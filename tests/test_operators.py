@@ -426,3 +426,37 @@ def test_asof_join_unkeyed_distributed(spark):
         got["rv"].isna().to_numpy() & exp["rv"].isna().to_numpy()
     )
     assert ok.all()
+
+
+def test_streaming_session_features(spark, tmp_path):
+    """session_features_stream on a real readStream source: per-key
+    sessions close once the watermark passes the gap."""
+    ts = (
+        list(pd.date_range("2024-01-01 00:00:00", periods=10, freq="10s"))
+        + list(pd.date_range("2024-01-01 01:00:00", periods=5, freq="10s"))
+        + [pd.Timestamp("2024-01-01 03:00:00")]  # closes the watermark
+    )
+    pdf = pd.DataFrame({"ts": ts, "k": ["a"] * len(ts), "v": 1.0})
+    src = str(tmp_path / "src")
+    spark.createDataFrame(pdf).write.parquet(src)
+
+    from tsflex_spark.streaming.rolling import session_features_stream
+
+    stream = spark.readStream.schema("ts timestamp, k string, v double").parquet(src)
+    feats = session_features_stream(
+        stream, gap="5 minutes", aggs={"v": ["sum"]}, key_cols=["k"], watermark="0 seconds"
+    )
+    q = (
+        feats.writeStream.format("memory")
+        .queryName("sess_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("sess_sink").toPandas().sort_values("session_start")
+    # first two sessions are closed by the late third event's watermark
+    assert len(out) >= 2
+    assert out["n_events"].iloc[0] == 10 and out["v__sum__w=session"].iloc[0] == 10.0
+    assert out["n_events"].iloc[1] == 5
