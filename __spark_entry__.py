@@ -2019,6 +2019,81 @@ FROM allseg ORDER BY ts
 """
 
 
+def _seg_style_mean(X):
+    """seglearn-shaped feature: axis-0-vectorized over a (1, n) batch."""
+    import numpy as np
+
+    return np.mean(X, axis=1)
+
+
+def _combiner_quantiles(x, param):
+    """tsfresh-combiner-shaped: [(key, value), ...] per parameter dict."""
+    import numpy as np
+
+    return [(f"q{p['q']}", float(np.quantile(x, p["q"]))) for p in param]
+
+
+def q_integration_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third-party wrapper surface (SURVEY §2.10, reference
+    integrations.py:15-278) through the gate: a seglearn-shaped
+    (1, n)-batch function and a tsfresh-combiner-shaped multi-output
+    function, both over 6h windows via the UDF tier."""
+    _utc(spark)
+    from tsflex_spark.features.integrations import (
+        seglearn_wrapper,
+        tsfresh_combiner_feature_wrapper,
+    )
+
+    ev = _events(spark, sf_dir).select("ts", "value")
+    fw1 = seglearn_wrapper(_seg_style_mean, "smean")
+    fw2 = tsfresh_combiner_feature_wrapper(
+        _combiner_quantiles, param=[{"q": 0.25}, {"q": 0.75}]
+    )
+    fc = FeatureCollection(
+        [
+            FeatureDescriptor(fw1, "value", "6h", "6h"),
+            FeatureDescriptor(fw2, "value", "6h", "6h"),
+        ]
+    )
+    out = fc.calculate(ev, ts_col="ts")
+
+    def denan(c):
+        col = F.col(f"`{c}`")  # names contain dots — backtick-quote
+        return F.when(~F.isnan(col), col)
+
+    cols = list(out.columns)
+    # wrapper-generated names: resolve robustly against the grammar
+    q25 = next(c for c in cols if "0.25" in c)
+    q75 = next(c for c in cols if "0.75" in c)
+    smean = next(c for c in cols if "smean" in c)
+    return out.select(
+        "ts",
+        denan(smean).alias("seg_mean"),
+        denan(q25).alias("q25"),
+        denan(q75).alias("q75"),
+    )
+
+
+def _oracle_integration_features() -> str:
+    w = 6 * H1
+    return f"""
+WITH b AS (SELECT epoch_us(min(ts)) AS t0, epoch_us(max(ts)) AS t1 FROM events),
+k AS (SELECT t0, t1,
+             greatest(CAST(floor((t1 - t0 - {w}) / {w}.0) AS BIGINT) + 1, 0) AS nb
+      FROM b),
+seg AS (SELECT t0 + kk * {w} AS s_start
+        FROM k CROSS JOIN generate_series(0, 100000) AS g(kk)
+        WHERE kk < nb)
+SELECT make_timestamp(s_start + {w}) AS ts,
+       avg(e.value) AS seg_mean,
+       quantile_cont(e.value, 0.25) AS q25,
+       quantile_cont(e.value, 0.75) AS q75
+FROM seg LEFT JOIN events e
+  ON epoch_us(e.ts) >= s_start AND epoch_us(e.ts) < s_start + {w}
+GROUP BY s_start ORDER BY ts
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: strided-rolling multi-agg
     feature extraction over the events stream."""
@@ -2075,6 +2150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_per_user": q_rolling_per_user,
         "wide_long_roundtrip": q_wide_long_roundtrip,
         "time_weighted_mean": q_time_weighted_mean,
+        "integration_features": q_integration_features,
     }
 
 
@@ -2124,6 +2200,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_per_user": _oracle_rolling_per_user(),
         "wide_long_roundtrip": _oracle_wide_long_roundtrip(),
         "time_weighted_mean": _oracle_time_weighted_mean(),
+        "integration_features": _oracle_integration_features(),
         # lsh_ann / minhash_dedup / simhash / ivf_ann: engine-specific
         # hashes or approximate — rows-only checks by design
     }

@@ -258,7 +258,10 @@ class FeatureCollection:
         for other in outputs[1:]:
             result = result.join(other, on=[ts_col, *key_cols], how="full")
         feat_cols = sorted(c for c in result.columns if c not in (ts_col, *key_cols))
-        return result.select(ts_col, *key_cols, *feat_cols).orderBy(*key_cols, ts_col)
+        # output names may contain dots (user output_names) — backtick-quote
+        return result.select(
+            ts_col, *key_cols, *[F.col(f"`{c}`") for c in feat_cols]
+        ).orderBy(*key_cols, ts_col)
 
     def _check_sparsity(
         self,
