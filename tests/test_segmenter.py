@@ -449,3 +449,27 @@ def test_group_by_all_composite_key(spark):
     got = out.set_index(["a", "b"])["v__sum__w=manual"]
     for k in exp.index:
         assert got.loc[k] == exp.loc[k]
+
+
+def test_dotted_output_names_survive_assembly(spark):
+    """User output names may contain dots (e.g. q_0.25) — every assembly
+    select must backtick-quote feature columns (plain strings parse as
+    struct access)."""
+    from tsflex_spark import FuncWrapper
+
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-01-01", periods=8, freq="1h"),
+            "g": ["a"] * 4 + ["b"] * 4,
+            "v": [float(i) for i in range(8)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    fw = FuncWrapper(lambda x: float(np.quantile(x, 0.25)), output_names="q_0.25")
+    fc = FeatureCollection([FeatureDescriptor(fw, "v", "2h", "2h")])
+    out = fc.calculate(df, ts_col="ts").toPandas()
+    assert "v__q_0.25__w=2h" in out.columns
+    out2 = fc.calculate(df, ts_col="ts", group_by_all="g").toPandas()
+    assert "v__q_0.25__w=manual" in out2.columns
+    out3 = fc.calculate(df, ts_col="ts", group_by_consecutive="g").toPandas()
+    assert "v__q_0.25__w=manual" in out3.columns

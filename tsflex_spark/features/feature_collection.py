@@ -734,7 +734,7 @@ class FeatureCollection:
         for p in parts[1:]:
             result = result.join(p, on=gcols, how="full")
         feat_cols = sorted(c for c in result.columns if c not in gcols)
-        return result.select(*gcols, *feat_cols).orderBy(*gcols)
+        return result.select(*gcols, *[F.col(f"`{c}`") for c in feat_cols]).orderBy(*gcols)
 
     def _calculate_group_by_consecutive(
         self, data: DataFrame, gcol: str, ts_col: str, key_cols: Sequence[str] = ()
@@ -807,5 +807,10 @@ class FeatureCollection:
             if c not in (ts_col, gcol, "__start", "__end", "__start_n", "__last_n", "__end_n", "__island", *key_cols)
         )
         return result.select(
-            ts_col, *key_cols, F.col(gcol), F.col("__start"), F.col("__end"), *feat_cols
+            ts_col,
+            *key_cols,
+            F.col(gcol),
+            F.col("__start"),
+            F.col("__end"),
+            *[F.col(f"`{c}`") for c in feat_cols],
         ).orderBy(*key_cols, ts_col)
