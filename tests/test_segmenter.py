@@ -473,3 +473,43 @@ def test_dotted_output_names_survive_assembly(spark):
     assert "v__q_0.25__w=manual" in out2.columns
     out3 = fc.calculate(df, ts_col="ts", group_by_consecutive="g").toPandas()
     assert "v__q_0.25__w=manual" in out3.columns
+
+
+def test_two_level_rewrite_equivalence_keyed(spark):
+    """The pre-aggregation rewrite must also be exact with key_cols —
+    per-key bounds anchor each key's bucket lattice independently."""
+    from tsflex_spark import FeatureCollection, FeatureDescriptor
+
+    rng = np.random.default_rng(9)
+    rows = 2000
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        np.sort(rng.choice(300_000, size=rows, replace=False)), unit="s"
+    )
+    pdf = pd.DataFrame(
+        {
+            "ts": ts,
+            "k": rng.integers(0, 7, size=rows),
+            "v": (rng.integers(0, 10000, size=rows) / 100.0),
+        }
+    )
+    df = spark.createDataFrame(pdf).withColumn("v", F.col("v").cast("decimal(18,2)"))
+    fc = FeatureCollection(
+        [
+            FeatureDescriptor("sum", "v", "4h", "15m"),
+            FeatureDescriptor("count", "v", "4h", "15m"),
+            FeatureDescriptor("max", "v", "4h", "15m"),
+        ]
+    )
+    try:
+        FeatureCollection.TWO_LEVEL_FANOUT_THRESHOLD = 10**9
+        one = fc.calculate(df, ts_col="ts", key_cols=["k"]).toPandas()
+        FeatureCollection.TWO_LEVEL_FANOUT_THRESHOLD = 1
+        two = fc.calculate(df, ts_col="ts", key_cols=["k"]).toPandas()
+    finally:
+        FeatureCollection.TWO_LEVEL_FANOUT_THRESHOLD = 8
+    one = one.sort_values(["k", "ts"]).reset_index(drop=True)
+    two = two.sort_values(["k", "ts"]).reset_index(drop=True)
+    assert len(one) == len(two)
+    for c in one.columns:
+        same = (one[c] == two[c]) | (one[c].isna() & two[c].isna())
+        assert same.all(), c
