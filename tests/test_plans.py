@@ -165,3 +165,30 @@ def test_fine_stride_takes_two_level_plan(spark):
 
     plan = plan_of(E.queries()["sliding_fine_stride"](spark, SF_DIR), "simple")
     assert "__bkt" in plan, plan[:2000]
+
+
+def test_manual_segments_bucketed_equi_join(spark):
+    """User-supplied segments must join via bucketed hash equi-joins —
+    never a BroadcastNestedLoopJoin on the raw range predicate."""
+    import __spark_entry__ as E
+
+    plan = plan_of(E.queries()["manual_segments"](spark, SF_DIR), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_unkeyed_asof_range_partitions(spark):
+    """The unkeyed as-of join must range-partition (distributed carry),
+    not collapse into an empty-partition-spec window."""
+    import pandas as pd
+
+    from tsflex_spark.relational import asof_join
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"ts": pd.date_range("2024-01-01", periods=64, freq="1s"), "l": 1})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"ts": pd.date_range("2024-01-01", periods=32, freq="2s"), "rv": 1.0})
+    )
+    plan = plan_of(asof_join(left, right, on="ts", value_cols=["rv"]), "simple")
+    assert "rangepartitioning" in plan.lower()
