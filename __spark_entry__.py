@@ -2094,6 +2094,36 @@ GROUP BY s_start ORDER BY ts
 """
 
 
+def q_processing_per_user_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed pandas-tier SeriesPipeline (SURVEY §2.8): the same arbitrary
+    whole-series function as processing_diff, but per user — one Arrow
+    group per key, fully distributed (the keyed counterpart of the
+    single-series path)."""
+    _utc(spark)
+    import pandas as pd
+
+    from tsflex_spark import SeriesPipeline, SeriesProcessor
+
+    def diff_series(v: pd.Series) -> pd.Series:
+        return pd.Series(v.to_numpy(), index=v.index, name="value_diff").diff()
+
+    pipe = SeriesPipeline([SeriesProcessor(diff_series, "value", input_type="pandas")])
+    out = pipe.process(
+        _events(spark, sf_dir).select("user_id", "ts", "event_id", "value"),
+        ts_col="ts",
+        key_cols=["user_id"],
+    )
+    return out.select("event_id", "user_id", "value", "value_diff").orderBy("event_id")
+
+
+def _oracle_processing_per_user_diff() -> str:
+    return """
+SELECT event_id, user_id, value,
+       value - lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS value_diff
+FROM events ORDER BY event_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: strided-rolling multi-agg
     feature extraction over the events stream."""
@@ -2151,6 +2181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wide_long_roundtrip": q_wide_long_roundtrip,
         "time_weighted_mean": q_time_weighted_mean,
         "integration_features": q_integration_features,
+        "processing_per_user_diff": q_processing_per_user_diff,
     }
 
 
@@ -2201,6 +2232,7 @@ def oracle_sql() -> dict[str, str]:
         "wide_long_roundtrip": _oracle_wide_long_roundtrip(),
         "time_weighted_mean": _oracle_time_weighted_mean(),
         "integration_features": _oracle_integration_features(),
+        "processing_per_user_diff": _oracle_processing_per_user_diff(),
         # lsh_ann / minhash_dedup / simhash / ivf_ann: engine-specific
         # hashes or approximate — rows-only checks by design
     }
