@@ -156,7 +156,26 @@ class SeriesProcessor:
             return res[out_cols]
 
         if key_cols:
-            return df.groupBy(*key_cols).applyInPandas(run, schema)
+            # batch keys into hash buckets: one Arrow call processes many
+            # keys (per-group Python/Arrow overhead dominates when keys are
+            # numerous and small — 1500 one-call groups measured ~4x slower
+            # than 64 bucketed calls at sf0.1); per-key semantics preserved
+            # by the pandas groupby inside each bucket
+            n_buckets = df.sparkSession.sparkContext.defaultParallelism * 2
+
+            def run_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+                outs = [
+                    run(g)
+                    for _, g in pdf.groupby(list(key_cols), sort=False, dropna=False)
+                ]
+                return pd.concat(outs, ignore_index=True)
+
+            bucket = F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(n_buckets))
+            return (
+                df.withColumn("__bucket", bucket)
+                .groupBy("__bucket")
+                .applyInPandas(run_bucket, schema)
+            )
         # single group = whole series (matches the single-machine reference;
         # pass key_cols to distribute). NB: groupBy(lit(1)) resolves as a
         # GROUP BY *ordinal* in Spark 4 — use a named constant column.
