@@ -1371,8 +1371,7 @@ def q_robust_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     import numpy as np
 
-    from tsflex_spark import FuncWrapper  # noqa: F401  (public surface)
-    from tsflex_spark.features.function_wrapper import make_robust
+    from tsflex_spark import make_robust
 
     ev = _events(spark, sf_dir).select("ts", "value")
     fw = make_robust(np.mean, min_nb_samples=60, output_names="robust_mean")
@@ -1788,9 +1787,6 @@ def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     6h tumbling window through the normal segment assignment."""
     _utc(spark)
     ev = _events(spark, sf_dir).select("ts", "user_id")
-    from tsflex_spark import FeatureCollection, FeatureDescriptor  # noqa: F811
-    from tsflex_spark import FuncWrapper  # noqa: F401
-
     fc = FeatureCollection(
         [FeatureDescriptor("n_unique", "user_id", "6h", "6h")]
     )
