@@ -1485,26 +1485,39 @@ def q_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tsflex_spark.streaming.stateful import running_stats_stream
 
     # nanosecond-timestamp parquet: stream the micros-converted copy
-    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    # no watermark in this query, so ts never reaches the state op — drop
+    # it before the copy (skips the nanos→micros rewrite entirely)
+    ev = _events(spark, sf_dir).select("user_id", "value")
     tmp = tempfile.mkdtemp(prefix="tsfs_stateful_")
     src = f"{tmp}/src"
-    ev.write.parquet(src)
-    stream = spark.readStream.schema("user_id long, ts timestamp, value double").parquet(src)
+    # few large source files: the file-stream source lists/schedules per
+    # file, and the state op re-shuffles by key anyway
+    ev.coalesce(4).write.parquet(src)
+    stream = spark.readStream.schema("user_id long, value double").parquet(src)
     # exact fixed-point state: identical results regardless of micro-batch
     # boundaries, and hash-identical to the SQL oracle's derived moments
     out = running_stats_stream(
         stream, value_col="value", key_cols=["user_id"], exact_decimals=2
     )
     name = "q_stateful_" + uuid.uuid4().hex[:8]
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # the streaming query pins its state-store partition count to the
+    # shuffle partitions at START; 100 user keys need far fewer than the
+    # batch default, and each store instance costs checkpoint files per
+    # micro-batch (restored below — batch queries are unaffected)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     res = spark.table(name)
     # the memory sink holds the rows; the source copy + checkpoint are done
     import shutil

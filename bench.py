@@ -28,9 +28,16 @@ def main() -> None:
 
     queries = entry_mod.queries()
 
-    # warm-up: run the flagship query once to absorb session/JIT startup
-    first = next(iter(queries))
-    queries[first](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # warm-up: absorb one-time session/JIT/Arrow-worker startup so every
+    # per-query number reflects steady-state throughput. One query per
+    # execution tier: native codegen aggs, the Arrow/pandas UDF tier
+    # (spawns the reusable Python worker pool), and a window-function plan.
+    warm = [next(iter(queries))]
+    for cand in ("udf_features", "processing_diff", "intersample_stats"):
+        if cand in queries:
+            warm.append(cand)
+    for w in warm:
+        queries[w](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, fn in queries.items():
