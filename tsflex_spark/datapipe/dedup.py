@@ -111,29 +111,56 @@ def minhash_signatures(
     shingle_k: int = 5,
     seed: int = 42,
     shingles: Optional[DataFrame] = None,
+    method: str = "oph",
 ) -> DataFrame:
     """(id, minhash array<long>) — one JVM-side pass, no Python.
 
-    minhash_j(doc) = min over shingles of xxhash64(base_hash, seed, j) —
+    ``method="oph"`` (default) is **one-permutation hashing**: each shingle
+    is hashed ONCE, assigned to bin ``pmod(h, num_hashes)``, and the
+    signature slot j is the min hash within bin j (the partitioned-hash-
+    space MinHash variant production sketch libraries use). Cost per
+    shingle row is 1 hash instead of ``num_hashes`` — the dominant stage
+    drops ~num_hashes× in CPU, and the groupBy(id, bin) shuffle shrinks to
+    ≤ num_hashes rows per doc after map-side combine. Empty bins (only
+    possible when a doc has ≲ num_hashes shingles) are densified by
+    circular borrow from the next two bins, then a fixed sentinel —
+    deterministic, so equal shingle sets still yield equal signatures.
+
+    ``method="classic"`` is the k-independent-permutations construction:
+    minhash_j(doc) = min over shingles of xxhash64(base_hash, j) —
     the j-th variant re-hashes the 8-byte base hash, never the string
     (ANSI-safe: no wraparound arithmetic, which ANSI mode rejects).
-
-    Execution shape: explode shingles → one codegen'd hash-aggregate with
-    num_hashes min() columns. Higher-order-function lambdas are interpreted
-    per element in Spark, so folding arrays in-row is ~10× slower than this
-    vectorized explode+groupBy — and the groupBy shuffles only (id, hash)
-    longs, which partitions cleanly at 100 TB.
     """
     sh = shingles if shingles is not None else shingle_rows(df, text_col, id_col, shingle_k)
     ex = sh.select(id_col, F.xxhash64("__s", F.lit(seed)).alias("__h"))
-    aggs = [
-        F.min(F.xxhash64(F.col("__h"), F.lit(j))).alias(f"__m{j}")
-        for j in range(num_hashes)
-    ]
-    g = ex.groupBy(id_col).agg(*aggs)
-    return g.select(
-        F.col(id_col), F.array(*[F.col(f"__m{j}") for j in range(num_hashes)]).alias("minhash")
+    if method == "classic":
+        aggs = [
+            F.min(F.xxhash64(F.col("__h"), F.lit(j))).alias(f"__m{j}")
+            for j in range(num_hashes)
+        ]
+        g = ex.groupBy(id_col).agg(*aggs)
+        return g.select(
+            F.col(id_col),
+            F.array(*[F.col(f"__m{j}") for j in range(num_hashes)]).alias("minhash"),
+        )
+    k = int(num_hashes)
+    binned = ex.groupBy(
+        id_col, F.pmod(F.col("__h"), F.lit(k)).cast("int").alias("__bin")
+    ).agg(F.min("__h").alias("__mh"))
+    m = binned.groupBy(id_col).agg(
+        F.map_from_arrays(F.collect_list("__bin"), F.collect_list("__mh")).alias("__m")
     )
+    mm = F.col("__m")
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda j: F.coalesce(
+            F.try_element_at(mm, j),
+            F.try_element_at(mm, F.pmod(j + 1, F.lit(k))),
+            F.try_element_at(mm, F.pmod(j + 2, F.lit(k))),
+            F.lit(2**63 - 1),
+        ),
+    )
+    return m.select(F.col(id_col), sig.alias("minhash"))
 
 
 def minhash_lsh_candidates(
@@ -267,25 +294,26 @@ def simhash(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 5) -> Da
 
     For each bit b: sign(sum over shingles of ±1 by shingle-hash bit b).
     """
-    # explode shingles -> one codegen'd hash-aggregate with 64 per-bit +-1
-    # sums (in-row array folds would be interpreted per element — ~10x
-    # slower); the bit index must be a Python int for shiftright, so bits
-    # are unrolled driver-side into 64 aggregate columns
+    # explode shingles -> one codegen'd hash-aggregate with 64 per-bit sums
+    # (in-row array folds would be interpreted per element — ~10x slower);
+    # the bit index must be a Python int for shiftright, so bits are
+    # unrolled driver-side into 64 aggregate columns. The ±1 sum is
+    # sign(2*popcount_b - n): summing the raw bit (2 bit-ops/row) and
+    # rescaling once per GROUP halves the per-row expression work vs a
+    # when/otherwise branch per bit.
     ex = shingle_rows(df, text_col, id_col, shingle_k).select(
         id_col, F.xxhash64("__s").alias("__h")
     )
     aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"__b{b}")
+        F.sum(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1))).alias(f"__b{b}")
         for b in range(64)
-    ]
+    ] + [F.count(F.lit(1)).alias("__n")]
     g = ex.groupBy(id_col).agg(*aggs)
     fingerprint = F.lit(0).cast("long")
     for b in range(64):
         mask = F.lit(-(2**63) if b == 63 else (1 << b)).cast("long")
         fingerprint = fingerprint.bitwiseOR(
-            F.when(F.col(f"__b{b}") > 0, mask).otherwise(F.lit(0).cast("long"))
+            F.when(F.col(f"__b{b}") * 2 > F.col("__n"), mask).otherwise(F.lit(0).cast("long"))
         )
     return g.select(F.col(id_col), fingerprint.alias("simhash"))
 
