@@ -1223,6 +1223,115 @@ WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
 """
 
 
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational substrate: TPC-H Q3 shipping-priority — 3-way join with a
+    broadcast customer dim, aggregate, exact-decimal revenue, top-10
+    (SURVEY §2.7 limits/top-k; ties broken by l_orderkey so the LIMIT is
+    deterministic across engines)."""
+    _utc(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cut = F.lit("1998-06-01").cast("timestamp")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,4)")
+    out = (
+        li.where(F.col("l_shipdate") > cut)
+        .join(
+            od.where(F.col("o_orderdate") < cut).select(
+                "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(
+                cu.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).alias("_rev"))
+        .orderBy(F.col("_rev").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+    return out.select(
+        "l_orderkey",
+        F.col("_rev").cast("double").alias("revenue"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+
+
+def _oracle_tpch_q3() -> str:
+    return """
+SELECT l_orderkey,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+       o_orderdate,
+       o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_reduce_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``reduce()`` round-trip (SURVEY §2.2, reference
+    feature_collection.py:1282-1353): build a 4-feature collection, prune
+    it to two output columns by NAME (the naming grammar parsed back), and
+    calculate only those — the pruned plan never touches the dropped
+    aggregates."""
+    _utc(spark)
+    ev = _events(spark, sf_dir).select(
+        "ts", F.col("value").cast("decimal(18,2)").alias("value")
+    )
+    fc = FeatureCollection(
+        [
+            FeatureDescriptor("sum", "value", "2h", "1h"),
+            FeatureDescriptor("count", "value", "2h", "1h"),
+            FeatureDescriptor("min", "value", "2h", "1h"),
+            FeatureDescriptor("max", "value", "2h", "1h"),
+        ]
+    )
+    reduced = fc.reduce(["value__max__w=2h", "value__count__w=2h"])
+    out = reduced.calculate(ev, ts_col="ts")
+    assert sorted(c for c in out.columns if c != "ts") == [
+        "value__count__w=2h",
+        "value__max__w=2h",
+    ], "reduce() must prune the plan to exactly the requested outputs"
+    return out.select(
+        "ts",
+        F.col("value__max__w=2h").cast("double").alias("max_val"),
+        F.col("value__count__w=2h").cast("bigint").alias("cnt_val"),
+    )
+
+
+def _oracle_reduce_features() -> str:
+    H2 = 2 * H1
+    return f"""
+WITH b AS (SELECT epoch_us(min(ts)) AS t0, epoch_us(max(ts)) AS t1 FROM events),
+k AS (SELECT t0, t1,
+             greatest(CAST(floor((t1 - t0 - {H2}) / {H1}.0) AS BIGINT) + 1, 0) AS nb
+      FROM b),
+seg AS (SELECT t0 + kk * {H1} AS s_start
+        FROM k CROSS JOIN generate_series(0, 100000) AS g(kk)
+        WHERE kk < nb),
+agg AS (SELECT s_start,
+               max(e.value) AS max_raw,
+               count(e.value) AS cnt_val
+        FROM seg LEFT JOIN events e
+          ON epoch_us(e.ts) >= s_start AND epoch_us(e.ts) < s_start + {H2}
+        GROUP BY s_start)
+SELECT make_timestamp(s_start + {H2}) AS ts,
+       CAST(max_raw AS DOUBLE) AS max_val,
+       cnt_val
+FROM agg ORDER BY ts
+"""
+
+
 def q_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational substrate: star-schema join lineitem ⋈ orders ⋈ customer ⋈
     nation with explicit broadcast of the small dimensions (SURVEY scale
@@ -2160,6 +2269,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionization": q_sessionization,
         "tpch_q1": q_tpch_q1,
         "tpch_q6": q_tpch_q6,
+        "tpch_q3": q_tpch_q3,
+        "reduce_features": q_reduce_features,
         "revenue_per_nation": q_revenue_per_nation,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
@@ -2215,6 +2326,8 @@ def oracle_sql() -> dict[str, str]:
         "sessionization": _oracle_sessionization(),
         "tpch_q1": _oracle_tpch_q1(),
         "tpch_q6": _oracle_tpch_q6(),
+        "tpch_q3": _oracle_tpch_q3(),
+        "reduce_features": _oracle_reduce_features(),
         "revenue_per_nation": _oracle_revenue_per_nation(),
         "dedup_exact": _oracle_dedup_exact(),
         "text_stats": _oracle_text_stats(),
