@@ -188,3 +188,75 @@ def test_resample_interpolate_per_key_and_single_sample(spark):
     b = out[out["k"] == "b"]
     assert a["value"].tolist() == [1.0, 3.0]  # grid = first..last per key
     assert len(b) == 1 and b["value"].iloc[0] == 7.0  # single sample -> itself
+
+
+def test_process_chunks_multithreaded(spark):
+    """Chunk-wise pipeline execution (reference processing/utils.py:16-81):
+    an order-dependent diff step must restart at each chunk boundary."""
+    import pandas as pd
+
+    from tsflex_spark.chunking import chunk_data
+    from tsflex_spark.processing import process_chunks_multithreaded
+
+    # two continuous runs separated by a >15s gap (1 Hz sampling)
+    ts = pd.to_datetime(
+        [f"2024-01-01 00:00:{s:02d}" for s in range(5)]
+        + [f"2024-01-01 00:01:{s:02d}" for s in range(5)]
+    )
+    vals = [float(x) for x in [0, 1, 3, 6, 10, 100, 101, 103, 106, 110]]
+    df = spark.createDataFrame(pd.DataFrame({"ts": ts, "value": vals}))
+    chunks = chunk_data(df, ts_col="ts", fs=1.0)
+    assert chunks.count() == 2
+
+    def diff(s: pd.Series) -> pd.Series:
+        return pd.Series(s.to_numpy(), index=s.index).diff().rename("value_diff")
+
+    pipe = SeriesPipeline([SeriesProcessor(diff, "value", input_type="pandas")])
+    out = process_chunks_multithreaded(
+        df, chunks, pipe, ts_col="ts"
+    ).toPandas().sort_values("ts")
+    # each chunk's first diff is NaN — the gap never leaks across chunks
+    diffs = out["value_diff"].tolist()
+    assert pd.isna(diffs[0]) and pd.isna(diffs[5])
+    assert diffs[1:5] == [1.0, 2.0, 3.0, 4.0]
+    assert diffs[6:] == [1.0, 2.0, 3.0, 4.0]
+    assert set(out["chunk_id"]) == {0, 1}
+
+
+def test_pipeline_and_calculate_logging(spark, small_sdf, tmp_path):
+    """logging_file_path surface (reference logger.py): pipeline steps and
+    calculate configs append parseable log lines; stats frames build."""
+    import numpy as np
+
+    from tsflex_spark.utils.logging import (
+        get_feature_logs,
+        get_function_stats,
+        get_processor_logs,
+    )
+
+    plog = str(tmp_path / "proc.log")
+
+    def double(v: np.ndarray) -> np.ndarray:
+        return v * 2
+
+    SeriesPipeline([SeriesProcessor(double, "a", input_type="numpy")]).process(
+        small_sdf, ts_col="ts", logging_file_path=plog
+    )
+    logs = get_processor_logs(plog)
+    assert len(logs) == 1
+    assert logs["function"].iloc[0] == "double"
+    assert logs["series_names"].iloc[0] == "a"
+    assert abs(logs["duration %"].sum() - 100.0) < 1e-6
+
+    flog = str(tmp_path / "feat.log")
+    fc = FeatureCollection(
+        [
+            FeatureDescriptor("sum", "a", "5s", "5s"),
+            FeatureDescriptor("max", "b", "10s", "5s"),
+        ]
+    )
+    fc.calculate(small_sdf, ts_col="ts", logging_file_path=flog)
+    feat_logs = get_feature_logs(flog)
+    assert len(feat_logs) == 2  # one line per compiled (window, stride) config
+    assert set(feat_logs["function"]) == {"sum", "max"}
+    assert len(get_function_stats(flog)) == 2

@@ -159,6 +159,7 @@ class FeatureCollection:
         approve_sparsity: bool = True,
         group_by_all: Optional[Union[str, Sequence[str]]] = None,
         group_by_consecutive: Optional[str] = None,
+        logging_file_path: Optional[str] = None,
     ) -> Union[DataFrame, List[DataFrame]]:
         """Compute every registered feature over ``data``.
 
@@ -234,22 +235,35 @@ class FeatureCollection:
 
         outputs: List[DataFrame] = []
         for cfg, entries in configs.items():
-            if cfg[0] == "manual":
-                out = self._run_manual_config(
-                    data_n, bounds, entries, cfg[1], segment_start_idxs,
-                    segment_end_idxs, key_cols, window_idx, domain, ts_col,
-                )
-            elif cfg[0] == "count":
-                out = self._run_count_config(
-                    data_n, entries, cfg[1], list(cfg[2]),
-                    include_final_window, key_cols, window_idx, bound_method, ts_col,
-                )
-            else:
-                window_n, strides_n = cfg
-                out = self._run_grid_config(
-                    data_n, bounds, entries, window_n, list(strides_n),
-                    include_final_window, key_cols, window_idx, domain, ts_col,
-                )
+            # execution-time logging (reference logs one line per feature
+            # function; Spark fuses a config's functions into one job, so
+            # the logged unit is the compiled config — SURVEY §2.12)
+            from tsflex_spark.utils.logging import log_execution
+
+            funcs = "|".join(sorted({fd.function.func_name for _, _, fd in entries}))
+            series = "|".join(sorted({s for st, _, _fd in entries for s in st}))
+            outs = "|".join(
+                sorted({o for _, _, fd in entries for o in fd.function.output_names})
+            )
+            win_lbl = str(cfg[1] if cfg[0] in ("manual", "count") else cfg[0])
+            stride_lbl = str(list(cfg[2]) if cfg[0] == "count" else cfg[1:]).replace(" ", "")
+            with log_execution(funcs, series, win_lbl, stride_lbl, outs, logging_file_path):
+                if cfg[0] == "manual":
+                    out = self._run_manual_config(
+                        data_n, bounds, entries, cfg[1], segment_start_idxs,
+                        segment_end_idxs, key_cols, window_idx, domain, ts_col,
+                    )
+                elif cfg[0] == "count":
+                    out = self._run_count_config(
+                        data_n, entries, cfg[1], list(cfg[2]),
+                        include_final_window, key_cols, window_idx, bound_method, ts_col,
+                    )
+                else:
+                    window_n, strides_n = cfg
+                    out = self._run_grid_config(
+                        data_n, bounds, entries, window_n, list(strides_n),
+                        include_final_window, key_cols, window_idx, domain, ts_col,
+                    )
             outputs.append(out)
 
         if not return_df:

@@ -1,4 +1,10 @@
 from tsflex_spark.processing.series_processor import SeriesProcessor, dataframe_func
 from tsflex_spark.processing.series_pipeline import SeriesPipeline
+from tsflex_spark.processing.utils import process_chunks_multithreaded
 
-__all__ = ["SeriesProcessor", "SeriesPipeline", "dataframe_func"]
+__all__ = [
+    "SeriesProcessor",
+    "SeriesPipeline",
+    "dataframe_func",
+    "process_chunks_multithreaded",
+]

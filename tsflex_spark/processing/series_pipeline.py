@@ -53,14 +53,23 @@ class SeriesPipeline:
         key_cols: Sequence[str] = (),
         return_all_series: bool = True,
         drop_keys: Sequence[str] = (),
+        logging_file_path: Optional[str] = None,
     ) -> DataFrame:
+        from tsflex_spark.utils.logging import log_execution
+
         df = data
         if not return_all_series:
             keep = set(self.get_required_series()) | {ts_col, *key_cols}
             df = df.select(*[c for c in df.columns if c in keep])
         for step in self.processing_steps:
+            name = getattr(step.function, "__name__", type(step.function).__name__)
+            series = "|".join(step.get_required_series())
             try:
-                df = step(df, ts_col, key_cols)
+                # one log line per processing step (reference
+                # processing/logger.py get_processor_logs surface); Spark
+                # is lazy, so the duration is the step's plan-build time
+                with log_execution(name, series, "-", "-", series, logging_file_path):
+                    df = step(df, ts_col, key_cols)
             except Exception as exc:  # reference wraps step errors (:212-221)
                 raise _ProcessingError(f"error in step {step!r}: {exc}") from exc
         if drop_keys:

@@ -95,3 +95,14 @@ def get_series_names_stats(logging_file_path: str) -> pd.DataFrame:
     return (
         df.groupby("series_names")["duration"].agg(["sum", "mean", "std", "count"]).reset_index()
     )
+
+
+def get_processor_logs(logging_file_path: str) -> pd.DataFrame:
+    """Execution info per ``SeriesPipeline`` step — reference
+    tsflex/processing/logger.py:70-106 (function, series names, duration,
+    duration %). Same log grammar as the feature logs."""
+    df = get_feature_logs(logging_file_path)
+    df = df[["log_time", "function", "series_names", "output_names", "duration"]].copy()
+    total = df["duration"].sum()
+    df["duration %"] = (100 * df["duration"] / total).round(2) if total else 0.0
+    return df
