@@ -1332,6 +1332,60 @@ FROM agg ORDER BY ts
 """
 
 
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native-tier TWO-series aggregates (tuple series_name → one Catalyst
+    aggregate, no Python): windowed Pearson correlation + population
+    covariance between two aligned series. Pairwise SQL semantics (rows
+    where both sides are non-null) — identical in Spark and DuckDB."""
+    _utc(spark)
+    ev = _events(spark, sf_dir).select(
+        "ts",
+        F.col("value").alias("va"),
+        (F.col("value") + F.col("user_id").cast("double")).alias("vb"),
+    )
+    fc = FeatureCollection(
+        [
+            FeatureDescriptor("corr", ("va", "vb"), "4h", "2h"),
+            FeatureDescriptor("covar_pop", ("va", "vb"), "4h", "2h"),
+            FeatureDescriptor("count", "va", "4h", "2h"),
+        ]
+    )
+    out = fc.calculate(ev, ts_col="ts")
+    n = F.col("va__count__w=4h").cast("bigint")
+    return out.select(
+        "ts",
+        # corr of a constant or single sample is undefined — Spark yields
+        # NaN where DuckDB yields NULL; normalize to NULL on both sides
+        F.when(
+            ~F.isnan(F.col("va|vb__corr__w=4h")), F.col("va|vb__corr__w=4h")
+        ).alias("corr_ab"),
+        F.col("va|vb__covar_pop__w=4h").alias("covar_ab"),
+        n.alias("cnt_val"),
+    )
+
+
+def _oracle_rolling_corr() -> str:
+    H4, H2 = 4 * H1, 2 * H1
+    return f"""
+WITH b AS (SELECT epoch_us(min(ts)) AS t0, epoch_us(max(ts)) AS t1 FROM events),
+k AS (SELECT t0, t1,
+             greatest(CAST(floor((t1 - t0 - {H4}) / {H2}.0) AS BIGINT) + 1, 0) AS nb
+      FROM b),
+seg AS (SELECT t0 + kk * {H2} AS s_start
+        FROM k CROSS JOIN generate_series(0, 100000) AS g(kk)
+        WHERE kk < nb),
+agg AS (SELECT s_start,
+               corr(e.value, e.value + CAST(e.user_id AS DOUBLE))      AS corr_ab,
+               covar_pop(e.value, e.value + CAST(e.user_id AS DOUBLE)) AS covar_ab,
+               count(e.value) AS cnt_val
+        FROM seg LEFT JOIN events e
+          ON epoch_us(e.ts) >= s_start AND epoch_us(e.ts) < s_start + {H4}
+        GROUP BY s_start)
+SELECT make_timestamp(s_start + {H4}) AS ts, corr_ab, covar_ab, cnt_val
+FROM agg ORDER BY ts
+"""
+
+
 def q_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational substrate: star-schema join lineitem ⋈ orders ⋈ customer ⋈
     nation with explicit broadcast of the small dimensions (SURVEY scale
@@ -2271,6 +2325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": q_tpch_q6,
         "tpch_q3": q_tpch_q3,
         "reduce_features": q_reduce_features,
+        "rolling_corr": q_rolling_corr,
         "revenue_per_nation": q_revenue_per_nation,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
@@ -2328,6 +2383,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q6": _oracle_tpch_q6(),
         "tpch_q3": _oracle_tpch_q3(),
         "reduce_features": _oracle_reduce_features(),
+        "rolling_corr": _oracle_rolling_corr(),
         "revenue_per_nation": _oracle_revenue_per_nation(),
         "dedup_exact": _oracle_dedup_exact(),
         "text_stats": _oracle_text_stats(),

@@ -513,3 +513,33 @@ def test_two_level_rewrite_equivalence_keyed(spark):
     for c in one.columns:
         same = (one[c] == two[c]) | (one[c].isna() & two[c].isna())
         assert same.all(), c
+
+
+def test_native_two_series_corr(spark):
+    """Tuple series_name with a recognized name ("corr"/"covar_pop")
+    compiles to a native Catalyst aggregate — no Python in the plan — with
+    pairwise SQL semantics."""
+    import numpy as np
+    import pandas as pd
+
+    ts = pd.date_range("2024-01-01", periods=13, freq="1s")
+    a = np.arange(13.0)
+    b = np.array([2 * x + (1.0 if i % 2 else -1.0) for i, x in enumerate(a)])
+    df = spark.createDataFrame(pd.DataFrame({"ts": ts, "a": a, "b": b}))
+    fc = FeatureCollection(
+        [
+            FeatureDescriptor("corr", ("a", "b"), "6s", "6s"),
+            FeatureDescriptor("covar_pop", ("a", "b"), "6s", "6s"),
+        ]
+    )
+    out = fc.calculate(df, ts_col="ts")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "FlatMapGroupsInPandas" not in plan
+    pdf = out.toPandas().sort_values("ts").reset_index(drop=True)
+    assert list(pdf.columns) == ["ts", "a|b__corr__w=6s", "a|b__covar_pop__w=6s"]
+    # windows [0,6) and [6,12): numpy pairwise reference (ddof=0)
+    for i, sl in enumerate([slice(0, 6), slice(6, 12)]):
+        exp_corr = np.corrcoef(a[sl], b[sl])[0, 1]
+        exp_cov = np.cov(a[sl], b[sl], ddof=0)[0, 1]
+        assert abs(pdf["a|b__corr__w=6s"].iloc[i] - exp_corr) < 1e-12
+        assert abs(pdf["a|b__covar_pop__w=6s"].iloc[i] - exp_cov) < 1e-12

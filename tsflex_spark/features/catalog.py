@@ -37,10 +37,12 @@ class NativeSpec:
     """A recognized aggregate: how to build its Catalyst expression."""
 
     name: str
-    # (value_col, ts_numeric_col, kwargs) -> aggregate Column
-    build: Callable[[Column, Column, dict], Column]
+    # arity 1: (value_col, ts_numeric_col, kwargs) -> aggregate Column
+    # arity 2: (value_col_a, value_col_b, ts_numeric_col, kwargs) -> Column
+    build: Callable[..., Column]
     # value an empty segment produces (None → NULL/NaN)
     empty: Optional[float] = None
+    arity: int = 1
 
 
 def _simple(fn: Callable[[Column], Column]) -> Callable[[Column, Column, dict], Column]:
@@ -105,6 +107,27 @@ _reg("slope", lambda v, tsn, kw: F.regr_slope(v, tsn / F.lit(1_000_000.0)))
 _reg("intercept", lambda v, tsn, kw: F.regr_intercept(v, tsn / F.lit(1_000_000.0)))
 
 
+# --- two-series (tuple series_name) native aggregates ------------------------
+# The reference passes each series' own segment slice to the function
+# (ragged allowed, feature.py:100-104); these natives use SQL pairwise
+# semantics instead: rows where BOTH series are non-null in the segment —
+# the only well-defined distributed form, identical to DuckDB/Spark
+# corr/covar. Arbitrary two-series Python funcs still get the exact
+# ragged per-series slices via the UDF tier.
+_REGISTRY2: dict[str, NativeSpec] = {}
+
+
+def _reg2(name: str, build: Callable[..., Column], empty: Optional[float] = None) -> None:
+    _REGISTRY2[name] = NativeSpec(name, build, empty, arity=2)
+
+
+_reg2("corr", lambda a, b, tsn, kw: F.corr(a, b))
+_reg2("covar_pop", lambda a, b, tsn, kw: F.covar_pop(a, b))
+_reg2("covar_samp", lambda a, b, tsn, kw: F.covar_samp(a, b))
+_reg2("dot", lambda a, b, tsn, kw: F.sum(a * b), empty=0.0)
+_reg2("mean_ratio", lambda a, b, tsn, kw: F.avg(F.try_divide(a, b)))
+
+
 # --- callable → registry-name recognition (by identity) ---------------------
 _CALLABLE_TABLE: dict[int, str] = {}
 
@@ -151,8 +174,18 @@ def lookup_native(func: Any, kwargs: dict) -> Optional[NativeSpec]:
     return _REGISTRY[name]
 
 
+def lookup_native2(func: Any, kwargs: dict) -> Optional[NativeSpec]:
+    """Two-series recognition (string names only — there is no numpy
+    callable with matching pairwise semantics to key on)."""
+    if not isinstance(func, str) or func not in _REGISTRY2:
+        return None
+    if kwargs:
+        return None
+    return _REGISTRY2[func]
+
+
 def native_names() -> list[str]:
-    return sorted(_REGISTRY)
+    return sorted(_REGISTRY) + sorted(_REGISTRY2)
 
 
 # --- two-level (partial/final) decomposition --------------------------------

@@ -324,7 +324,12 @@ class FeatureCollection:
         """Split (series, win_str, fd) entries into native vs UDF tier."""
         native, udf = [], []
         for series_tuple, win_str, fd in entries:
-            spec = fd.function.native_spec if len(series_tuple) == 1 else None
+            if len(series_tuple) == 1:
+                spec = fd.function.native_spec
+            elif len(series_tuple) == 2:
+                spec = fd.function.native_spec2
+            else:
+                spec = None
             if spec is not None:
                 native.append((series_tuple, win_str, fd, spec))
             else:
@@ -335,7 +340,13 @@ class FeatureCollection:
         exprs = []
         for series_tuple, win_str, fd, spec in native_entries:
             out_name = _col_name(series_tuple, fd.function.output_names[0], win_str)
-            col = spec.build(F.col(series_tuple[0]), F.col(TSN), fd.function.kwargs)
+            if getattr(spec, "arity", 1) == 2:
+                col = spec.build(
+                    F.col(series_tuple[0]), F.col(series_tuple[1]), F.col(TSN),
+                    fd.function.kwargs,
+                )
+            else:
+                col = spec.build(F.col(series_tuple[0]), F.col(TSN), fd.function.kwargs)
             exprs.append(col.alias(out_name))
         return exprs
 

@@ -15,7 +15,7 @@ from typing import Any, Callable, List, Optional, Union
 import numpy as np
 import pandas as pd
 
-from tsflex_spark.features.catalog import lookup_native
+from tsflex_spark.features.catalog import lookup_native, lookup_native2
 
 
 def _func_name(func: Union[str, Callable]) -> str:
@@ -59,6 +59,13 @@ class FuncWrapper:
         if len(self.output_names) != 1:
             return None
         return lookup_native(self.func, self.kwargs)
+
+    @property
+    def native_spec2(self):
+        """Two-series NativeSpec (pairwise SQL semantics) or None."""
+        if len(self.output_names) != 1:
+            return None
+        return lookup_native2(self.func, self.kwargs)
 
     # --- UDF-tier execution ----------------------------------------------
     def apply(self, series_values: List[pd.Series]) -> List[Any]:
