@@ -603,9 +603,14 @@ class FeatureCollection:
         ``series_index[df.index]`` stitch.
         """
         needed = sorted({s for series_tuple, _, _fd in entries for s in series_tuple})
+        # the position numbering feeds THREE consumers (bounds, segment
+        # assignment, output-ts stitch); without materialization each
+        # consumer re-runs the global-sort row-number pass (no common-
+        # subexpression reuse across a DAG in Spark) — one checkpointed
+        # pass is the scale-correct trade at any data size
         pos = with_global_row_number(
             data_n, TSN, "__rn", key_cols=key_cols, zero_based=True
-        )
+        ).localCheckpoint()
         pos_map = pos.select(*key_cols, F.col("__rn").alias(OUT_IDX), F.col(TSN).alias("__out_tsn"))
         data_ps = pos.drop(TSN).withColumnRenamed("__rn", TSN)
 
