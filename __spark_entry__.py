@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tsflex_spark import FeatureCollection, FeatureDescriptor
+from tsflex_spark.utils.time_args import ts_micros
 
 # epoch-microsecond window constants shared by Spark + DuckDB oracle
 H1 = 3_600_000_000  # 1 hour
@@ -293,7 +294,7 @@ def q_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     floating point."""
     _utc(spark)
     ev = _events(spark, sf_dir)
-    xd = (F.unix_micros(F.col("ts")) - F.lit(T0_2024)).cast("decimal(18,0)")
+    xd = (ts_micros("ts") - F.lit(T0_2024)).cast("decimal(18,0)")
     vc = F.col("value").cast("decimal(18,2)") * F.lit(100).cast("decimal(3,0)")
     ev = ev.select(
         "ts",
@@ -1336,13 +1337,18 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native-tier TWO-series aggregates (tuple series_name → one Catalyst
     aggregate, no Python): windowed Pearson correlation + population
     covariance between two aligned series. Pairwise SQL semantics (rows
-    where both sides are non-null) — identical in Spark and DuckDB."""
+    where both sides are non-null).
+
+    Hash-exact discipline: inputs are DECIMAL (value has exactly 2
+    decimals), the catalog natives aggregate exact decimal sums
+    (n, Σa, Σb, Σab, Σa², Σb²) and apply ONE final double formula — the
+    oracle repeats the identical IEEE-754 op sequence, so both engines
+    produce bit-identical doubles (no accumulation-order drift, which made
+    ``F.corr`` vs DuckDB flip at the 6-decimal rounding boundary in r2)."""
     _utc(spark)
-    ev = _events(spark, sf_dir).select(
-        "ts",
-        F.col("value").alias("va"),
-        (F.col("value") + F.col("user_id").cast("double")).alias("vb"),
-    )
+    va = F.col("value").cast("decimal(12,2)")
+    vb = (va + F.col("user_id").cast("decimal(10,0)")).cast("decimal(14,2)")
+    ev = _events(spark, sf_dir).select("ts", va.alias("va"), vb.alias("vb"))
     fc = FeatureCollection(
         [
             FeatureDescriptor("corr", ("va", "vb"), "4h", "2h"),
@@ -1354,11 +1360,7 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("va__count__w=4h").cast("bigint")
     return out.select(
         "ts",
-        # corr of a constant or single sample is undefined — Spark yields
-        # NaN where DuckDB yields NULL; normalize to NULL on both sides
-        F.when(
-            ~F.isnan(F.col("va|vb__corr__w=4h")), F.col("va|vb__corr__w=4h")
-        ).alias("corr_ab"),
+        F.col("va|vb__corr__w=4h").alias("corr_ab"),
         F.col("va|vb__covar_pop__w=4h").alias("covar_ab"),
         n.alias("cnt_val"),
     )
@@ -1374,14 +1376,28 @@ k AS (SELECT t0, t1,
 seg AS (SELECT t0 + kk * {H2} AS s_start
         FROM k CROSS JOIN generate_series(0, 100000) AS g(kk)
         WHERE kk < nb),
+ev AS (SELECT epoch_us(ts) AS tn,
+              CAST(value AS DECIMAL(12,2)) AS va,
+              CAST(CAST(value AS DECIMAL(12,2)) + CAST(user_id AS DECIMAL(10,0))
+                   AS DECIMAL(14,2)) AS vb
+       FROM events),
 agg AS (SELECT s_start,
-               corr(e.value, e.value + CAST(e.user_id AS DOUBLE))      AS corr_ab,
-               covar_pop(e.value, e.value + CAST(e.user_id AS DOUBLE)) AS covar_ab,
-               count(e.value) AS cnt_val
-        FROM seg LEFT JOIN events e
-          ON epoch_us(e.ts) >= s_start AND epoch_us(e.ts) < s_start + {H4}
+               CAST(count(e.va) AS DOUBLE) AS n,
+               CAST(sum(e.va) AS DOUBLE) AS sa,
+               CAST(sum(e.vb) AS DOUBLE) AS sb,
+               CAST(sum(e.va * e.vb) AS DOUBLE) AS sab,
+               CAST(sum(e.va * e.va) AS DOUBLE) AS saa,
+               CAST(sum(e.vb * e.vb) AS DOUBLE) AS sbb,
+               count(e.va) AS cnt_val
+        FROM seg LEFT JOIN ev e
+          ON e.tn >= s_start AND e.tn < s_start + {H4}
         GROUP BY s_start)
-SELECT make_timestamp(s_start + {H4}) AS ts, corr_ab, covar_ab, cnt_val
+SELECT make_timestamp(s_start + {H4}) AS ts,
+       CASE WHEN n > 1 AND (n * saa - sa * sa) * (n * sbb - sb * sb) > 0
+            THEN (n * sab - sa * sb)
+                 / sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)) END AS corr_ab,
+       CASE WHEN n > 0 THEN (n * sab - sa * sb) / (n * n) END AS covar_ab,
+       cnt_val
 FROM agg ORDER BY ts
 """
 
@@ -1583,7 +1599,7 @@ def q_intersample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from tsflex_spark.utils.distributed import with_global_shift
 
-    ev = _events(spark, sf_dir).select("ts").withColumn("__tsn", F.unix_micros("ts"))
+    ev = _events(spark, sf_dir).select("ts").withColumn("__tsn", ts_micros("ts"))
     ev = with_global_shift(ev, "__tsn", "__tsn", "__prev", offset=-1)
     ev = ev.select(
         "ts", (F.col("__tsn") - F.col("__prev")).alias("gap")  # null for first row

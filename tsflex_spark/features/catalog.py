@@ -121,9 +121,47 @@ def _reg2(name: str, build: Callable[..., Column], empty: Optional[float] = None
     _REGISTRY2[name] = NativeSpec(name, build, empty, arity=2)
 
 
-_reg2("corr", lambda a, b, tsn, kw: F.corr(a, b))
-_reg2("covar_pop", lambda a, b, tsn, kw: F.covar_pop(a, b))
-_reg2("covar_samp", lambda a, b, tsn, kw: F.covar_samp(a, b))
+def _pair_sums(a: Column, b: Column) -> tuple:
+    """Pairwise-non-null exact sums (n, Σa, Σb, Σab, Σa², Σb²), each cast
+    to double only AFTER aggregation. With decimal/integer inputs the sums
+    are exact (order-independent), so the final double formula is
+    deterministic across engines and partitionings — unlike ``F.corr`` /
+    ``F.covar_*``, whose float accumulation order drifts from other
+    engines at rounding boundaries.
+    """
+    both = a.isNotNull() & b.isNotNull()
+    av, bv = F.when(both, a), F.when(both, b)
+    n = F.count(av).cast("double")
+    sa = F.sum(av).cast("double")
+    sb = F.sum(bv).cast("double")
+    sab = F.sum(av * bv).cast("double")
+    saa = F.sum(av * av).cast("double")
+    sbb = F.sum(bv * bv).cast("double")
+    return n, sa, sb, sab, saa, sbb
+
+
+def _corr_build(a: Column, b: Column, tsn: Column, kw: dict) -> Column:
+    n, sa, sb, sab, saa, sbb = _pair_sums(a, b)
+    cov = n * sab - sa * sb
+    da = n * saa - sa * sa
+    db = n * sbb - sb * sb
+    denom = da * db
+    return F.when((n > 1) & (denom > 0), cov / F.sqrt(denom))
+
+
+def _covar_pop_build(a: Column, b: Column, tsn: Column, kw: dict) -> Column:
+    n, sa, sb, sab, _, _ = _pair_sums(a, b)
+    return F.when(n > 0, (n * sab - sa * sb) / (n * n))
+
+
+def _covar_samp_build(a: Column, b: Column, tsn: Column, kw: dict) -> Column:
+    n, sa, sb, sab, _, _ = _pair_sums(a, b)
+    return F.when(n > 1, (n * sab - sa * sb) / (n * (n - 1)))
+
+
+_reg2("corr", _corr_build)
+_reg2("covar_pop", _covar_pop_build)
+_reg2("covar_samp", _covar_samp_build)
 _reg2("dot", lambda a, b, tsn, kw: F.sum(a * b), empty=0.0)
 _reg2("mean_ratio", lambda a, b, tsn, kw: F.avg(F.try_divide(a, b)))
 

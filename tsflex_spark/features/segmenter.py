@@ -36,6 +36,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tsflex_spark.utils.data import DataType
+from tsflex_spark.utils.time_args import ts_micros
 
 TSN = "__tsn"  # numeric index column
 SEG = "__seg_start"
@@ -53,7 +54,7 @@ Num = Union[int, float]
 def numeric_index(df: DataFrame, ts_col: str, domain: DataType) -> DataFrame:
     """Add the engine's numeric index column (``unix_micros`` for TIME)."""
     if domain == DataType.TIME:
-        return df.withColumn(TSN, F.unix_micros(F.col(ts_col)))
+        return df.withColumn(TSN, ts_micros(ts_col))
     return df.withColumn(TSN, F.col(ts_col))
 
 

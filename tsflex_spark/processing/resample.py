@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from tsflex_spark.relational import asof_join
 from tsflex_spark.utils.data import DataType, determine_type
-from tsflex_spark.utils.time_args import to_numeric_units
+from tsflex_spark.utils.time_args import to_numeric_units, ts_micros
 
 
 def resample_interpolate(
@@ -48,9 +48,7 @@ def resample_interpolate(
     is_time = domain == DataType.TIME
     step = int(to_numeric_units(period, is_time))
 
-    tsn = (
-        F.unix_micros(F.col(ts_col)) if is_time else F.col(ts_col).cast("double")
-    )
+    tsn = ts_micros(ts_col) if is_time else F.col(ts_col).cast("double")
     data = df.select(*key_cols, tsn.alias("__tsn"), F.col(value_col).cast("double").alias("__v"))
     if origin is not None:
         org = (
@@ -92,8 +90,8 @@ def resample_interpolate(
     ).withColumnRenamed("__v", "__vn").withColumnRenamed(f"{on}_n", "__tn")
 
     if is_time:
-        num = F.unix_micros(F.col(on)) - F.unix_micros(F.col("__tp"))
-        den = F.unix_micros(F.col("__tn")) - F.unix_micros(F.col("__tp"))
+        num = ts_micros(on) - ts_micros("__tp")
+        den = ts_micros("__tn") - ts_micros("__tp")
     else:
         num = F.col(on) - F.col("__tp")
         den = F.col("__tn") - F.col("__tp")

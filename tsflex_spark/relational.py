@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from tsflex_spark.utils.time_args import to_numeric_units
+from tsflex_spark.utils.time_args import to_numeric_units, ts_micros
 
 
 def asof_join(
@@ -86,7 +86,7 @@ def asof_join(
         from tsflex_spark.utils.distributed import with_global_carry
 
         is_time_on = str(left.schema[on].dataType).startswith("Timestamp")
-        ordn = F.unix_micros(F.col(on)) if is_time_on else F.col(on).cast("double")
+        ordn = ts_micros(on) if is_time_on else F.col(on).cast("double")
         if direction == "forward":
             ordn = -ordn
         u = u.withColumn("__ord", ordn)
@@ -103,7 +103,7 @@ def asof_join(
         is_time = str(left.schema[on].dataType).startswith("Timestamp")
         tol_n = to_numeric_units(tolerance, is_time)
         if is_time:
-            dist = F.abs(F.unix_micros(F.col(on)) - F.unix_micros(F.col("__mts")))
+            dist = F.abs(ts_micros(on) - ts_micros("__mts"))
         else:
             dist = F.abs(F.col(on) - F.col("__mts"))
         in_tol = F.col("__mts").isNotNull() & (dist <= F.lit(tol_n))

@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from tsflex_spark.features.catalog import lookup_native
+from tsflex_spark.utils.time_args import ts_micros
 
 
 def rolling_features_stream(
@@ -54,7 +55,7 @@ def rolling_features_stream(
             spec = lookup_native(name, {})
             assert spec is not None, f"{name!r} is not a native catalog function"
             exprs.append(
-                spec.build(F.col(series), F.unix_micros(F.col(ts_col)), {}).alias(
+                spec.build(F.col(series), ts_micros(ts_col), {}).alias(
                     f"{series}__{name}__w={window.replace(' ', '')}"
                 )
             )
@@ -86,7 +87,7 @@ def session_features_stream(
             spec = lookup_native(name, {})
             assert spec is not None, f"{name!r} is not a native catalog function"
             exprs.append(
-                spec.build(F.col(series), F.unix_micros(F.col(ts_col)), {}).alias(
+                spec.build(F.col(series), ts_micros(ts_col), {}).alias(
                     f"{series}__{name}__w=session"
                 )
             )

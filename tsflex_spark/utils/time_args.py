@@ -14,8 +14,24 @@ from __future__ import annotations
 from typing import Union
 
 import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
 
 MICROS = 1_000_000  # microseconds per second — engine-wide TIME unit
+
+
+def ts_micros(col: Union[str, Column]) -> Column:
+    """Timestamp column → integer microseconds since epoch (the TIME index).
+
+    Accepts both ``TIMESTAMP`` and ``TIMESTAMP_NTZ`` inputs: Spark 4 reads
+    tz-naive parquet timestamps as NTZ by default
+    (``spark.sql.parquet.inferTimestampNTZ.enabled=true``), and
+    ``unix_micros`` rejects NTZ outright. The ``cast("timestamp")`` is an
+    identity on TIMESTAMP and, with the session timezone pinned to UTC
+    (session.py), instant-preserving on NTZ — one expression covers both.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
 
 TimeArg = Union[str, pd.Timedelta, int, float]
 
