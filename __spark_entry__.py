@@ -514,12 +514,31 @@ def _udf_two_series_fn(a, b):
     return [float(len(a)), float(len(b)), maxdiff]
 
 
+def _udf_last_ts_fn(s):
+    # index-aware (input_type=pd.Series): timestamp of the last non-null
+    # sample — a TIME-VALUED feature (dtype preserved, not forced to double)
+    return s.index.max() if len(s) else None
+
+
+def _udf_level_fn(a):
+    # CATEGORICAL feature (string dtype preserved); integer-count threshold
+    # so both engines decide identically (no float boundary)
+    if len(a) == 0:
+        return None
+    return "many" if len(a) >= 100 else "few"
+
+
 def q_udf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UDF tier (SURVEY §2.10): arbitrary Python feature functions via one
-    Arrow applyInPandas per window config — a single-series custom range
-    and a MULTI-series (tuple series_name) 3-output function over ragged
-    per-series segment data (click-values vs view-values)."""
+    Arrow applyInPandas per window config — a single-series custom range,
+    a MULTI-series (tuple series_name) 3-output function over ragged
+    per-series segment data (click-values vs view-values), plus dtype
+    preservation (reference tests :1965-2046): a TIME-valued feature
+    (index-aware last-sample timestamp) and a CATEGORICAL string feature,
+    both declared via FuncWrapper(output_dtypes=...)."""
     _utc(spark)
+    import pandas as _pd
+
     from tsflex_spark import FuncWrapper
 
     ev = _events(spark, sf_dir).select(
@@ -539,6 +558,19 @@ def q_udf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "4h",
                 "4h",
             ),
+            FeatureDescriptor(
+                FuncWrapper(
+                    _udf_last_ts_fn,
+                    output_names="last_ts",
+                    input_type=_pd.Series,
+                    output_dtypes="timestamp",
+                ),
+                "v", "4h", "4h",
+            ),
+            FeatureDescriptor(
+                FuncWrapper(_udf_level_fn, output_names="level", output_dtypes="string"),
+                "v", "4h", "4h",
+            ),
         ]
     )
     out = fc.calculate(ev, ts_col="ts", bound_method="outer")
@@ -553,6 +585,8 @@ def q_udf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("va|vb__n_a__w=4h"), F.lit(0.0)).cast("bigint").alias("n_click"),
         F.coalesce(F.col("va|vb__n_b__w=4h"), F.lit(0.0)).cast("bigint").alias("n_view"),
         denan("va|vb__maxdiff__w=4h").alias("maxdiff"),
+        F.col("v__last_ts__w=4h").alias("last_ts"),
+        F.col("v__level__w=4h").alias("level"),
     )
 
 
@@ -571,11 +605,15 @@ agg AS (SELECT s_start,
                count(e.value) FILTER (WHERE e.event_type = 'click') AS n_click,
                count(e.value) FILTER (WHERE e.event_type = 'view')  AS n_view,
                max(e.value) FILTER (WHERE e.event_type = 'click')
-                 - max(e.value) FILTER (WHERE e.event_type = 'view') AS maxdiff
+                 - max(e.value) FILTER (WHERE e.event_type = 'view') AS maxdiff,
+               max(e.ts) FILTER (WHERE e.value IS NOT NULL) AS last_ts,
+               CASE WHEN count(e.value) = 0 THEN NULL
+                    WHEN count(e.value) >= 100 THEN 'many' ELSE 'few' END AS level
         FROM seg LEFT JOIN events e
           ON epoch_us(e.ts) >= s_start AND epoch_us(e.ts) < s_start + {w}
         GROUP BY s_start)
-SELECT make_timestamp(s_start + {w}) AS ts, vrange, n_click, n_view, maxdiff
+SELECT make_timestamp(s_start + {w}) AS ts, vrange, n_click, n_view, maxdiff,
+       last_ts, level
 FROM agg ORDER BY ts
 """
 
@@ -937,19 +975,25 @@ FROM documents GROUP BY text ORDER BY keep_id
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text analysis ops: char/token counts per document."""
+    """Text analysis ops: char/whitespace-token counts + BPE-ish token
+    counts (GPT-2-style word/digit/punct pieces via regexp_extract_all)
+    per document — two catalog ops, one gate (driver caps queries() at 50
+    entries; same table, same key, merged by doc_id join)."""
     _utc(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    from tsflex_spark.datapipe.text import text_stats
+    from tsflex_spark.datapipe.text import text_stats, token_count_bpe_ish
 
-    return text_stats(docs, "text", id_col="doc_id")
+    base = text_stats(docs, "text", id_col="doc_id")
+    bpe = token_count_bpe_ish(docs, "text", id_col="doc_id")
+    return base.join(bpe, on="doc_id").orderBy("doc_id")
 
 
 def _oracle_text_stats() -> str:
-    return """
+    return r"""
 SELECT doc_id,
        length(text) AS n_chars,
-       len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens
+       len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]', 0)) AS n_bpe_tokens
 FROM documents ORDER BY doc_id
 """
 
@@ -957,12 +1001,16 @@ FROM documents ORDER BY doc_id
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text quality features (SURVEY north-star): length / word-length /
     punct / digit / upper / stopword ratios + composite score — pure
-    codegen expressions, no Python."""
+    codegen expressions, no Python. Also carries the heuristic language-ID
+    (argmax of per-language stopword hits over {en,de,fr,es,nl}, 'und'
+    when nothing matches) — two catalog ops, one gate (50-entry cap)."""
     _utc(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    from tsflex_spark.datapipe.text import quality_score
+    from tsflex_spark.datapipe.text import language_id, quality_score
 
-    return quality_score(docs, "text", id_col="doc_id").orderBy("doc_id")
+    q = quality_score(docs, "text", id_col="doc_id")
+    lang = language_id(docs, "text", id_col="doc_id")
+    return q.join(lang, on="doc_id").orderBy("doc_id")
 
 
 def _oracle_quality_score() -> str:
@@ -994,24 +1042,16 @@ SELECT doc_id,
        (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.25 ELSE 0.0 END
         + CASE WHEN mean_word_len >= 3 AND mean_word_len <= 12 THEN 0.25 ELSE 0.0 END
         + CASE WHEN n_digit / safe_chars < 0.2 THEN 0.25 ELSE 0.0 END
-        + CASE WHEN n_stop / safe_toks > 0.0 THEN 0.25 ELSE 0.0 END) AS quality_score
+        + CASE WHEN n_stop / safe_toks > 0.0 THEN 0.25 ELSE 0.0 END) AS quality_score,
+       {_lang_pred_sql()} AS lang_pred
 FROM d ORDER BY doc_id
 """
 
 
-def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language ID (SURVEY north-star): argmax of per-language
-    stopword hits over {en,de,fr,es,nl}; 'und' when nothing matches."""
-    _utc(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    from tsflex_spark.datapipe.text import language_id
-
-    return language_id(docs, "text", id_col="doc_id").orderBy("doc_id")
-
-
-def _oracle_language_id() -> str:
-    # mirror of _LANG_MARKERS; argmax = lexicographic max over (hits, lang)
-    # structs — matches Spark's array_max struct ordering
+def _lang_pred_sql() -> str:
+    """Scalar language-ID expression over ``toks`` (mirror of
+    datapipe.text._LANG_MARKERS; argmax = lexicographic max over
+    (hits, lang) structs — matches Spark's array_max struct ordering)."""
     markers = {
         "en": "['the','and','of','to','is']",
         "de": "['der','die','und','ist','nicht']",
@@ -1019,45 +1059,15 @@ def _oracle_language_id() -> str:
         "es": "['el','los','es','una','que']",
         "nl": "['de','het','een','en','van']",
     }
-    hit_cols = ",\n         ".join(
-        f"len(list_filter(lt, x -> list_contains({m}, x))) AS h_{lang}"
+    structs = ", ".join(
+        f"{{'hits': len(list_filter(list_transform(toks, x -> lower(x)), "
+        f"x -> list_contains({m}, x))), 'lang': '{lang}'}}"
         for lang, m in markers.items()
     )
-    structs = ", ".join(f"{{'hits': h_{lang}, 'lang': '{lang}'}}" for lang in markers)
-    return f"""
-WITH t AS (
-  SELECT doc_id,
-         list_transform(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
-                        x -> lower(x)) AS lt
-  FROM documents),
-h AS (
-  SELECT doc_id,
-         {hit_cols}
-  FROM t),
-b AS (
-  SELECT doc_id, list_sort([{structs}])[-1] AS best FROM h)
-SELECT doc_id,
-       CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang_pred
-FROM b ORDER BY doc_id
-"""
-
-
-def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-ish token counting (SURVEY north-star): GPT-2-style
-    word/digit/punct pieces via regexp_extract_all — JVM regex only."""
-    _utc(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    from tsflex_spark.datapipe.text import token_count_bpe_ish
-
-    return token_count_bpe_ish(docs, "text", id_col="doc_id")
-
-
-def _oracle_bpe_token_count() -> str:
-    return r"""
-SELECT doc_id,
-       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]', 0)) AS n_bpe_tokens
-FROM documents ORDER BY doc_id
-"""
+    return (
+        f"(CASE WHEN list_sort([{structs}])[-1].hits > 0 "
+        f"THEN list_sort([{structs}])[-1].lang ELSE 'und' END)"
+    )
 
 
 def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1160,17 +1170,24 @@ SELECT vec_id, cosine FROM s ORDER BY cosine DESC, vec_id LIMIT 10
 """
 
 
-def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-10 via deterministic random-hyperplane LSH buckets with
-    multi-probe (hamming <= 2). Approximate by design — rows-only check."""
+def q_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both ANN scale paths in one gate (driver caps queries() at 50):
+    top-10 via deterministic random-hyperplane LSH buckets with multi-probe
+    (hamming <= 2), unioned with top-10 via the IVF path (seeded MLlib
+    KMeans coarse quantizer, nprobe=4 of nlist=16 cells, exact cosine
+    re-rank), tagged by method. Approximate by design — rows-only check."""
     _utc(spark)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    from tsflex_spark.datapipe.similarity import lsh_bucket_topk
+    from tsflex_spark.datapipe.similarity import ivf_topk, lsh_bucket_topk
 
+    base = emb.where(F.col("vec_id") != 0)
     dim = len(emb.select("embedding").first()[0])
     q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_vec"))
-    return lsh_bucket_topk(
-        emb.where(F.col("vec_id") != 0), q, k=10, num_planes=8, dim=dim, probe_hamming=2
+    lsh = lsh_bucket_topk(base, q, k=10, num_planes=8, dim=dim, probe_hamming=2)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    ivf = ivf_topk(base, qv, k=10, nlist=16, nprobe=4)
+    return lsh.select(F.lit("lsh").alias("method"), "vec_id", "cosine").unionByName(
+        ivf.select(F.lit("ivf").alias("method"), "vec_id", "cosine")
     )
 
 
@@ -1462,20 +1479,6 @@ p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       FROM e a JOIN e b ON a.vec_id < b.vec_id)
 SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.45 ORDER BY id_a, id_b
 """
-
-
-def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-10 (SURVEY north-star scale path): seeded MLlib KMeans
-    coarse quantizer, nprobe=4 of nlist=16 cells scanned, exact cosine
-    re-rank. Approximate by design — rows-only check."""
-    _utc(spark)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    from tsflex_spark.datapipe.similarity import ivf_topk
-
-    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
-    return ivf_topk(
-        emb.where(F.col("vec_id") != 0), qv, k=10, nlist=16, nprobe=4
-    )
 
 
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2346,16 +2349,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "quality_score": q_quality_score,
-        "language_id": q_language_id,
-        "bpe_token_count": q_bpe_token_count,
         "fingerprint_dedup": q_fingerprint_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_topk": q_cosine_topk,
-        "lsh_ann": q_lsh_ann,
+        "ann_methods": q_ann_methods,
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
         "embedding_neardup": q_embedding_neardup,
-        "ivf_ann": q_ivf_ann,
         "asof_join": q_asof_join,
         "processing_resample": q_processing_resample,
         "robust_features": q_robust_features,
@@ -2404,8 +2404,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _oracle_dedup_exact(),
         "text_stats": _oracle_text_stats(),
         "quality_score": _oracle_quality_score(),
-        "language_id": _oracle_language_id(),
-        "bpe_token_count": _oracle_bpe_token_count(),
         "fingerprint_dedup": _oracle_fingerprint_dedup(),
         "ngram_jaccard": _oracle_ngram_jaccard(),
         "cosine_topk": _oracle_cosine_topk(),
@@ -2427,6 +2425,6 @@ def oracle_sql() -> dict[str, str]:
         "time_weighted_mean": _oracle_time_weighted_mean(),
         "integration_features": _oracle_integration_features(),
         "processing_per_user_diff": _oracle_processing_per_user_diff(),
-        # lsh_ann / minhash_dedup / simhash / ivf_ann: engine-specific
-        # hashes or approximate — rows-only checks by design
+        # ann_methods / minhash_dedup / simhash: engine-specific hashes or
+        # approximate — rows-only checks by design
     }

@@ -31,6 +31,41 @@ def test_log_execution_and_stats(tmp_path):
     assert set(sstats["series_names"]) == {"EDA", "TMP"}
 
 
+def test_log_parser_survives_pipe_joined_labels(tmp_path):
+    """Fused multi-function configs and two-series features produce
+    '|'-joined labels (``sum|count``, ``va|vb``); the parser must not split
+    the message on those pipes (only on the formatter's ``" | "``)."""
+    from tsflex_spark.utils.logging import (
+        get_feature_logs,
+        get_function_stats,
+        get_processor_logs,
+        log_execution,
+    )
+
+    log_file = str(tmp_path / "fused.log")
+    with log_execution(
+        "count|min|sum", "va|vb", "1h", "30m",
+        "va|vb__corr__w=1h,va__sum__w=1h", log_file,
+    ):
+        pass
+    with log_execution("corr", "va|vb", "4h", "2h", "va|vb__corr__w=4h", log_file):
+        pass
+
+    logs = get_feature_logs(log_file)
+    assert len(logs) == 2
+    assert set(logs["function"]) == {"count|min|sum", "corr"}
+    assert set(logs["series_names"]) == {"va|vb"}
+
+    stats = get_function_stats(log_file)
+    assert len(stats) == 2
+    assert set(stats["function"]) == {"count|min|sum", "corr"}
+    assert (stats["count"] == 1).all()
+
+    plogs = get_processor_logs(log_file)
+    assert len(plogs) == 2
+    assert abs(plogs["duration %"].sum() - 100.0) < 0.1
+
+
 def test_seglearn_wrapper_shape():
     from tsflex_spark.features.integrations import seglearn_wrapper
 
@@ -84,6 +119,45 @@ def test_udf_tier_in_collection(spark):
     )
     out = fc.calculate(df, ts_col="ts").toPandas().sort_values("ts")
     assert list(out["v__rng__w=50s"]) == [49.0, 49.0]
+
+
+def test_udf_output_dtypes_preserved(spark):
+    """Non-double UDF outputs (reference keeps the function's dtype,
+    tests :1965-2046): declared via output_dtypes, values survive
+    untouched — a timestamp-valued and a string-valued feature."""
+    from tsflex_spark import FuncWrapper
+
+    ts = pd.date_range("2024-01-01", periods=101, freq="1s")
+    df = spark.createDataFrame(pd.DataFrame({"ts": ts, "v": np.arange(101.0)}))
+
+    def last_sample_ts(s: pd.Series):
+        return s.index.max() if len(s) else None
+
+    def bucket(a):
+        return "big" if len(a) and float(np.max(a)) >= 50 else "small"
+
+    fc = FeatureCollection(
+        [
+            FeatureDescriptor(
+                FuncWrapper(
+                    last_sample_ts, output_names="lts",
+                    input_type=pd.Series, output_dtypes="timestamp",
+                ),
+                "v", "50s", "50s",
+            ),
+            FeatureDescriptor(
+                FuncWrapper(bucket, output_names="b", output_dtypes="string"),
+                "v", "50s", "50s",
+            ),
+        ]
+    )
+    out = fc.calculate(df, ts_col="ts").toPandas().sort_values("ts")
+    assert str(out["v__lts__w=50s"].dtype).startswith("datetime64")
+    assert list(out["v__b__w=50s"]) == ["small", "big"]
+    assert list(out["v__lts__w=50s"]) == [
+        pd.Timestamp("2024-01-01 00:00:49"),
+        pd.Timestamp("2024-01-01 00:01:39"),
+    ]
 
 
 def test_make_robust_min_samples(spark):

@@ -99,6 +99,30 @@ def test_minhash_finds_near_dups(spark):
     assert set(survivors["doc_id"]) == {0, 2}
 
 
+def test_oph_short_disjoint_docs_share_no_bands(spark):
+    """Short docs have empty OPH bins; densification must be PER-DOC (keyed
+    on the doc's own min hash), so two disjoint short docs share zero
+    band hashes — a global sentinel fill would make every short-doc pair an
+    LSH candidate (O(n²) at scale)."""
+    from tsflex_spark.datapipe.dedup import minhash_lsh_candidates, minhash_signatures
+
+    # ~8 shingles each at k=5 << num_hashes=64 -> most bins empty
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["abcdefghijkl", "zyxwvutsrqpo"]})
+    )
+    sigs = minhash_signatures(df, "text", "doc_id", num_hashes=64)
+    cands = minhash_lsh_candidates(sigs, "doc_id", num_bands=16).toPandas()
+    assert len(cands) == 0
+
+    # determinism: identical shingle sets still densify identically
+    df2 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["abcdefghijkl", "abcdefghijkl"]})
+    )
+    sigs2 = minhash_signatures(df2, "text", "doc_id", num_hashes=64)
+    cands2 = minhash_lsh_candidates(sigs2, "doc_id", num_bands=16).toPandas()
+    assert len(cands2) == 1
+
+
 def test_simhash_similar_docs_close(spark):
     base = "the quick brown fox jumps over the lazy dog " * 10
     near = base.replace("dog", "cat")

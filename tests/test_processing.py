@@ -118,7 +118,13 @@ def test_drop_keys_and_required_only(spark, small_sdf):
     assert set(out.columns) == {"ts", "a2"}
 
 
-def test_sparsity_warning(spark):
+def test_sparsity_warning_fires_by_default(spark):
+    """Reference parity: the gap warning is ON by default
+    (approve_sparsity=False). The check is non-eager — counts ride the main
+    aggregation via observe() — so the warning lands when the plan is
+    actually executed (join the watcher for determinism)."""
+    from tsflex_spark.features.feature_collection import join_sparsity_watchers
+
     # 10 samples, a gap -> windows with unequal counts must warn
     ts = list(pd.date_range("2024-01-01", periods=10, freq="1s")) + list(
         pd.date_range("2024-01-01 00:00:30", periods=10, freq="1s")
@@ -126,7 +132,24 @@ def test_sparsity_warning(spark):
     df = spark.createDataFrame(pd.DataFrame({"ts": ts, "v": 1.0}))
     fc = FeatureCollection([FeatureDescriptor("sum", "v", "10s", "10s")])
     with pytest.warns(RuntimeWarning, match="gaps"):
-        fc.calculate(df, ts_col="ts", approve_sparsity=False)
+        fc.calculate(df, ts_col="ts").collect()
+        join_sparsity_watchers()
+
+
+def test_sparsity_approved_no_warning(spark):
+    import warnings as _w
+
+    from tsflex_spark.features.feature_collection import join_sparsity_watchers
+
+    ts = list(pd.date_range("2024-01-01", periods=10, freq="1s")) + list(
+        pd.date_range("2024-01-01 00:00:30", periods=10, freq="1s")
+    )
+    df = spark.createDataFrame(pd.DataFrame({"ts": ts, "v": 1.0}))
+    fc = FeatureCollection([FeatureDescriptor("sum", "v", "10s", "10s")])
+    with _w.catch_warnings():
+        _w.simplefilter("error", RuntimeWarning)
+        fc.calculate(df, ts_col="ts", approve_sparsity=True).collect()
+        join_sparsity_watchers()
 
 
 def test_serialization_roundtrip(spark, small_sdf, tmp_path):

@@ -148,16 +148,22 @@ def minhash_signatures(
         id_col, F.pmod(F.col("__h"), F.lit(k)).cast("int").alias("__bin")
     ).agg(F.min("__h").alias("__mh"))
     m = binned.groupBy(id_col).agg(
-        F.map_from_arrays(F.collect_list("__bin"), F.collect_list("__mh")).alias("__m")
+        F.map_from_arrays(F.collect_list("__bin"), F.collect_list("__mh")).alias("__m"),
+        F.min("__mh").alias("__dm"),
     )
     mm = F.col("__m")
+    # empty-bin densification: circular borrow from the next two bins, then
+    # a PER-DOC fill xxhash64(doc_min_hash, j) — never a global sentinel
+    # (a shared constant would make all short docs collide on densified
+    # band hashes → O(n²) false candidates among short docs at scale).
+    # Equal shingle sets still densify identically (same doc_min_hash).
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda j: F.coalesce(
             F.try_element_at(mm, j),
             F.try_element_at(mm, F.pmod(j + 1, F.lit(k))),
             F.try_element_at(mm, F.pmod(j + 2, F.lit(k))),
-            F.lit(2**63 - 1),
+            F.xxhash64(F.col("__dm"), j),
         ),
     )
     return m.select(F.col(id_col), sig.alias("minhash"))

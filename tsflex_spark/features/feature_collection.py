@@ -53,6 +53,26 @@ def _col_name(series_tuple: Tuple[str, ...], output_name: str, win_str: str) -> 
     return f"{'|'.join(series_tuple)}__{output_name}__w={win_str}"
 
 
+# daemon threads waiting on in-flight sparsity observations (module-level:
+# FeatureCollection must stay cloudpickle-serializable, threads are not)
+_SPARSITY_WATCHERS: List = []
+
+
+def join_sparsity_watchers(timeout: float = 30.0) -> None:
+    """Wait for pending sparsity-warning watchers (deterministic tests)."""
+    while _SPARSITY_WATCHERS:
+        _SPARSITY_WATCHERS.pop().join(timeout=timeout)
+
+
+def _resolve_dtype(dt: Any) -> T.DataType:
+    """FuncWrapper ``output_dtypes`` entry → Spark DataType (None → double)."""
+    if dt is None:
+        return T.DoubleType()
+    if isinstance(dt, T.DataType):
+        return dt
+    return T.DataType.fromDDL(str(dt))
+
+
 class FeatureCollection:
     def __init__(self, feature_descriptors: Optional[FeatureInput] = None):
         self._feature_desc_dict: Dict[Tuple[Tuple[str, ...], str], List[FeatureDescriptor]] = {}
@@ -156,7 +176,7 @@ class FeatureCollection:
         window_idx: str = "end",
         include_final_window: bool = False,
         bound_method: str = "inner",
-        approve_sparsity: bool = True,
+        approve_sparsity: bool = False,
         group_by_all: Optional[Union[str, Sequence[str]]] = None,
         group_by_consecutive: Optional[str] = None,
         logging_file_path: Optional[str] = None,
@@ -230,8 +250,7 @@ class FeatureCollection:
                 strides_n = tuple(sorted({to_numeric_units(s, is_time) for s in strides}))
                 configs.setdefault((window_n, strides_n), []).append((series_tuple, win_str, fd))
 
-        if not approve_sparsity and not manual:
-            self._check_sparsity(data_n, bounds, configs, key_cols, include_final_window)
+        check_sparsity = not approve_sparsity and not manual
 
         outputs: List[DataFrame] = []
         for cfg, entries in configs.items():
@@ -263,6 +282,7 @@ class FeatureCollection:
                     out = self._run_grid_config(
                         data_n, bounds, entries, window_n, list(strides_n),
                         include_final_window, key_cols, window_idx, domain, ts_col,
+                        check_sparsity=check_sparsity,
                     )
             outputs.append(out)
 
@@ -277,45 +297,54 @@ class FeatureCollection:
             ts_col, *key_cols, *[F.col(f"`{c}`") for c in feat_cols]
         ).orderBy(*key_cols, ts_col)
 
-    def _check_sparsity(
-        self,
-        data_n: DataFrame,
-        bounds: DataFrame,
-        configs: Dict,
-        key_cols: List[str],
-        include_final_window: bool,
-    ) -> None:
-        """Warn when windows have unequal sample counts
-        (reference strided_rolling.py:230-239). Eager tiny job per config:
-        countDistinct over per-segment counts."""
-        for cfg, entries in configs.items():
-            if cfg[0] in ("manual", "count"):
-                continue
-            window_n, strides_n = cfg
-            needed = sorted({s for st, _, _fd in entries for s in st})
-            assigned = seg.assign_segments(
-                data_n.select(TSN, *key_cols, *needed),
-                bounds, window_n, list(strides_n), include_final_window, key_cols,
-            )
-            # empty segments drop out of the data-side assignment — restore
-            # them from the independently generated spine so a gap (count 0
-            # vs count n) is detected, like the reference's per-window counts
-            spine = seg.make_segment_spine(
-                bounds, window_n, list(strides_n), include_final_window, key_cols
-            )
-            for s in needed:
-                counts = assigned.groupBy(*key_cols, SEG).agg(
-                    F.count(F.col(s)).alias("__c")
-                )
-                counts = spine.join(counts, on=[*key_cols, SEG], how="left").select(
-                    F.coalesce(F.col("__c"), F.lit(0)).alias("__c")
-                )
-                n_distinct = counts.select(F.count_distinct("__c")).first()[0]
-                if n_distinct and n_distinct > 1:
+    def _attach_sparsity_observer(self, out: DataFrame, needed: List[str]) -> DataFrame:
+        """Non-eager sparsity check (reference strided_rolling.py:230-239
+        warns on unequal per-window sample counts, ON by default).
+
+        Instead of an extra eager job per config (which would double every
+        ``calculate()``'s cluster work), the per-segment counts ride the
+        config's OWN aggregation as hidden ``__spc_i`` columns and are
+        reduced by ``DataFrame.observe`` — metrics Spark collects for free
+        while the first real action on the result runs. A daemon thread
+        waits on the observation and emits the warning; if the user never
+        executes the plan, no work happens and no warning fires (lazy
+        engine semantics). ``observe`` forbids DISTINCT aggregates, so
+        non-uniformity is detected as ``min(count) != max(count)`` —
+        equivalent for "are all window counts equal". Segments absent from
+        the data side (restored by the spine join) count as 0 via the
+        coalesce, so gaps vs. empty windows are detected like the
+        reference's per-window counts.
+        """
+        import threading
+
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        exprs: List[Column] = []
+        for i in range(len(needed)):
+            c = F.coalesce(F.col(f"__spc_{i}"), F.lit(0))
+            exprs.append(F.min(c).alias(f"mn_{i}"))
+            exprs.append(F.max(c).alias(f"mx_{i}"))
+        out = out.observe(obs, exprs[0], *exprs[1:])
+
+        series = list(needed)
+
+        def _watch() -> None:
+            try:
+                m = obs.get  # blocks until the first action on `out` ends
+            except Exception:
+                return
+            for i, s in enumerate(series):
+                if m.get(f"mn_{i}") != m.get(f"mx_{i}"):
                     warnings.warn(
                         f"There are gaps in the sequence of the {s!r} series!",
                         RuntimeWarning,
                     )
+
+        t = threading.Thread(target=_watch, daemon=True, name="tsflex-sparsity")
+        t.start()
+        _SPARSITY_WATCHERS.append(t)
+        return out.drop(*[f"__spc_{i}" for i in range(len(needed))])
 
     # ----------------------------------------------------------- internals
     def _split_tiers(
@@ -376,11 +405,14 @@ class FeatureCollection:
 
         out_fields = [assigned.schema[c] for c in group_cols]
         out_names: List[str] = []
+        out_types: List[T.DataType] = []
         for series_tuple, win_str, fw in out_specs:
-            for o in fw.output_names:
+            for o, dt in zip(fw.output_names, fw.output_dtypes):
                 out_names.append(_col_name(series_tuple, o, win_str))
+                out_types.append(_resolve_dtype(dt))
         schema = T.StructType(
-            out_fields + [T.StructField(n, T.DoubleType(), True) for n in out_names]
+            out_fields
+            + [T.StructField(n, t, True) for n, t in zip(out_names, out_types)]
         )
 
         is_time = domain == DataType.TIME
@@ -407,11 +439,16 @@ class FeatureCollection:
                     outs = fw.apply(series_vals)
                 except Exception:
                     outs = [np.nan] * len(fw.output_names)
-                for o, v in zip(fw.output_names, outs):
-                    try:
-                        row[_col_name(series_tuple, o, win_str)] = float(v)
-                    except (TypeError, ValueError):
-                        row[_col_name(series_tuple, o, win_str)] = np.nan
+                for o, dt, v in zip(fw.output_names, fw.output_dtypes, outs):
+                    name = _col_name(series_tuple, o, win_str)
+                    if dt is None:  # default double tier — coerce like before
+                        try:
+                            row[name] = float(v)
+                        except (TypeError, ValueError):
+                            row[name] = np.nan
+                    else:  # declared dtype — preserve the raw value (NaN -> NULL)
+                        is_nan = isinstance(v, float) and np.isnan(v)
+                        row[name] = None if (v is None or is_nan) else v
             return pd.DataFrame([row])
 
         return assigned.groupBy(*group_cols).applyInPandas(run, schema)
@@ -428,13 +465,14 @@ class FeatureCollection:
         window_idx: str,
         domain: DataType,
         ts_col: str,
+        check_sparsity: bool = False,
     ) -> DataFrame:
         native, udf = self._split_tiers(entries)
         needed = sorted({s for series_tuple, _, _fd in entries for s in series_tuple})
         two = self._try_two_level(
             data_n.select(TSN, *key_cols, *needed), bounds, native, udf,
             window_n, strides_n, include_final_window, key_cols, window_idx,
-            domain, ts_col,
+            domain, ts_col, check_sparsity=check_sparsity,
         )
         if two is not None:
             return two
@@ -444,9 +482,19 @@ class FeatureCollection:
         )
         group_cols = [*key_cols, SEG]
 
+        # hidden per-series segment counts for the non-eager sparsity check
+        spc = (
+            [F.count(F.col(s)).alias(f"__spc_{i}") for i, s in enumerate(needed)]
+            if check_sparsity
+            else []
+        )
         parts: List[DataFrame] = []
         if native:
-            parts.append(assigned.groupBy(*group_cols).agg(*self._native_agg_exprs(native)))
+            parts.append(
+                assigned.groupBy(*group_cols).agg(*self._native_agg_exprs(native), *spc)
+            )
+        elif spc:
+            parts.append(assigned.groupBy(*group_cols).agg(*spc))
         if udf:
             parts.append(self._udf_apply(assigned, udf, group_cols, domain))
         result = parts[0]
@@ -457,6 +505,8 @@ class FeatureCollection:
         out = spine.join(result, on=group_cols, how="left")
         for colname, fill in self._native_empty_fills(native).items():
             out = out.withColumn(colname, F.coalesce(F.col(colname), F.lit(fill)))
+        if spc:
+            out = self._attach_sparsity_observer(out, needed)
         out = out.withColumn(OUT_IDX, seg.out_idx_expr(window_idx, domain))
         out = out.withColumn(ts_col, seg.output_index(F.col(OUT_IDX), domain))
         return out.drop(SEG, SEG_END, OUT_IDX)
@@ -478,6 +528,7 @@ class FeatureCollection:
         window_idx: str,
         domain: DataType,
         ts_col: str,
+        check_sparsity: bool = False,
     ) -> Optional[DataFrame]:
         """Two-level pre-aggregation for small-stride/large-window configs.
 
@@ -552,6 +603,17 @@ class FeatureCollection:
                     agg_list.append(
                         partial_builder(kind)(F.col(sname), F.col(TSN)).alias(alias)
                     )
+        # sparsity check rides the same partial/final aggregation (counts
+        # decompose exactly: per-segment count = Σ per-bucket counts)
+        spc_series = (
+            sorted({st[0] for st, _ws, _fd, _sp in native}) if check_sparsity else []
+        )
+        for sname in spc_series:
+            key = ("cnt", sname)
+            if key not in partial_exprs:
+                alias = f"__p_cnt_{sname}"
+                partial_exprs[key] = alias
+                agg_list.append(partial_builder("cnt")(F.col(sname), F.col(TSN)).alias(alias))
         partials = joined.groupBy(*key_cols, "__bkt").agg(*agg_list)
 
         # 2. bucket table -> segment assignment in bucket space
@@ -568,6 +630,10 @@ class FeatureCollection:
             out_name = _col_name(series_tuple, fd.function.output_names[0], win_str)
             pcols = {k: F.col(partial_exprs[(k, sname)]) for k in kinds}
             final_exprs.append(fin(pcols).alias(out_name))
+        for i, sname in enumerate(spc_series):
+            final_exprs.append(
+                F.sum(F.col(partial_exprs[("cnt", sname)])).alias(f"__spc_{i}")
+            )
         result = assigned.groupBy(*group_cols).agg(*final_exprs)
 
         spine = seg.make_segment_spine(
@@ -576,6 +642,8 @@ class FeatureCollection:
         out = spine.join(result, on=group_cols, how="left")
         for colname, fill in self._native_empty_fills(native).items():
             out = out.withColumn(colname, F.coalesce(F.col(colname), F.lit(fill)))
+        if spc_series:
+            out = self._attach_sparsity_observer(out, spc_series)
         out = out.withColumn(OUT_IDX, seg.out_idx_expr(window_idx, domain))
         out = out.withColumn(ts_col, seg.output_index(F.col(OUT_IDX), domain))
         return out.drop(SEG, SEG_END, OUT_IDX)

@@ -37,6 +37,7 @@ class FuncWrapper:
         output_names: Optional[Union[str, List[str]]] = None,
         input_type: Any = np.ndarray,
         vectorized: bool = False,
+        output_dtypes: Optional[Union[str, Any, List]] = None,
         **kwargs: Any,
     ):
         self.func = func
@@ -51,6 +52,22 @@ class FuncWrapper:
         assert input_type in (np.ndarray, pd.Series), "input_type must be np.ndarray or pd.Series"
         self.input_type = input_type
         self.vectorized = vectorized
+        # per-output Spark types (DDL string like "string"/"timestamp", or a
+        # pyspark DataType); None -> DoubleType. The reference RETAINS the
+        # dtype of whatever the function returns (its tests
+        # test_features_feature_collection.py:1965-2046, retention :2089);
+        # Spark needs the output schema at PLAN time, so non-double outputs
+        # are declared here instead of inferred.
+        if output_dtypes is None or isinstance(output_dtypes, str):
+            dts = [output_dtypes] * len(self.output_names)
+        elif isinstance(output_dtypes, (list, tuple)):
+            dts = list(output_dtypes)
+        else:
+            dts = [output_dtypes] * len(self.output_names)
+        assert len(dts) == len(self.output_names), (
+            "output_dtypes must align with output_names"
+        )
+        self.output_dtypes: List = dts
 
     # --- plan-time dispatch ---------------------------------------------
     @property
@@ -130,4 +147,6 @@ def make_robust(
         return inner.func(*series, **inner.kwargs)
 
     robust.__name__ = "[robust]__" + inner.func_name
-    return FuncWrapper(robust, output_names=inner.output_names)
+    return FuncWrapper(
+        robust, output_names=inner.output_names, output_dtypes=inner.output_dtypes
+    )

@@ -69,9 +69,24 @@ def get_feature_logs(logging_file_path: str) -> pd.DataFrame:
 
     Mirrors reference tsflex/features/logger.py:30-72.
     """
-    raw = pd.read_csv(
-        logging_file_path, sep="|", header=None, names=["log_time", "log_level", "message"]
-    )
+    # NOT read_csv(sep="|"): the message field itself contains '|' (fused
+    # function lists, multi-series labels like ``va|vb``). The file format
+    # is exactly ``asctime | LEVEL | message`` — split each line on the
+    # first two ``" | "`` separators only.
+    rows = []
+    with open(logging_file_path) as fh:
+        for line in fh:
+            parts = line.rstrip("\n").split(" | ", 2)
+            if len(parts) == 3:
+                rows.append(parts)
+    raw = pd.DataFrame(rows, columns=["log_time", "log_level", "message"])
+    if raw.empty:
+        return pd.DataFrame(
+            columns=[
+                "log_time", "function", "series_names", "window",
+                "stride", "output_names", "duration",
+            ]
+        )
     raw["log_time"] = pd.to_datetime(raw["log_time"].str.strip(), format="mixed")
     ext = raw["message"].str.strip().str.extract(_LOG_RE)
     out = pd.concat([raw[["log_time"]], ext], axis=1).dropna(subset=["function"])
