@@ -2014,10 +2014,17 @@ def q_sliding_fine_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fine-stride sliding windows (4h window / 10m stride, fan-out 24):
     exercises the two-level pre-aggregation rewrite — rows bucket at the
     gcd grain (one un-duplicated shuffle), buckets roll into segments.
-    Decimal sums keep the rewrite bit-exact vs the oracle."""
+    Decimal sums keep the rewrite bit-exact vs the oracle, INCLUDING the
+    moment (std) and two-series (corr) decompositions: partial exact sums
+    per bucket, final double formula identical on both engines."""
     _utc(spark)
+    va = F.col("value").cast("decimal(12,2)")
+    vb = (va + F.col("user_id").cast("decimal(10,0)")).cast("decimal(14,2)")
     ev = _events(spark, sf_dir).select(
-        "ts", F.col("value").cast("decimal(18,2)").alias("value")
+        "ts",
+        F.col("value").cast("decimal(18,2)").alias("value"),
+        va.alias("va"),
+        vb.alias("vb"),
     )
     fc = FeatureCollection(
         [
@@ -2025,6 +2032,8 @@ def q_sliding_fine_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
             FeatureDescriptor("count", "value", "4h", "10m"),
             FeatureDescriptor("min", "value", "4h", "10m"),
             FeatureDescriptor("max", "value", "4h", "10m"),
+            FeatureDescriptor("std", "value", "4h", "10m"),
+            FeatureDescriptor("corr", ("va", "vb"), "4h", "10m"),
         ]
     )
     out = fc.calculate(ev, ts_col="ts")
@@ -2034,6 +2043,8 @@ def q_sliding_fine_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value__count__w=4h").cast("bigint").alias("cnt_val"),
         F.col("value__min__w=4h").cast("double").alias("min_val"),
         F.col("value__max__w=4h").cast("double").alias("max_val"),
+        F.col("value__std__w=4h").alias("std_val"),
+        F.col("va|vb__corr__w=4h").alias("corr_ab"),
     )
 
 
@@ -2047,18 +2058,37 @@ k AS (SELECT t0, t1,
 seg AS (SELECT t0 + kk * {s} AS s_start
         FROM k CROSS JOIN generate_series(0, 1000000) AS g(kk)
         WHERE kk < nb),
+ev AS (SELECT epoch_us(ts) AS tn, value,
+              CAST(value AS DECIMAL(12,2)) AS va,
+              CAST(CAST(value AS DECIMAL(12,2)) + CAST(user_id AS DECIMAL(10,0))
+                   AS DECIMAL(14,2)) AS vb
+       FROM events),
 agg AS (SELECT s_start,
                sum(CAST(e.value AS DECIMAL(18,2))) AS sum_dec,
                count(e.value) AS cnt,
-               min(e.value) AS mn, max(e.value) AS mx
-        FROM seg LEFT JOIN events e
-          ON epoch_us(e.ts) >= s_start AND epoch_us(e.ts) < s_start + {w}
+               min(e.value) AS mn, max(e.value) AS mx,
+               CAST(count(e.value) AS DOUBLE) AS n,
+               CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sv,
+               CAST(sum(CAST(e.value AS DECIMAL(18,2)) * CAST(e.value AS DECIMAL(18,2)))
+                    AS DOUBLE) AS sq,
+               CAST(sum(e.va) AS DOUBLE) AS sa,
+               CAST(sum(e.vb) AS DOUBLE) AS sb,
+               CAST(sum(e.va * e.vb) AS DOUBLE) AS sab,
+               CAST(sum(e.va * e.va) AS DOUBLE) AS saa,
+               CAST(sum(e.vb * e.vb) AS DOUBLE) AS sbb
+        FROM seg LEFT JOIN ev e
+          ON e.tn >= s_start AND e.tn < s_start + {w}
         GROUP BY s_start)
 SELECT make_timestamp(s_start + {w}) AS ts,
        coalesce(CAST(sum_dec AS DOUBLE), 0.0) AS sum_val,
        cnt AS cnt_val,
        mn AS min_val,
-       mx AS max_val
+       mx AS max_val,
+       CASE WHEN n > 0
+            THEN sqrt(greatest((n * sq - sv * sv) / (n * n), 0.0)) END AS std_val,
+       CASE WHEN n > 1 AND (n * saa - sa * sa) * (n * sbb - sb * sb) > 0
+            THEN (n * sab - sa * sb)
+                 / sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)) END AS corr_ab
 FROM agg ORDER BY ts
 """
 

@@ -118,6 +118,27 @@ def test_drop_keys_and_required_only(spark, small_sdf):
     assert set(out.columns) == {"ts", "a2"}
 
 
+def test_processor_declared_output_schema(spark):
+    """output_schema declares the added columns -> plan builds without the
+    100-row driver probe; results identical to the probed path."""
+    ts = pd.date_range("2024-01-01", periods=50, freq="1s")
+    df = spark.createDataFrame(pd.DataFrame({"ts": ts, "v": np.arange(50.0)}))
+
+    def diffs(v: pd.Series) -> pd.Series:
+        return pd.Series(v.to_numpy(), index=v.index, name="v_diff").diff()
+
+    p_probe = SeriesProcessor(diffs, "v", input_type="pandas")
+    p_decl = SeriesProcessor(
+        diffs, "v", input_type="pandas", output_schema="v_diff double"
+    )
+    out1 = SeriesPipeline([p_probe]).process(df, ts_col="ts").toPandas()
+    out2 = SeriesPipeline([p_decl]).process(df, ts_col="ts").toPandas()
+    pd.testing.assert_frame_equal(
+        out1.sort_values("ts").reset_index(drop=True),
+        out2.sort_values("ts").reset_index(drop=True),
+    )
+
+
 def test_sparsity_warning_fires_by_default(spark):
     """Reference parity: the gap warning is ON by default
     (approve_sparsity=False). The check is non-eager — counts ride the main

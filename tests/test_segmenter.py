@@ -383,6 +383,60 @@ def test_two_level_rewrite_equivalence(spark):
         assert same.all(), (c, one[~same].head(), two[~same].head())
 
 
+def test_two_level_moments_and_two_series(spark):
+    """std (moment) and corr/covar_pop (two-series) decompose through the
+    bucketed rewrite: corr/covar use the SAME exact-sum partials as the
+    one-level builds (bit-exact on decimal inputs); std's textbook formula
+    may differ from one-level Welford stddev_pop only in float ulps."""
+    from tsflex_spark import FeatureCollection, FeatureDescriptor
+
+    rng = np.random.default_rng(11)
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        np.sort(rng.choice(200_000, size=2000, replace=False)), unit="s"
+    )
+    pdf = pd.DataFrame(
+        {
+            "ts": ts,
+            "v": (rng.integers(0, 10000, size=2000) / 100.0),
+            "w": (rng.integers(0, 10000, size=2000) / 100.0),
+        }
+    )
+    df = (
+        spark.createDataFrame(pdf)
+        .withColumn("v", F.col("v").cast("decimal(12,2)"))
+        .withColumn("w", F.col("w").cast("decimal(12,2)"))
+    )
+    fc = FeatureCollection(
+        [
+            FeatureDescriptor("std", "v", "4h", "10m"),
+            FeatureDescriptor("var", "v", "4h", "10m"),
+            FeatureDescriptor("corr", ("v", "w"), "4h", "10m"),
+            FeatureDescriptor("covar_pop", ("v", "w"), "4h", "10m"),
+        ]
+    )
+    try:
+        FeatureCollection.TWO_LEVEL_FANOUT_THRESHOLD = 10**9  # force OFF
+        one = fc.calculate(df, ts_col="ts").toPandas()
+        FeatureCollection.TWO_LEVEL_FANOUT_THRESHOLD = 1  # force ON
+        two = fc.calculate(df, ts_col="ts").toPandas()
+    finally:
+        FeatureCollection.TWO_LEVEL_FANOUT_THRESHOLD = 8
+    one = one.sort_values("ts").reset_index(drop=True)
+    two = two.sort_values("ts").reset_index(drop=True)
+    assert list(one.columns) == list(two.columns)
+    # two-series natives: identical exact-sum formula both paths -> bit-exact
+    for c in ["v|w__corr__w=4h", "v|w__covar_pop__w=4h"]:
+        a, b = one[c], two[c]
+        same = (a == b) | (a.isna() & b.isna())
+        assert same.all(), (c, one[~same].head(), two[~same].head())
+    # moments: Welford (one-level) vs exact-sum textbook (two-level)
+    for c in ["v__std__w=4h", "v__var__w=4h"]:
+        a, b = one[c], two[c]
+        both = ~(a.isna() | b.isna())
+        assert (a.isna() == b.isna()).all()
+        assert np.allclose(a[both], b[both], rtol=1e-9, atol=1e-9), c
+
+
 def test_two_level_rewrite_triggers(spark):
     """fanout >= threshold with decomposable aggs must take the bucketed
     plan: the data-side explode disappears (explode only runs on the
@@ -449,6 +503,53 @@ def test_group_by_all_composite_key(spark):
     got = out.set_index(["a", "b"])["v__sum__w=manual"]
     for k in exp.index:
         assert got.loc[k] == exp.loc[k]
+
+
+def test_pre_grouped_input(spark):
+    """Passing df.groupBy(...) as data ≙ the reference accepting a pandas
+    DataFrameGroupBy (feature_collection.py:1095-1170): same result as
+    group_by_all on the grouping columns."""
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-01-01", periods=12, freq="1h"),
+            "a": ["x", "y"] * 6,
+            "v": [float(i) for i in range(12)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    fc = FeatureCollection([FeatureDescriptor("sum", "v", "1h", "1h")])
+    out = fc.calculate(df.groupBy("a"), ts_col="ts").toPandas()
+    exp = pdf.groupby("a")["v"].sum()
+    got = out.set_index("a")["v__sum__w=manual"]
+    for k in exp.index:
+        assert got.loc[k] == exp.loc[k]
+
+    # grouped input + an explicit group_by mode is contradictory
+    with pytest.raises(AssertionError, match="already grouped"):
+        fc.calculate(df.groupBy("a"), ts_col="ts", group_by_all="a")
+
+
+def test_manual_segments_out_of_range_warns(spark):
+    """Reference strided_rolling.py:548-551,604-614: explicit segment
+    indexes outside the data's index range warn (and in-range ones
+    don't)."""
+    import warnings as _w
+
+    sdf, _pdf = _seq_df(spark)  # index 0..19
+    fc = FeatureCollection(FeatureDescriptor("sum", "val", None, None))
+    with pytest.warns(RuntimeWarning, match="outside the range"):
+        fc.calculate(
+            sdf, ts_col="ts",
+            segment_start_idxs=[0, 30], segment_end_idxs=[4, 35],
+            window_idx="begin",
+        )
+    with _w.catch_warnings():
+        _w.simplefilter("error", RuntimeWarning)
+        fc.calculate(
+            sdf, ts_col="ts",
+            segment_start_idxs=[0, 5], segment_end_idxs=[4, 15],
+            window_idx="begin",
+        )
 
 
 def test_dotted_output_names_survive_assembly(spark):

@@ -250,6 +250,26 @@ _PARTIAL_BUILDERS: dict[str, Callable[[Column, Column], Column]] = {
     "maxtsn": lambda v, tsn: F.max(tsn),
 }
 
+def _sqrt_nonneg(v: Column) -> Column:
+    """sqrt clamped at 0 (a zero-variance window can round to a tiny
+    negative under the textbook formula); NULL stays NULL."""
+    return F.when(v.isNotNull(), F.sqrt(F.greatest(v, F.lit(0.0))))
+
+
+def _var_pop_final(p: dict) -> Column:
+    n = F.sum(p["cnt"]).cast("double")
+    sv = F.sum(p["sum"]).cast("double")
+    sq = F.sum(p["sumsq"]).cast("double")
+    return F.when(n > 0, (n * sq - sv * sv) / (n * n))
+
+
+def _var_samp_final(p: dict) -> Column:
+    n = F.sum(p["cnt"]).cast("double")
+    sv = F.sum(p["sum"]).cast("double")
+    sq = F.sum(p["sumsq"]).cast("double")
+    return F.when(n > 1, (n * sq - sv * sv) / (n * (n - 1)))
+
+
 # name -> (needed partial kinds, final builder over {kind: partial Column})
 _DECOMPOSABLE: dict[str, tuple] = {
     "sum": (("sum",), lambda p: F.sum(p["sum"])),
@@ -270,13 +290,95 @@ _DECOMPOSABLE: dict[str, tuple] = {
     "mean_abs": (("sumabs", "cnt"), lambda p: F.sum(p["sumabs"]) / F.sum(p["cnt"])),
     "first": (("firstv", "mintsn"), lambda p: F.min_by(p["firstv"], p["mintsn"])),
     "last": (("lastv", "maxtsn"), lambda p: F.max_by(p["lastv"], p["maxtsn"])),
+    # moments from exact sums (n, Σv, Σv²): EXACT for decimal/integer
+    # inputs; for double inputs this is the textbook formula — decomposable
+    # but subject to cancellation where one-level Welford (stddev_pop)
+    # is stable, hence the possible last-ulp drift already documented on
+    # the two-level rewrite. ddof handled in decomposition().
+    "var": (("sum", "sumsq", "cnt"), _var_pop_final),
+    "nanvar": (("sum", "sumsq", "cnt"), _var_pop_final),
+    "std": (("sum", "sumsq", "cnt"), lambda p: _sqrt_nonneg(_var_pop_final(p))),
+    "nanstd": (("sum", "sumsq", "cnt"), lambda p: _sqrt_nonneg(_var_pop_final(p))),
+}
+
+_DECOMPOSABLE_DDOF1: dict[str, tuple] = {
+    "var": (("sum", "sumsq", "cnt"), _var_samp_final),
+    "nanvar": (("sum", "sumsq", "cnt"), _var_samp_final),
+    "std": (("sum", "sumsq", "cnt"), lambda p: _sqrt_nonneg(_var_samp_final(p))),
+    "nanstd": (("sum", "sumsq", "cnt"), lambda p: _sqrt_nonneg(_var_samp_final(p))),
 }
 
 
-def decomposition(name: str):
+def decomposition(name: str, kwargs: Optional[dict] = None):
     """(partial kinds, final builder) for a decomposable aggregate, else None."""
+    if kwargs and kwargs.get("ddof", 0) == 1:
+        return _DECOMPOSABLE_DDOF1.get(name)
     return _DECOMPOSABLE.get(name)
 
 
 def partial_builder(kind: str) -> Callable[[Column, Column], Column]:
     return _PARTIAL_BUILDERS[kind]
+
+
+# --- two-series (pairwise) decomposition -------------------------------------
+# Partials are the same exact sums the one-level builds use (_pair_sums),
+# computed per bucket with the pairwise-non-null mask; the final formula is
+# token-identical to the one-level path, so for decimal/integer inputs the
+# two plans produce bit-identical doubles.
+
+_PAIR_PARTIAL_BUILDERS: dict[str, Callable[[Column, Column], Column]] = {
+    "pcnt": lambda a, b: F.count(F.when(a.isNotNull() & b.isNotNull(), a)),
+    "psa": lambda a, b: F.sum(F.when(a.isNotNull() & b.isNotNull(), a)),
+    "psb": lambda a, b: F.sum(F.when(a.isNotNull() & b.isNotNull(), b)),
+    "psab": lambda a, b: F.sum(F.when(a.isNotNull() & b.isNotNull(), a * b)),
+    "psaa": lambda a, b: F.sum(F.when(a.isNotNull() & b.isNotNull(), a * a)),
+    "psbb": lambda a, b: F.sum(F.when(a.isNotNull() & b.isNotNull(), b * b)),
+    "psr": lambda a, b: F.sum(F.try_divide(a, b)),
+    "prcnt": lambda a, b: F.count(F.try_divide(a, b)),
+}
+
+
+def _corr2_final(p: dict) -> Column:
+    n = F.sum(p["pcnt"]).cast("double")
+    sa = F.sum(p["psa"]).cast("double")
+    sb = F.sum(p["psb"]).cast("double")
+    sab = F.sum(p["psab"]).cast("double")
+    saa = F.sum(p["psaa"]).cast("double")
+    sbb = F.sum(p["psbb"]).cast("double")
+    cov = n * sab - sa * sb
+    denom = (n * saa - sa * sa) * (n * sbb - sb * sb)
+    return F.when((n > 1) & (denom > 0), cov / F.sqrt(denom))
+
+
+def _covar_pop2_final(p: dict) -> Column:
+    n = F.sum(p["pcnt"]).cast("double")
+    sa = F.sum(p["psa"]).cast("double")
+    sb = F.sum(p["psb"]).cast("double")
+    sab = F.sum(p["psab"]).cast("double")
+    return F.when(n > 0, (n * sab - sa * sb) / (n * n))
+
+
+def _covar_samp2_final(p: dict) -> Column:
+    n = F.sum(p["pcnt"]).cast("double")
+    sa = F.sum(p["psa"]).cast("double")
+    sb = F.sum(p["psb"]).cast("double")
+    sab = F.sum(p["psab"]).cast("double")
+    return F.when(n > 1, (n * sab - sa * sb) / (n * (n - 1)))
+
+
+_DECOMPOSABLE2: dict[str, tuple] = {
+    "corr": (("pcnt", "psa", "psb", "psab", "psaa", "psbb"), _corr2_final),
+    "covar_pop": (("pcnt", "psa", "psb", "psab"), _covar_pop2_final),
+    "covar_samp": (("pcnt", "psa", "psb", "psab"), _covar_samp2_final),
+    "dot": (("psab",), lambda p: F.sum(p["psab"])),
+    "mean_ratio": (("psr", "prcnt"), lambda p: F.sum(p["psr"]) / F.sum(p["prcnt"])),
+}
+
+
+def decomposition2(name: str):
+    """Two-series decomposition (pairwise partial sums), else None."""
+    return _DECOMPOSABLE2.get(name)
+
+
+def pair_partial_builder(kind: str) -> Callable[[Column, Column], Column]:
+    return _PAIR_PARTIAL_BUILDERS[kind]

@@ -79,13 +79,8 @@ class MultipleFeatureDescriptors:
     ):
         if not isinstance(functions, list):
             functions = [functions]
-        # series_names: str | tuple | list of those
-        if isinstance(series_names, str) or (
-            isinstance(series_names, tuple) and all(isinstance(s, str) for s in series_names) and False
-        ):
-            series_names = [series_names]
-        if isinstance(series_names, tuple):
-            series_names = [series_names]
+        # series_names: str | tuple | list of those — a bare str or tuple is
+        # one entry (a tuple is a single multi-series descriptor)
         if not isinstance(series_names, list):
             series_names = [series_names]
         if windows is not None and not isinstance(windows, list):

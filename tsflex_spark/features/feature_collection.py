@@ -73,6 +73,24 @@ def _resolve_dtype(dt: Any) -> T.DataType:
     return T.DataType.fromDDL(str(dt))
 
 
+def _grouping_columns(gd: Any) -> List[str]:
+    """Grouping column names of a ``GroupedData`` (plain-column groupings
+    only — PySpark exposes no public accessor, so the JVM toString is
+    parsed and every name validated against the underlying DataFrame)."""
+    import re as _re
+
+    s = gd._jgd.toString()
+    m = _re.search(r"grouping expressions: \[(.*?)\], value:", s)
+    assert m, f"cannot determine grouping columns from {s!r}"
+    cols = [c.strip() for c in m.group(1).split(",") if c.strip()]
+    missing = [c for c in cols if c not in gd._df.columns]
+    assert not missing, (
+        f"pre-grouped input must group by plain columns; {missing} not in "
+        f"{gd._df.columns}"
+    )
+    return cols
+
+
 class FeatureCollection:
     def __init__(self, feature_descriptors: Optional[FeatureInput] = None):
         self._feature_desc_dict: Dict[Tuple[Tuple[str, ...], str], List[FeatureDescriptor]] = {}
@@ -189,6 +207,18 @@ class FeatureCollection:
         Lifecycle parity: reference feature_collection.py:840-1262.
         """
         assert not (group_by_all and group_by_consecutive), "choose one group_by mode"
+        from pyspark.sql.group import GroupedData
+
+        if isinstance(data, GroupedData):
+            # pre-grouped input ≙ the reference accepting a pandas
+            # DataFrameGroupBy (feature_collection.py:1095-1170): routes to
+            # the group_by_all path keyed on the grouping columns
+            assert not (group_by_all or group_by_consecutive), (
+                "data is already grouped — don't pass group_by_all/_consecutive"
+            )
+            return self._calculate_group_by_all(
+                data._df, _grouping_columns(data), ts_col
+            )
         if group_by_all:
             return self._calculate_group_by_all(data, group_by_all, ts_col)
         if group_by_consecutive:
@@ -207,9 +237,12 @@ class FeatureCollection:
             data.select(ts_col, *key_cols, *required), ts_col, domain
         ).drop(ts_col)
         # bounds are O(#keys) rows but their plan is a full scan; both the
-        # segment-assignment and the spine consume them — materialize once
-        # (eager tiny job) so the scan never runs twice per config
-        bounds = seg.make_bounds(data_n, required, key_cols, bound_method).localCheckpoint()
+        # segment-assignment and the spine consume them — checkpoint so the
+        # scan never runs twice per config. LAZY: no job at plan-build
+        # time; materializes with the first real action (ADVICE r2)
+        bounds = seg.make_bounds(data_n, required, key_cols, bound_method).localCheckpoint(
+            eager=False
+        )
 
         manual = segment_start_idxs is not None or segment_end_idxs is not None
 
@@ -553,7 +586,12 @@ class FeatureCollection:
         """
         from math import gcd
 
-        from tsflex_spark.features.catalog import decomposition, partial_builder
+        from tsflex_spark.features.catalog import (
+            decomposition,
+            decomposition2,
+            pair_partial_builder,
+            partial_builder,
+        )
 
         if udf or not native:
             return None
@@ -577,7 +615,10 @@ class FeatureCollection:
             return None
         decos = []
         for series_tuple, win_str, fd, spec in native:
-            d = decomposition(spec.name)
+            if getattr(spec, "arity", 1) == 2:
+                d = decomposition2(spec.name)
+            else:
+                d = decomposition(spec.name, fd.function.kwargs)
             if d is None:
                 return None
             decos.append(d)
@@ -593,16 +634,21 @@ class FeatureCollection:
 
         partial_exprs: Dict[Tuple[str, str], str] = {}
         agg_list: List[Column] = []
-        for (series_tuple, _ws, _fd, _spec), (kinds, _fin) in zip(native, decos):
-            sname = series_tuple[0]
+        for (series_tuple, _ws, _fd, spec), (kinds, _fin) in zip(native, decos):
+            pair = getattr(spec, "arity", 1) == 2
+            sname = "|".join(series_tuple) if pair else series_tuple[0]
             for kind in kinds:
                 key = (kind, sname)
                 if key not in partial_exprs:
                     alias = f"__p_{kind}_{sname}"
                     partial_exprs[key] = alias
-                    agg_list.append(
-                        partial_builder(kind)(F.col(sname), F.col(TSN)).alias(alias)
-                    )
+                    if pair:
+                        expr = pair_partial_builder(kind)(
+                            F.col(series_tuple[0]), F.col(series_tuple[1])
+                        )
+                    else:
+                        expr = partial_builder(kind)(F.col(sname), F.col(TSN))
+                    agg_list.append(expr.alias(alias))
         # sparsity check rides the same partial/final aggregation (counts
         # decompose exactly: per-segment count = Σ per-bucket counts)
         spc_series = (
@@ -626,9 +672,10 @@ class FeatureCollection:
         # 3. final aggregation over each segment's buckets
         final_exprs: List[Column] = []
         for (series_tuple, win_str, fd, spec), (kinds, fin) in zip(native, decos):
-            sname = series_tuple[0]
+            pair = getattr(spec, "arity", 1) == 2
+            sname = "|".join(series_tuple) if pair else series_tuple[0]
             out_name = _col_name(series_tuple, fd.function.output_names[0], win_str)
-            pcols = {k: F.col(partial_exprs[(k, sname)]) for k in kinds}
+            pcols = {k: F.col(f"`{partial_exprs[(k, sname)]}`") for k in kinds}
             final_exprs.append(fin(pcols).alias(out_name))
         for i, sname in enumerate(spc_series):
             final_exprs.append(
@@ -675,10 +722,12 @@ class FeatureCollection:
         # assignment, output-ts stitch); without materialization each
         # consumer re-runs the global-sort row-number pass (no common-
         # subexpression reuse across a DAG in Spark) — one checkpointed
-        # pass is the scale-correct trade at any data size
+        # pass is the scale-correct trade at any data size. LAZY: the
+        # cache+lineage-truncate happens with the first action, not at
+        # plan-build (ADVICE r2)
         pos = with_global_row_number(
             data_n, TSN, "__rn", key_cols=key_cols, zero_based=True
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         pos_map = pos.select(*key_cols, F.col("__rn").alias(OUT_IDX), F.col(TSN).alias("__out_tsn"))
         data_ps = pos.drop(TSN).withColumnRenamed("__rn", TSN)
 
@@ -745,6 +794,18 @@ class FeatureCollection:
             ends = _to_num(segment_end_idxs)
             starts = ends - window_n
 
+        # reference strided_rolling.py:548-551,604-614: explicit segment
+        # indexes outside the data's index range warn. bounds is already
+        # localCheckpoint'd — this probe reads a handful of cached rows.
+        rng = bounds.agg(F.min(START).alias("lo"), F.max(END).alias("hi")).first()
+        if rng is not None and rng["lo"] is not None:
+            all_idxs = np.concatenate([starts, ends])
+            if ((all_idxs < rng["lo"]) | (all_idxs > rng["hi"])).any():
+                warnings.warn(
+                    "Some segment indexes are outside the range of the data its index.",
+                    RuntimeWarning,
+                )
+
         spark = data_n.sparkSession
         key_rows = data_n.select(*key_cols).distinct() if key_cols else None
         spine = seg.manual_segment_spine(spark, starts, ends, key_rows)
@@ -774,12 +835,6 @@ class FeatureCollection:
         return out.drop(SEG, SEG_END, SEG_ID, OUT_IDX)
 
     # ------------------------------------------------------ group-by modes
-    def _grouped_outputs(
-        self, entries: List[Tuple], gcol: str
-    ) -> Tuple[List[Tuple], List[Tuple]]:
-        return self._split_tiers(entries)
-
-
     def _manual_entries(self) -> List[Tuple]:
         """Descriptor entries relabeled 'manual' for the group-by modes,
         with the reference's <=1-window rule (feature_collection.py:432-448):

@@ -43,6 +43,7 @@ class SeriesProcessor:
         function: Callable,
         series_names: Union[str, Sequence[str], List[Sequence[str]]],
         input_type: str = "numpy",
+        output_schema: Optional[Union[str, T.StructType, Dict[str, str]]] = None,
         **kwargs: Any,
     ):
         if isinstance(series_names, str) or (
@@ -55,6 +56,16 @@ class SeriesProcessor:
         assert input_type in ("column", "numpy", "pandas")
         self.input_type = input_type
         self.name = getattr(function, "__name__", str(function))
+        # columns the pandas/numpy-tier function ADDS (or replaces with a
+        # new dtype), declared as DDL ("d double, flag string"), a
+        # StructType, or {name: ddl}. When given, the plan is built without
+        # the driver-side sample probe (no job, no data dependence); when
+        # omitted, a 100-row probe discovers the added columns.
+        if isinstance(output_schema, dict):
+            output_schema = ", ".join(f"{k} {v}" for k, v in output_schema.items())
+        if isinstance(output_schema, str):
+            output_schema = T.StructType.fromDDL(output_schema)
+        self.output_schema: Optional[T.StructType] = output_schema
 
     def get_required_series(self) -> List[str]:
         out: Dict[str, None] = {}
@@ -112,28 +123,33 @@ class SeriesProcessor:
                 raise TypeError(f"unsupported processor output type {type(out)}")
             return pdf
 
-        # discover output schema by running on an empty-ish sample driver-side
-        # is fragile; instead require the UDF to emit the union of input
-        # columns plus whatever the function adds — we probe with a small
-        # sample to learn added column names/types.
-        sample = df.limit(100).toPandas().sort_values(ts_col)
-        probe = sample.copy()
-        if whole_frame:
-            probe = func(probe.set_index(ts_col), **kwargs).reset_index()
+        if self.output_schema is not None:
+            # declared added/replaced columns: no driver-side probe job
+            declared = {f.name: f for f in self.output_schema.fields}
+            fields = [declared.get(c, df.schema[c]) for c in df.columns]
+            fields += [f for n, f in declared.items() if n not in df.columns]
         else:
-            for tup in series_names:
-                if input_type == "numpy":
-                    args = [probe[s].to_numpy() for s in tup]
-                else:
-                    args = [pd.Series(probe[s].to_numpy(), index=probe[ts_col], name=s) for s in tup]
-                out = func(*args, **kwargs)
-                probe = handle_output(probe, out, tup)
-        fields = []
-        for c in probe.columns:
-            if c in df.columns:
-                fields.append(df.schema[c])
+            # discover output schema by probing a small sample driver-side
+            # (fallback — one tiny job at plan-build; declare output_schema
+            # to skip it)
+            sample = df.limit(100).toPandas().sort_values(ts_col)
+            probe = sample.copy()
+            if whole_frame:
+                probe = func(probe.set_index(ts_col), **kwargs).reset_index()
             else:
-                fields.append(T.StructField(c, T.DoubleType(), True))
+                for tup in series_names:
+                    if input_type == "numpy":
+                        args = [probe[s].to_numpy() for s in tup]
+                    else:
+                        args = [pd.Series(probe[s].to_numpy(), index=probe[ts_col], name=s) for s in tup]
+                    out = func(*args, **kwargs)
+                    probe = handle_output(probe, out, tup)
+            fields = []
+            for c in probe.columns:
+                if c in df.columns:
+                    fields.append(df.schema[c])
+                else:
+                    fields.append(T.StructField(c, T.DoubleType(), True))
         schema = T.StructType(fields)
         out_cols = [f.name for f in fields]
 
