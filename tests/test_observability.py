@@ -160,6 +160,60 @@ def test_udf_output_dtypes_preserved(spark):
     ]
 
 
+def test_vectorized_batched_2d(spark):
+    """vectorized=True numpy funcs get the reference's true (nb, window)
+    batch (strided_rolling.py:379-453) when segments are equal-length: the
+    function only accepts 2-D input and reduces axis=-1 — if the engine
+    fed it 1-D per-segment arrays it would raise and yield NaN."""
+    from tsflex_spark import FuncWrapper
+
+    ts = pd.date_range("2024-01-01", periods=101, freq="1s")
+    df = spark.createDataFrame(pd.DataFrame({"ts": ts, "v": np.arange(101.0)}))
+
+    def vmean(x):
+        assert x.ndim == 2, "vectorized func must receive an (nb, window) batch"
+        return np.mean(x, axis=-1)
+
+    fc = FeatureCollection(
+        [
+            FeatureDescriptor(
+                FuncWrapper(vmean, output_names="vm", vectorized=True),
+                "v", "10s", "10s",
+            )
+        ]
+    )
+    out = fc.calculate(df, ts_col="ts").toPandas().sort_values("ts")
+    got = out["v__vm__w=10s"].to_numpy()
+    exp = np.arange(100.0).reshape(10, 10).mean(axis=1)
+    assert np.allclose(np.sort(got), np.sort(exp))
+
+
+def test_vectorized_ragged_falls_back(spark):
+    """Unequal segment lengths can't stack — each segment then takes the
+    (1, n) reshape path, still 2-D."""
+    from tsflex_spark import FuncWrapper
+
+    # 15 points: segments of 10 and 5 samples
+    ts = pd.date_range("2024-01-01", periods=15, freq="1s")
+    df = spark.createDataFrame(pd.DataFrame({"ts": ts, "v": np.arange(15.0)}))
+
+    def vsum(x):
+        assert x.ndim == 2
+        return np.sum(x, axis=-1)
+
+    fc = FeatureCollection(
+        [
+            FeatureDescriptor(
+                FuncWrapper(vsum, output_names="vs", vectorized=True),
+                "v", "10s", "10s",
+            )
+        ]
+    )
+    out = fc.calculate(df, ts_col="ts", include_final_window=True).toPandas()
+    got = sorted(out["v__vs__w=10s"].dropna())
+    assert got == [sum(range(10)), sum(range(10, 15))]
+
+
 def test_make_robust_min_samples(spark):
     from tsflex_spark import FuncWrapper
     from tsflex_spark.features.function_wrapper import make_robust

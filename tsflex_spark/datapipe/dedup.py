@@ -271,21 +271,24 @@ def minhash_dedup(
             key=lambda b: abs(math.log((1.0 / b) ** (b / num_hashes)) - math.log(threshold)),
         )
     # the shingle table feeds BOTH the signature pass and the Jaccard
-    # verification — materialize it once (localCheckpoint truncates the
-    # lineage so the regex+explode shingling runs exactly once; plain
-    # cache still re-plans the subtree per consumer under AQE)
-    sh = shingle_rows(df, text_col, id_col, shingle_k).localCheckpoint()
+    # verification — checkpoint it (localCheckpoint truncates the lineage
+    # so the regex+explode shingling runs exactly once; plain cache still
+    # re-plans the subtree per consumer under AQE). LAZY (eager=False):
+    # the RDD caches on first computation inside the final action instead
+    # of paying three sequential job barriers up front — A/B at sf0.1
+    # showed the same minimum but eager spiking 2-3x on barrier scheduling
+    sh = shingle_rows(df, text_col, id_col, shingle_k).localCheckpoint(eager=False)
     # the LSH banding self-joins the signature table (a ⋈ b) — without a
     # checkpoint the 64-min-agg subtree executes once per join side
     sigs = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_k, shingles=sh
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # candidate pairs are tiny by LSH design (two id columns) but their
     # PLAN is the whole signature+self-join DAG; the verification stage
-    # references them in three joins — localCheckpoint materializes them
+    # references them in three joins — the checkpoint materializes them
     # once and TRUNCATES the lineage, so the DAG is neither re-planned nor
     # re-executed per consumer (cache alone still re-plans it under AQE)
-    cands = minhash_lsh_candidates(sigs, id_col, num_bands).localCheckpoint()
+    cands = minhash_lsh_candidates(sigs, id_col, num_bands).localCheckpoint(eager=False)
     confirmed = ngram_jaccard(df, cands, text_col, id_col, shingle_k, shingles=sh).where(
         F.col("jaccard") >= threshold
     )

@@ -425,9 +425,19 @@ class FeatureCollection:
         udf_entries: List[Tuple],
         group_cols: List[str],
         domain: DataType = DataType.SEQUENCE,
+        bucketed: bool = True,
     ) -> DataFrame:
-        """UDF tier: one Arrow ``applyInPandas`` computing every Python
-        feature function of this config per segment group.
+        """UDF tier: Arrow ``applyInPandas`` computing every Python feature
+        function of this config per segment group.
+
+        ``bucketed=True`` (segment modes) hashes segments into
+        ``2 × defaultParallelism`` buckets so ONE Arrow call processes many
+        segments — per-group Python/Arrow overhead dominates when segments
+        are numerous and small (same trade measured ~4× in the pandas
+        processing tier). Within a bucket, ``vectorized`` numpy functions
+        whose segments are equal-length get the reference's true
+        (nb, window) batch (strided_rolling.py:379-453) in ONE call;
+        ragged segments fall back to per-segment (1, n) calls.
 
         ``input_type=pd.Series`` functions receive their series with the
         real index (DatetimeIndex for TIME, numeric for SEQUENCE) —
@@ -450,41 +460,109 @@ class FeatureCollection:
 
         is_time = domain == DataType.TIME
 
+        def _store(row: Dict[str, Any], series_tuple, win_str, fw, outs) -> None:
+            for o, dt, v in zip(fw.output_names, fw.output_dtypes, outs):
+                name = _col_name(series_tuple, o, win_str)
+                if dt is None:  # default double tier — coerce like before
+                    try:
+                        row[name] = float(v)
+                    except (TypeError, ValueError):
+                        row[name] = np.nan
+                else:  # declared dtype — preserve the raw value (NaN -> NULL)
+                    is_nan = isinstance(v, float) and np.isnan(v)
+                    row[name] = None if (v is None or is_nan) else v
+
+        def _fill_one(row: Dict[str, Any], pdf: pd.DataFrame, spec) -> None:
+            series_tuple, win_str, fw = spec
+            if fw.input_type is pd.Series:
+                idx = pd.to_datetime(pdf[TSN], unit="us") if is_time else pdf[TSN]
+                series_vals = [
+                    pd.Series(pdf[s].to_numpy(), index=idx, name=s).dropna()
+                    for s in series_tuple
+                ]
+            else:
+                series_vals = [pdf[s].dropna() for s in series_tuple]
+            try:
+                outs = fw.apply(series_vals)
+            except Exception:
+                outs = [np.nan] * len(fw.output_names)
+            _store(row, series_tuple, win_str, fw, outs)
+
         def run(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values(TSN)
             row: Dict[str, Any] = {c: pdf[c].iloc[0] for c in group_cols}
-            idx = None
-            for series_tuple, win_str, fw in out_specs:
-                if fw.input_type is pd.Series:
-                    if idx is None:
-                        idx = (
-                            pd.to_datetime(pdf[TSN], unit="us")
-                            if is_time
-                            else pdf[TSN]
-                        )
-                    series_vals = [
-                        pd.Series(pdf[s].to_numpy(), index=idx, name=s).dropna()
-                        for s in series_tuple
-                    ]
-                else:
-                    series_vals = [pdf[s].dropna() for s in series_tuple]
-                try:
-                    outs = fw.apply(series_vals)
-                except Exception:
-                    outs = [np.nan] * len(fw.output_names)
-                for o, dt, v in zip(fw.output_names, fw.output_dtypes, outs):
-                    name = _col_name(series_tuple, o, win_str)
-                    if dt is None:  # default double tier — coerce like before
-                        try:
-                            row[name] = float(v)
-                        except (TypeError, ValueError):
-                            row[name] = np.nan
-                    else:  # declared dtype — preserve the raw value (NaN -> NULL)
-                        is_nan = isinstance(v, float) and np.isnan(v)
-                        row[name] = None if (v is None or is_nan) else v
+            for spec in out_specs:
+                _fill_one(row, pdf, spec)
             return pd.DataFrame([row])
 
-        return assigned.groupBy(*group_cols).applyInPandas(run, schema)
+        if not bucketed:
+            return assigned.groupBy(*group_cols).applyInPandas(run, schema)
+
+        vec_flags = [
+            fw.vectorized and fw.input_type is np.ndarray
+            for _st, _ws, fw in out_specs
+        ]
+
+        def _fill_vectorized(rows, groups, spec) -> None:
+            """One (nb, window) call when every segment has equal length."""
+            series_tuple, win_str, fw = spec
+            n_out = len(fw.output_names)
+            arrs = [
+                [g[s].dropna().to_numpy() for s in series_tuple] for g in groups
+            ]
+            sizes = {a.size for seg in arrs for a in seg}
+            per_seg = None
+            if len(sizes) == 1 and sizes != {0}:
+                batches = [
+                    np.stack([seg[i] for seg in arrs])
+                    for i in range(len(series_tuple))
+                ]
+                try:
+                    out = np.asarray(fw.func(*batches, **fw.kwargs))
+                    nb = len(groups)
+                    # single output -> (nb,); multi-output funcs return one
+                    # array per output -> (n_out, nb), same layout the
+                    # (1, n) contract implies
+                    if out.ndim == 1 and n_out == 1 and out.size == nb:
+                        per_seg = out.reshape(nb, 1)
+                    elif out.shape == (n_out, nb):
+                        per_seg = out.T
+                    elif out.shape == (nb, n_out):
+                        per_seg = out
+                except Exception:
+                    per_seg = None
+            if per_seg is None:  # ragged / empty / non-conforming: (1, n) path
+                for row, g in zip(rows, groups):
+                    _fill_one(row, g, spec)
+                return
+            for row, vals in zip(rows, per_seg):
+                _store(row, series_tuple, win_str, fw, list(vals))
+
+        def run_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            groups = [
+                g.sort_values(TSN)
+                for _, g in pdf.groupby(list(group_cols), sort=False, dropna=False)
+            ]
+            rows: List[Dict[str, Any]] = [
+                {c: g[c].iloc[0] for c in group_cols} for g in groups
+            ]
+            for spec, is_vec in zip(out_specs, vec_flags):
+                if is_vec:
+                    _fill_vectorized(rows, groups, spec)
+                else:
+                    for row, g in zip(rows, groups):
+                        _fill_one(row, g, spec)
+            if not rows:
+                return pd.DataFrame({c: [] for c in [*group_cols, *out_names]})
+            return pd.DataFrame(rows, columns=[*group_cols, *out_names])
+
+        n_buckets = assigned.sparkSession.sparkContext.defaultParallelism * 2
+        bucket = F.pmod(F.xxhash64(*[F.col(c) for c in group_cols]), F.lit(n_buckets))
+        return (
+            assigned.withColumn("__ubkt", bucket)
+            .groupBy("__ubkt")
+            .applyInPandas(run_bucket, schema)
+        )
 
     def _run_grid_config(
         self,

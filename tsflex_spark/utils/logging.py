@@ -42,7 +42,14 @@ def log_execution(
     output_names: str,
     logging_file_path: Optional[str] = None,
 ) -> Iterator[None]:
-    """Context manager timing one compiled config / query submission."""
+    """Context manager timing one compiled config / query submission.
+
+    NB: Spark is lazy — what this brackets (and therefore what
+    ``duration`` measures) is plan COMPILATION, not cluster execution;
+    per-stage execution time lives in the Spark UI / event log. The
+    reference executes eagerly so its per-function log durations are
+    execution times; keeping the same log grammar lets the same analytics
+    run on both, but compare absolute numbers only within one engine."""
     handler = _setup_file_handler(logging_file_path) if logging_file_path else None
     t0 = time.perf_counter()
     try:
