@@ -186,6 +186,47 @@ def test_timezone_invariant_instants(spark):
     assert outs["UTC"]["v__sum__w=1h"].tolist() == outs["Europe/Brussels"]["v__sum__w=1h"].tolist()
 
 
+def test_timestamp_ntz_inputs_everywhere(spark):
+    """Spark 4 reads tz-naive parquet timestamps as TIMESTAMP_NTZ by
+    default — every timestamp→micros site must accept NTZ (the r3 driver
+    regression: unix_micros rejects NTZ outright). Exercises the rolling,
+    resample, and as-of (keyed + unkeyed + tolerance) paths on an
+    explicitly NTZ column, and checks ts_micros is instant-preserving."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from tsflex_spark import FeatureCollection, FeatureDescriptor
+    from tsflex_spark.processing.resample import resample_interpolate
+    from tsflex_spark.relational import asof_join
+    from tsflex_spark.utils.time_args import ts_micros
+
+    ts = pd.date_range("2024-01-01", periods=120, freq="1min")
+    pdf = pd.DataFrame({"ts": ts, "v": [float(i) for i in range(120)], "k": 1})
+    df = spark.createDataFrame(pdf).withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    assert df.schema["ts"].dataType.typeName() == "timestamp_ntz"
+
+    # instant preservation under the UTC session tz
+    got = df.select(ts_micros("ts").alias("us")).orderBy("us").first()["us"]
+    assert got == 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+
+    fc = FeatureCollection([FeatureDescriptor("sum", "v", "30m", "30m")])
+    out = fc.calculate(df, ts_col="ts").toPandas()
+    assert len(out) == 3 and out.filter(like="sum").iloc[:, 0].notna().all()
+
+    rs = resample_interpolate(df, ts_col="ts", value_col="v", period="30s")
+    assert rs.count() == 239  # 2x density minus the open end
+
+    right = df.select("k", "ts", F.col("v").alias("rv"))
+    keyed = asof_join(df, right, on="ts", by=["k"], value_cols=["rv"])
+    assert keyed.where(F.col("rv").isNull()).count() == 0
+    unkeyed = asof_join(
+        df.drop("k"), right.drop("k"), on="ts", value_cols=["rv"], tolerance="90s"
+    )
+    assert unkeyed.where(F.col("rv").isNull()).count() == 0
+
+
 # Reference boundary oracle, ported verbatim as expectations (reference
 # tests/test_strided_rolling.py:139-210): 5-point sequence index [0..4],
 # expected BEGIN indices per (window, stride, include_final_window).
