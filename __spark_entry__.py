@@ -1079,17 +1079,55 @@ def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tsflex_spark.datapipe.text import fingerprint
 
     fp = fingerprint(docs, "text", id_col="doc_id")
-    return fp.agg(
+    agg = fp.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.count_distinct("fingerprint").alias("n_unique"),
     )
+    # rolling-hash (Rabin–Karp) winnowing fingerprints — arithmetic hash,
+    # so DuckDB recomputes the exact values (unlike xxhash64 sketches)
+    from tsflex_spark.datapipe.text import winnow_fingerprints
+
+    wf = winnow_fingerprints(docs, "text", id_col="doc_id", k=5, window=4)
+    n_win = wf.select(F.explode("fps").alias("f")).agg(
+        F.count_distinct("f").alias("n_winnow")
+    )
+    return agg.crossJoin(n_win)
 
 
 def _oracle_fingerprint_dedup() -> str:
-    return r"""
-SELECT count(*) AS n_docs,
-       count(DISTINCT lower(regexp_replace(text, '\s+', ' ', 'g'))) AS n_unique
-FROM documents
+    # winnowing mirror: h(i) = Σ_j code[i+j]·257^(4-j) mod 1e9+7 (mod once
+    # at the end ≡ the engine's mod-each-step fold), window-4 minima,
+    # corpus-level distinct count
+    B, M, k, w = 257, 1_000_000_007, 5, 4
+    pows = [pow(B, k - 1 - j, M) for j in range(k)]
+    gram = " + ".join(f"codes[i+{j}] * {pows[j]}" for j in range(k))
+    mins = ", ".join(f"hs[i+{j}]" for j in range(w))
+    return rf"""
+WITH nrm AS (
+  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents),
+c AS (
+  SELECT doc_id,
+         list_transform(range(1, length(t) + 1),
+                        i -> CAST(unicode(substr(t, CAST(i AS INT), 1)) AS BIGINT)) AS codes,
+         length(t) AS len
+  FROM nrm),
+h AS (
+  SELECT doc_id,
+         CASE WHEN len >= {k}
+              THEN list_transform(range(1, len - {k} + 2), i -> ({gram}) % {M})
+              ELSE [] END AS hs
+  FROM c),
+wnw AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= {w}
+              THEN list_transform(range(1, len(hs) - {w} + 2), i -> least({mins}))
+              ELSE [] END AS fps
+  FROM h),
+u AS (SELECT DISTINCT unnest(fps) AS f FROM wnw)
+SELECT (SELECT count(*) FROM documents) AS n_docs,
+       (SELECT count(DISTINCT lower(regexp_replace(text, '\s+', ' ', 'g')))
+        FROM documents) AS n_unique,
+       (SELECT count(*) FROM u) AS n_winnow
 """
 
 
@@ -1740,23 +1778,39 @@ FROM a ORDER BY user_id
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column plumbing (SURVEY north-star): documents
     encoded as opaque blobs -> mapInPandas decode (deterministic 8x8 fake
-    — image libs are stubbed) -> per-image mean/std features. The oracle
+    — image libs are stubbed) -> per-image mean/std features, plus the
+    4x4 nearest-neighbor resize (sum of resized pixels). The oracle
     recomputes the same float32-quantized pixels from the bytes."""
     _utc(spark)
-    from tsflex_spark.datapipe.multimodal import decode_image_features
+    from tsflex_spark.datapipe.multimodal import decode_image_features, resize_images
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     media = docs.select(
         F.col("doc_id"), F.encode(F.col("text"), "UTF-8").alias("media")
     )
     out = decode_image_features(media, media_col="media", id_col="doc_id")
-    return out.select("doc_id", "img_mean", "img_std").orderBy("doc_id")
+    rs = resize_images(media, media_col="media", id_col="doc_id", height=4, width=4)
+    rs_sum = rs.select(
+        "doc_id",
+        F.aggregate(
+            "pixels", F.lit(0.0), lambda a, x: a + x.cast("double")
+        ).alias("resize_sum"),
+    )
+    return (
+        out.join(rs_sum, on="doc_id")
+        .select("doc_id", "img_mean", "img_std", "resize_sum")
+        .orderBy("doc_id")
+    )
 
 
 def _oracle_multimodal_decode() -> str:
     # pixel i = float32(byte_i/255), bytes zero-padded to 64 (docs are
-    # pure ASCII so unicode(char) == byte value)
-    return """
+    # pure ASCII so unicode(char) == byte value). resize_sum = the 4x4
+    # nearest-neighbor sample of the 8x8 image: rows/cols {0,2,4,6},
+    # 1-indexed flat positions 8r+c+1, summed left-to-right like the
+    # engine's F.aggregate fold.
+    idxs = [8 * r + c + 1 for r in (0, 2, 4, 6) for c in (0, 2, 4, 6)]
+    return f"""
 WITH b AS (
   SELECT doc_id,
          list_transform(range(1, 65),
@@ -1766,9 +1820,10 @@ WITH b AS (
   FROM documents),
 s AS (SELECT doc_id,
              list_sum(px) / 64 AS m,
-             list_sum(list_transform(px, x -> x * x)) / 64 AS m2
+             list_sum(list_transform(px, x -> x * x)) / 64 AS m2,
+             list_sum(list_transform({idxs}, i -> px[i])) AS resize_sum
       FROM b)
-SELECT doc_id, m AS img_mean, sqrt(greatest(m2 - m * m, 0)) AS img_std
+SELECT doc_id, m AS img_mean, sqrt(greatest(m2 - m * m, 0)) AS img_std, resize_sum
 FROM s ORDER BY doc_id
 """
 

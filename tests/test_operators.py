@@ -218,6 +218,47 @@ def test_multimodal_decode_plumbing(spark):
     assert len(frames[frames["id"] == 0]) == 2  # 128 bytes -> 2 "frames"
 
 
+def test_winnow_fingerprints_partial_overlap(spark):
+    """MOSS winnowing over an arithmetic Rabin-Karp rolling hash: docs
+    sharing a substring of length >= window+k-1 share fingerprints even
+    when neither whole-document hashes nor overall Jaccard would flag
+    them; disjoint docs share none; short docs yield empty arrays."""
+    from tsflex_spark.datapipe.text import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                shared,
+                "PREFIX " + shared + " SUFFIX",  # contains doc 0
+                "totally unrelated content with other words",
+                "ab",  # shorter than k -> empty
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = winnow_fingerprints(df, "text", "doc_id").toPandas().set_index("doc_id")
+    s0, s1, s2 = (set(out.loc[i, "fps"]) for i in (0, 1, 2))
+    assert s0 and s0 <= s1  # containment -> every fp of doc0 appears in doc1
+    assert not (s0 & s2)
+    assert len(out.loc[3, "fps"]) == 0
+
+
+def test_multimodal_resize(spark):
+    from tsflex_spark.datapipe.multimodal import resize_images
+
+    pdf = pd.DataFrame({"id": [0, 1], "media": [bytes(range(64)), b"\xff" * 64]})
+    df = spark.createDataFrame(pdf, "id long, media binary")
+    out = resize_images(df, height=4, width=4).toPandas().sort_values("id")
+    assert all(len(p) == 16 for p in out["pixels"])
+    assert out["meta"].iloc[0]["height"] == 4
+    # nearest-neighbor of the 8x8 fake decode: row/col indices 0,2,4,6
+    img = (np.frombuffer(bytes(range(64)), dtype=np.uint8).reshape(8, 8) / 255.0)
+    exp = img[np.ix_([0, 2, 4, 6], [0, 2, 4, 6])].ravel()
+    assert np.allclose(out["pixels"].iloc[0], exp, atol=1e-6)
+
+
 # ------------------------------------------------------------- streaming
 def test_streaming_rolling_features(spark, tmp_path):
     ts = pd.date_range("2024-01-01", periods=120, freq="1s")

@@ -86,6 +86,50 @@ def decode_image_features(
     return df.select(id_col, media_col).mapInPandas(run, schema)
 
 
+def resize_images(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "id",
+    height: int = 4,
+    width: int = 4,
+    decode_fn: Optional[Callable[[bytes], "np.ndarray"]] = None,
+) -> DataFrame:
+    """Resize to ``(height, width)`` via nearest-neighbor index sampling —
+    pure numpy (deterministic, no image libs), the standard preprocessing
+    step before batching pixels into a training tensor. Output is the
+    flattened float array plus the new typed metadata, never a re-encoded
+    blob (downstream stays columnar).
+    """
+    decode = decode_fn or _fake_decode
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("pixels", T.ArrayType(T.FloatType())),
+            T.StructField("meta", IMAGE_META_SCHEMA),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _id, blob in zip(pdf[id_col], pdf[media_col]):
+                img = np.asarray(decode(blob), dtype=np.float32)
+                h, w = img.shape[:2]
+                ri = (np.arange(height) * h) // height
+                ci = (np.arange(width) * w) // width
+                small = img[np.ix_(ri, ci)]
+                rows.append(
+                    {
+                        id_col: _id,
+                        "pixels": small.ravel().astype(np.float32).tolist(),
+                        "meta": {"width": width, "height": height, "format": "raw_f32"},
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.select(id_col, media_col).mapInPandas(run, schema)
+
+
 def frame_sample(
     df: DataFrame,
     media_col: str = "media",
