@@ -1782,7 +1782,11 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     4x4 nearest-neighbor resize (sum of resized pixels). The oracle
     recomputes the same float32-quantized pixels from the bytes."""
     _utc(spark)
-    from tsflex_spark.datapipe.multimodal import decode_image_features, resize_images
+    from tsflex_spark.datapipe.multimodal import (
+        audio_features,
+        decode_image_features,
+        resize_images,
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     media = docs.select(
@@ -1796,9 +1800,16 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pixels", F.lit(0.0), lambda a, x: a + x.cast("double")
         ).alias("resize_sum"),
     )
+    # audio tier on the same blobs: every fake-decoded sample (b-128)/128
+    # is dyadic, so all float sums are EXACT and both engines produce
+    # bit-identical rms/zcr doubles
+    au = audio_features(media, media_col="media", id_col="doc_id").select(
+        "doc_id", F.col("rms").alias("audio_rms"), F.col("zcr").alias("audio_zcr")
+    )
     return (
         out.join(rs_sum, on="doc_id")
-        .select("doc_id", "img_mean", "img_std", "resize_sum")
+        .join(au, on="doc_id")
+        .select("doc_id", "img_mean", "img_std", "resize_sum", "audio_rms", "audio_zcr")
         .orderBy("doc_id")
     )
 
@@ -1822,9 +1833,27 @@ s AS (SELECT doc_id,
              list_sum(px) / 64 AS m,
              list_sum(list_transform(px, x -> x * x)) / 64 AS m2,
              list_sum(list_transform({idxs}, i -> px[i])) AS resize_sum
-      FROM b)
-SELECT doc_id, m AS img_mean, sqrt(greatest(m2 - m * m, 0)) AS img_std, resize_sum
-FROM s ORDER BY doc_id
+      FROM b),
+aud AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) + 1),
+           i -> (CAST(unicode(substr(text, CAST(i AS INT), 1)) AS DOUBLE) - 128.0)
+                / 128.0) AS w
+  FROM documents),
+a2 AS (
+  SELECT doc_id,
+         CASE WHEN len(w) > 0
+              THEN sqrt(list_sum(list_transform(w, x -> x * x)) / len(w))
+              ELSE 0.0 END AS audio_rms,
+         CASE WHEN len(w) > 1
+              THEN CAST(len(list_filter(range(1, CAST(len(w) AS BIGINT)),
+                                        i -> (w[i] < 0) != (w[i+1] < 0))) AS DOUBLE)
+                   / (len(w) - 1)
+              ELSE 0.0 END AS audio_zcr
+  FROM aud)
+SELECT s.doc_id, m AS img_mean, sqrt(greatest(m2 - m * m, 0)) AS img_std, resize_sum,
+       audio_rms, audio_zcr
+FROM s JOIN a2 ON s.doc_id = a2.doc_id ORDER BY s.doc_id
 """
 
 

@@ -218,6 +218,21 @@ def test_multimodal_decode_plumbing(spark):
     assert len(frames[frames["id"] == 0]) == 2  # 128 bytes -> 2 "frames"
 
 
+def test_multimodal_audio_features(spark):
+    from tsflex_spark.datapipe.multimodal import audio_features
+
+    pdf = pd.DataFrame(
+        {"id": [0, 1], "media": [bytes([0, 255] * 64), b""]}  # square wave, empty
+    )
+    df = spark.createDataFrame(pdf, "id long, media binary")
+    out = audio_features(df, frame_len=32).toPandas().set_index("id")
+    # (0-128)/128=-1, (255-128)/128≈0.992: rms ≈ 0.996, zcr ≈ 1.0
+    assert abs(out.loc[0, "rms"] - np.sqrt((1.0 + (127 / 128) ** 2) / 2)) < 1e-9
+    assert abs(out.loc[0, "zcr"] - 1.0) < 1e-6
+    assert len(out.loc[0, "rms_frames"]) == 4  # 128 samples / 32
+    assert out.loc[1, "rms"] == 0.0 and len(out.loc[1, "rms_frames"]) == 0
+
+
 def test_winnow_fingerprints_partial_overlap(spark):
     """MOSS winnowing over an arithmetic Rabin-Karp rolling hash: docs
     sharing a substring of length >= window+k-1 share fingerprints even

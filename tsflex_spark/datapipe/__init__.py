@@ -1,3 +1,3 @@
-from tsflex_spark.datapipe import dedup, similarity, text
+from tsflex_spark.datapipe import dedup, multimodal, similarity, text
 
-__all__ = ["dedup", "similarity", "text"]
+__all__ = ["dedup", "multimodal", "similarity", "text"]

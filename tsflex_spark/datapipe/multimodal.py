@@ -86,6 +86,69 @@ def decode_image_features(
     return df.select(id_col, media_col).mapInPandas(run, schema)
 
 
+def _fake_decode_audio(blob: bytes) -> np.ndarray:
+    """Deterministic stand-in for an audio decoder: bytes → centered
+    float waveform in [-1, 1). Replace with soundfile/librosa in
+    production."""
+    if blob is None or len(blob) == 0:
+        return np.zeros(16, dtype=np.float32)
+    arr = np.frombuffer(blob, dtype=np.uint8).astype(np.float32)
+    return (arr - 128.0) / 128.0
+
+
+def audio_features(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "id",
+    frame_len: int = 32,
+    decode_fn: Optional[Callable[[bytes], "np.ndarray"]] = None,
+) -> DataFrame:
+    """Audio blobs → per-clip waveform features: RMS, zero-crossing rate,
+    and per-frame RMS envelope (fixed ``frame_len`` sample frames).
+
+    Same production shape as the image path: ``mapInPandas`` over binary,
+    streaming Arrow batches, fixed-size numeric outputs (never re-encoded
+    blobs). The decode is the deterministic fake (no audio libs in this
+    container); pass ``decode_fn`` for a real codec.
+    """
+    decode = decode_fn or _fake_decode_audio
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("zcr", T.DoubleType()),
+            T.StructField("rms_frames", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _id, blob in zip(pdf[id_col], pdf[media_col]):
+                w = np.asarray(decode(blob), dtype=np.float64)
+                n = len(w)
+                rms = float(np.sqrt((w**2).mean())) if n else 0.0
+                zcr = (
+                    float((np.signbit(w[1:]) != np.signbit(w[:-1])).mean())
+                    if n > 1
+                    else 0.0
+                )
+                n_frames = n // frame_len
+                frames = (
+                    np.sqrt(
+                        (w[: n_frames * frame_len].reshape(n_frames, frame_len) ** 2).mean(1)
+                    ).astype(np.float32)
+                    if n_frames
+                    else np.zeros(0, dtype=np.float32)
+                )
+                rows.append(
+                    {id_col: _id, "rms": rms, "zcr": zcr, "rms_frames": frames.tolist()}
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.select(id_col, media_col).mapInPandas(run, schema)
+
+
 def resize_images(
     df: DataFrame,
     media_col: str = "media",
