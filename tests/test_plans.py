@@ -177,6 +177,37 @@ def test_manual_segments_bucketed_equi_join(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Two tables written with write_bucketed on the join key must
+    sort-merge join with NO Exchange on either side — the co-located-join
+    layout the 100 TB design prescribes for repeated fact-fact joins."""
+    import numpy as np
+
+    from tsflex_spark.sources.io import write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    try:
+        a = spark.createDataFrame(
+            pd.DataFrame({"k": np.arange(1000) % 97, "va": np.arange(1000.0)})
+        )
+        b = spark.createDataFrame(
+            pd.DataFrame({"k": np.arange(500) % 97, "vb": np.arange(500.0)})
+        )
+        write_bucketed(a, "t_bkt_a", ["k"], n_buckets=8, sort_cols=["k"])
+        write_bucketed(b, "t_bkt_b", ["k"], n_buckets=8, sort_cols=["k"])
+        ta, tb = spark.table("t_bkt_a"), spark.table("t_bkt_b")
+        joined = ta.join(tb, on="k")
+        plan = plan_of(joined, "simple")
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan  # bucket layout satisfies both sides
+        assert joined.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_a")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_b")
+
+
 def test_unkeyed_asof_range_partitions(spark):
     """The unkeyed as-of join must range-partition (distributed carry),
     not collapse into an empty-partition-spec window."""

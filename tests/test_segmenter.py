@@ -186,6 +186,57 @@ def test_timezone_invariant_instants(spark):
     assert outs["UTC"]["v__sum__w=1h"].tolist() == outs["Europe/Brussels"]["v__sum__w=1h"].tolist()
 
 
+def test_segment_grid_property(spark):
+    """Property test (SURVEY §5 — the reference pins its segmentation with
+    a boundary-case table; hypothesis generalizes it): for random
+    (span, window, strides, include_final) the engine's output segment
+    starts AND per-segment sums must equal the reference rule + a numpy
+    slice oracle."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from tests.conftest import ref_segment_starts
+    from tsflex_spark import FeatureCollection, FeatureDescriptor
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        n=st.integers(6, 40),
+        window=st.integers(1, 12),
+        strides=st.lists(
+            st.integers(1, 9), min_size=1, max_size=2, unique=True
+        ),
+        final=st.booleans(),
+    )
+    def prop(n, window, strides, final):
+        vals = np.arange(n, dtype=float)
+        df = spark.createDataFrame(
+            pd.DataFrame({"ts": np.arange(n), "val": vals})
+        )
+        fc = FeatureCollection(
+            FeatureDescriptor("sum", "val", window, [float(s) for s in strides])
+        )
+        out = (
+            fc.calculate(
+                df, ts_col="ts", window_idx="begin",
+                include_final_window=final, approve_sparsity=True,
+            )
+            .toPandas()
+            .sort_values("ts")
+        )
+        exp_starts = ref_segment_starts(0, n - 1, window, strides, final)
+        assert list(out["ts"]) == list(exp_starts)
+        col = f"val__sum__w={window}"
+        for s0, got in zip(out["ts"], out[col]):
+            exp = vals[(np.arange(n) >= s0) & (np.arange(n) < s0 + window)].sum()
+            assert got == exp, (s0, got, exp)
+
+    prop()
+
+
 def test_timestamp_ntz_inputs_everywhere(spark):
     """Spark 4 reads tz-naive parquet timestamps as TIMESTAMP_NTZ by
     default — every timestamp→micros site must accept NTZ (the r3 driver
@@ -568,6 +619,16 @@ def test_pre_grouped_input(spark):
     # grouped input + an explicit group_by mode is contradictory
     with pytest.raises(AssertionError, match="already grouped"):
         fc.calculate(df.groupBy("a"), ts_col="ts", group_by_all="a")
+
+    # composite grouping key parses too
+    df2 = df.withColumn("b", F.col("v") % 2)
+    out2 = fc.calculate(df2.groupBy("a", "b"), ts_col="ts").toPandas()
+    exp2 = (
+        pdf.assign(b=pdf["v"] % 2).groupby(["a", "b"])["v"].sum()
+    )
+    got2 = out2.set_index(["a", "b"])["v__sum__w=manual"]
+    for k in exp2.index:
+        assert got2.loc[k] == exp2.loc[k]
 
 
 def test_manual_segments_out_of_range_warns(spark):

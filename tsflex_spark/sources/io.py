@@ -53,6 +53,31 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, sf_dir, "events")
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 64,
+    sort_cols: Optional[Sequence[str]] = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed-table sink for co-located joins and shuffle-free
+    aggregations (the "bucketing" leg of the scale design).
+
+    Writing the big fact tables bucketed on their join/group key means a
+    later ``join``/``groupBy`` on that key needs NO Exchange on the
+    bucketed side(s): Spark matches the table's hash-bucket layout to the
+    required distribution at plan time. ``sort_cols`` additionally
+    pre-sorts within buckets (sort-merge join without the sort).
+    Bucketing requires the table catalog (``saveAsTable``) — a plain
+    ``.parquet(path)`` write silently drops bucket metadata.
+    """
+    w = df.write.bucketBy(int(n_buckets), *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.mode(mode).format("parquet").saveAsTable(table)
+
+
 def write_partitioned(
     df,
     path: str,
