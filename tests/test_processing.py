@@ -118,6 +118,45 @@ def test_drop_keys_and_required_only(spark, small_sdf):
     assert set(out.columns) == {"ts", "a2"}
 
 
+def test_mllib_pipeline_composition(spark):
+    """tsflex_spark stages compose with MLlib estimators in ONE
+    pyspark.ml.Pipeline: preprocess (SeriesPipeline) -> extract features
+    (FeatureCollection) -> VectorAssembler -> KMeans."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import VectorAssembler
+
+    from tsflex_spark.ml import FeatureCollectionTransformer, SeriesPipelineTransformer
+
+    ts = pd.date_range("2024-01-01", periods=600, freq="1s")
+    df = spark.createDataFrame(
+        pd.DataFrame({"ts": ts, "v": np.sin(np.arange(600) / 20.0)})
+    )
+
+    def clipped(v):
+        return {"v": F.greatest(F.least(v, F.lit(0.9)), F.lit(-0.9))}
+
+    prep = SeriesPipelineTransformer(
+        SeriesPipeline([SeriesProcessor(clipped, "v", input_type="column")])
+    )
+    feats = FeatureCollectionTransformer(
+        FeatureCollection(
+            [
+                FeatureDescriptor("mean", "v", "60s", "60s"),
+                FeatureDescriptor("std", "v", "60s", "60s"),
+            ]
+        )
+    )
+    assemble = VectorAssembler(
+        inputCols=["v__mean__w=1m", "v__std__w=1m"], outputCol="features",
+        handleInvalid="skip",
+    )
+    km = KMeans(k=2, seed=1, featuresCol="features")
+    model = Pipeline(stages=[prep, feats, assemble, km]).fit(df)
+    out = model.transform(df)
+    assert out.count() > 0 and "prediction" in out.columns
+
+
 def test_processor_declared_output_schema(spark):
     """output_schema declares the added columns -> plan builds without the
     100-row driver probe; results identical to the probed path."""
