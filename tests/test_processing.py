@@ -118,6 +118,30 @@ def test_drop_keys_and_required_only(spark, small_sdf):
     assert set(out.columns) == {"ts", "a2"}
 
 
+def test_empty_inputs_no_crash(spark):
+    """Zero-row inputs flow through every major entry point (empty bounds
+    -> empty spine -> empty output; manual segments are data-independent
+    and emit their fill rows)."""
+    from tsflex_spark import asof_join
+    from tsflex_spark.processing.resample import resample_interpolate
+
+    df = spark.createDataFrame([], "ts timestamp, v double")
+    fc = FeatureCollection([FeatureDescriptor("sum", "v", "1h", "1h")])
+    assert fc.calculate(df, ts_col="ts").count() == 0
+    r = spark.createDataFrame([], "ts timestamp, rv double")
+    assert asof_join(df, r, on="ts", value_cols=["rv"]).count() == 0
+    assert (
+        resample_interpolate(df, ts_col="ts", value_col="v", period="1h").count() == 0
+    )
+    manual = fc.calculate(
+        df, ts_col="ts",
+        segment_start_idxs=[pd.Timestamp("2024-01-01")],
+        segment_end_idxs=[pd.Timestamp("2024-01-02")],
+    ).toPandas()
+    assert len(manual) == 1  # explicit segment exists regardless of data
+    assert manual["v__sum__w=manual"].iloc[0] == 0.0  # sum fill on empty
+
+
 def test_mllib_pipeline_composition(spark):
     """tsflex_spark stages compose with MLlib estimators in ONE
     pyspark.ml.Pipeline: preprocess (SeriesPipeline) -> extract features
