@@ -118,6 +118,28 @@ def test_drop_keys_and_required_only(spark, small_sdf):
     assert set(out.columns) == {"ts", "a2"}
 
 
+def test_csv_json_readers_roundtrip(spark, tmp_path):
+    """CSV/JSON readers parse timestamp columns and feed calculate()
+    directly (explicit-schema path: no inference pass)."""
+    from tsflex_spark.sources import read_csv, read_json
+
+    ts = pd.date_range("2024-01-01", periods=24, freq="1h")
+    pdf = pd.DataFrame({"ts": ts.strftime("%Y-%m-%d %H:%M:%S"), "v": np.arange(24.0)})
+    csv_p, json_p = str(tmp_path / "d.csv"), str(tmp_path / "d.json")
+    pdf.to_csv(csv_p, index=False)
+    pdf.to_json(json_p, orient="records", lines=True)
+
+    fc = FeatureCollection([FeatureDescriptor("sum", "v", "6h", "6h")])
+    for df in (
+        read_csv(spark, csv_p, ts_col="ts", schema="ts string, v double"),
+        read_json(spark, json_p, ts_col="ts", schema="ts string, v double"),
+        read_csv(spark, csv_p, ts_col="ts"),  # inferred-schema fallback
+    ):
+        assert df.schema["ts"].dataType.typeName().startswith("timestamp")
+        out = fc.calculate(df, ts_col="ts").toPandas()
+        assert sorted(out["v__sum__w=6h"]) == [15.0, 51.0, 87.0]
+
+
 def test_empty_inputs_no_crash(spark):
     """Zero-row inputs flow through every major entry point (empty bounds
     -> empty spine -> empty output; manual segments are data-independent

@@ -1,3 +1,19 @@
-from tsflex_spark.sources.io import read_events, read_parquet, read_table
+from tsflex_spark.sources.io import (
+    read_csv,
+    read_events,
+    read_json,
+    read_parquet,
+    read_table,
+    write_bucketed,
+    write_partitioned,
+)
 
-__all__ = ["read_parquet", "read_table", "read_events"]
+__all__ = [
+    "read_parquet",
+    "read_csv",
+    "read_json",
+    "read_table",
+    "read_events",
+    "write_partitioned",
+    "write_bucketed",
+]

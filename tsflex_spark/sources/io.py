@@ -45,6 +45,60 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    ts_col: Optional[str] = None,
+    ts_format: Optional[str] = None,
+    schema: Optional[str] = None,
+    **options,
+) -> DataFrame:
+    """CSV reader with optional timestamp parsing.
+
+    Prefer an explicit ``schema`` (DDL string) at scale — ``inferSchema``
+    (the fallback) costs one extra full pass over the files. ``ts_col``
+    (+ optional ``ts_format``) parses a string column to TIMESTAMP.
+    """
+    reader = spark.read.options(header="true", **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    df = reader.csv(path)
+    if ts_col is not None and not str(df.schema[ts_col].dataType).startswith("Timestamp"):
+        col = (
+            F.to_timestamp(F.col(ts_col), ts_format)
+            if ts_format
+            else F.to_timestamp(F.col(ts_col))
+        )
+        df = df.withColumn(ts_col, col)
+    return df
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    ts_col: Optional[str] = None,
+    ts_format: Optional[str] = None,
+    schema: Optional[str] = None,
+    **options,
+) -> DataFrame:
+    """JSON-lines reader with optional timestamp parsing (same contract
+    as ``read_csv``; explicit ``schema`` avoids the inference pass)."""
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.json(path)
+    if ts_col is not None and not str(df.schema[ts_col].dataType).startswith("Timestamp"):
+        col = (
+            F.to_timestamp(F.col(ts_col), ts_format)
+            if ts_format
+            else F.to_timestamp(F.col(ts_col))
+        )
+        df = df.withColumn(ts_col, col)
+    return df
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_parquet(spark, f"{sf_dir}/{name}.parquet")
 
