@@ -83,6 +83,7 @@ def _grouping_columns(gd: Any) -> List[str]:
     m = _re.search(r"grouping expressions: \[(.*?)\], value:", s)
     assert m, f"cannot determine grouping columns from {s!r}"
     cols = [c.strip() for c in m.group(1).split(",") if c.strip()]
+    assert cols, "pre-grouped input must have at least one grouping column"
     missing = [c for c in cols if c not in gd._df.columns]
     assert not missing, (
         f"pre-grouped input must group by plain columns; {missing} not in "
@@ -376,6 +377,9 @@ class FeatureCollection:
 
         t = threading.Thread(target=_watch, daemon=True, name="tsflex-sparsity")
         t.start()
+        # reap finished watchers so a long-lived session doesn't accumulate
+        # one thread object per executed calculate()
+        _SPARSITY_WATCHERS[:] = [w for w in _SPARSITY_WATCHERS if w.is_alive()]
         _SPARSITY_WATCHERS.append(t)
         return out.drop(*[f"__spc_{i}" for i in range(len(needed))])
 
