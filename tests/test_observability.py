@@ -160,6 +160,39 @@ def test_udf_output_dtypes_preserved(spark):
     ]
 
 
+def test_explain_features_tiers():
+    """Driver-side compilation report: tier + fanout + two-level verdicts
+    per output, no Spark session or data touched."""
+    from tsflex_spark import FuncWrapper
+
+    def my_custom(x):
+        return float(np.ptp(x)) if len(x) else np.nan
+
+    fc = FeatureCollection(
+        [
+            FeatureDescriptor("sum", "v", "4h", "10m"),   # fanout 24 -> two-level
+            FeatureDescriptor("corr", ("a", "b"), "4h", "10m"),
+            FeatureDescriptor(
+                FuncWrapper(my_custom, output_names="rng"), "v", "1h", "1h"
+            ),
+            FeatureDescriptor("median", "v", "4h", "10m"),  # holistic: no rewrite
+        ]
+    )
+    rep = fc.explain_features().set_index("output")
+    assert rep.loc["v__sum__w=4h", "tier"] == "native"
+    assert rep.loc["a|b__corr__w=4h", "tier"] == "native2"
+    assert rep.loc["v__rng__w=1h", "tier"] == "udf"
+    assert rep.loc["v__sum__w=4h", "fanout"] == 24.0
+    # median is in the same config and holistic -> the whole config stays
+    # one-level
+    assert not rep.loc["v__sum__w=4h", "two_level"]
+    assert not rep.loc["v__rng__w=1h", "two_level"]
+
+    fc2 = FeatureCollection([FeatureDescriptor("sum", "v", "4h", "10m")])
+    rep2 = fc2.explain_features().set_index("output")
+    assert bool(rep2.loc["v__sum__w=4h", "two_level"])
+
+
 def test_vectorized_batched_2d(spark):
     """vectorized=True numpy funcs get the reference's true (nb, window)
     batch (strided_rolling.py:379-453) when segments are equal-length: the

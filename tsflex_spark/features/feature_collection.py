@@ -181,6 +181,85 @@ class FeatureCollection:
         assert isinstance(obj, FeatureCollection)
         return obj
 
+    # ---------------------------------------------------------- introspection
+    def explain_features(self, is_time: bool = True) -> pd.DataFrame:
+        """Driver-side compilation report — which execution tier each
+        descriptor hits, BEFORE running anything (no Spark jobs, no data).
+
+        Columns: output, series, window, strides, tier
+        (``native``/``native2``/``udf``), fanout (row-duplication factor
+        of the one-level plan), two_level (whether the pre-aggregation
+        rewrite would apply to the descriptor's config). The Spark analog
+        of ``df.explain()`` for the feature compiler: a ``udf`` row in the
+        hot path is the first thing to look for when a job is slow.
+        """
+        from math import gcd
+
+        from tsflex_spark.features.catalog import decomposition, decomposition2
+
+        rows = []
+        # group into configs exactly like calculate() does
+        cfg_entries: Dict[Tuple, List[Tuple]] = {}
+        for (series_tuple, win_str), fds in self._feature_desc_dict.items():
+            for fd in fds:
+                if fd.window is None or not fd.stride:
+                    cfg = ("manual",)
+                else:
+                    window_n = to_numeric_units(fd.window, is_time)
+                    strides_n = tuple(
+                        sorted({to_numeric_units(s, is_time) for s in fd.stride})
+                    )
+                    cfg = (window_n, strides_n)
+                cfg_entries.setdefault(cfg, []).append((series_tuple, win_str, fd))
+        for cfg, entries in cfg_entries.items():
+            native, udf = self._split_tiers(entries)
+            decomposable = not udf and bool(native)
+            for series_tuple, win_str, fd, spec in native:
+                if getattr(spec, "arity", 1) == 2:
+                    d = decomposition2(spec.name)
+                else:
+                    d = decomposition(spec.name, fd.function.kwargs)
+                if d is None:
+                    decomposable = False
+            for series_tuple, win_str, fd in entries:
+                if len(series_tuple) == 1:
+                    tier = "native" if fd.function.native_spec else "udf"
+                elif len(series_tuple) == 2:
+                    tier = "native2" if fd.function.native_spec2 else "udf"
+                else:
+                    tier = "udf"
+                if cfg[0] == "manual":
+                    fanout, two = None, False
+                else:
+                    w, ss = cfg
+                    fanout = float(w) / min(ss)
+                    ints = all(
+                        float(x).is_integer() for x in (w, *ss)
+                    )
+                    g = gcd(*(int(x) for x in (w, *ss))) if ints else 0
+                    two = (
+                        decomposable
+                        and fanout >= self.TWO_LEVEL_FANOUT_THRESHOLD
+                        and g > 0
+                        and (int(w) // g) <= 4 * fanout
+                    )
+                for o in fd.function.output_names:
+                    rows.append(
+                        {
+                            "output": _col_name(series_tuple, o, win_str),
+                            "series": "|".join(series_tuple),
+                            "window": fd.window,
+                            "strides": list(fd.stride) if fd.stride else None,
+                            "tier": tier,
+                            "fanout": fanout,
+                            "two_level": two,
+                        }
+                    )
+        return pd.DataFrame(
+            rows,
+            columns=["output", "series", "window", "strides", "tier", "fanout", "two_level"],
+        )
+
     # ------------------------------------------------------------- calculate
     def calculate(
         self,
