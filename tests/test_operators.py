@@ -305,6 +305,41 @@ def test_streaming_rolling_features(spark, tmp_path):
     assert first["v__count__w=60seconds"] == 60
 
 
+def test_streaming_rolling_ntz_source(spark, tmp_path):
+    """Spark 4 streaming reads tz-naive parquet as TIMESTAMP_NTZ too —
+    the streaming feature helpers (which convert ts via ts_micros for
+    slope-type specs) must analyze and run on an NTZ stream."""
+    ts = pd.date_range("2024-01-01", periods=120, freq="1s")
+    pdf = pd.DataFrame({"ts": ts, "v": np.arange(120.0)})
+    src = str(tmp_path / "src_ntz")
+    spark.createDataFrame(pdf).withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    ).write.parquet(src)
+
+    from tsflex_spark.streaming.rolling import rolling_features_stream
+
+    stream = spark.readStream.schema("ts timestamp_ntz, v double").parquet(src)
+    feats = rolling_features_stream(
+        stream, {"v": ["sum", "slope"]}, window="60 seconds", watermark="0 seconds"
+    )
+    sink = str(tmp_path / "sink_ntz")
+    q = (
+        feats.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ntz"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(sink).toPandas().sort_values("ts")
+    assert len(out) >= 1
+    first = out.iloc[0]
+    assert first["v__sum__w=60seconds"] == sum(range(60))
+    # v increases 1 unit per second -> slope 1.0 units/second
+    assert abs(first["v__slope__w=60seconds"] - 1.0) < 1e-9
+
+
 def test_streaming_batch_parity(spark):
     # the same helper on a batch frame gives the batch answer
     ts = pd.date_range("2024-01-01", periods=100, freq="1s")

@@ -26,8 +26,20 @@ from typing import Dict, Optional, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql.types import TimestampNTZType
+
 from tsflex_spark.features.catalog import lookup_native
 from tsflex_spark.utils.time_args import ts_micros
+
+
+def _ensure_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Streaming event time must be TIMESTAMP — ``withWatermark`` rejects
+    the TIMESTAMP_NTZ that Spark 4 parquet sources produce by default
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). The cast is instant-preserving
+    under the UTC session tz (same rationale as ``ts_micros``)."""
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
 
 
 def rolling_features_stream(
@@ -46,6 +58,7 @@ def rolling_features_stream(
     incremental aggregation). Output columns follow the engine naming
     grammar ``<series>__<func>__w=<window>``.
     """
+    df = _ensure_event_time(df, ts_col)
     if watermark is not None:
         df = df.withWatermark(ts_col, watermark)
     win = F.window(F.col(ts_col), window, slide or window)
@@ -78,6 +91,7 @@ def session_features_stream(
 ) -> DataFrame:
     """Session-window features (gap-based) — streaming analog of
     ``chunk_data``/sessionization."""
+    df = _ensure_event_time(df, ts_col)
     if watermark is not None:
         df = df.withWatermark(ts_col, watermark)
     win = F.session_window(F.col(ts_col), gap)

@@ -47,6 +47,9 @@ def running_stats_stream(
     """
     key_cols = list(key_cols)
     if watermark is not None:
+        from tsflex_spark.streaming.rolling import _ensure_event_time
+
+        df = _ensure_event_time(df, ts_col)  # NTZ event time is rejected
         df = df.withWatermark(ts_col, watermark)
 
     key_fields = [df.schema[k] for k in key_cols]
