@@ -247,6 +247,40 @@ def test_vectorized_ragged_falls_back(spark):
     assert got == [sum(range(10)), sum(range(10, 15))]
 
 
+def test_three_series_udf(spark):
+    """Tuples beyond arity 2 route to the UDF tier with each series' own
+    ragged slice (reference feature.py multi-series semantics)."""
+    from tsflex_spark import FuncWrapper
+
+    ts = pd.date_range("2024-01-01", periods=60, freq="1s")
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "ts": ts,
+                "a": np.arange(60.0),
+                "b": np.arange(60.0) * 2,
+                "c": [np.nan if i % 2 else float(i) for i in range(60)],
+            }
+        )
+    )
+
+    def spread(a, b, c):
+        return float(np.max(b) - np.min(a) + len(c))
+
+    fc = FeatureCollection(
+        [
+            FeatureDescriptor(
+                FuncWrapper(spread, output_names="s3"), ("a", "b", "c"), "30s", "30s"
+            )
+        ]
+    )
+    out = fc.calculate(df, ts_col="ts", window_idx="begin").toPandas().sort_values("ts")
+    got = list(out["a|b|c__s3__w=30s"])
+    # window [0,30): max(b)=58, min(a)=0, len(c non-null)=15 -> 73
+    # window [30,60) is only emitted with include_final... nb=(59-30)//30+1=1
+    assert got == [58.0 - 0.0 + 15.0]
+
+
 def test_make_robust_min_samples(spark):
     from tsflex_spark import FuncWrapper
     from tsflex_spark.features.function_wrapper import make_robust
