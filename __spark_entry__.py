@@ -1229,6 +1229,92 @@ def q_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs resolved into duplicate CLUSTERS
+    (SURVEY north-star dedup, final stage): consecutive-doc pairs are
+    scored with exact n-gram Jaccard, pairs >= 0.2 become edges, and the
+    alternating large-star/small-star connected-components pass closes
+    them transitively (A~B, B~C => one cluster). Output: one row per
+    cluster (min doc_id label + member count) over ALL documents."""
+    _utc(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from tsflex_spark.datapipe.dedup import connected_components, ngram_jaccard
+
+    pairs = docs.select(F.col("doc_id").alias("id_a")).withColumn(
+        "id_b", F.col("id_a") + 1
+    )
+    pairs = pairs.join(
+        docs.select(F.col("doc_id").alias("id_b")), on="id_b", how="left_semi"
+    )
+    sim = ngram_jaccard(docs, pairs, "text", id_col="doc_id")
+    edges = sim.where(F.col("jaccard") >= 0.2)
+    cc = connected_components(edges, "id_a", "id_b")
+    labeled = docs.select("doc_id").join(
+        cc, docs["doc_id"] == cc["node"], "left"
+    ).select(
+        F.col("doc_id"),
+        F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+    )
+    return (
+        labeled.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("cluster_id")
+    )
+
+
+def _oracle_dup_clusters() -> str:
+    # transitive closure via recursive CTE (min reachable label == the
+    # engine's min-of-component label)
+    return r"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(
+             range(1, greatest(length(n) - 4, 1) + 1),
+             i -> substr(n, i::INT, 5))) AS s
+  FROM (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS n FROM documents)),
+p AS (SELECT a.doc_id AS id_a, a.doc_id + 1 AS id_b
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+jac AS (
+  SELECT p.id_a, p.id_b,
+         CAST(len(list_distinct(list_intersect(sa.s, sb.s))) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS j
+  FROM p JOIN sh sa ON sa.doc_id = p.id_a JOIN sh sb ON sb.doc_id = p.id_b),
+e AS (SELECT id_a AS u, id_b AS v FROM jac WHERE j >= 0.2
+      UNION SELECT id_b AS u, id_a AS v FROM jac WHERE j >= 0.2),
+reach(a, b) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.a, e.v FROM reach r JOIN e ON e.u = r.b),
+lbl AS (
+  SELECT d.doc_id,
+         least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+  GROUP BY d.doc_id)
+SELECT cluster_id, count(*) AS n_members
+FROM lbl GROUP BY cluster_id ORDER BY cluster_id
+"""
+
+
+def q_sketch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both hash-sketch dedup paths in one gate (driver caps queries() at
+    50): MinHash+LSH near-dup survivors and SimHash 64-bit fingerprints,
+    tagged by method. Rows-only check (xxhash64 sketches are
+    engine-specific by construction; the oracle-checkable verification
+    stages are ngram_jaccard / embedding_neardup / dup_clusters)."""
+    mh = q_minhash_dedup(spark, sf_dir).select(
+        F.lit("minhash").alias("method"),
+        "doc_id",
+        F.lit(None).cast("long").alias("fp"),
+    )
+    sh = q_simhash(spark, sf_dir).select(
+        F.lit("simhash").alias("method"),
+        "doc_id",
+        F.col("simhash").alias("fp"),
+    )
+    return mh.unionByName(sh).orderBy("method", "doc_id")
+
+
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup removal (shingle → 64 minhashes → 16 bands →
     bucket self-join → exact-Jaccard >= 0.8 verify). Rows-only check
@@ -2467,8 +2553,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_topk": q_cosine_topk,
         "ann_methods": q_ann_methods,
-        "minhash_dedup": q_minhash_dedup,
-        "simhash": q_simhash,
+        "sketch_dedup": q_sketch_dedup,
+        "dup_clusters": q_dup_clusters,
         "embedding_neardup": q_embedding_neardup,
         "asof_join": q_asof_join,
         "processing_resample": q_processing_resample,
@@ -2539,6 +2625,7 @@ def oracle_sql() -> dict[str, str]:
         "time_weighted_mean": _oracle_time_weighted_mean(),
         "integration_features": _oracle_integration_features(),
         "processing_per_user_diff": _oracle_processing_per_user_diff(),
-        # ann_methods / minhash_dedup / simhash: engine-specific hashes or
+        "dup_clusters": _oracle_dup_clusters(),
+        # ann_methods / sketch_dedup: engine-specific hashes or
         # approximate — rows-only checks by design
     }

@@ -575,3 +575,48 @@ def test_streaming_session_features(spark, tmp_path):
     assert len(out) >= 2
     assert out["n_events"].iloc[0] == 10 and out["v__sum__w=session"].iloc[0] == 10.0
     assert out["n_events"].iloc[1] == 5
+
+
+def test_connected_components_chains_cycles_strings(spark):
+    from tsflex_spark.datapipe.dedup import connected_components
+
+    # chain 1-2-3-4, cycle 10-11-12-10, pair 20-21, self-loop 30-30 (ignored),
+    # duplicate + reversed edges
+    edges = [
+        (2, 1), (2, 3), (3, 4),
+        (10, 11), (11, 12), (12, 10),
+        (20, 21), (21, 20),
+        (30, 30),
+        (1, 2),
+    ]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
+
+    # string ids work too (orderable, not numeric)
+    spairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("x", "y")], "id_a string, id_b string"
+    )
+    sgot = {
+        (r["node"], r["component"]) for r in connected_components(spairs).collect()
+    }
+    assert sgot == {("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """O(log n) rounds must close a 64-node path graph (worst case for
+    naive propagation) well inside max_iter."""
+    from tsflex_spark.datapipe.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(63)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = connected_components(pairs, max_iter=12).collect()
+    assert len(out) == 64
+    assert {r["component"] for r in out} == {0}

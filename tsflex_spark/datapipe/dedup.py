@@ -434,3 +434,90 @@ def embedding_neardup(
         return out
 
     return exploded.groupBy("k").applyInPandas(score, "id_a long, id_b long, cosine double")
+
+
+# ------------------------------------------------- connected components
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve duplicate-candidate pairs into clusters: returns one row
+    ``(node, component)`` for every node that appears in ``pairs``, where
+    ``component`` is the minimum node id of its connected component.
+
+    This is the final step of a near-dup pipeline at scale: LSH banding
+    (``minhash_lsh_candidates``) / ``embedding_neardup`` emit *pairs*; to
+    keep one canonical document per duplicate *group* the pairs must be
+    closed transitively (A~B, B~C => {A,B,C} one cluster).
+
+    Algorithm: alternating **large-star / small-star** (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) expressed as
+    DataFrame ops — each round is two groupBy/join stages over the edge
+    set, and the edge count never grows beyond the input degree sum.
+    Converges in O(log n) rounds (vs O(diameter) for naive label
+    propagation), which is what makes it safe on 100 TB-scale candidate
+    graphs with long chains. Each round ends in an eager
+    ``localCheckpoint`` to truncate lineage (iterative plans otherwise
+    double in depth per round), and convergence is detected by an
+    order-insensitive (count, hash-sum) signature of the edge set.
+
+    Node ids may be any orderable type (long doc ids, string keys).
+    """
+    e = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
+
+    def _sig(d: DataFrame):
+        # decimal sum: long would overflow under Spark 4's default ANSI mode
+        row = d.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    sig = _sig(e)
+    for _ in range(max_iter):
+        # large-star: for every node u, connect each LARGER neighbor v to
+        # m = min(N(u) + {u}); keeps edges pointing big -> small
+        nbrs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = nbrs.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        ls = (
+            nbrs.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: per node u over its (all smaller) neighbors N,
+        # m = min(N); re-point every neighbor and u itself at m
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        e_new = (
+            ls.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_sig = _sig(e_new)
+        e = e_new
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # converged: e is a star forest (node -> component root); roots only
+    # ever appear on the right, so join them back with their own label
+    assign = e.groupBy("u").agg(F.min("v").alias("component"))
+    return (
+        all_nodes.join(assign, "u", "left")
+        .select(
+            F.col("u").alias("node"),
+            F.coalesce("component", F.col("u")).alias("component"),
+        )
+    )
