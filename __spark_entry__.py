@@ -1238,7 +1238,11 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster (min doc_id label + member count) over ALL documents."""
     _utc(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    from tsflex_spark.datapipe.dedup import connected_components, ngram_jaccard
+    from tsflex_spark.datapipe.dedup import (
+        connected_components,
+        ngram_jaccard,
+        shingle_rows,
+    )
 
     pairs = docs.select(F.col("doc_id").alias("id_a")).withColumn(
         "id_b", F.col("id_a") + 1
@@ -1246,7 +1250,10 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = pairs.join(
         docs.select(F.col("doc_id").alias("id_b")), on="id_b", how="left_semi"
     )
-    sim = ngram_jaccard(docs, pairs, "text", id_col="doc_id")
+    # shingle rows feed three plan branches (sizes + both join sides);
+    # checkpoint once instead of recomputing the explode+distinct 3x
+    sh = shingle_rows(docs, "text", "doc_id").localCheckpoint(eager=False)
+    sim = ngram_jaccard(docs, pairs, "text", id_col="doc_id", shingles=sh)
     edges = sim.where(F.col("jaccard") >= 0.2)
     cc = connected_components(edges, "id_a", "id_b")
     labeled = docs.select("doc_id").join(

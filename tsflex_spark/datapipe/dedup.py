@@ -483,7 +483,7 @@ def connected_components(
         return (row["n"], row["h"])
 
     sig = _sig(e)
-    for _ in range(max_iter):
+    for _ in range(max_iter if sig[0] else 0):
         # large-star: for every node u, connect each LARGER neighbor v to
         # m = min(N(u) + {u}); keeps edges pointing big -> small
         nbrs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
