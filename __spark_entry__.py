@@ -1003,14 +1003,17 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     punct / digit / upper / stopword ratios + composite score — pure
     codegen expressions, no Python. Also carries the heuristic language-ID
     (argmax of per-language stopword hits over {en,de,fr,es,nl}, 'und'
-    when nothing matches) — two catalog ops, one gate (50-entry cap)."""
+    when nothing matches) and the Gopher-style repetition filters
+    (dup-line / dup-line-char / top-2gram / top-3gram fractions) — three
+    catalog ops, one gate (50-entry cap)."""
     _utc(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    from tsflex_spark.datapipe.text import language_id, quality_score
+    from tsflex_spark.datapipe.text import language_id, quality_score, repetition_stats
 
     q = quality_score(docs, "text", id_col="doc_id")
     lang = language_id(docs, "text", id_col="doc_id")
-    return q.join(lang, on="doc_id").orderBy("doc_id")
+    rep = repetition_stats(docs, "text", id_col="doc_id")
+    return q.join(lang, on="doc_id").join(rep, on="doc_id").orderBy("doc_id")
 
 
 def _oracle_quality_score() -> str:
@@ -1043,8 +1046,58 @@ SELECT doc_id,
         + CASE WHEN mean_word_len >= 3 AND mean_word_len <= 12 THEN 0.25 ELSE 0.0 END
         + CASE WHEN n_digit / safe_chars < 0.2 THEN 0.25 ELSE 0.0 END
         + CASE WHEN n_stop / safe_toks > 0.0 THEN 0.25 ELSE 0.0 END) AS quality_score,
-       {_lang_pred_sql()} AS lang_pred
-FROM d ORDER BY doc_id
+       {_lang_pred_sql()} AS lang_pred,
+       r.dup_line_frac, r.dup_line_char_frac, r.top_2gram_frac, r.top_3gram_frac
+FROM d JOIN ({_repetition_sql()}) r USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def _repetition_sql() -> str:
+    """Gopher repetition filters (mirror of datapipe.text.repetition_stats):
+    trimmed non-empty lines + word 2/3-grams, duplicate and top-frequency
+    fractions as exact int/int double divisions."""
+    return r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t,
+         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                     x -> x <> '') AS lns
+  FROM documents),
+g AS (
+  SELECT doc_id, 'line' AS kind, unnest(lns) AS gram FROM tk
+  UNION ALL
+  SELECT doc_id, 'g2' AS kind,
+         unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                               i -> t[i] || ' ' || t[i + 1])) AS gram
+  FROM tk
+  UNION ALL
+  SELECT doc_id, 'g3' AS kind,
+         unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                               i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS gram
+  FROM tk),
+per AS (SELECT doc_id, kind, gram, count(*) AS c FROM g GROUP BY doc_id, kind, gram),
+st AS (
+  SELECT doc_id, kind,
+         sum(c) AS tot,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup,
+         max(c) AS mx,
+         sum(c * length(gram)) AS totw,
+         sum(CASE WHEN c > 1 THEN c * length(gram) ELSE 0 END) AS dupw
+  FROM per GROUP BY doc_id, kind)
+SELECT d.doc_id,
+       CASE WHEN coalesce(l.tot, 0) > 0
+            THEN CAST(l.dup AS DOUBLE) / CAST(l.tot AS DOUBLE) ELSE 0.0 END AS dup_line_frac,
+       CASE WHEN coalesce(l.totw, 0) > 0
+            THEN CAST(l.dupw AS DOUBLE) / CAST(l.totw AS DOUBLE) ELSE 0.0 END AS dup_line_char_frac,
+       CASE WHEN coalesce(b2.tot, 0) > 0
+            THEN CAST(b2.mx AS DOUBLE) / CAST(b2.tot AS DOUBLE) ELSE 0.0 END AS top_2gram_frac,
+       CASE WHEN coalesce(b3.tot, 0) > 0
+            THEN CAST(b3.mx AS DOUBLE) / CAST(b3.tot AS DOUBLE) ELSE 0.0 END AS top_3gram_frac
+FROM documents d
+LEFT JOIN st l  ON l.doc_id = d.doc_id AND l.kind = 'line'
+LEFT JOIN st b2 ON b2.doc_id = d.doc_id AND b2.kind = 'g2'
+LEFT JOIN st b3 ON b3.doc_id = d.doc_id AND b3.kind = 'g3'
 """
 
 
@@ -1309,17 +1362,24 @@ def q_sketch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged by method. Rows-only check (xxhash64 sketches are
     engine-specific by construction; the oracle-checkable verification
     stages are ngram_jaccard / embedding_neardup / dup_clusters)."""
-    mh = q_minhash_dedup(spark, sf_dir).select(
+    _utc(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from tsflex_spark.datapipe.dedup import minhash_dedup, shingle_rows, simhash
+
+    # both sketches consume the same (id, shingle-hash) table — shingle
+    # once, lazily checkpoint, share
+    sh = shingle_rows(docs, "text", "doc_id").localCheckpoint(eager=False)
+    mh = minhash_dedup(docs, "text", id_col="doc_id", threshold=0.8, shingles=sh).select(
         F.lit("minhash").alias("method"),
         "doc_id",
         F.lit(None).cast("long").alias("fp"),
     )
-    sh = q_simhash(spark, sf_dir).select(
+    sim = simhash(docs, "text", id_col="doc_id", shingles=sh).select(
         F.lit("simhash").alias("method"),
         "doc_id",
         F.col("simhash").alias("fp"),
     )
-    return mh.unionByName(sh).orderBy("method", "doc_id")
+    return mh.unionByName(sim).orderBy("method", "doc_id")
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

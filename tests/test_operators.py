@@ -620,3 +620,32 @@ def test_connected_components_long_chain_converges(spark):
     out = connected_components(pairs, max_iter=12).collect()
     assert len(out) == 64
     assert {r["component"] for r in out} == {0}
+
+
+def test_repetition_stats_gopher_filters(spark):
+    from tsflex_spark.datapipe.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b\nsame line\nsame line\nother"),
+            (2, "unique words only here today"),
+            (3, ""),
+            (4, "x x x x x x x x"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df, "text", "doc_id").collect()}
+    assert len(out) == 4
+    # doc 1: 4 lines, "same line" twice -> 2/4 dup; 18 of 34 line chars
+    assert out[1]["dup_line_frac"] == 0.5
+    assert abs(out[1]["dup_line_char_frac"] - 18 / 34) < 1e-12
+    # doc 1 tokens: a b a b a b same line same line other -> "a b" 3x of 10
+    assert out[1]["top_2gram_frac"] == 0.3
+    # doc 2: all unique -> top 2-gram 1/4
+    assert out[2]["top_2gram_frac"] == 0.25
+    assert out[2]["dup_line_frac"] == 0.0
+    # empty doc: all-zero, no NULLs/ANSI division errors
+    assert all(out[3][c] == 0.0 for c in
+               ("dup_line_frac", "dup_line_char_frac", "top_2gram_frac", "top_3gram_frac"))
+    # pathological repetition pegs both n-gram fractions at 1.0
+    assert out[4]["top_2gram_frac"] == 1.0 and out[4]["top_3gram_frac"] == 1.0

@@ -250,6 +250,7 @@ def minhash_dedup(
     num_hashes: int = 64,
     num_bands: Optional[int] = None,
     shingle_k: int = 5,
+    shingles: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Near-dup removal: LSH candidates → exact Jaccard ≥ threshold →
     connected-ish grouping (min-id representative) → keep representatives.
@@ -277,7 +278,11 @@ def minhash_dedup(
     # the RDD caches on first computation inside the final action instead
     # of paying three sequential job barriers up front — A/B at sf0.1
     # showed the same minimum but eager spiking 2-3x on barrier scheduling
-    sh = shingle_rows(df, text_col, id_col, shingle_k).localCheckpoint(eager=False)
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_rows(df, text_col, id_col, shingle_k).localCheckpoint(eager=False)
+    )
     # the LSH banding self-joins the signature table (a ⋈ b) — without a
     # checkpoint the 64-min-agg subtree executes once per join side
     sigs = minhash_signatures(
@@ -298,7 +303,13 @@ def minhash_dedup(
 
 
 # ---------------------------------------------------------------- SimHash
-def simhash(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 5) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 5,
+    shingles: Optional[DataFrame] = None,
+) -> DataFrame:
     """64-bit SimHash fingerprint per document — JVM-side only.
 
     For each bit b: sign(sum over shingles of ±1 by shingle-hash bit b).
@@ -310,9 +321,8 @@ def simhash(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 5) -> Da
     # sign(2*popcount_b - n): summing the raw bit (2 bit-ops/row) and
     # rescaling once per GROUP halves the per-row expression work vs a
     # when/otherwise branch per bit.
-    ex = shingle_rows(df, text_col, id_col, shingle_k).select(
-        id_col, F.xxhash64("__s").alias("__h")
-    )
+    sh = shingles if shingles is not None else shingle_rows(df, text_col, id_col, shingle_k)
+    ex = sh.select(id_col, F.xxhash64("__s").alias("__h"))
     aggs = [
         F.sum(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1))).alias(f"__b{b}")
         for b in range(64)

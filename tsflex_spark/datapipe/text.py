@@ -189,3 +189,125 @@ def winnow_fingerprints(
 
     df = fan_out(df)
     return df.select(F.col(id_col), _winnow(F.col(text_col)).alias("fps"))
+
+
+def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, appendix A —
+    the standard "remove boilerplate / auto-generated text" signals for
+    pre-training corpora):
+
+    - ``dup_line_frac``       fraction of (trimmed, non-empty) lines that
+                              are copies of another line in the same doc
+    - ``dup_line_char_frac``  fraction of line characters inside those
+                              duplicated lines
+    - ``top_2gram_frac``      occurrence fraction of the most frequent
+                              word 2-gram
+    - ``top_3gram_frac``      same for 3-grams
+
+    Shape: n-gram arrays are built in-row with native ``slice`` +
+    ``arrays_zip`` (whole-stage codegen — no window sort, no interpreted
+    per-element lambdas), exploded, and counted by ONE hash-shuffle
+    groupBy keyed on (id, kind, xxhash64(gram)) — the gram string itself
+    never rides the shuffle, and map-side partial aggregation collapses
+    repeats before the exchange. Same scale story as ``shingle_rows``:
+    per-doc work is linear, the shuffle key is 3 longs, and nothing ever
+    materializes a per-doc frequency map in one row.
+    """
+    df = fan_out(df)
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    base = df.select(
+        F.col(id_col),
+        F.filter(
+            F.transform(F.split(F.col(text_col), "\n"), F.trim),
+            lambda x: x != F.lit(""),
+        ).alias("__lines"),
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))).alias("__t0"),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))).alias("__t1"),
+        F.slice(toks, 3, F.greatest(n - 2, F.lit(0))).alias("__t2"),
+    )
+    ln = base.select(F.col(id_col), F.explode("__lines").alias("gram")).select(
+        id_col, F.lit("line").alias("kind"), "gram"
+    )
+    g2 = base.select(
+        F.col(id_col), F.explode(F.arrays_zip("__t0", "__t1")).alias("__z")
+    ).select(
+        id_col,
+        F.lit("g2").alias("kind"),
+        F.concat_ws(" ", F.col("__z.__t0"), F.col("__z.__t1")).alias("gram"),
+    )
+    g3 = base.select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.slice("__t0", 1, F.greatest(F.size("__t2"), F.lit(0))).alias("__t0"),
+                F.slice("__t1", 1, F.greatest(F.size("__t2"), F.lit(0))).alias("__t1"),
+                F.col("__t2"),
+            )
+        ).alias("__z"),
+    ).select(
+        id_col,
+        F.lit("g3").alias("kind"),
+        F.concat_ws(
+            " ", F.col("__z.__t0"), F.col("__z.__t1"), F.col("__z.__t2")
+        ).alias("gram"),
+    )
+    per = (
+        ln.unionByName(g2)
+        .unionByName(g3)
+        .select(
+            id_col,
+            "kind",
+            F.xxhash64("gram").alias("__gh"),
+            F.length("gram").alias("__gl"),
+        )
+        .groupBy(id_col, "kind", "__gh")
+        .agg(F.count(F.lit(1)).alias("c"), F.first("__gl").alias("__gl"))
+    )
+    stats = per.groupBy(id_col, "kind").agg(
+        F.sum("c").alias("tot"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup"),
+        F.max("c").alias("mx"),
+        F.sum(F.col("c") * F.col("__gl")).alias("totw"),
+        F.sum(F.when(F.col("c") > 1, F.col("c") * F.col("__gl")).otherwise(0)).alias(
+            "dupw"
+        ),
+    )
+    p = (
+        stats.groupBy(id_col)
+        .pivot("kind", ["line", "g2", "g3"])
+        .agg(
+            F.first("tot").alias("tot"),
+            F.first("dup").alias("dup"),
+            F.first("mx").alias("mx"),
+            F.first("totw").alias("totw"),
+            F.first("dupw").alias("dupw"),
+        )
+    )
+
+    def _frac(num: Column, den: Column) -> Column:
+        # exact int/int double division (bit-identical across engines);
+        # 0.0 for empty docs on both sides
+        return F.when(
+            den > 0, num.cast("double") / den.cast("double")
+        ).otherwise(F.lit(0.0))
+
+    return (
+        df.select(id_col)
+        .join(p, id_col, "left")
+        .select(
+            F.col(id_col),
+            _frac(F.coalesce("line_dup", F.lit(0)), F.coalesce("line_tot", F.lit(0))).alias(
+                "dup_line_frac"
+            ),
+            _frac(
+                F.coalesce("line_dupw", F.lit(0)), F.coalesce("line_totw", F.lit(0))
+            ).alias("dup_line_char_frac"),
+            _frac(F.coalesce("g2_mx", F.lit(0)), F.coalesce("g2_tot", F.lit(0))).alias(
+                "top_2gram_frac"
+            ),
+            _frac(F.coalesce("g3_mx", F.lit(0)), F.coalesce("g3_tot", F.lit(0))).alias(
+                "top_3gram_frac"
+            ),
+        )
+    )
