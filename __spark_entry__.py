@@ -1189,7 +1189,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SURVEY north-star near-dup verification stage)."""
     _utc(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    from tsflex_spark.datapipe.dedup import ngram_jaccard
+    from tsflex_spark.datapipe.dedup import ngram_jaccard, shingle_rows
 
     pairs = docs.select(F.col("doc_id").alias("id_a")).where(
         F.col("id_a") % 2 == 0
@@ -1197,7 +1197,11 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = pairs.join(
         docs.select(F.col("doc_id").alias("id_b")), on="id_b", how="left_semi"
     )
-    return ngram_jaccard(docs, pairs, "text", id_col="doc_id").orderBy("id_a")
+    # the shingle table feeds three plan branches — materialize it once
+    sh = shingle_rows(docs, "text", "doc_id").localCheckpoint(eager=False)
+    return ngram_jaccard(
+        docs, pairs, "text", id_col="doc_id", shingles=sh
+    ).orderBy("id_a")
 
 
 def _oracle_ngram_jaccard() -> str:

@@ -301,7 +301,7 @@ def test_streaming_rolling_features(spark, tmp_path):
     # watermark closes the first of the two 60s tumbling windows
     assert len(out) >= 1
     first = out.iloc[0]
-    assert first["v__sum__w=60seconds"] == sum(range(60))
+    assert first["v__sum__w=1meconds"] == sum(range(60))
     assert first["v__count__w=60seconds"] == 60
 
 
@@ -335,9 +335,9 @@ def test_streaming_rolling_ntz_source(spark, tmp_path):
     out = spark.read.parquet(sink).toPandas().sort_values("ts")
     assert len(out) >= 1
     first = out.iloc[0]
-    assert first["v__sum__w=60seconds"] == sum(range(60))
+    assert first["v__sum__w=1meconds"] == sum(range(60))
     # v increases 1 unit per second -> slope 1.0 units/second
-    assert abs(first["v__slope__w=60seconds"] - 1.0) < 1e-9
+    assert abs(first["v__slope__w=1meconds"] - 1.0) < 1e-9
 
 
 def test_streaming_batch_parity(spark):
@@ -649,3 +649,87 @@ def test_repetition_stats_gopher_filters(spark):
                ("dup_line_frac", "dup_line_char_frac", "top_2gram_frac", "top_3gram_frac"))
     # pathological repetition pegs both n-gram fractions at 1.0
     assert out[4]["top_2gram_frac"] == 1.0 and out[4]["top_3gram_frac"] == 1.0
+
+
+def test_calculate_streaming_real_stream(spark, tmp_path):
+    """The SAME FeatureCollection config runs as a genuine streaming
+    query: parquet source -> incremental window agg -> parquet sink."""
+    from tsflex_spark import FeatureCollection, FeatureDescriptor
+
+    ts = pd.date_range("2024-01-01", periods=120, freq="1s")
+    pdf = pd.DataFrame({"ts": ts, "v": np.arange(120.0)})
+    src = str(tmp_path / "fc_src")
+    spark.createDataFrame(pdf).write.parquet(src)
+
+    fc = FeatureCollection(
+        [
+            FeatureDescriptor("sum", "v", "60s", "60s"),
+            FeatureDescriptor("mean", "v", "60s", "60s"),
+            FeatureDescriptor("slope", "v", "60s", "60s"),
+        ]
+    )
+    stream = spark.readStream.schema("ts timestamp, v double").parquet(src)
+    feats = fc.calculate_streaming(stream, watermark="0 seconds")
+    sink = str(tmp_path / "fc_sink")
+    q = (
+        feats.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "fc_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(sink).toPandas().sort_values("ts")
+    assert len(out) >= 1
+    first = out.iloc[0]
+    assert first["v__sum__w=1m"] == sum(range(60))
+    assert first["v__mean__w=1m"] == sum(range(60)) / 60
+    assert abs(first["v__slope__w=1m"] - 1.0) < 1e-9
+
+
+def test_calculate_streaming_rejects_non_streamable(spark):
+    from tsflex_spark import FeatureCollection, FeatureDescriptor
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"ts": pd.date_range("2024-01-01", periods=5, freq="1s"),
+                      "v": np.ones(5)})
+    )
+    # Python-tier function
+    fc = FeatureCollection([FeatureDescriptor(lambda a: float(a.sum()), "v", "5s", "5s")])
+    with _pytest.raises(ValueError, match="native catalog"):
+        fc.calculate_streaming(df)
+    # distinct agg
+    fc2 = FeatureCollection([FeatureDescriptor("n_unique", "v", "5s", "5s")])
+    with _pytest.raises(ValueError, match="n_unique"):
+        fc2.calculate_streaming(df)
+    # count-based window
+    fc3 = FeatureCollection([FeatureDescriptor("sum", "v", 5, 5)])
+    with _pytest.raises(ValueError, match="not\\s+streamable"):
+        fc3.calculate_streaming(df)
+
+
+def test_calculate_streaming_batch_parity_keyed(spark):
+    """On a batch frame the streaming compilation gives the F.window
+    answer per key; two configs return two frames."""
+    from tsflex_spark import FeatureCollection, FeatureDescriptor
+
+    ts = pd.date_range("2024-01-01", periods=100, freq="1s")
+    pdf = pd.DataFrame(
+        {"ts": list(ts) * 2, "v": np.ones(200),
+         "u": ["a"] * 100 + ["b"] * 100}
+    )
+    fc = FeatureCollection(
+        [
+            FeatureDescriptor("sum", "v", "50s", "50s"),
+            FeatureDescriptor("count", "v", "25s", "25s"),
+        ]
+    )
+    outs = fc.calculate_streaming(spark.createDataFrame(pdf), key_cols=["u"])
+    assert isinstance(outs, list) and len(outs) == 2
+    by_cols = {tuple(sorted(c for c in o.columns if "__" in c)): o for o in outs}
+    sums = by_cols[("v__sum__w=50s",)].toPandas()
+    assert len(sums) == 4 and set(sums["v__sum__w=50s"]) == {50.0}
+    cnts = by_cols[("v__count__w=25s",)].toPandas()
+    assert len(cnts) == 8 and set(cnts["v__count__w=25s"]) == {25}

@@ -410,6 +410,111 @@ class FeatureCollection:
             ts_col, *key_cols, *[F.col(f"`{c}`") for c in feat_cols]
         ).orderBy(*key_cols, ts_col)
 
+    def calculate_streaming(
+        self,
+        data: DataFrame,
+        *,
+        ts_col: str = "ts",
+        key_cols: Sequence[str] = (),
+        stride: Optional[Any] = None,
+        watermark: Optional[str] = None,
+    ) -> Union[DataFrame, List[DataFrame]]:
+        """Compile this SAME feature configuration into a Structured
+        Streaming plan (readStream in → incremental aggregation →
+        writeStream out).
+
+        The reference has no streaming runtime — it suggests re-running
+        batch ``calculate`` on small tails for "streaming inference"
+        (SURVEY §2.9). On Spark the identical logical config becomes a
+        genuine incremental query, with constraints (checked here):
+
+        - TIME-domain duration windows/strides only (count-based and
+          manual segments need ordered state → ``streaming/stateful.py``);
+        - native-tier functions only (aggregation state must stay
+          JVM-side for incremental merge; Python funcs would re-see the
+          whole window every trigger);
+        - no distinct aggregates (``n_unique`` is not incrementally
+          mergeable in streaming);
+        - one stride per descriptor (``F.window`` takes one slide).
+
+        Semantics differences vs batch ``calculate`` (documented, not
+        hidden): the window grid aligns to the Unix epoch (Spark
+        ``F.window``) rather than to the stream's first sample, and empty
+        windows emit nothing (a stream has no bounded spine to left-join).
+
+        Returns one DataFrame per distinct (window, stride) config — a
+        single DataFrame when there is only one. Multi-config results are
+        NOT outer-joined like the batch path: joining two streaming
+        aggregations needs matching watermarks and append-mode
+        restrictions that belong to the caller's sink topology. Works on
+        a batch DataFrame too (same plan, one-shot) — used by the parity
+        tests.
+        """
+        from tsflex_spark.streaming.rolling import _ensure_event_time
+        from tsflex_spark.utils.time_args import parse_time_arg
+        from tsflex_spark.utils.time_args import ts_micros as _tsm
+
+        key_cols = list(key_cols)
+        data = _ensure_event_time(data, ts_col)
+        if watermark is not None:
+            data = data.withWatermark(ts_col, watermark)
+        data = data.withColumn(TSN, _tsm(ts_col))
+
+        def _dur(td: pd.Timedelta) -> str:
+            return f"{int(td.value // 1000)} microseconds"
+
+        configs: Dict[Tuple, List[Tuple[Tuple[str, ...], str, FeatureDescriptor]]] = {}
+        for (series_tuple, win_str), fds in self._feature_desc_dict.items():
+            for fd in fds:
+                if fd.window is None or (
+                    isinstance(fd.window, int) and not isinstance(fd.window, bool)
+                ):
+                    raise ValueError(
+                        f"descriptor {fd}: manual/count-based segmentation is not "
+                        "streamable — use streaming/stateful.py"
+                    )
+                strides = [stride] if stride is not None else fd.stride
+                if not strides:
+                    raise ValueError(f"descriptor {fd} has no stride (tumbling = window)")
+                if len(strides) > 1:
+                    raise ValueError(
+                        f"descriptor {fd}: multi-stride start unions are not "
+                        "streamable (F.window takes one slide)"
+                    )
+                wtd = parse_time_arg(fd.window)
+                std = parse_time_arg(strides[0])
+                configs.setdefault((wtd, std), []).append((series_tuple, win_str, fd))
+
+        outputs: List[DataFrame] = []
+        for (wtd, std), entries in configs.items():
+            native, udf = self._split_tiers(entries)
+            if udf:
+                bad = sorted({fd.function.func_name for *_, fd in udf})
+                raise ValueError(
+                    f"streaming supports native catalog functions only; "
+                    f"Python-tier funcs in config: {bad}"
+                )
+            distinct = sorted(
+                {fd.function.func_name for *_, fd, _s in native if fd.function.func_name == "n_unique"}
+            )
+            if distinct:
+                raise ValueError(
+                    "n_unique (COUNT DISTINCT) is not supported in streaming "
+                    "aggregations — use an approx sketch instead"
+                )
+            exprs = self._native_agg_exprs(native)
+            win = F.window(F.col(ts_col), _dur(wtd), _dur(std))
+            out = data.groupBy(*key_cols, win).agg(*exprs)
+            feat_cols = [c for c in out.columns if "__" in c]
+            outputs.append(
+                out.select(
+                    *key_cols,
+                    F.col("window.end").alias(ts_col),
+                    *[F.col(f"`{c}`") for c in feat_cols],
+                )
+            )
+        return outputs[0] if len(outputs) == 1 else outputs
+
     def _attach_sparsity_observer(self, out: DataFrame, needed: List[str]) -> DataFrame:
         """Non-eager sparsity check (reference strided_rolling.py:230-239
         warns on unequal per-window sample counts, ON by default).
