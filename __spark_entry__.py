@@ -1242,11 +1242,34 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     cos = dot / (_norm(F.col("embedding")) * _norm(F.col("q_vec")))
-    return (
+    brute = (
         joined.select(F.col("vec_id"), cos.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(10)
     )
+    from pyspark.sql import Window
+
+    brute = brute.select(
+        F.lit("brute").alias("method"),
+        F.lit(0).cast("long").alias("q_id"),
+        "vec_id",
+        "cosine",
+        F.row_number()
+        .over(Window.orderBy(F.col("cosine").desc(), F.col("vec_id")))
+        .alias("rank"),
+    )
+    # exact KNN JOIN: top-5 corpus neighbors for EVERY query in a 5-query
+    # table at once (map-only corpus scan + BLAS partial top-k per
+    # partition) — the batch retrieval-set builder
+    from tsflex_spark.datapipe.similarity import knn_join
+
+    qs = emb.where(F.col("vec_id") <= 4).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding")
+    )
+    knn = knn_join(
+        emb.where(F.col("vec_id") > 4), qs, k=5, q_id_col="q_id"
+    ).select(F.lit("knn").alias("method"), "q_id", "vec_id", "cosine", "rank")
+    return brute.unionByName(knn).orderBy("method", "q_id", "rank")
 
 
 def _oracle_cosine_topk() -> str:
@@ -1260,8 +1283,28 @@ s AS (
          / (sqrt(list_reduce(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b))
             * sqrt(list_reduce(list_transform(q.q_vec, x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b))) AS cosine
   FROM embeddings e CROSS JOIN q
-  WHERE e.vec_id <> 0)
-SELECT vec_id, cosine FROM s ORDER BY cosine DESC, vec_id LIMIT 10
+  WHERE e.vec_id <> 0),
+brute AS (
+  SELECT 'brute' AS method, CAST(0 AS BIGINT) AS q_id, vec_id, cosine,
+         CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS "rank"
+  FROM s ORDER BY cosine DESC, vec_id LIMIT 10),
+s2 AS (
+  SELECT qq.vec_id AS q_id, e.vec_id,
+         list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                     i -> e.embedding[i]::DOUBLE * qq.embedding[i]::DOUBLE),
+                     (a, b) -> a + b)
+         / (sqrt(list_reduce(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b))
+            * sqrt(list_reduce(list_transform(qq.embedding, x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b))) AS cosine
+  FROM embeddings e CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id <= 4) qq
+  WHERE e.vec_id > 4),
+knn AS (
+  SELECT 'knn' AS method, q_id, vec_id, cosine,
+         CAST(rnk AS INT) AS "rank"
+  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+        FROM s2)
+  WHERE rnk <= 5)
+SELECT * FROM brute UNION ALL SELECT * FROM knn
+ORDER BY method, q_id, "rank"
 """
 
 

@@ -733,3 +733,31 @@ def test_calculate_streaming_batch_parity_keyed(spark):
     assert len(sums) == 4 and set(sums["v__sum__w=50s"]) == {50.0}
     cnts = by_cols[("v__count__w=25s",)].toPandas()
     assert len(cnts) == 8 and set(cnts["v__count__w=25s"]) == {25}
+
+
+def test_knn_join_matches_bruteforce(spark):
+    from tsflex_spark.datapipe.similarity import knn_join
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(60, 8)).astype("float64")
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(10, 60)],
+        "vec_id long, embedding array<double>",
+    ).repartition(6)
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(3)],
+        "q_id long, embedding array<double>",
+    )
+    out = knn_join(corpus, queries, k=4).toPandas()
+    assert len(out) == 12  # 3 queries x 4
+    # brute-force in numpy
+    import numpy as _np
+
+    C = vecs[10:60]
+    Cn = C / _np.linalg.norm(C, axis=1, keepdims=True)
+    for qi in range(3):
+        qn = vecs[qi] / _np.linalg.norm(vecs[qi])
+        scores = Cn @ qn
+        expect = list(10 + _np.argsort(-scores)[:4])
+        got = list(out[out["q_id"] == qi].sort_values("rank")["vec_id"])
+        assert got == expect, (qi, got, expect)

@@ -214,3 +214,68 @@ def ivf_topk(
         F.col(id_col), cosine_similarity_col(F.col(vec_col), query_vec).alias("cosine")
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def knn_join(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+) -> DataFrame:
+    """Exact cosine k-nearest-neighbor JOIN: for every query vector, the
+    ``k`` most similar corpus vectors — ``(q_id, vec_id, cosine, rank)``.
+
+    This is the retrieval-dataset builder (mine hard negatives / build
+    eval sets for a whole query table at once), not the single-vector
+    ``cosine_topk``.
+
+    Scale shape: the corpus NEVER shuffles. The (bounded, small) query
+    side is collected to the driver and shipped in the task closure —
+    the map-side analog of a broadcast join; each corpus partition
+    computes one BLAS matmul (queries × partition-block) and keeps a
+    per-partition partial top-k via ``argpartition``. The only shuffled
+    rows are the partials — O(#queries × #partitions × k) — which one
+    per-query window pass reduces to the exact global top-k
+    (ties broken by id, so results are deterministic and
+    oracle-comparable). 100 TB corpus × 10⁵ queries is a map-only scan
+    plus a trivially small exchange.
+    """
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    qp = queries.select(F.col(q_id_col), F.col(vec_col)).toPandas()
+    Q = np.asarray(qp[vec_col].tolist(), dtype="float64")
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qids = qp[q_id_col].to_numpy()
+    kk = int(k)
+
+    def part(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.asarray(pdf[vec_col].tolist(), dtype="float64")
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            S = Qn @ Cn.T  # (nq, nc)
+            top = min(kk, S.shape[1])
+            idx = np.argpartition(-S, top - 1, axis=1)[:, :top]
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    q_id_col: np.repeat(qids, top),
+                    id_col: ids[idx].ravel(),
+                    "cosine": np.take_along_axis(S, idx, axis=1).ravel(),
+                }
+            )
+
+    partial = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        part, f"{q_id_col} long, {id_col} long, cosine double"
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= kk)
+        .select(q_id_col, id_col, "cosine", "rank")
+    )
