@@ -301,7 +301,7 @@ def test_streaming_rolling_features(spark, tmp_path):
     # watermark closes the first of the two 60s tumbling windows
     assert len(out) >= 1
     first = out.iloc[0]
-    assert first["v__sum__w=1meconds"] == sum(range(60))
+    assert first["v__sum__w=60seconds"] == sum(range(60))
     assert first["v__count__w=60seconds"] == 60
 
 
@@ -335,9 +335,9 @@ def test_streaming_rolling_ntz_source(spark, tmp_path):
     out = spark.read.parquet(sink).toPandas().sort_values("ts")
     assert len(out) >= 1
     first = out.iloc[0]
-    assert first["v__sum__w=1meconds"] == sum(range(60))
+    assert first["v__sum__w=60seconds"] == sum(range(60))
     # v increases 1 unit per second -> slope 1.0 units/second
-    assert abs(first["v__slope__w=1meconds"] - 1.0) < 1e-9
+    assert abs(first["v__slope__w=60seconds"] - 1.0) < 1e-9
 
 
 def test_streaming_batch_parity(spark):
@@ -761,3 +761,59 @@ def test_knn_join_matches_bruteforce(spark):
         expect = list(10 + _np.argsort(-scores)[:4])
         got = list(out[out["q_id"] == qi].sort_values("rank")["vec_id"])
         assert got == expect, (qi, got, expect)
+
+
+def test_clean_corpus_pipeline(spark):
+    from tsflex_spark.datapipe.pipeline import clean_corpus
+
+    good = ("The quick brown fox jumps over the lazy dog and then keeps "
+            "running through the field for a while longer today. ") * 3
+    docs = spark.createDataFrame(
+        [
+            (1, good),                       # survives
+            (2, good),                       # exact duplicate -> deduped
+            (3, "x y " * 40),                # pathological 2-gram repetition
+            (4, "9999 99999999 999"),        # digits, no stopwords -> low quality
+            (5, ("line one here\n" * 8) + "the end of the doc is this and "
+                 "that was all of the things we said today ok"),  # dup lines
+            (6, good + " tiny trailing change here."),  # near-dup of 1
+        ],
+        "doc_id long, text string",
+    )
+    # audit mode: every doc gets a verdict, dedup not applied
+    audit = clean_corpus(docs, annotate_only=True).toPandas().set_index("doc_id")
+    assert bool(audit.loc[1, "keep"]) and bool(audit.loc[2, "keep"])
+    assert audit.loc[3, "reject_reason"] == "repetition_ngrams"
+    assert audit.loc[4, "reject_reason"] == "quality"
+    assert audit.loc[5, "reject_reason"] == "repetition_lines"
+    # full pipeline: filters + exact dedup + near-dedup
+    kept = sorted(
+        r["doc_id"]
+        for r in clean_corpus(docs, near_dup_threshold=0.8).select("doc_id").collect()
+    )
+    assert kept == [1]
+
+
+def test_dedup_exact_stream(spark, tmp_path):
+    from tsflex_spark.datapipe.dedup import dedup_exact_stream
+
+    ts = pd.date_range("2024-01-01", periods=6, freq="1s")
+    pdf = pd.DataFrame(
+        {"ts": ts, "text": ["a", "b", "a", "c", "b", "d"], "doc_id": range(6)}
+    )
+    src = str(tmp_path / "dd_src")
+    spark.createDataFrame(pdf).write.parquet(src)
+    stream = spark.readStream.schema("ts timestamp, text string, doc_id long").parquet(src)
+    out_df = dedup_exact_stream(stream, "text", ts_col="ts", delay="1 minute")
+    sink = str(tmp_path / "dd_sink")
+    q = (
+        out_df.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(sink).toPandas()
+    assert sorted(out["text"]) == ["a", "b", "c", "d"]

@@ -223,3 +223,51 @@ def test_unkeyed_asof_range_partitions(spark):
     )
     plan = plan_of(asof_join(left, right, on="ts", value_cols=["rv"]), "simple")
     assert "rangepartitioning" in plan.lower()
+
+
+def test_knn_join_corpus_never_shuffles(spark):
+    """knn_join's corpus side must be a map-only scan: no Exchange between
+    the corpus relation and the MapInPandas partial top-k; the only
+    exchange is the tiny per-query partial reduction."""
+    from tsflex_spark.datapipe.similarity import knn_join
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") <= 2).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    plan = plan_of(knn_join(emb.where(F.col("vec_id") > 2), queries, k=3))
+    # the MapInPandas node consumes the scan directly (project/filter in
+    # between are fine; an exchange is not)
+    lines = plan.splitlines()
+    map_idx = [i for i, ln in enumerate(lines) if "MapInPandas" in ln]
+    scan_idx = [i for i, ln in enumerate(lines) if "Scan parquet" in ln]
+    assert map_idx and scan_idx
+    between = "\n".join(lines[min(map_idx): max(scan_idx) + 1])
+    assert "Exchange" not in between, between
+
+
+def test_repetition_stats_partial_aggregates(spark):
+    """The gram count must partial-aggregate map-side (HashAggregate
+    partial before the exchange) and shuffle hashed keys, not gram
+    strings."""
+    from tsflex_spark.datapipe.text import repetition_stats
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(repetition_stats(docs, "text", "doc_id"), "extended")
+    assert "xxhash64" in plan  # hashed shuffle key
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "partial_count" in phys or "partial" in phys, phys[:2000]
+
+
+def test_connected_components_no_cartesian(spark):
+    """Every CC round is groupBy/join on edge endpoints — no
+    BroadcastNestedLoopJoin / CartesianProduct may appear."""
+    from tsflex_spark.datapipe.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    out = connected_components(pairs, max_iter=8)
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

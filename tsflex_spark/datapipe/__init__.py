@@ -1,3 +1,3 @@
-from tsflex_spark.datapipe import dedup, multimodal, similarity, text
+from tsflex_spark.datapipe import dedup, multimodal, pipeline, similarity, text
 
-__all__ = ["dedup", "multimodal", "similarity", "text"]
+__all__ = ["dedup", "multimodal", "pipeline", "similarity", "text"]

@@ -531,3 +531,34 @@ def connected_components(
             F.coalesce("component", F.col("u")).alias("component"),
         )
     )
+
+
+def dedup_exact_stream(
+    df: DataFrame,
+    cols: Sequence[str] | str,
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival of each content hash,
+    with state BOUNDED by the watermark delay (Spark's
+    ``dropDuplicatesWithinWatermark``): two rows with equal content are
+    deduped when they arrive within ``delay`` of each other; state for a
+    hash is dropped once the watermark passes it, so the state store
+    never grows with the corpus — the streaming analog of
+    ``dedup_exact`` for continuous ingestion.
+
+    Keys on ``xxhash64`` of the content columns (never the text itself),
+    same as the batch path.
+    """
+    if isinstance(cols, str):
+        cols = [cols]
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    df = df.withWatermark(ts_col, delay)
+    return (
+        df.withColumn("__h", F.xxhash64(*[F.col(c) for c in cols]))
+        .dropDuplicatesWithinWatermark(["__h"])
+        .drop("__h")
+    )

@@ -1,0 +1,97 @@
+"""End-to-end corpus cleaning — the composed training-data pipeline.
+
+``clean_corpus`` chains the datapipe stages the way a pre-training data
+job actually runs them, cheapest-first so each stage sees fewer rows:
+
+1. heuristic quality filters (``text.quality_score`` — codegen exprs)
+2. Gopher repetition filters (``text.repetition_stats``)
+3. language filter (``text.language_id``)
+4. exact dedup (hash-groupBy, min-id keeps)
+5. MinHash+LSH near-dedup (band/bucket equi-joins)
+
+Everything is ONE lazy DataFrame plan per returned frame — no driver
+round-trips, no collects; at 100 TB each stage is a projection/filter or
+an equi-join shaped for AQE.
+
+``annotate_only=True`` is audit mode: every document comes back with its
+``keep`` flag and the FIRST failing stage as ``reject_reason`` — the
+frame a data team eyeballs before committing a multi-day cleaning run.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tsflex_spark.datapipe.dedup import dedup_exact, minhash_dedup
+from tsflex_spark.datapipe.text import language_id, quality_score, repetition_stats
+
+
+def clean_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_quality_score: float = 0.5,
+    max_dup_line_frac: float = 0.5,
+    max_top_2gram_frac: float = 0.5,
+    allowed_languages: Optional[Sequence[str]] = None,
+    exact: bool = True,
+    near_dup_threshold: Optional[float] = 0.8,
+    annotate_only: bool = False,
+) -> DataFrame:
+    """Filter + dedup a document corpus; see module docstring.
+
+    Returns the surviving rows of ``docs`` (all original columns), or —
+    with ``annotate_only=True`` — ALL rows plus ``keep`` /
+    ``reject_reason`` columns (dedup stages are skipped in audit mode:
+    their verdicts depend on which other rows survive, which is exactly
+    what the audit is for deciding).
+    """
+    q = quality_score(docs, text_col, id_col=id_col).select(
+        id_col, "quality_score"
+    )
+    rep = repetition_stats(docs, text_col, id_col=id_col).select(
+        id_col, "dup_line_frac", "top_2gram_frac"
+    )
+    annotated = docs.join(q, id_col).join(rep, id_col)
+    reason = (
+        F.when(
+            F.col("quality_score") < F.lit(float(min_quality_score)),
+            F.lit("quality"),
+        )
+        .when(
+            F.col("dup_line_frac") > F.lit(float(max_dup_line_frac)),
+            F.lit("repetition_lines"),
+        )
+        .when(
+            F.col("top_2gram_frac") > F.lit(float(max_top_2gram_frac)),
+            F.lit("repetition_ngrams"),
+        )
+    )
+    if allowed_languages is not None:
+        lang = language_id(docs, text_col, id_col=id_col)
+        annotated = annotated.join(lang, id_col)
+        reason = reason.when(
+            ~F.col("lang_pred").isin(*[str(x) for x in allowed_languages]),
+            F.lit("language"),
+        )
+    annotated = annotated.withColumn("reject_reason", reason)
+
+    if annotate_only:
+        return annotated.withColumn(
+            "keep", F.col("reject_reason").isNull()
+        )
+
+    survivors = annotated.where(F.col("reject_reason").isNull()).select(
+        *docs.columns
+    )
+    if exact:
+        survivors = dedup_exact(survivors, text_col, id_col=id_col)
+    if near_dup_threshold is not None:
+        survivors = minhash_dedup(
+            survivors, text_col, id_col=id_col, threshold=float(near_dup_threshold)
+        )
+    return survivors
