@@ -817,3 +817,102 @@ def test_dedup_exact_stream(spark, tmp_path):
     q.awaitTermination(120)
     out = spark.read.parquet(sink).toPandas()
     assert sorted(out["text"]) == ["a", "b", "c", "d"]
+
+
+def test_connected_components_property_vs_union_find(spark):
+    """Property test: on random edge sets the distributed large-star/
+    small-star result must equal a driver-side union-find oracle."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from tsflex_spark.datapipe.dedup import connected_components
+
+    def union_find(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        # min label per component
+        comp = {}
+        for n in list(parent):
+            comp[n] = find(n)
+        # find() roots are already the min id because unions always point
+        # larger roots at smaller ones
+        return comp
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 30), st.integers(0, 30)),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def check(edges):
+        real = [(u, v) for u, v in edges if u != v]
+        if not real:
+            return
+        expect = union_find(real)
+        pairs = spark.createDataFrame(real, "id_a long, id_b long")
+        got = {
+            (r["node"], r["component"])
+            for r in connected_components(pairs).collect()
+        }
+        assert got == set(expect.items())
+
+    check()
+
+
+def test_ivf_index_persist_and_partition_pruned_search(spark, tmp_path):
+    from tsflex_spark.datapipe.similarity import (
+        IVFIndex,
+        ivf_search_parquet,
+        ivf_topk,
+        ivf_train,
+        ivf_write,
+    )
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(200, 8))
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = ivf_train(corpus, nlist=8, seed=7)
+    # save/load round-trip
+    p = str(tmp_path / "ivf_index")
+    idx.save(p)
+    idx2 = IVFIndex.load(p)
+    assert (idx.centroids == idx2.centroids).all()
+    assert idx2.vec_col == "embedding" and idx2.id_col == "vec_id"
+
+    # write partitioned by cell; search prunes partitions at plan time
+    layout = str(tmp_path / "ivf_corpus")
+    ivf_write(corpus, idx2, layout)
+    q = [float(x) for x in vecs[0]]
+    res = ivf_search_parquet(spark, idx2, layout, q, k=5, nprobe=3)
+    got = [r["vec_id"] for r in res.collect()]
+    assert got[0] == 0  # the query vector itself is its own nearest
+    # probing must match the per-call path on identical centroids/probe
+    same = ivf_topk(corpus, q, k=5, nlist=8, nprobe=3, seed=7)
+    assert got == [r["vec_id"] for r in same.collect()]
+    # plan-time pruning: the scan's partition filters reference __cell
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        res.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "__cell" in plan

@@ -170,21 +170,9 @@ def ivf_topk(
     TakeOrderedAndProject heap as ``cosine_topk`` but over a bounded
     candidate subset.
     """
-    import numpy as np
-
-    # deterministic bounded training sample (~640 vectors per centroid)
-    sample = df.select(vec_col).limit(nlist * 640).toPandas()
-    X = np.asarray([np.asarray(v, dtype="float64") for v in sample[vec_col]])
-    rng = np.random.default_rng(seed)
-    C = X[rng.choice(len(X), size=min(nlist, len(X)), replace=False)].copy()
-    for _ in range(10):  # a coarse quantizer does not need convergence
-        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
-        a = d2.argmin(1)
-        for j in range(len(C)):
-            m = a == j
-            if m.any():
-                C[j] = X[m].mean(0)
-
+    # train-per-call is the test-scale compromise; the persistable path
+    # (train once / ivf_write partitioned-by-cell / partition-pruned
+    # search) is IVFIndex + ivf_search_parquet below.
     # cell = argmin_j ||x - c_j||^2 = argmin_j (-2<x,c_j> + ||c_j||^2) as an
     # Arrow-vectorized pandas UDF: one BLAS matmul (n, dim)x(dim, nlist)
     # per batch. NOT a literal expression tree — nlist x dim unrolled
@@ -192,24 +180,9 @@ def ivf_topk(
     # compilation of the giant expression dominates); matmul is the same
     # kernel FAISS uses for assignment. numpy argmin ties on the lowest
     # cell id (deterministic).
-    from pyspark.sql.functions import pandas_udf
-
-    norms = (C**2).sum(1)
-    Cb = C.copy()
-
-    @pandas_udf("int")
-    def _cell(v: pd.Series) -> pd.Series:
-        X_ = np.stack([np.asarray(x, dtype="float64") for x in v.to_numpy()])
-        scores = -2.0 * (X_ @ Cb.T) + norms[None, :]
-        return pd.Series(scores.argmin(1).astype("int32"))
-
-    cell = _cell(F.col(vec_col))
-
-    q = np.asarray(list(query_vec), dtype="float64")
-    dists = [float(np.linalg.norm(q - C[j])) for j in range(len(C))]
-    probe = [int(i) for i in np.argsort(dists)[:nprobe]]
-
-    cand = df.where(cell.isin(probe))
+    index = ivf_train(df, nlist, vec_col=vec_col, id_col=id_col, seed=seed)
+    probe = probe_cells(index, query_vec, nprobe)
+    cand = ivf_assign(df, index).where(F.col("__cell").isin(probe))
     scored = cand.select(
         F.col(id_col), cosine_similarity_col(F.col(vec_col), query_vec).alias("cosine")
     )
@@ -279,3 +252,127 @@ def knn_join(
         .where(F.col("rank") <= kk)
         .select(q_id_col, id_col, "cosine", "rank")
     )
+
+
+# ----------------------------------------------------- persistable IVF
+class IVFIndex:
+    """Persistable IVF coarse quantizer: the learned centroids plus column
+    bindings. At 100 TB the index is trained ONCE (bounded driver-side
+    sample), the corpus is written ONCE partitioned by cell
+    (``ivf_write``), and every later query planner-prunes to
+    nprobe/nlist of the files before any scan (``ivf_search_parquet``) —
+    per-call training in ``ivf_topk`` is only the test-scale compromise.
+    """
+
+    def __init__(self, centroids, vec_col: str = "embedding", id_col: str = "vec_id"):
+        import numpy as np
+
+        self.centroids = np.asarray(centroids, dtype="float64")
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    @property
+    def nlist(self) -> int:
+        return len(self.centroids)
+
+    def save(self, path: str) -> None:
+        import numpy as np
+
+        np.savez(
+            path if path.endswith(".npz") else path + ".npz",
+            centroids=self.centroids,
+            vec_col=np.array(self.vec_col),
+            id_col=np.array(self.id_col),
+        )
+
+    @staticmethod
+    def load(path: str) -> "IVFIndex":
+        import numpy as np
+
+        z = np.load(path if path.endswith(".npz") else path + ".npz")
+        return IVFIndex(
+            z["centroids"], vec_col=str(z["vec_col"]), id_col=str(z["id_col"])
+        )
+
+
+def ivf_train(
+    df: DataFrame,
+    nlist: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+    sample_per_centroid: int = 640,
+) -> IVFIndex:
+    """Train the coarse quantizer on a bounded, deterministic sample
+    (seeded numpy Lloyd — FAISS-style practice: a few hundred samples per
+    centroid, never multi-pass Lloyd over the full corpus)."""
+    import numpy as np
+
+    sample = df.select(vec_col).limit(nlist * sample_per_centroid).toPandas()
+    X = np.asarray([np.asarray(v, dtype="float64") for v in sample[vec_col]])
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(nlist, len(X)), replace=False)].copy()
+    for _ in range(10):  # a coarse quantizer does not need convergence
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d2.argmin(1)
+        for j in range(len(C)):
+            m = a == j
+            if m.any():
+                C[j] = X[m].mean(0)
+    return IVFIndex(C, vec_col=vec_col, id_col=id_col)
+
+
+def ivf_assign(df: DataFrame, index: IVFIndex, out_col: str = "__cell") -> DataFrame:
+    """Add the nearest-centroid cell id — one Arrow-vectorized BLAS matmul
+    per batch (see ivf_topk's rationale for UDF-over-expression-tree)."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    C = index.centroids
+    norms = (C**2).sum(1)
+
+    @pandas_udf("int")
+    def _cell(v: pd.Series) -> pd.Series:
+        X_ = np.stack([np.asarray(x, dtype="float64") for x in v.to_numpy()])
+        scores = -2.0 * (X_ @ C.T) + norms[None, :]
+        return pd.Series(scores.argmin(1).astype("int32"))
+
+    return df.withColumn(out_col, _cell(F.col(index.vec_col)))
+
+
+def ivf_write(df: DataFrame, index: IVFIndex, path: str, out_col: str = "__cell") -> None:
+    """Write the corpus partitioned by IVF cell: the physical layout that
+    turns probing into parquet PARTITION PRUNING (a query reads
+    nprobe/nlist of the files, decided at plan time)."""
+    ivf_assign(df, index, out_col).write.partitionBy(out_col).mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def probe_cells(index: IVFIndex, query_vec: Sequence[float], nprobe: int) -> List[int]:
+    import numpy as np
+
+    q = np.asarray(list(query_vec), dtype="float64")
+    d = ((index.centroids - q[None, :]) ** 2).sum(1)
+    return [int(i) for i in np.argsort(d)[:nprobe]]
+
+
+def ivf_search_parquet(
+    spark,
+    index: IVFIndex,
+    path: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    cell_col: str = "__cell",
+) -> DataFrame:
+    """Search an ``ivf_write`` layout: the cell filter prunes partitions
+    at plan time; exact cosine re-ranks the bounded candidate set."""
+    probe = probe_cells(index, query_vec, nprobe)
+    cand = spark.read.parquet(path).where(F.col(cell_col).isin(probe))
+    scored = cand.select(
+        F.col(index.id_col),
+        cosine_similarity_col(F.col(index.vec_col), query_vec).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(index.id_col)).limit(k)
