@@ -83,3 +83,42 @@ def test_keyed_paths_equal_plain_windows(spark):
     ref = pdf.sort_values(["k", "o"]).groupby("k").cumcount()
     got = out.sort_values(["k", "o"]).reset_index(drop=True)["rn"]
     assert got.tolist() == ref.tolist()
+
+
+def test_global_ewma_matches_pandas(spark):
+    """Distributed EWMA (range-partitioned scans + geometric prefix
+    stitch) must match pandas ewm(adjust=True).mean() to float precision
+    across partition boundaries and alphas."""
+    import numpy as np
+    import pandas as pd
+
+    from tsflex_spark.utils.distributed import with_global_ewma
+
+    rng = np.random.default_rng(3)
+    n = 3000
+    pdf = pd.DataFrame({"i": np.arange(n), "v": rng.normal(size=n)})
+    sdf = spark.createDataFrame(pdf).repartition(7)
+    for alpha in (0.9, 0.3, 0.05, 1.0):
+        out = with_global_ewma(sdf, "v", alpha, ["i"]).orderBy("i").toPandas()
+        exp = pdf["v"].ewm(alpha=alpha, adjust=True).mean().to_numpy()
+        assert np.max(np.abs(out["v_ewma"].to_numpy() - exp)) < 1e-12
+
+
+def test_global_ewma_plan_range_partitions(spark):
+    """The EWMA plan must range-partition + broadcast tiny carries —
+    never a single-partition window over the data."""
+    import contextlib, io
+
+    import numpy as np
+    import pandas as pd
+
+    from tsflex_spark.utils.distributed import with_global_ewma
+
+    pdf = pd.DataFrame({"i": np.arange(100), "v": np.ones(100)})
+    out = with_global_ewma(spark.createDataFrame(pdf), "v", 0.5, ["i"])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "rangepartitioning" in plan.lower()
+    assert "BroadcastExchange" in plan

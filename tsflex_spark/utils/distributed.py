@@ -40,6 +40,7 @@ __all__ = [
     "with_global_shift",
     "with_global_islands",
     "with_global_carry",
+    "with_global_ewma",
 ]
 
 
@@ -240,3 +241,131 @@ def with_global_carry(
         local = F.last(F.col(c), ignorenulls=True).over(wloc)
         out = out.withColumn(out_prefix + c, F.coalesce(local, F.col(f"__bnd_{c}")))
     return out.drop(PID, *[f"__bnd_{c}" for c in cols])
+
+
+def with_global_ewma(
+    df: DataFrame,
+    col: str,
+    alpha: float,
+    order_cols: Sequence[str],
+    out_col: Optional[str] = None,
+) -> DataFrame:
+    """Exponentially-weighted moving average over ONE logical series in
+    global ``order_cols`` order — ``pandas ewm(alpha, adjust=True).mean()``
+    semantics — without a single-partition window.
+
+    EWMA is a linear recurrence (y_t = x_t + r·y_{t-1}, r = 1-α), so the
+    usual "prefix offsets" trick generalizes: partition-local scans
+    produce N_t = Σ_{j≤t} x_j r^{t-j} and D_t = Σ_{j≤t} r^{t-j}; the
+    carry-in from earlier partitions is a GEOMETRIC prefix —
+    N_in(p) = Σ_{q<p} N_end(q) · r^{rows between q and p} — computed on
+    the tiny per-partition edge table (≤ shuffle.partitions rows,
+    broadcast self-join, ``pow(r, δ)`` underflows harmlessly to 0 for
+    distant partitions since r < 1). Each row then patches with
+    r^{t+1}·carry and the mean is N/D.
+
+    The local scan runs in ``mapInPandas`` over range-partitioned,
+    partition-sorted batches (generator state carries across a
+    partition's batches), using blocked cumsum scans — block size chosen
+    so r^{-block} cannot overflow. Input must be non-null.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_col = out_col or f"{col}_ewma"
+    r = 1.0 - float(alpha)
+    assert 0.0 < alpha <= 1.0, "alpha must be in (0, 1]"
+    order_cols = list(order_cols)
+
+    d = (
+        df.repartitionByRange(*[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*[F.col(c) for c in order_cols])
+        .withColumn(PID, F.spark_partition_id())
+    )
+    from pyspark.sql import types as T
+
+    # build a FRESH StructType — StructType.add mutates (and DataFrame
+    # caches) the schema object, corrupting the input frame's column list
+    schema = T.StructType(
+        list(d.schema.fields)
+        + [
+            T.StructField("__N", T.DoubleType()),
+            T.StructField("__D", T.DoubleType()),
+            T.StructField("__pos", T.LongType()),
+        ]
+    )
+
+    # block size: r^{-m} must stay finite (ln 1e300 ≈ 690)
+    m_block = 4096 if r == 0.0 else max(1, min(4096, int(300.0 / max(-np.log(r), 1e-9))))
+
+    def scan(batches):
+        N = 0.0
+        D = 0.0
+        pos = 0
+        for pdf in batches:
+            x = pdf[col].to_numpy(dtype="float64")
+            n = len(x)
+            Ns = np.empty(n)
+            Ds = np.empty(n)
+            i = 0
+            while i < n:
+                j = min(i + m_block, n)
+                m = j - i
+                t = np.arange(m, dtype="float64")
+                rpos = r**t  # r^t, t in [0, m)
+                if r > 0:
+                    # N_t = r^t * cumsum(x_t r^{-t}) + r^{t+1} * carry
+                    Ns[i:j] = rpos * np.cumsum(x[i:j] / rpos) + rpos * r * N
+                    Ds[i:j] = rpos * np.cumsum(1.0 / rpos) + rpos * r * D
+                else:  # alpha == 1: y = x
+                    Ns[i:j] = x[i:j]
+                    Ds[i:j] = 1.0
+                N = Ns[j - 1]
+                D = Ds[j - 1]
+                i = j
+            pdf = pdf.copy()
+            pdf["__N"] = Ns
+            pdf["__D"] = Ds
+            pdf["__pos"] = np.arange(pos, pos + n, dtype="int64")
+            pos += n
+            yield pdf
+
+    local = d.mapInPandas(scan, schema)
+
+    edges = local.groupBy(PID).agg(
+        F.max_by("__N", "__pos").alias("__ne"),
+        F.max_by("__D", "__pos").alias("__de"),
+        (F.max("__pos") + 1).alias("__n"),
+    )
+    # inclusive cumulative row count per partition (tiny self-join)
+    cum = (
+        edges.alias("a")
+        .join(F.broadcast(edges.alias("b")), F.col(f"b.{PID}") <= F.col(f"a.{PID}"))
+        .groupBy(f"a.{PID}")
+        .agg(
+            F.sum("b.__n").alias("__cum"),
+            F.first("a.__ne").alias("__ne"),
+            F.first("a.__de").alias("__de"),
+            F.first("a.__n").alias("__n"),
+        )
+    )
+    # carry-in per partition: geometric-decayed sum of earlier edge values
+    pairs = cum.alias("p").join(
+        F.broadcast(cum.alias("q")), F.col(f"q.{PID}") < F.col(f"p.{PID}"), "left"
+    )
+    delta = (F.col("p.__cum") - F.col("p.__n")) - F.col("q.__cum")
+    carry = pairs.groupBy(f"p.{PID}").agg(
+        F.coalesce(
+            F.sum(F.col("q.__ne") * F.pow(F.lit(r), delta)), F.lit(0.0)
+        ).alias("__nin"),
+        F.coalesce(
+            F.sum(F.col("q.__de") * F.pow(F.lit(r), delta)), F.lit(0.0)
+        ).alias("__din"),
+    )
+    out = local.join(F.broadcast(carry), on=PID, how="left")
+    rp = F.pow(F.lit(r), F.col("__pos") + 1)
+    num = F.col("__N") + rp * F.coalesce("__nin", F.lit(0.0))
+    den = F.col("__D") + rp * F.coalesce("__din", F.lit(0.0))
+    return out.withColumn(out_col, num / den).drop(
+        PID, "__N", "__D", "__pos", "__nin", "__din"
+    )
