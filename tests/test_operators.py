@@ -916,3 +916,64 @@ def test_ivf_index_persist_and_partition_pruned_search(spark, tmp_path):
         res.explain("formatted")
     plan = buf.getvalue()
     assert "PartitionFilters" in plan and "__cell" in plan
+
+
+def test_range_join_intervals(spark):
+    from tsflex_spark.relational import range_join
+
+    events = spark.createDataFrame(
+        [("a", 1), ("a", 5), ("a", 10), ("b", 5), ("b", 99)],
+        "k string, t long",
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("a", 0, 6, "i1"),     # catches t=1,5
+            ("a", 4, 11, "i2"),    # catches t=5,10 (overlap with i1 at 5)
+            ("b", 5, 6, "i3"),     # catches t=5 (half-open: 5 in, 6 out)
+            ("b", 7, 7, "i4"),     # empty interval -> nothing
+        ],
+        "k string, s long, e long, name string",
+    )
+    out = range_join(
+        events, intervals, left_on="t", right_start="s", right_end="e", by=["k"]
+    ).toPandas()
+    got = sorted(zip(out["k"], out["t"], out["name"]))
+    assert got == [
+        ("a", 1, "i1"), ("a", 5, "i1"), ("a", 5, "i2"), ("a", 10, "i2"),
+        ("b", 5, "i3"),
+    ]
+    # left join keeps the unmatched event with NULL interval cols
+    lout = range_join(
+        events, intervals, left_on="t", right_start="s", right_end="e",
+        by=["k"], how="left",
+    ).toPandas()
+    assert len(lout) == 6
+    miss = lout[lout["name"].isna()]
+    assert list(miss["t"]) == [99]
+    # plan: equi-join on buckets, never a nested loop
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        range_join(events, intervals, left_on="t", right_start="s",
+                   right_end="e", by=["k"]).explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_range_join_timestamps(spark):
+    from tsflex_spark.relational import range_join
+
+    ev = spark.createDataFrame(
+        pd.DataFrame({"ts": pd.date_range("2024-01-01", periods=10, freq="1min")})
+    )
+    iv = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "start": [pd.Timestamp("2024-01-01 00:02")],
+                "end": [pd.Timestamp("2024-01-01 00:05")],
+                "tag": ["w"],
+            }
+        )
+    )
+    out = range_join(ev, iv, left_on="ts", right_start="start", right_end="end").toPandas()
+    assert sorted(t.minute for t in out["ts"]) == [2, 3, 4]

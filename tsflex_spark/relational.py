@@ -116,3 +116,73 @@ def asof_join(
     out = out.withColumn(f"{on}{suffix}", F.when(in_tol, F.col("__mts")))
     drop = ["__tag", "__mts"] + [f"__m_{c}" for c in value_cols]
     return out.drop(*drop)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_on: str = "ts",
+    right_start: str = "start",
+    right_end: str = "end",
+    by: Sequence[str] = (),
+    how: str = "inner",
+    granule: Optional[int] = None,
+) -> DataFrame:
+    """Event-to-interval join: every left row matched to the right
+    interval rows with ``start <= left_on < end`` (half-open, the
+    engine's segment convention) — WITHOUT a BroadcastNestedLoopJoin.
+
+    Naive Spark writes this as a non-equi join (range predicate only) and
+    gets a BNLJ — O(n·m) and a single-broadcast bottleneck. This plan
+    uses the same granule-bucketing trick as manual segments
+    (``segmenter``): pick ``granule`` = max interval length (computed in
+    one tiny aggregate when not given), explode each interval to the
+    granule buckets it covers (≤ len/granule + 1 rows), bucket the left
+    side by ``floor(t / granule)``, and hash-join on (by, bucket) before
+    re-checking the exact range predicate. Fan-out is bounded by the
+    SKEWIEST interval, the join is an equi-join (AQE-skew-splittable),
+    and both sides keep their scan pruning.
+
+    ``how='inner'`` keeps matched rows; ``'left'`` keeps unmatched left
+    rows with NULL interval columns. Timestamp/NTZ columns are compared
+    in integer microseconds.
+    """
+    assert how in ("inner", "left"), how
+    by = list(by)
+
+    def _num(df: DataFrame, c: str):
+        dt = df.schema[c].dataType.simpleString()
+        return ts_micros(c) if dt.startswith("timestamp") else F.col(c).cast("long")
+
+    l_n = left.withColumn("__t", _num(left, left_on))
+    r_n = right.withColumn("__s", _num(right, right_start)).withColumn(
+        "__e", _num(right, right_end)
+    )
+    if granule is None:
+        row = r_n.agg(F.max(F.col("__e") - F.col("__s")).alias("m")).first()
+        granule = max(int(row["m"] or 1), 1)
+    g = int(granule)
+    buckets = F.sequence(
+        F.floor(F.col("__s") / g), F.floor((F.col("__e") - 1) / g)
+    )
+    r_n = r_n.where(F.col("__e") > F.col("__s"))  # empty intervals match nothing
+    r_b = r_n.withColumn("__b", F.explode(buckets))
+    l_b = l_n.withColumn("__b", F.floor(F.col("__t") / g))
+    cond = [l_b["__b"] == r_b["__b"]] + [l_b[c] == r_b[c] for c in by]
+    matched = (
+        l_b.join(r_b, cond, "inner")
+        .where((r_b["__s"] <= l_b["__t"]) & (l_b["__t"] < r_b["__e"]))
+        .drop(r_b["__b"])
+        .drop(*[r_b[c] for c in by])
+    )
+    matched = matched.drop("__b", "__t", "__s", "__e")
+    if how == "inner":
+        return matched
+    # left join: anti-matched left rows with NULL right columns
+    r_cols = [c for c in right.columns if c not in by]
+    hit = matched.select(*(by + [left_on])).distinct()
+    miss = left.join(hit, on=by + [left_on], how="left_anti")
+    for c in r_cols:
+        miss = miss.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    return matched.unionByName(miss)
