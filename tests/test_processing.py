@@ -389,3 +389,38 @@ def test_pipeline_and_calculate_logging(spark, small_sdf, tmp_path):
     assert len(feat_logs) == 2  # one line per compiled (window, stride) config
     assert set(feat_logs["function"]) == {"sum", "max"}
     assert len(get_function_stats(flog)) == 2
+
+
+def test_ewma_keyed_and_unkeyed(spark):
+    import numpy as np
+    import pandas as pd
+
+    from tsflex_spark.processing.smoothing import ewma
+
+    rng = np.random.default_rng(9)
+    ts = pd.date_range("2024-01-01", periods=400, freq="1s")
+    pdf = pd.DataFrame(
+        {
+            "ts": list(ts) * 2,
+            "user": ["a"] * 400 + ["b"] * 400,
+            "v": rng.normal(size=800),
+        }
+    )
+    sdf = spark.createDataFrame(pdf).repartition(5)
+    # keyed: per-key pandas parity
+    out = ewma(sdf, "v", 0.2, ts_col="ts", key_cols=["user"]).toPandas()
+    for u in ("a", "b"):
+        got = out[out["user"] == u].sort_values("ts")["v_ewma"].to_numpy()
+        exp = (
+            pdf[pdf["user"] == u].sort_values("ts")["v"]
+            .ewm(alpha=0.2, adjust=True).mean().to_numpy()
+        )
+        assert np.max(np.abs(got - exp)) < 1e-12
+    # unkeyed: single logical series through the distributed scan
+    single = pdf[pdf["user"] == "a"][["ts", "v"]]
+    sout = (
+        ewma(spark.createDataFrame(single).repartition(4), "v", 0.2, ts_col="ts")
+        .orderBy("ts").toPandas()
+    )
+    exp = single.sort_values("ts")["v"].ewm(alpha=0.2, adjust=True).mean().to_numpy()
+    assert np.max(np.abs(sout["v_ewma"].to_numpy() - exp)) < 1e-12

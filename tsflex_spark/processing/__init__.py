@@ -1,10 +1,12 @@
 from tsflex_spark.processing.series_processor import SeriesProcessor, dataframe_func
 from tsflex_spark.processing.series_pipeline import SeriesPipeline
+from tsflex_spark.processing.smoothing import ewma
 from tsflex_spark.processing.utils import process_chunks_multithreaded
 
 __all__ = [
     "SeriesProcessor",
     "SeriesPipeline",
     "dataframe_func",
+    "ewma",
     "process_chunks_multithreaded",
 ]
