@@ -1794,7 +1794,17 @@ def q_robust_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tsflex_spark import make_robust
 
     ev = _events(spark, sf_dir).select("ts", "value")
-    fw = make_robust(np.mean, min_nb_samples=60, output_names="robust_mean")
+
+    # fixed-point mean: values carry 2 decimals, so summing CENTS is exact
+    # int64 arithmetic and ONE final double division matches the oracle's
+    # identical expression bit-for-bit. np.mean's pairwise summation vs
+    # DuckDB avg() drifts at 6-decimal rounding boundaries on larger
+    # windows (observed at sf0.1) — arbitrary-float user funcs can't be
+    # hash-compared against SQL; exact ones can.
+    def cents_mean(a: np.ndarray) -> float:
+        return float(np.rint(a * 100.0).astype(np.int64).sum()) / (100.0 * len(a))
+
+    fw = make_robust(cents_mean, min_nb_samples=60, output_names="robust_mean")
     fc = FeatureCollection(
         [
             FeatureDescriptor(fw, "value", "1h", "1h"),
@@ -1819,7 +1829,10 @@ k AS (SELECT t0, t1,
 seg AS (SELECT t0 + kk * {H1} AS s_start
         FROM k CROSS JOIN generate_series(0, 100000) AS g(kk)
         WHERE kk < nb),
-agg AS (SELECT s_start, avg(e.value) AS mean_raw, count(e.value) AS n
+agg AS (SELECT s_start,
+               CAST(sum(CAST(round(e.value * 100.0) AS BIGINT)) AS DOUBLE)
+                 / (100.0 * count(e.value)) AS mean_raw,
+               count(e.value) AS n
         FROM seg LEFT JOIN events e
           ON epoch_us(e.ts) >= s_start AND epoch_us(e.ts) < s_start + {H1}
         GROUP BY s_start)
