@@ -746,3 +746,59 @@ def test_native_two_series_corr(spark):
         exp_cov = np.cov(a[sl], b[sl], ddof=0)[0, 1]
         assert abs(pdf["a|b__corr__w=6s"].iloc[i] - exp_corr) < 1e-12
         assert abs(pdf["a|b__covar_pop__w=6s"].iloc[i] - exp_cov) < 1e-12
+
+
+def test_include_empty_windows_false_drops_spine(spark):
+    """include_empty_windows=False (sparse-data scale path) must return
+    exactly the non-empty segments of the default result, same values,
+    for both the one-level and the two-level (fine-stride) plans."""
+    import numpy as np
+    import pandas as pd
+
+    from tsflex_spark import FeatureCollection, FeatureDescriptor
+
+    # sparse series: 3 bursts over a long span -> mostly-empty grid
+    ts = (
+        list(pd.date_range("2024-01-01 00:00", periods=30, freq="1s"))
+        + list(pd.date_range("2024-01-01 04:00", periods=30, freq="1s"))
+        + list(pd.date_range("2024-01-01 09:00", periods=30, freq="1s"))
+    )
+    pdf = pd.DataFrame({"ts": ts, "v": np.arange(90.0)})
+    sdf = spark.createDataFrame(pdf)
+    for window, stride in (("60s", "30s"), ("64s", "1s")):  # 1-level, 2-level
+        fc = FeatureCollection(
+            [FeatureDescriptor("sum", "v", window, stride),
+             FeatureDescriptor("count", "v", window, stride)]
+        )
+        full = fc.calculate(sdf, ts_col="ts", approve_sparsity=True).toPandas()
+        lean = fc.calculate(
+            sdf, ts_col="ts", approve_sparsity=True, include_empty_windows=False
+        ).toPandas()
+        cnt_col = f"v__count__w={window.replace('60s', '1m').replace('64s', '1m4s')}"
+        nonempty = full[full[cnt_col] > 0].reset_index(drop=True)
+        assert len(lean) == len(nonempty) and len(lean) < len(full)
+        pd.testing.assert_frame_equal(
+            lean.sort_values("ts").reset_index(drop=True), nonempty, check_like=True
+        )
+
+
+def test_include_empty_windows_false_count_based(spark):
+    import numpy as np
+    import pandas as pd
+
+    from tsflex_spark import FeatureCollection, FeatureDescriptor
+
+    ts = pd.date_range("2024-01-01", periods=50, freq="1s")
+    pdf = pd.DataFrame({"ts": ts, "v": np.arange(50.0)})
+    sdf = spark.createDataFrame(pdf)
+    fc = FeatureCollection([FeatureDescriptor("sum", "v", 10, 10)])
+    full = fc.calculate(sdf, ts_col="ts", approve_sparsity=True).toPandas()
+    lean = fc.calculate(
+        sdf, ts_col="ts", approve_sparsity=True, include_empty_windows=False
+    ).toPandas()
+    # dense data: identical results either way
+    pd.testing.assert_frame_equal(
+        lean.sort_values("ts").reset_index(drop=True),
+        full.sort_values("ts").reset_index(drop=True),
+        check_like=True,
+    )

@@ -273,6 +273,7 @@ class FeatureCollection:
         return_df: bool = True,
         window_idx: str = "end",
         include_final_window: bool = False,
+        include_empty_windows: bool = True,
         bound_method: str = "inner",
         approve_sparsity: bool = False,
         group_by_all: Optional[Union[str, Sequence[str]]] = None,
@@ -389,6 +390,7 @@ class FeatureCollection:
                     out = self._run_count_config(
                         data_n, entries, cfg[1], list(cfg[2]),
                         include_final_window, key_cols, window_idx, bound_method, ts_col,
+                        include_empty_windows=include_empty_windows,
                     )
                 else:
                     window_n, strides_n = cfg
@@ -396,6 +398,7 @@ class FeatureCollection:
                         data_n, bounds, entries, window_n, list(strides_n),
                         include_final_window, key_cols, window_idx, domain, ts_col,
                         check_sparsity=check_sparsity,
+                        include_empty_windows=include_empty_windows,
                     )
             outputs.append(out)
 
@@ -765,6 +768,7 @@ class FeatureCollection:
         domain: DataType,
         ts_col: str,
         check_sparsity: bool = False,
+        include_empty_windows: bool = True,
     ) -> DataFrame:
         native, udf = self._split_tiers(entries)
         needed = sorted({s for series_tuple, _, _fd in entries for s in series_tuple})
@@ -772,6 +776,7 @@ class FeatureCollection:
             data_n.select(TSN, *key_cols, *needed), bounds, native, udf,
             window_n, strides_n, include_final_window, key_cols, window_idx,
             domain, ts_col, check_sparsity=check_sparsity,
+            include_empty_windows=include_empty_windows,
         )
         if two is not None:
             return two
@@ -800,8 +805,16 @@ class FeatureCollection:
         for p in parts[1:]:
             result = result.join(p, on=group_cols, how="full")
 
-        spine = seg.make_segment_spine(bounds, window_n, strides_n, include_final_window, key_cols)
-        out = spine.join(result, on=group_cols, how="left")
+        if include_empty_windows:
+            spine = seg.make_segment_spine(
+                bounds, window_n, strides_n, include_final_window, key_cols
+            )
+            out = spine.join(result, on=group_cols, how="left")
+        else:
+            # sparse-data scale path: skip the grid spine entirely — with a
+            # fine stride over a long sparse span the spine is orders of
+            # magnitude larger than the data (#keys x span/stride rows)
+            out = result.withColumn(SEG_END, F.col(SEG) + F.lit(window_n))
         for colname, fill in self._native_empty_fills(native).items():
             out = out.withColumn(colname, F.coalesce(F.col(colname), F.lit(fill)))
         if spc:
@@ -828,6 +841,7 @@ class FeatureCollection:
         domain: DataType,
         ts_col: str,
         check_sparsity: bool = False,
+        include_empty_windows: bool = True,
     ) -> Optional[DataFrame]:
         """Two-level pre-aggregation for small-stride/large-window configs.
 
@@ -949,10 +963,13 @@ class FeatureCollection:
             )
         result = assigned.groupBy(*group_cols).agg(*final_exprs)
 
-        spine = seg.make_segment_spine(
-            bounds, w, [int(x) for x in ss], include_final_window, key_cols
-        )
-        out = spine.join(result, on=group_cols, how="left")
+        if include_empty_windows:
+            spine = seg.make_segment_spine(
+                bounds, w, [int(x) for x in ss], include_final_window, key_cols
+            )
+            out = spine.join(result, on=group_cols, how="left")
+        else:
+            out = result.withColumn(SEG_END, F.col(SEG) + F.lit(w))
         for colname, fill in self._native_empty_fills(native).items():
             out = out.withColumn(colname, F.coalesce(F.col(colname), F.lit(fill)))
         if spc_series:
@@ -972,6 +989,7 @@ class FeatureCollection:
         window_idx: str,
         bound_method: str,
         ts_col: str,
+        include_empty_windows: bool = True,
     ) -> DataFrame:
         """Count-based windows on a TIME index: segment in sample-position
         space, stitch the time index back onto the output positions
@@ -1015,8 +1033,13 @@ class FeatureCollection:
         for p in parts[1:]:
             result = result.join(p, on=group_cols, how="full")
 
-        spine = seg.make_segment_spine(bounds, window_c, strides_c, include_final_window, key_cols)
-        out = spine.join(result, on=group_cols, how="left")
+        if include_empty_windows:
+            spine = seg.make_segment_spine(
+                bounds, window_c, strides_c, include_final_window, key_cols
+            )
+            out = spine.join(result, on=group_cols, how="left")
+        else:
+            out = result.withColumn(SEG_END, F.col(SEG) + F.lit(window_c))
         for colname, fill in self._native_empty_fills(native).items():
             out = out.withColumn(colname, F.coalesce(F.col(colname), F.lit(fill)))
         # positions are integers; middle floors (numpy int division)
