@@ -977,3 +977,34 @@ def test_range_join_timestamps(spark):
     )
     out = range_join(ev, iv, left_on="ts", right_start="start", right_end="end").toPandas()
     assert sorted(t.minute for t in out["ts"]) == [2, 3, 4]
+
+
+def test_approx_n_unique_batch_and_stream(spark, tmp_path):
+    """approx_n_unique (HLL sketch) works in batch calculate AND in
+    calculate_streaming (where exact n_unique is rejected)."""
+    from tsflex_spark import FeatureCollection, FeatureDescriptor
+
+    ts = pd.date_range("2024-01-01", periods=120, freq="1s")
+    pdf = pd.DataFrame({"ts": ts, "v": [float(i % 7) for i in range(120)]})
+    sdf = spark.createDataFrame(pdf)
+    fc = FeatureCollection([FeatureDescriptor("approx_n_unique", "v", "60s", "60s")])
+    out = fc.calculate(sdf, ts_col="ts", approve_sparsity=True).toPandas()
+    # 7 distinct values; HLL at rsd=0.05 is exact at this cardinality
+    assert set(out["v__approx_n_unique__w=1m"]) == {7.0}
+
+    src = str(tmp_path / "anu_src")
+    sdf.write.parquet(src)
+    stream = spark.readStream.schema("ts timestamp, v double").parquet(src)
+    feats = fc.calculate_streaming(stream, watermark="0 seconds")
+    sink = str(tmp_path / "anu_sink")
+    q = (
+        feats.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "anu_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    sout = spark.read.parquet(sink).toPandas()
+    assert len(sout) >= 1 and set(sout["v__approx_n_unique__w=1m"]) == {7}

@@ -100,6 +100,15 @@ _reg("abs_energy", lambda v, tsn, kw: F.sum(v * v), empty=0.0)
 _reg("mean_abs", lambda v, tsn, kw: F.avg(F.abs(v)))
 _reg("ptp", lambda v, tsn, kw: F.max(v) - F.min(v))
 _reg("n_unique", lambda v, tsn, kw: F.count_distinct(v), empty=0.0)
+# HLL++ sketch distinct — the streaming-safe / shuffle-light alternative
+# (count_distinct needs an exact distinct shuffle and is rejected by
+# streaming aggregation; the sketch merges incrementally). rsd kwarg =
+# relative standard deviation (Spark default 0.05).
+_reg(
+    "approx_n_unique",
+    lambda v, tsn, kw: F.approx_count_distinct(v, rsd=float(kw.get("rsd", 0.05))),
+    empty=0.0,
+)
 # slope of the least-squares fit of value against the index expressed in
 # SECONDS (TIME domain) or raw units (SEQUENCE) — reference tests use
 # scipy.stats.linregress (tests/test_features_feature_collection.py:1880-1907)
