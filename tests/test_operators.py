@@ -1008,3 +1008,43 @@ def test_approx_n_unique_batch_and_stream(spark, tmp_path):
     q.awaitTermination(120)
     sout = spark.read.parquet(sink).toPandas()
     assert len(sout) >= 1 and set(sout["v__approx_n_unique__w=1m"]) == {7}
+
+
+def test_chunk_documents_budget_and_overlap(spark):
+    from tsflex_spark.datapipe.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+            (2, "a b c"),                                # fits in one chunk
+            (3, ""),                                     # empty -> one empty chunk
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, "text", "doc_id", max_tokens=4, overlap=1).toPandas()
+    d1 = out[out["doc_id"] == 1].sort_values("chunk_id")
+    # stride 3: ceil((10-1)/3) = 3 chunks at offsets 0,3,6 - full coverage
+    assert list(d1["chunk_id"]) == [0, 1, 2]
+    assert list(d1["n_chunk_tokens"]) == [4, 4, 4]
+    assert d1.iloc[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert d1.iloc[1]["chunk_text"] == "t3 t4 t5 t6"   # 1-token overlap
+    assert d1.iloc[2]["chunk_text"] == "t6 t7 t8 t9"
+    # overlapped reconstruction covers every token exactly
+    assert len(out[out["doc_id"] == 2]) == 1
+    assert out[out["doc_id"] == 2].iloc[0]["chunk_text"] == "a b c"
+    d3 = out[out["doc_id"] == 3]
+    assert len(d3) == 1 and d3.iloc[0]["n_chunk_tokens"] == 0
+
+
+def test_chunk_documents_no_shuffle(spark):
+    from tsflex_spark.datapipe.text import chunk_documents
+    import contextlib, io
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        chunk_documents(docs, "text", "doc_id", max_tokens=128).explain("formatted")
+    plan = buf.getvalue()
+    # narrow pipeline: no aggregation/join shuffle — the only permissible
+    # exchange is fan_out's round-robin for single-row-group inputs
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan

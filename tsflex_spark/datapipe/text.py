@@ -311,3 +311,46 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             ),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_tokens: int = 512,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split documents into token-budgeted chunks with optional overlap —
+    the context-window preparation step of an LLM training pipeline.
+
+    Tokens are whitespace tokens (the engine's ``_tokens`` convention);
+    chunk ``k`` covers token positions ``[k*(max_tokens-overlap),
+    k*(max_tokens-overlap) + max_tokens)`` and the last chunk is the
+    remainder (never empty, never duplicated). Output one row per chunk:
+    ``(id, chunk_id, n_chunk_tokens, chunk_text)``.
+
+    Shape: chunk boundaries are computed in-row from the token count, the
+    chunk index explodes (fan-out = ceil(n/stride) — bounded by document
+    length, not corpus size), and the text is re-sliced with native
+    ``slice`` + ``concat_ws``. No shuffle at all — a pure narrow
+    pipeline, trivially 100 TB-safe.
+    """
+    assert 0 <= overlap < max_tokens, "need 0 <= overlap < max_tokens"
+    stride = max_tokens - overlap
+    d = fan_out(df).select(
+        F.col(id_col), _tokens(F.col(text_col)).alias("__toks")
+    )
+    n = F.size("__toks")
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)).cast("double") / F.lit(stride)).cast("int"),
+        F.lit(1),
+    )
+    d = d.withColumn("chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+    start = F.col("chunk_id") * stride  # 0-based token offset
+    piece = F.slice(F.col("__toks"), start + 1, F.lit(max_tokens))
+    return d.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.size(piece).alias("n_chunk_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )
