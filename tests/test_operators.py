@@ -1048,3 +1048,22 @@ def test_chunk_documents_no_shuffle(spark):
     # narrow pipeline: no aggregation/join shuffle — the only permissible
     # exchange is fan_out's round-robin for single-row-group inputs
     assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+
+
+def test_pack_sequences_ffd(spark):
+    from tsflex_spark.datapipe.text import pack_sequences
+
+    rows = [(i, s) for i, s in enumerate([900, 700, 600, 400, 300, 300, 100, 50, 1200])]
+    df = spark.createDataFrame(rows, "chunk_id long, n_tok long").repartition(2)
+    out = pack_sequences(df, "n_tok", budget=1000).toPandas()
+    assert len(out) == 9 and out["bin_id"].notna().all()
+    fills = out.groupby("bin_id")["n_tok"].sum()
+    # every bin respects the budget except singleton-oversized bins
+    per_bin_counts = out.groupby("bin_id").size()
+    for bin_id, fill in fills.items():
+        assert fill <= 1000 or per_bin_counts[bin_id] == 1
+    # the 1200 chunk sits alone
+    big_bin = out[out["n_tok"] == 1200]["bin_id"].iloc[0]
+    assert per_bin_counts[big_bin] == 1
+    # packing actually packs: fewer bins than rows
+    assert len(fills) < 9

