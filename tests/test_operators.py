@@ -1067,3 +1067,36 @@ def test_pack_sequences_ffd(spark):
     assert per_bin_counts[big_bin] == 1
     # packing actually packs: fewer bins than rows
     assert len(fills) < 9
+
+
+def test_deterministic_split_and_stratified_sample(spark):
+    from tsflex_spark.datapipe.curation import deterministic_split, stratified_sample
+
+    df = spark.createDataFrame([(i,) for i in range(10000)], "id long")
+    out = deterministic_split(df, "id", [0.8, 0.1, 0.1])
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] - 8000) < 300
+    assert abs(counts["val"] - 1000) < 150 and abs(counts["test"] - 1000) < 150
+    # stability: same assignment on a reshuffled frame
+    again = deterministic_split(df.repartition(13), "id", [0.8, 0.1, 0.1])
+    assert out.select("id", "split").exceptAll(again.select("id", "split")).count() == 0
+    # adding rows never moves existing ids
+    bigger = deterministic_split(
+        spark.createDataFrame([(i,) for i in range(20000)], "id long"),
+        "id", [0.8, 0.1, 0.1],
+    )
+    moved = (
+        out.select("id", "split").alias("a")
+        .join(bigger.select("id", F.col("split").alias("s2")), "id")
+        .where(F.col("split") != F.col("s2"))
+        .count()
+    )
+    assert moved == 0
+
+    strat = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(10000)], "id long, lang string"
+    )
+    samp = stratified_sample(strat, "lang", {"en": 0.5, "de": 0.1}, id_col="id")
+    by = {r["lang"]: r["count"] for r in samp.groupBy("lang").count().collect()}
+    assert abs(by["en"] - 2500) < 200 and abs(by["de"] - 500) < 120

@@ -1,3 +1,3 @@
-from tsflex_spark.datapipe import dedup, multimodal, pipeline, similarity, text
+from tsflex_spark.datapipe import curation, dedup, multimodal, pipeline, similarity, text
 
-__all__ = ["dedup", "multimodal", "pipeline", "similarity", "text"]
+__all__ = ["curation", "dedup", "multimodal", "pipeline", "similarity", "text"]

@@ -1,0 +1,72 @@
+"""Dataset curation: reproducible splits and stratified sampling.
+
+Training pipelines need splits that are STABLE across reruns, cluster
+sizes, and row order — ``randomSplit`` is none of those (it samples per
+partition of a given ordering). These ops derive membership from a hash
+of the row's identity, so the same id lands in the same split on every
+machine, forever, regardless of partitioning.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str,
+    weights: Sequence[float],
+    names: Sequence[str] = ("train", "val", "test"),
+    seed: int = 42,
+    out_col: str = "split",
+) -> DataFrame:
+    """Tag every row with a split name by hashing its id — reproducible
+    train/val/test assignment (same id → same split, independent of
+    partitioning, ordering, or cluster size; adding rows never moves
+    existing ones between splits).
+
+    ``weights`` need not sum to 1 (normalized). Buckets are assigned on
+    ``pmod(xxhash64(id, seed), 10^6)`` against cumulative weight
+    boundaries — all codegen, no shuffle.
+    """
+    assert len(weights) == len(names) and len(names) > 0
+    total = float(sum(weights))
+    m = 1_000_000
+    bounds = []
+    acc = 0.0
+    for w in weights:
+        acc += float(w) / total
+        bounds.append(int(round(acc * m)))
+    bounds[-1] = m  # close the last bucket against float drift
+    b = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(m))
+    # nested whens smallest-bound-first: each row takes the FIRST boundary
+    # it falls under
+    expr = F.lit(None).cast("string")
+    for name, ub in zip(names, bounds):
+        expr = F.coalesce(expr, F.when(b < F.lit(ub), F.lit(name)))
+    return df.withColumn(out_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Dict,
+    id_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff the hash of its
+    id falls under its stratum's fraction. Unlike ``DataFrame.sampleBy``
+    the decision is a pure function of (id, seed) — stable across reruns
+    and partitionings; strata missing from ``fractions`` are dropped.
+    """
+    m = 1_000_000
+    b = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(m))
+    cond = F.lit(False)
+    for k, frac in fractions.items():
+        cond = cond | (
+            (F.col(strata_col) == F.lit(k)) & (b < F.lit(int(round(float(frac) * m))))
+        )
+    return df.where(cond)
