@@ -271,3 +271,26 @@ def test_connected_components_no_cartesian(spark):
     plan = plan_of(out)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_all_gates_no_single_partition_exchange(spark):
+    """Sweep EVERY gate query's physical plan: no Exchange SinglePartition
+    anywhere (the one-task scale-killer), and CartesianProduct never
+    appears. BroadcastNestedLoopJoin is permitted ONLY because every
+    instance in this codebase is a crossJoin against a one-row bounds/
+    query aggregate (verified in review); new unbounded BNLJs should be
+    caught by the per-operator tests above."""
+    import __spark_entry__ as E
+
+    offenders = {}
+    for name, fn in E.queries().items():
+        df = fn(spark, SF_DIR)
+        plan = plan_of(df)
+        flags = []
+        if "Exchange SinglePartition" in plan:
+            flags.append("single-partition exchange")
+        if "CartesianProduct" in plan:
+            flags.append("cartesian")
+        if flags:
+            offenders[name] = flags
+    assert not offenders, offenders
