@@ -978,23 +978,53 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis ops: char/whitespace-token counts + BPE-ish token
     counts (GPT-2-style word/digit/punct pieces via regexp_extract_all)
     per document — two catalog ops, one gate (driver caps queries() at 50
-    entries; same table, same key, merged by doc_id join)."""
+    entries; same table, same key, merged by doc_id join). Also carries
+    the EXACT global p05/p95 length band (utils/distributed
+    exact_quantiles: range-partition selection + broadcast cutoffs — the
+    curation "trim length outliers" step, never a single-task sort)."""
     _utc(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     from tsflex_spark.datapipe.text import text_stats, token_count_bpe_ish
+    from tsflex_spark.utils.distributed import exact_quantiles
 
     base = text_stats(docs, "text", id_col="doc_id")
     bpe = token_count_bpe_ish(docs, "text", id_col="doc_id")
-    return base.join(bpe, on="doc_id").orderBy("doc_id")
+    out = base.join(bpe, on="doc_id")
+    cuts = exact_quantiles(out, "n_chars", [0.05, 0.95]).agg(
+        F.min(F.when(F.col("q") == 0.05, F.col("value"))).alias("p05_chars"),
+        F.max(F.when(F.col("q") == 0.95, F.col("value"))).alias("p95_chars"),
+    )
+    out = out.join(F.broadcast(cuts))
+    return out.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        "n_bpe_tokens",
+        "p05_chars",
+        "p95_chars",
+        (
+            (F.col("n_chars") >= F.col("p05_chars"))
+            & (F.col("n_chars") <= F.col("p95_chars"))
+        ).cast("int").alias("in_band"),
+    ).orderBy("doc_id")
 
 
 def _oracle_text_stats() -> str:
     return r"""
-SELECT doc_id,
-       length(text) AS n_chars,
-       len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
-       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]', 0)) AS n_bpe_tokens
-FROM documents ORDER BY doc_id
+WITH s AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]', 0)) AS n_bpe_tokens
+  FROM documents),
+c AS (
+  SELECT quantile_cont(n_chars, 0.05) AS p05_chars,
+         quantile_cont(n_chars, 0.95) AS p95_chars
+  FROM s)
+SELECT s.doc_id, s.n_chars, s.n_tokens, s.n_bpe_tokens,
+       c.p05_chars, c.p95_chars,
+       CAST(s.n_chars >= c.p05_chars AND s.n_chars <= c.p95_chars AS INT) AS in_band
+FROM s CROSS JOIN c ORDER BY s.doc_id
 """
 
 
@@ -2221,15 +2251,21 @@ FROM i GROUP BY user_id, isl ORDER BY user_id, session_start
 def q_categorical_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Categorical count features (SURVEY §2.4, reference tests
     :1965-2002): per 6h tumbling window, count of each event_type —
-    F.count(F.when(...)) per category, one codegen aggregate."""
+    F.count(F.when(...)) per category, one codegen aggregate. Also
+    carries the exact ``n_unique`` distinct-agg on user_id (SURVEY §2.4,
+    absent in the reference, Catalyst-native here) — a fused
+    multi-function, multi-series config in ONE segment assignment (the
+    driver caps queries() at 50, and fusion is itself an engine
+    feature)."""
     _utc(spark)
-    ev = _events(spark, sf_dir).select("ts", "event_type")
+    ev = _events(spark, sf_dir).select("ts", "event_type", "user_id")
     cats = ["click", "view", "purchase", "error", "signup"]
     # engine native count + per-category conditional counts via the same
     # segment assignment: express categories as pre-projected 0/1 series
     proj = ev.select(
         "ts",
         F.col("event_type").alias("event_type"),
+        F.col("user_id"),
         *[
             F.when(F.col("event_type") == c, F.lit(1)).alias(f"is_{c}")
             for c in cats
@@ -2238,6 +2274,7 @@ def q_categorical_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     fc = FeatureCollection(
         [FeatureDescriptor("count", "event_type", "6h", "6h")]
         + [FeatureDescriptor("count", f"is_{c}", "6h", "6h") for c in cats]
+        + [FeatureDescriptor("n_unique", "user_id", "6h", "6h")]
     )
     out = fc.calculate(proj, ts_col="ts", bound_method="outer")
     return out.select(
@@ -2247,6 +2284,7 @@ def q_categorical_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(f"is_{c}__count__w=6h").cast("bigint").alias(f"n_{c}")
             for c in cats
         ],
+        F.col("user_id__n_unique__w=6h").cast("bigint").alias("n_users"),
     )
 
 
@@ -2266,44 +2304,68 @@ seg AS (SELECT t0 + kk * {w} AS s_start
         WHERE kk < nb)
 SELECT make_timestamp(s_start + {w}) AS ts,
        count(e.event_type) AS n_total,
-       {cat_sel}
+       {cat_sel},
+       count(DISTINCT e.user_id) AS n_users
 FROM seg LEFT JOIN events e
   ON epoch_us(e.ts) >= s_start AND epoch_us(e.ts) < s_start + {w}
 GROUP BY s_start ORDER BY ts
 """
 
 
-def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct aggregation over windows (SURVEY §2.4: absent in the
-    reference, Catalyst-native here): exact count_distinct(user_id) per
-    6h tumbling window through the normal segment assignment."""
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (SURVEY north-star; GPT-3 appendix C /
+    Llama §5.1 word-n-gram overlap): docs with doc_id % 97 == 0 play the
+    eval set; every other document is scored by its distinct word-8-gram
+    overlap with that set. Eval n-gram hashes broadcast; the corpus side
+    is one map-side hash join — corpus text never shuffles."""
     _utc(spark)
-    ev = _events(spark, sf_dir).select("ts", "user_id")
-    fc = FeatureCollection(
-        [FeatureDescriptor("n_unique", "user_id", "6h", "6h")]
-    )
-    out = fc.calculate(ev, ts_col="ts")
+    from tsflex_spark.datapipe.decontam import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.where(F.col("doc_id") % 97 == 0).select("text")
+    corpus = docs.where(F.col("doc_id") % 97 != 0).select("doc_id", "text")
+    out = decontaminate(corpus, ev, text_col="text", id_col="doc_id", n=8)
     return out.select(
-        "ts",
-        F.col("user_id__n_unique__w=6h").cast("bigint").alias("n_users"),
-    )
+        "doc_id",
+        "n_ngrams",
+        "n_hits",
+        "hit_frac",
+        F.col("contaminated").cast("int").alias("contaminated"),
+    ).orderBy("doc_id")
 
 
-def _oracle_distinct_users() -> str:
-    w = 6 * H1
-    return f"""
-WITH b AS (SELECT epoch_us(min(ts)) AS t0, epoch_us(max(ts)) AS t1 FROM events),
-k AS (SELECT t0, t1,
-             greatest(CAST(floor((t1 - t0 - {w}) / {w}.0) AS BIGINT) + 1, 0) AS nb
-      FROM b),
-seg AS (SELECT t0 + kk * {w} AS s_start
-        FROM k CROSS JOIN generate_series(0, 100000) AS g(kk)
-        WHERE kk < nb)
-SELECT make_timestamp(s_start + {w}) AS ts,
-       count(DISTINCT e.user_id) AS n_users
-FROM seg LEFT JOIN events e
-  ON epoch_us(e.ts) >= s_start AND epoch_us(e.ts) < s_start + {w}
-GROUP BY s_start ORDER BY ts
+def _oracle_decontaminate() -> str:
+    return r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents),
+g0 AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(t) - 7, 1) + 1),
+           i -> array_to_string(t[i:i+7], ' '))) AS gs
+  FROM tok),
+gf AS (SELECT doc_id, unnest(gs) AS gram FROM g0),
+gd AS (SELECT doc_id, gram FROM gf WHERE gram <> ''),
+e AS (SELECT DISTINCT gram FROM gd WHERE doc_id % 97 = 0),
+agg AS (
+  SELECT gd.doc_id,
+         count(*) AS n_ngrams,
+         count(e.gram) AS n_hits
+  FROM gd LEFT JOIN e USING (gram)
+  WHERE gd.doc_id % 97 <> 0
+  GROUP BY gd.doc_id)
+SELECT d.doc_id,
+       coalesce(a.n_ngrams, 0) AS n_ngrams,
+       coalesce(a.n_hits, 0) AS n_hits,
+       CASE WHEN coalesce(a.n_ngrams, 0) > 0
+            THEN CAST(coalesce(a.n_hits, 0) AS DOUBLE) / CAST(a.n_ngrams AS DOUBLE)
+            ELSE 0.0 END AS hit_frac,
+       CAST(coalesce(a.n_hits, 0) >= 1 AS INT) AS contaminated
+FROM documents d LEFT JOIN agg a USING (doc_id)
+WHERE d.doc_id % 97 <> 0
+ORDER BY d.doc_id
 """
 
 
@@ -2693,7 +2755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_features": q_chunk_features,
         "streaming_session": q_streaming_session,
         "categorical_counts": q_categorical_counts,
-        "distinct_users": q_distinct_users,
+        "decontaminate": q_decontaminate,
         "sliding_fine_stride": q_sliding_fine_stride,
         "rolling_per_user": q_rolling_per_user,
         "wide_long_roundtrip": q_wide_long_roundtrip,
@@ -2745,7 +2807,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_features": _oracle_chunk_features(),
         "streaming_session": _oracle_streaming_session(),
         "categorical_counts": _oracle_categorical_counts(),
-        "distinct_users": _oracle_distinct_users(),
+        "decontaminate": _oracle_decontaminate(),
         "sliding_fine_stride": _oracle_sliding_fine_stride(),
         "rolling_per_user": _oracle_rolling_per_user(),
         "wide_long_roundtrip": _oracle_wide_long_roundtrip(),

@@ -122,3 +122,68 @@ def test_global_ewma_plan_range_partitions(spark):
     plan = buf.getvalue()
     assert "rangepartitioning" in plan.lower()
     assert "BroadcastExchange" in plan
+
+
+def test_order_statistics_exact(spark):
+    from tsflex_spark.utils.distributed import order_statistics
+
+    pdf, sdf = _mk(spark, 5000, seed=3, dups=True)
+    got = {
+        r["rank"]: r["value"]
+        for r in order_statistics(sdf, "o", [1, 17, 2500, 5000]).collect()
+    }
+    srt = np.sort(pdf["o"].to_numpy())
+    for k in (1, 17, 2500, 5000):
+        assert got[k] == srt[k - 1]
+    # rank past the end yields no row, not a wrong value
+    assert order_statistics(sdf, "o", [5001]).count() == 0
+
+
+def test_exact_quantiles_match_numpy(spark):
+    from tsflex_spark.utils.distributed import exact_quantiles
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 10_000, size=3001).astype("int64")
+    sdf = spark.createDataFrame(pd.DataFrame({"v": vals})).repartition(13)
+    qs = [0.0, 0.05, 0.5, 0.95, 1.0, 0.333]
+    got = {r["q"]: r["value"] for r in exact_quantiles(sdf, "v", qs).collect()}
+    for q in qs:
+        assert got[q] == pytest.approx(np.percentile(vals, q * 100), abs=0, rel=0)
+
+
+def test_quantile_filter_band(spark):
+    from tsflex_spark.utils.distributed import quantile_filter
+
+    rng = np.random.default_rng(4)
+    vals = rng.normal(size=2000)
+    sdf = spark.createDataFrame(pd.DataFrame({"v": vals, "id": np.arange(2000)}))
+    kept = quantile_filter(sdf, "v", 0.05, 0.95).toPandas()
+    lo, hi = np.percentile(vals, [5, 95])
+    exp = ((vals >= lo) & (vals <= hi)).sum()
+    assert len(kept) == exp
+    assert kept["v"].min() >= lo and kept["v"].max() <= hi
+    assert set(kept.columns) == {"v", "id"}
+
+
+def test_exact_quantiles_plan_no_global_sort(spark):
+    """Quantile selection must range-partition + broadcast tiny rank
+    tables — the data-sized stages all stay parallel."""
+    import contextlib, io
+
+    from tsflex_spark.utils.distributed import exact_quantiles
+
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"v": np.arange(1000, dtype="int64")})
+    ).repartition(7)
+    out = exact_quantiles(sdf, "v", [0.25, 0.75])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "rangepartitioning" in plan.lower()
+    assert "BroadcastExchange" in plan
+    # the only Sort allowed over the full data is the partition-local
+    # window sort (global=false); a global Sort would be the giveaway
+    for ln in plan.splitlines():
+        if "Sort [" in ln:
+            assert "global=false" in ln or "__rank" in ln or "q" in ln

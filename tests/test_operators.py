@@ -1100,3 +1100,70 @@ def test_deterministic_split_and_stratified_sample(spark):
     samp = stratified_sample(strat, "lang", {"en": 0.5, "de": 0.1}, id_col="id")
     by = {r["lang"]: r["count"] for r in samp.groupBy("lang").count().collect()}
     assert abs(by["en"] - 2500) < 200 and abs(by["de"] - 500) < 120
+
+
+def test_decontaminate_flags_overlap(spark):
+    from tsflex_spark.datapipe.decontam import decontaminate, drop_contaminated
+
+    # eval doc shares an exact 8-token span with doc 1; doc 2 is clean
+    span = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words here {span} trailing content tail"),
+            (2, "completely different tokens nothing shared at all here ok"),
+            (3, ""),  # empty doc -> 0/0/0.0, not contaminated
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(f"benchmark question mentions {span} inside the prompt",)], "text string"
+    )
+    out = decontaminate(docs, ev, n=8).orderBy("doc_id").collect()
+    assert [r["contaminated"] for r in out] == [True, False, False]
+    assert out[0]["n_hits"] >= 1
+    # doc with 9 tokens around the span: n_ngrams = 9 - 8 + 1 + extra
+    assert out[1]["n_hits"] == 0 and out[1]["n_ngrams"] > 0
+    assert out[2]["n_ngrams"] == 0 and out[2]["hit_frac"] == 0.0
+
+    kept = drop_contaminated(docs, ev, n=8)
+    assert sorted(r["doc_id"] for r in kept.select("doc_id").collect()) == [2, 3]
+
+
+def test_decontaminate_case_and_whitespace_normalized(spark):
+    from tsflex_spark.datapipe.decontam import decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "The  Quick\tBrown Fox Jumps Over The Lazy")], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy",)], "text string"
+    )
+    row = decontaminate(docs, ev, n=8).collect()[0]
+    assert row["contaminated"] and row["n_hits"] == 1 and row["n_ngrams"] == 1
+
+
+def test_word_ngram_rows_short_doc_clamp(spark):
+    from tsflex_spark.datapipe.decontam import word_ngram_rows
+
+    docs = spark.createDataFrame([(1, "only three tokens")], "doc_id long, text string")
+    # doc shorter than n -> exactly one gram (the whole token sequence)
+    assert word_ngram_rows(docs, "text", "doc_id", n=8).count() == 1
+
+
+def test_mix_sources_proportions_and_determinism(spark):
+    from tsflex_spark.datapipe.curation import mix_sources
+
+    rows = [(i, "web") for i in range(6000)] + [(i + 10_000, "books") for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, source string")
+    out = mix_sources(df, "source", {"web": 0.5, "books": 0.5}, id_col="id")
+    by = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    # books is limiting (1000 / 0.5): both sources target ~1000 rows
+    assert by["books"] == 1000  # limiting source keeps everything
+    assert abs(by["web"] - 1000) < 150  # hash sampling tolerance
+    # deterministic: same ids survive under a different partitioning
+    again = mix_sources(df.repartition(17), "source", {"web": 0.5, "books": 0.5}, id_col="id")
+    assert out.select("id").exceptAll(again.select("id")).count() == 0
+    # unlisted sources are dropped
+    df2 = df.union(spark.createDataFrame([(99_999, "spam")], "id long, source string"))
+    out2 = mix_sources(df2, "source", {"web": 0.5, "books": 0.5}, id_col="id")
+    assert out2.where(F.col("source") == "spam").count() == 0

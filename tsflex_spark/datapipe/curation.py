@@ -50,6 +50,47 @@ def deterministic_split(
     return df.withColumn(out_col, expr)
 
 
+def mix_sources(
+    df: DataFrame,
+    source_col: str,
+    target_weights: Dict,
+    id_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Down-sample per-source so the kept corpus matches ``target_weights``
+    proportions with MAXIMAL data retention (the "source mixing" step of
+    pre-training pipelines: rebalance web/books/code/wiki shares).
+
+    The limiting source keeps 100%: with per-source counts c_s and target
+    weights w_s, the largest achievable corpus is T = min_s(c_s / w_s)
+    and each source keeps T·w_s rows. Membership is a pure function of
+    (id, seed) — same row kept on every rerun, partitioning, or cluster
+    size. Fully declarative: per-source counts are a tiny aggregate
+    broadcast back; no collect, no driver loop. Sources absent from
+    ``target_weights`` are dropped.
+    """
+    m = 1_000_000
+    spark = df.sparkSession
+    w = spark.createDataFrame(
+        [(str(k), float(v)) for k, v in target_weights.items()],
+        f"{source_col} string, __w double",
+    )
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__c"))
+    wc = counts.join(w, on=source_col)  # inner: unlisted sources drop out
+    lim = wc.agg(
+        F.min(F.col("__c").cast("double") / F.col("__w")).alias("__t")
+    )
+    frac = wc.join(F.broadcast(lim)).select(
+        source_col,
+        F.least(
+            F.col("__t") * F.col("__w") / F.col("__c").cast("double"), F.lit(1.0)
+        ).alias("__keep"),
+    )
+    b = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(m))
+    out = df.join(F.broadcast(frac), on=source_col)
+    return out.where(b < (F.col("__keep") * m).cast("long")).drop("__keep")
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -41,6 +41,9 @@ __all__ = [
     "with_global_islands",
     "with_global_carry",
     "with_global_ewma",
+    "order_statistics",
+    "exact_quantiles",
+    "quantile_filter",
 ]
 
 
@@ -241,6 +244,109 @@ def with_global_carry(
         local = F.last(F.col(c), ignorenulls=True).over(wloc)
         out = out.withColumn(out_prefix + c, F.coalesce(local, F.col(f"__bnd_{c}")))
     return out.drop(PID, *[f"__bnd_{c}" for c in cols])
+
+
+def _values_at_ranks(df: DataFrame, col: str, ranks_tiny: DataFrame) -> DataFrame:
+    """Exact global order statistics without a single-partition sort.
+
+    ``ranks_tiny`` is a small DataFrame with one ``__rank`` column
+    (1-based global ranks over non-null ``col`` ascending). Scheme:
+    range-partition on ``col`` (one shuffle), per-partition counts →
+    broadcast exclusive prefix offsets → each requested rank maps to
+    exactly one partition and a LOCAL rank; a partition-local
+    ``row_number`` window (fully parallel) picks the value. Returns
+    (``__rank``, ``__v``) — at most ``len(ranks)`` rows. Ranks beyond the
+    row count yield no row (caller decides the semantics).
+    """
+    d = _ranged(df.select(col).where(F.col(col).isNotNull()), col)
+    counts = d.groupBy(PID).agg(F.count(F.lit(1)).alias("__cnt"))
+    offs = _prefix(counts, "__cnt", "__off")
+    loc = (
+        offs.join(
+            F.broadcast(ranks_tiny),
+            (F.col("__rank") > F.col("__off"))
+            & (F.col("__rank") <= F.col("__off") + F.col("__cnt")),
+        )
+        .select(PID, "__rank", (F.col("__rank") - F.col("__off")).alias("__lr"))
+    )
+    wloc = W.partitionBy(PID).orderBy(col)
+    return (
+        d.withColumn("__rn", F.row_number().over(wloc))
+        .join(F.broadcast(loc), on=PID)
+        .where(F.col("__rn") == F.col("__lr"))
+        .select("__rank", F.col(col).alias("__v"))
+    )
+
+
+def order_statistics(df: DataFrame, col: str, ranks: Sequence[int]) -> DataFrame:
+    """Exact k-th smallest values of ``col`` (1-based ``ranks``) as a
+    tiny (rank, value) DataFrame — a distributed selection, never a
+    global sort. Nulls are excluded from the ranking."""
+    spark = df.sparkSession
+    rdf = spark.createDataFrame([(int(r),) for r in ranks], "__rank long").distinct()
+    out = _values_at_ranks(df, col, rdf)
+    return out.select(F.col("__rank").alias("rank"), F.col("__v").alias("value"))
+
+
+def exact_quantiles(df: DataFrame, col: str, qs: Sequence[float]) -> DataFrame:
+    """EXACT linearly-interpolated quantiles (DuckDB ``quantile_cont`` /
+    ``numpy.percentile`` semantics: pos = (n-1)·q, v = v_lo·(1-frac) +
+    v_hi·frac) as a tiny (q, value) DataFrame.
+
+    Fully declarative — n is computed in-plan (no ``collect``), the rank
+    table derives from it, and the two order statistics per quantile come
+    from :func:`_values_at_ranks`. Cost: the one range shuffle + tiny
+    broadcasts. ``percentile``'s exact built-in buffers every value
+    through a single merge — this keeps all heavy stages parallel.
+    """
+    d = df.select(col).where(F.col(col).isNotNull())
+    n_df = d.agg(F.count(F.lit(1)).alias("__n"))
+    qdf = n_df.select(
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"), "__n"
+    )
+    pos = (F.col("__n") - 1).cast("double") * F.col("q")
+    qdf = qdf.select(
+        "q",
+        "__n",
+        (F.floor(pos) + 1).cast("long").alias("__lo"),
+        (F.ceil(pos) + 1).cast("long").alias("__hi"),
+        (pos - F.floor(pos)).alias("__frac"),
+    )
+    ranks = (
+        qdf.select(F.explode(F.array("__lo", "__hi")).alias("__rank"))
+        .where(F.col("__rank") >= 1)
+        .distinct()
+    )
+    vals = _values_at_ranks(d, col, ranks)
+    lo = vals.select(F.col("__rank").alias("__lo"), F.col("__v").alias("__vlo"))
+    hi = vals.select(F.col("__rank").alias("__hi"), F.col("__v").alias("__vhi"))
+    out = qdf.join(F.broadcast(lo), on="__lo", how="left").join(
+        F.broadcast(hi), on="__hi", how="left"
+    )
+    vlo = F.col("__vlo").cast("double")
+    vhi = F.coalesce(F.col("__vhi"), F.col("__vlo")).cast("double")
+    return out.select(
+        "q", (vlo + (vhi - vlo) * F.col("__frac")).alias("value")
+    )
+
+
+def quantile_filter(
+    df: DataFrame, col: str, q_low: float = 0.0, q_high: float = 1.0
+) -> DataFrame:
+    """Keep rows whose ``col`` lies within the EXACT global
+    [q_low, q_high] quantile band — the standard "trim the length/quality
+    outliers" curation step. Two passes over ``col`` (count + ranked
+    selection), then one broadcast of a single cutoff row; the full table
+    is scanned exactly once more with a codegen filter."""
+    cuts = exact_quantiles(df, col, [q_low, q_high]).agg(
+        F.min(F.when(F.col("q") == float(q_low), F.col("value"))).alias("__qlo"),
+        F.max(F.when(F.col("q") == float(q_high), F.col("value"))).alias("__qhi"),
+    )
+    out = df.join(F.broadcast(cuts))
+    return out.where(
+        (F.col(col).cast("double") >= F.col("__qlo"))
+        & (F.col(col).cast("double") <= F.col("__qhi"))
+    ).drop("__qlo", "__qhi")
 
 
 def with_global_ewma(
