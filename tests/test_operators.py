@@ -1167,3 +1167,66 @@ def test_mix_sources_proportions_and_determinism(spark):
     df2 = df.union(spark.createDataFrame([(99_999, "spam")], "id long, source string"))
     out2 = mix_sources(df2, "source", {"web": 0.5, "books": 0.5}, id_col="id")
     assert out2.where(F.col("source") == "spam").count() == 0
+
+
+def test_redact_pii_patterns(spark):
+    from tsflex_spark.datapipe.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@example.co.uk or call (555) 123-4567"),
+            (2, "ssn 123-45-6789 from 10.0.0.1 card 4111 1111 1111 1111"),
+            (3, "nothing sensitive here at all"),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r for r in redact_pii(df, "text", count_col="n_pii").collect()}
+    assert "<EMAIL>" in out[1]["text"] and "<PHONE>" in out[1]["text"]
+    assert "jane.doe" not in out[1]["text"]
+    assert "<SSN>" in out[2]["text"] and "<IP>" in out[2]["text"] and "<CC>" in out[2]["text"]
+    assert "123-45-6789" not in out[2]["text"]
+    assert out[3]["text"] == "nothing sensitive here at all" and out[3]["n_pii"] == 0
+    assert out[1]["n_pii"] == 2 and out[2]["n_pii"] == 3
+
+    # subset selection + separate output column leaves the original intact
+    sub = redact_pii(df, "text", out_col="clean", kinds=["email"]).collect()
+    r2 = [r for r in sub if r["id"] == 2][0]
+    assert r2["clean"] == r2["text"]  # no email in row 2 -> untouched
+
+
+def test_clean_corpus_new_stages(spark):
+    from tsflex_spark.datapipe.pipeline import clean_corpus
+
+    good = ("The quick brown fox jumps over the lazy dog and then keeps "
+            "running through the field for a while longer today. ") * 3
+    span = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, good + f" email me at a@b.co now {span} please and thank you"),
+            (3, good * 40),  # extreme length outlier
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(f"benchmark with {span} inside",)], "text string")
+    audit = clean_corpus(
+        docs,
+        annotate_only=True,
+        scrub_pii=True,
+        length_band=(0.0, 0.9),
+        eval_df=ev,
+        near_dup_threshold=None,
+        exact=False,
+    ).toPandas().set_index("doc_id")
+    assert bool(audit.loc[1, "keep"])
+    assert audit.loc[2, "reject_reason"] == "contaminated"
+    assert "a@b.co" not in audit.loc[2, "text"] and "<EMAIL>" in audit.loc[2, "text"]
+    assert audit.loc[3, "reject_reason"] == "length_band"
+    assert "__blo" not in audit.columns
+
+    kept = clean_corpus(
+        docs, scrub_pii=True, length_band=(0.0, 0.9), eval_df=ev,
+        near_dup_threshold=None, exact=False,
+    )
+    assert [r["doc_id"] for r in kept.select("doc_id").collect()] == [1]
+    assert kept.columns == docs.columns

@@ -3,11 +3,16 @@
 ``clean_corpus`` chains the datapipe stages the way a pre-training data
 job actually runs them, cheapest-first so each stage sees fewer rows:
 
-1. heuristic quality filters (``text.quality_score`` — codegen exprs)
-2. Gopher repetition filters (``text.repetition_stats``)
-3. language filter (``text.language_id``)
-4. exact dedup (hash-groupBy, min-id keeps)
-5. MinHash+LSH near-dedup (band/bucket equi-joins)
+1. PII scrub (``text.redact_pii`` — narrow regexp_replace chain)
+2. heuristic quality filters (``text.quality_score`` — codegen exprs)
+3. Gopher repetition filters (``text.repetition_stats``)
+4. language filter (``text.language_id``)
+5. global length band (``utils.distributed.quantile_filter`` — exact
+   p-lo/p-hi cutoffs via range-partition selection, broadcast back)
+6. benchmark decontamination (``decontam.drop_contaminated`` —
+   broadcast eval n-gram hashes)
+7. exact dedup (hash-groupBy, min-id keeps)
+8. MinHash+LSH near-dedup (band/bucket equi-joins)
 
 Everything is ONE lazy DataFrame plan per returned frame — no driver
 round-trips, no collects; at 100 TB each stage is a projection/filter or
@@ -38,6 +43,10 @@ def clean_corpus(
     max_dup_line_frac: float = 0.5,
     max_top_2gram_frac: float = 0.5,
     allowed_languages: Optional[Sequence[str]] = None,
+    scrub_pii: bool = False,
+    length_band: Optional[tuple] = None,
+    eval_df: Optional[DataFrame] = None,
+    decontam_ngram: int = 8,
     exact: bool = True,
     near_dup_threshold: Optional[float] = 0.8,
     annotate_only: bool = False,
@@ -49,7 +58,18 @@ def clean_corpus(
     ``reject_reason`` columns (dedup stages are skipped in audit mode:
     their verdicts depend on which other rows survive, which is exactly
     what the audit is for deciding).
+
+    ``scrub_pii=True`` rewrites ``text_col`` in place before any scoring
+    (so filters see the scrubbed text, as production pipelines do).
+    ``length_band=(q_lo, q_hi)`` trims global char-length outliers with
+    EXACT quantile cutoffs. ``eval_df`` enables benchmark
+    decontamination (word-``decontam_ngram``-gram overlap). In audit
+    mode both become ``reject_reason`` stages instead of drops.
     """
+    if scrub_pii:
+        from tsflex_spark.datapipe.text import redact_pii
+
+        docs = redact_pii(docs, text_col)
     q = quality_score(docs, text_col, id_col=id_col).select(
         id_col, "quality_score"
     )
@@ -78,12 +98,37 @@ def clean_corpus(
             ~F.col("lang_pred").isin(*[str(x) for x in allowed_languages]),
             F.lit("language"),
         )
+    if length_band is not None:
+        from tsflex_spark.utils.distributed import exact_quantiles
+
+        q_lo, q_hi = float(length_band[0]), float(length_band[1])
+        lens = docs.select(F.length(text_col).alias("__len"))
+        cuts = exact_quantiles(lens, "__len", [q_lo, q_hi]).agg(
+            F.min(F.when(F.col("q") == q_lo, F.col("value"))).alias("__blo"),
+            F.max(F.when(F.col("q") == q_hi, F.col("value"))).alias("__bhi"),
+        )
+        # cutoffs come from the PRE-filter corpus in both modes (audit
+        # parity; sequential re-derivation would couple stages)
+        annotated = annotated.join(F.broadcast(cuts))
+        reason = reason.when(
+            (F.length(text_col) < F.col("__blo"))
+            | (F.length(text_col) > F.col("__bhi")),
+            F.lit("length_band"),
+        )
+    if eval_df is not None:
+        from tsflex_spark.datapipe.decontam import decontaminate
+
+        flags = decontaminate(
+            docs, eval_df, text_col=text_col, id_col=id_col, n=decontam_ngram
+        ).select(id_col, "contaminated")
+        annotated = annotated.join(flags, id_col)
+        reason = reason.when(F.col("contaminated"), F.lit("contaminated"))
     annotated = annotated.withColumn("reject_reason", reason)
 
     if annotate_only:
         return annotated.withColumn(
             "keep", F.col("reject_reason").isNull()
-        )
+        ).drop("__blo", "__bhi")
 
     survivors = annotated.where(F.col("reject_reason").isNull()).select(
         *docs.columns

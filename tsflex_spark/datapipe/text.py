@@ -94,6 +94,53 @@ def token_count_bpe_ish(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     ).orderBy(id_col)
 
 
+_PII_PATTERNS = [
+    # (name, java-regex, replacement token). Ordered: more-specific first
+    # so e.g. an email is not half-eaten by the phone pattern.
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (
+        "phone",
+        r"(?<![\d.-])(?:\+?\d{1,2}[ .-]?)?(?:\(\d{3}\)|\d{3})[ .-]\d{3}[ .-]\d{4}\b",
+        "<PHONE>",
+    ),
+    ("cc16", r"\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{4}\b", "<CC>"),
+]
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str,
+    out_col: Optional[str] = None,
+    kinds: Optional[Sequence[str]] = None,
+    count_col: Optional[str] = None,
+) -> DataFrame:
+    """Replace common PII literals (emails, SSNs, IPv4s, phone numbers,
+    16-digit card numbers) with typed placeholder tokens — the standard
+    pre-training scrub pass.
+
+    Pure chained ``regexp_replace`` — whole-stage codegen, narrow (no
+    shuffle), safe at 100 TB. ``kinds`` selects a subset of
+    ``_PII_PATTERNS`` by name; ``count_col`` additionally emits the total
+    pattern-match count over the ORIGINAL text per row (audit signal —
+    replacements are applied sequentially, so a row's count can differ
+    from the edits when patterns overlap).
+    """
+    out_col = out_col or text_col
+    pats = [p for p in _PII_PATTERNS if kinds is None or p[0] in kinds]
+    col = F.col(text_col)
+    for _, rx, tok in pats:
+        col = F.regexp_replace(col, rx, tok)
+    # count BEFORE the redacted column lands (out_col may shadow text_col)
+    if count_col is not None:
+        cnt = F.lit(0)
+        for _, rx, _tok in pats:
+            cnt = cnt + F.size(F.regexp_extract_all(F.col(text_col), F.lit(rx), 0))
+        df = df.withColumn(count_col, cnt)
+    return df.withColumn(out_col, col)
+
+
 _LANG_MARKERS = {
     # tiny n-gram/stopword heuristic — deterministic, dependency-free
     "en": ["the", "and", "of", "to", "is"],
