@@ -146,29 +146,36 @@ def minhash_signatures(
             F.array(*[F.col(f"__m{j}") for j in range(num_hashes)]).alias("minhash"),
         )
     k = int(num_hashes)
-    binned = ex.groupBy(
-        id_col, F.pmod(F.col("__h"), F.lit(k)).cast("int").alias("__bin")
-    ).agg(F.min("__h").alias("__mh"))
-    m = binned.groupBy(id_col).agg(
-        F.map_from_arrays(F.collect_list("__bin"), F.collect_list("__mh")).alias("__m"),
-        F.min("__mh").alias("__dm"),
+    # ONE hash-aggregate with k conditional mins — map-side combine
+    # collapses each doc to a single k-wide buffer before the shuffle
+    # (the earlier two-level groupBy(id, bin) + collect_list shape
+    # shuffled ~k rows per doc and then densified through an INTERPRETED
+    # higher-order lambda — 64 evals/doc; this form is all codegen)
+    b = F.pmod(F.col("__h"), F.lit(k)).cast("int")
+    g = ex.withColumn("__b", b).groupBy(id_col).agg(
+        *[
+            F.min(F.when(F.col("__b") == j, F.col("__h"))).alias(f"__m{j}")
+            for j in range(k)
+        ],
+        F.min("__h").alias("__dm"),
     )
-    mm = F.col("__m")
     # empty-bin densification: circular borrow from the next two bins, then
     # a PER-DOC fill xxhash64(doc_min_hash, j) — never a global sentinel
     # (a shared constant would make all short docs collide on densified
     # band hashes → O(n²) false candidates among short docs at scale).
     # Equal shingle sets still densify identically (same doc_min_hash).
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda j: F.coalesce(
-            F.try_element_at(mm, j),
-            F.try_element_at(mm, F.pmod(j + 1, F.lit(k))),
-            F.try_element_at(mm, F.pmod(j + 2, F.lit(k))),
-            F.xxhash64(F.col("__dm"), j),
-        ),
+    sig = F.array(
+        *[
+            F.coalesce(
+                F.col(f"__m{j}"),
+                F.col(f"__m{(j + 1) % k}"),
+                F.col(f"__m{(j + 2) % k}"),
+                F.xxhash64(F.col("__dm"), F.lit(j)),
+            )
+            for j in range(k)
+        ]
     )
-    return m.select(F.col(id_col), sig.alias("minhash"))
+    return g.select(F.col(id_col), sig.alias("minhash"))
 
 
 def minhash_lsh_candidates(
