@@ -1230,3 +1230,99 @@ def test_clean_corpus_new_stages(spark):
     )
     assert [r["doc_id"] for r in kept.select("doc_id").collect()] == [1]
     assert kept.columns == docs.columns
+
+
+def test_decontaminate_empty_eval_set(spark):
+    from tsflex_spark.datapipe.decontam import decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "some words in a row here repeated some words in a row")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([], "text string")
+    row = decontaminate(docs, ev, n=4).collect()[0]
+    assert row["n_hits"] == 0 and not row["contaminated"] and row["n_ngrams"] > 0
+
+
+def test_exact_quantiles_empty_and_single(spark):
+    from tsflex_spark.utils.distributed import exact_quantiles
+
+    empty = spark.createDataFrame([], "v long")
+    rows = exact_quantiles(empty, "v", [0.5]).collect()
+    # empty input: the quantile row exists but carries no value
+    assert len(rows) == 1 and rows[0]["value"] is None
+
+    one = spark.createDataFrame([(7,)], "v long")
+    got = exact_quantiles(one, "v", [0.0, 0.5, 1.0]).collect()
+    assert all(r["value"] == 7.0 for r in got)
+
+
+def test_text_ops_run_on_streams(spark, tmp_path):
+    """quality_score / redact_pii / language_id are narrow (no shuffle,
+    no agg) — the SAME functions must run unchanged on a readStream."""
+    from tsflex_spark.datapipe.text import quality_score, redact_pii
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                "the quick brown fox and the lazy dog are friends of the crew",
+                "contact me at spam@example.com for details about the offer",
+            ],
+        }
+    )
+    src = str(tmp_path / "txt_src")
+    spark.createDataFrame(pdf).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out_df = redact_pii(quality_score(stream, "text", id_col="doc_id")
+                        .join(stream, "doc_id"), "text")
+    sink = str(tmp_path / "txt_sink")
+    q = (
+        out_df.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "txt_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(sink).toPandas().set_index("doc_id")
+    assert "<EMAIL>" in out.loc[2, "text"]
+    assert 0.0 <= out.loc[1, "quality_score"] <= 1.0
+
+
+def test_duplicate_spans_finds_shared_passage(spark):
+    from tsflex_spark.datapipe.dedup import duplicate_spans
+
+    passage = " ".join(f"p{i}" for i in range(12))  # 12-token shared passage
+    docs = spark.createDataFrame(
+        [
+            (1, "u1 u2 u3 " + passage + " t1 t2"),
+            (2, "v1 v2 v3 v4 " + passage + " w1"),
+            (3, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12 x13 x14"),  # unique
+            (4, "short doc"),  # < n tokens -> no grams at all
+        ],
+        "doc_id long, text string",
+    )
+    out = duplicate_spans(docs, "text", "doc_id", n=8).orderBy("doc_id").collect()
+    by = {r["doc_id"]: r for r in out}
+    assert set(by) == {1, 2}
+    # doc 1: passage tokens occupy indices 3..14 -> first shared 8-gram
+    # starts at 3, last at 7 (14-8+1? passage spans 3..14, grams fully
+    # inside the passage: starts 3..7) -> span_end = 7 + 8 - 1 = 14
+    assert by[1]["span_start"] == 3 and by[1]["span_end"] == 14
+    assert by[2]["span_start"] == 4 and by[2]["span_end"] == 15
+    assert by[1]["n_grams"] == 5 and by[2]["n_grams"] == 5
+
+
+def test_duplicate_spans_within_doc_repeat(spark):
+    from tsflex_spark.datapipe.dedup import duplicate_spans
+
+    rep = " ".join(f"r{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(1, rep + " mid1 mid2 " + rep)], "doc_id long, text string"
+    )
+    out = duplicate_spans(docs, "text", "doc_id", n=8).collect()
+    # the repeated 8-token block appears twice inside one doc -> two spans
+    assert len(out) == 2
+    assert {(r["span_start"], r["span_end"]) for r in out} == {(0, 7), (10, 17)}

@@ -566,6 +566,83 @@ def connected_components(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 20,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Token-span-level duplicate detection: find maximal spans whose
+    every word ``n``-gram occurs at least ``min_occurrences`` times in the
+    corpus — the passage-dedup signal of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better", ExactSubstr), re-shaped
+    for Spark: their suffix array is a single-machine structure; hashed
+    n-gram buckets + per-doc position islands give the same "this passage
+    appears elsewhere" spans with one hash-shuffle groupBy.
+
+    Returns (id, span_start, span_end, n_grams) — token indices, span
+    inclusive of the trailing words of the last n-gram (``span_end`` =
+    last starting position + n - 1). Boilerplate headers, license
+    blocks, and templated passages surface here even when whole-document
+    near-dup misses them.
+
+    Scale shape: rows = one per token position (same volume the shingle
+    path already handles); the only wide stage is the groupBy on the
+    8-byte gram hash, with map-side combine. Span merging is a per-doc
+    window (partitioned by id — fully parallel).
+    """
+    from pyspark.sql import Window as W
+
+    from tsflex_spark.datapipe.text import _tokens
+    from tsflex_spark.utils.data import fan_out
+
+    d = fan_out(df).select(
+        F.col(id_col), _tokens(F.lower(F.col(text_col))).alias("__t")
+    )
+    d = d.select(
+        F.col(id_col),
+        F.col("__t"),
+        # guard: sequence(1, 0) would generate a DESCENDING [1, 0]; docs
+        # shorter than n tokens must contribute no grams (explode drops
+        # the null)
+        F.explode(
+            F.when(
+                F.size("__t") >= n,
+                F.sequence(F.lit(1), F.size("__t") - F.lit(n - 1)),
+            )
+        ).alias("__i"),
+    )
+    rows = d.select(
+        F.col(id_col),
+        (F.col("__i") - 1).alias("__pos"),  # 0-based token index
+        F.xxhash64(F.concat_ws(" ", F.slice(F.col("__t"), F.col("__i"), n))).alias("__gh"),
+    )
+    dup = (
+        rows.groupBy("__gh")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") >= int(min_occurrences))
+        .select("__gh")
+    )
+    flagged = rows.join(dup, "__gh", "left_semi")
+    w = W.partitionBy(id_col).orderBy("__pos")
+    isl = flagged.withColumn(
+        "__new",
+        F.when(
+            F.coalesce(F.lag("__pos").over(w), F.lit(-2)) < F.col("__pos") - 1, 1
+        ).otherwise(0),
+    ).withColumn("__isl", F.sum("__new").over(w))
+    return (
+        isl.groupBy(id_col, "__isl")
+        .agg(
+            F.min("__pos").alias("span_start"),
+            (F.max("__pos") + n - 1).alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .drop("__isl")
+    )
+
+
 def dedup_exact_stream(
     df: DataFrame,
     cols: Sequence[str] | str,

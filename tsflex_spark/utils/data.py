@@ -96,6 +96,10 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     then spreads across every core. A 100 TB input already has thousands
     of splits and passes through untouched.
     """
+    if df.isStreaming:
+        # streams have no static partition count to probe (df.rdd throws);
+        # micro-batch sizing is the source's job — pass through untouched
+        return df
     sc = df.sparkSession.sparkContext
     target = int(min_partitions or sc.defaultParallelism)
     if df.rdd.getNumPartitions() < target:
