@@ -1326,3 +1326,36 @@ def test_duplicate_spans_within_doc_repeat(spark):
     # the repeated 8-token block appears twice inside one doc -> two spans
     assert len(out) == 2
     assert {(r["span_start"], r["span_end"]) for r in out} == {(0, 7), (10, 17)}
+
+
+def test_remove_duplicate_spans_keeps_one_occurrence(spark):
+    from tsflex_spark.datapipe.dedup import remove_duplicate_spans
+
+    passage = " ".join(f"p{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, "a1 a2 " + passage + " a3"),      # canonical (min id)
+            (2, "b1 " + passage + " b2 b3"),      # loses the passage
+            (3, "c1 c2 c3 unique words only here c4 c5 c6"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicate_spans(docs, "text", "doc_id", n=8).collect()
+    }
+    assert out[1] == "a1 a2 " + passage + " a3"
+    assert out[2] == "b1 b2 b3"
+    assert out[3] == "c1 c2 c3 unique words only here c4 c5 c6"
+
+
+def test_remove_duplicate_spans_within_doc(spark):
+    from tsflex_spark.datapipe.dedup import remove_duplicate_spans
+
+    rep = " ".join(f"r{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(1, rep + " mid " + rep)], "doc_id long, text string"
+    )
+    out = remove_duplicate_spans(docs, "text", "doc_id", n=8).collect()[0]["text"]
+    # first occurrence survives, second is cut
+    assert out == rep + " mid"

@@ -643,6 +643,93 @@ def duplicate_spans(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 20,
+    out_col: Optional[str] = None,
+) -> DataFrame:
+    """Cut all-but-one occurrence of every duplicated token passage —
+    the removal half of :func:`duplicate_spans` (Lee et al. 2022 keep-one
+    semantics). The canonical occurrence of each duplicated n-gram is the
+    smallest (id, position); only non-canonical positions are flagged,
+    merged into per-doc spans, and cut from the rebuilt text. Documents
+    with no duplicated passages pass through with byte-identical token
+    streams (whitespace is normalized to single spaces in ``out_col``).
+
+    Scale shape: same one hash-shuffle groupBy as detection, plus a
+    per-doc span array joined back (docs without spans skip the rebuild
+    via the left join's null arm). The token filter is an in-row lambda
+    over tokens x spans — spans per doc are few by construction.
+    """
+    from pyspark.sql import Window as W
+
+    from tsflex_spark.datapipe.text import _tokens
+    from tsflex_spark.utils.data import fan_out
+
+    out_col = out_col or text_col
+    d = fan_out(df).select(
+        F.col(id_col), _tokens(F.lower(F.col(text_col))).alias("__t")
+    )
+    pos_rows = d.select(
+        F.col(id_col),
+        F.col("__t"),
+        F.explode(
+            F.when(
+                F.size("__t") >= n,
+                F.sequence(F.lit(1), F.size("__t") - F.lit(n - 1)),
+            )
+        ).alias("__i"),
+    ).select(
+        F.col(id_col),
+        (F.col("__i") - 1).alias("__pos"),
+        F.xxhash64(F.concat_ws(" ", F.slice(F.col("__t"), F.col("__i"), n))).alias("__gh"),
+    )
+    stats = pos_rows.groupBy("__gh").agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("__pos").alias("p"))).alias("__keep"),
+    )
+    dup = stats.where(F.col("__c") >= 2).select("__gh", "__keep")
+    flagged = (
+        pos_rows.join(dup, "__gh")
+        .where(
+            (F.col(id_col) != F.col("__keep.i")) | (F.col("__pos") != F.col("__keep.p"))
+        )
+        .select(id_col, "__pos")
+    )
+    w = W.partitionBy(id_col).orderBy("__pos")
+    spans = (
+        flagged.withColumn(
+            "__new",
+            F.when(
+                F.coalesce(F.lag("__pos").over(w), F.lit(-2)) < F.col("__pos") - 1, 1
+            ).otherwise(0),
+        )
+        .withColumn("__isl", F.sum("__new").over(w))
+        .groupBy(id_col, "__isl")
+        .agg(
+            F.struct(
+                F.min("__pos").alias("s"), (F.max("__pos") + n - 1).alias("e")
+            ).alias("__span")
+        )
+        .groupBy(id_col)
+        .agg(F.collect_list("__span").alias("__spans"))
+    )
+    joined = df.join(spans, id_col, "left")
+    toks = _tokens(F.lower(F.col(text_col)))
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            F.col("__spans"), lambda s: (i >= s["s"]) & (i <= s["e"])
+        ),
+    )
+    rebuilt = F.when(F.col("__spans").isNull(), F.concat_ws(" ", toks)).otherwise(
+        F.concat_ws(" ", kept)
+    )
+    return joined.withColumn(out_col, rebuilt).drop("__spans")
+
+
 def dedup_exact_stream(
     df: DataFrame,
     cols: Sequence[str] | str,
