@@ -990,7 +990,11 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = text_stats(docs, "text", id_col="doc_id")
     bpe = token_count_bpe_ish(docs, "text", id_col="doc_id")
     out = base.join(bpe, on="doc_id")
-    cuts = exact_quantiles(out, "n_chars", [0.05, 0.95]).agg(
+    # quantiles from a MINIMAL projection straight off the scan — feeding
+    # the joined frame would re-execute the whole join once per selection
+    # pass (exact_quantiles is two-pass by construction)
+    lens = docs.select(F.length("text").alias("n_chars"))
+    cuts = exact_quantiles(lens, "n_chars", [0.05, 0.95]).agg(
         F.min(F.when(F.col("q") == 0.05, F.col("value"))).alias("p05_chars"),
         F.max(F.when(F.col("q") == 0.95, F.col("value"))).alias("p95_chars"),
     )

@@ -298,8 +298,18 @@ def exact_quantiles(df: DataFrame, col: str, qs: Sequence[float]) -> DataFrame:
     from :func:`_values_at_ranks`. Cost: the one range shuffle + tiny
     broadcasts. ``percentile``'s exact built-in buffers every value
     through a single merge — this keeps all heavy stages parallel.
+
+    The single-column input is lazily checkpointed: selection is a
+    multi-pass algorithm (count + ranked pick), and without the
+    checkpoint every pass re-executes the caller's upstream plan —
+    measured as ~6 redundant full scans when the input is itself a join.
+    The cached slice is one column, so the footprint is 8-16 B/row.
     """
-    d = df.select(col).where(F.col(col).isNotNull())
+    d = (
+        df.select(col)
+        .where(F.col(col).isNotNull())
+        .localCheckpoint(eager=False)
+    )
     n_df = d.agg(F.count(F.lit(1)).alias("__n"))
     qdf = n_df.select(
         F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"), "__n"
