@@ -1359,3 +1359,21 @@ def test_remove_duplicate_spans_within_doc(spark):
     out = remove_duplicate_spans(docs, "text", "doc_id", n=8).collect()[0]["text"]
     # first occurrence survives, second is cut
     assert out == rep + " mid"
+
+
+def test_winnow_candidates_partial_overlap(spark):
+    from tsflex_spark.datapipe.text import winnow_candidates
+
+    shared = "the identical boilerplate license header text block appears here verbatim"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " plus document one specific content tail"),
+            (2, "doc two intro " + shared),
+            (3, "entirely unrelated words with zero overlap whatsoever present"),
+        ],
+        "doc_id long, text string",
+    )
+    out = winnow_candidates(docs, "text", "doc_id", min_shared=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2) and r["n_shared"] >= 2

@@ -238,6 +238,39 @@ def winnow_fingerprints(
     return df.select(F.col(id_col), _winnow(F.col(text_col)).alias("fps"))
 
 
+def winnow_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_shared: int = 2,
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Partial-overlap candidate pairs from winnowing fingerprints: docs
+    sharing at least ``min_shared`` fingerprints — the MOSS "these two
+    submissions share passages" pairing, and the containment-aware
+    complement to MinHash LSH (whose signatures dilute when one doc is a
+    small fraction of the other).
+
+    Shape mirrors ``minhash_lsh_candidates``: explode to (id, fp) rows,
+    self equi-join on the fingerprint (only colliding docs meet), count
+    shared fps per pair. Returns (id_a, id_b, n_shared) with id_a < id_b.
+    """
+    fps = winnow_fingerprints(df, text_col, id_col, k=k, window=window)
+    rows = fps.select(F.col(id_col), F.explode("fps").alias("__fp")).dropDuplicates(
+        [id_col, "__fp"]
+    )
+    a = rows.select(F.col(id_col).alias("id_a"), "__fp")
+    b = rows.select(F.col(id_col).alias("id_b"), "__fp")
+    return (
+        a.join(b, "__fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= int(min_shared))
+    )
+
+
 def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Gopher-style repetition filters (Rae et al. 2021, appendix A —
     the standard "remove boilerplate / auto-generated text" signals for
