@@ -1727,29 +1727,59 @@ GROUP BY n_name ORDER BY n_name
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (SURVEY north-star dedup):
-    exact all-pairs cosine >= 0.45 — JVM zip_with/aggregate fold, norms
-    precomputed once per row; the LSH-candidates variant is the 100 TB
-    path (tsflex_spark/datapipe/dedup.py embedding_neardup)."""
+    """Embedding-cosine near-dup + SemDeDup in one gate (driver caps
+    queries() at 50). method='pairs': exact all-pairs cosine >= 0.45
+    (blocked-GEMM verification path). method='drop': SemDeDup
+    (arXiv:2303.09540) drop decisions — same-cell (label as the cell for
+    oracle determinism; IVF cells in the library path) cosine pairs closed
+    transitively, every non-minimum member of a duplicate group dropped
+    (id_b = the kept canonical id). The LSH-candidates / IVF-cell variants
+    are the 100 TB paths (tsflex_spark/datapipe/dedup.py)."""
     _utc(spark)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    from tsflex_spark.datapipe.dedup import embedding_neardup
+    from tsflex_spark.datapipe.dedup import embedding_neardup, semantic_dedup
 
     out = embedding_neardup(emb, threshold=0.45, vec_col="embedding", id_col="vec_id")
-    return out.orderBy("id_a", "id_b")
+    sem = semantic_dedup(emb, 0.45, cell_col="label", audit=True)
+    drops = sem.where(F.col("is_dup")).select(
+        F.lit("drop").alias("method"),
+        F.col("vec_id").alias("id_a"),
+        F.col("component").alias("id_b"),
+        F.lit(None).cast("double").alias("cosine"),
+    )
+    pairs = out.select(F.lit("pairs").alias("method"), "id_a", "id_b", "cosine")
+    return pairs.unionByName(drops).orderBy("method", "id_a", "id_b")
 
 
 def _oracle_embedding_neardup() -> str:
+    # 'pairs' = all-pairs cosine >= 0.45; 'drop' = SemDeDup decisions:
+    # same-label pairs >= 0.45 closed transitively (recursive CTE), every
+    # non-minimum member of a component dropped in favor of the min id.
     return """
-WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings),
-p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+WITH RECURSIVE e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS lab_a, b.label AS lab_b,
              list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]),
                          (x, y) -> x + y)
              / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
                 * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y))) AS cosine
-      FROM e a JOIN e b ON a.vec_id < b.vec_id)
-SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.45 ORDER BY id_a, id_b
+      FROM e a JOIN e b ON a.vec_id < b.vec_id),
+sp AS (SELECT id_a, id_b FROM p WHERE cosine >= 0.45 AND lab_a = lab_b),
+ed AS (SELECT id_a AS u, id_b AS v FROM sp UNION SELECT id_b, id_a FROM sp),
+reach(a, b) AS (
+  SELECT u, v FROM ed
+  UNION
+  SELECT r.a, ed.v FROM reach r JOIN ed ON ed.u = r.b),
+comp AS (
+  SELECT n.u AS vec_id, least(n.u, min(r.b)) AS c
+  FROM (SELECT DISTINCT u FROM ed) n JOIN reach r ON r.a = n.u
+  GROUP BY n.u)
+SELECT 'pairs' AS method, id_a, id_b, cosine FROM p WHERE cosine >= 0.45
+UNION ALL
+SELECT 'drop' AS method, vec_id AS id_a, c AS id_b, NULL AS cosine
+FROM comp WHERE vec_id != c
+ORDER BY method, id_a, id_b
 """
 
 

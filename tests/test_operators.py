@@ -1377,3 +1377,76 @@ def test_winnow_candidates_partial_overlap(spark):
     assert len(out) == 1
     r = out[0]
     assert (r["id_a"], r["id_b"]) == (1, 2) and r["n_shared"] >= 2
+
+
+def test_semantic_dedup_explicit_cells_vs_numpy(spark):
+    """SemDeDup with explicit cells must equal a numpy brute-force
+    per-cell cosine + union-find oracle (including transitive closure:
+    A~B, B~C => {A,B,C} one group, min id kept)."""
+    from tsflex_spark.datapipe.dedup import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(4, 8))
+    rows = []
+    # cell 0: three near-identical vectors (transitive chain) + one far
+    for i, eps in enumerate((0.0, 0.01, 0.02)):
+        rows.append((i, 0, (base[0] + eps * base[1]).tolist()))
+    rows.append((3, 0, base[2].tolist()))
+    # cell 1: a dup pair that would ALSO match vec 0 — but sits in
+    # another cell, so SemDeDup (by design) must not link across cells
+    rows.append((4, 1, base[0].tolist()))
+    rows.append((5, 1, (base[0] * 1.001).tolist()))
+    rows.append((6, 1, base[3].tolist()))
+    df = spark.createDataFrame(
+        rows, "vec_id long, cell int, embedding array<double>"
+    )
+    surv = semantic_dedup(df, 0.95, cell_col="cell")
+    assert sorted(r["vec_id"] for r in surv.select("vec_id").collect()) == [0, 3, 4, 6]
+    aud = semantic_dedup(df, 0.95, cell_col="cell", audit=True).toPandas()
+    aud = aud.set_index("vec_id").sort_index()
+    assert list(aud["is_dup"]) == [False, True, True, False, False, True, False]
+    assert aud.loc[1, "component"] == 0 and aud.loc[5, "component"] == 4
+
+
+def test_semantic_dedup_ivf_cells_and_blocked_gemm(spark):
+    """IVF-cell path: a pre-built quantizer (no training nondeterminism)
+    routes rows to cells; tiny block_rows exercises the tiled GEMM."""
+    from tsflex_spark.datapipe.dedup import semantic_dedup, semantic_pairs
+    from tsflex_spark.datapipe.similarity import IVFIndex, ivf_assign
+
+    rng = np.random.default_rng(5)
+    c0, c1 = np.array([10.0] + [0.0] * 7), np.array([0.0] * 7 + [10.0])
+    rows = []
+    for i in range(12):
+        center = c0 if i % 2 == 0 else c1
+        rows.append((i, (center + rng.normal(0, 0.01, 8)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    index = IVFIndex(np.stack([c0, c1]), vec_col="embedding", id_col="vec_id")
+    surv = semantic_dedup(df, 0.999, index=index)
+    # every same-center vector is a near-dup => one survivor per cell
+    assert sorted(r["vec_id"] for r in surv.select("vec_id").collect()) == [0, 1]
+    # tiled GEMM (block_rows=2) must equal the single-tile result
+    cells = ivf_assign(df, index, out_col="c")
+    p_small = semantic_pairs(cells, 0.999, cell_col="c", block_rows=2).toPandas()
+    p_big = semantic_pairs(cells, 0.999, cell_col="c", block_rows=4096).toPandas()
+    key = lambda d: sorted(map(tuple, d[["id_a", "id_b"]].to_numpy()))
+    assert key(p_small) == key(p_big) and len(p_small) == 2 * (6 * 5 // 2)
+
+
+def test_semantic_dedup_string_ids(spark):
+    from tsflex_spark.datapipe.dedup import semantic_dedup
+
+    df = spark.createDataFrame(
+        [
+            ("doc-b", 0, [1.0, 0.0]),
+            ("doc-a", 0, [1.0, 0.001]),
+            ("doc-c", 0, [0.0, 1.0]),
+        ],
+        "vec_id string, cell int, embedding array<double>",
+    )
+    surv = semantic_dedup(df, 0.99, cell_col="cell")
+    # min id keeps doc-a (lexicographic), drops doc-b
+    assert sorted(r["vec_id"] for r in surv.select("vec_id").collect()) == [
+        "doc-a",
+        "doc-c",
+    ]

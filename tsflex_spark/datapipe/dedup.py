@@ -566,6 +566,135 @@ def connected_components(
     )
 
 
+def semantic_pairs(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "__cell",
+    block_rows: int = 4096,
+) -> DataFrame:
+    """Within-cell exact-cosine pairs: ``(id_a, id_b, cosine)`` for every
+    same-cell pair with cosine >= ``threshold`` (id_a < id_b).
+
+    One Arrow ``applyInPandas`` task per cell computes the cell's full
+    cosine matrix as a blocked numpy GEMM (``block_rows``-row tiles bound
+    peak allocation for a skewed giant cell; compute stays O(m²) in the
+    cell size m — that is the point of clustering first: m ~ n/nlist).
+    Ids may be long or string (the output schema follows ``id_col``).
+    """
+    import numpy as np
+    import pandas as pd
+
+    thr = float(threshold)
+    blk = int(block_rows)
+    id_type = df.schema[id_col].dataType.simpleString()
+    d = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        F.col(cell_col).alias("c"),
+    )
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        M = np.asarray(pdf["v"].tolist(), dtype="float64")
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        out_a, out_b, out_c = [], [], []
+        for i0 in range(0, len(M), blk):
+            A = M[i0 : i0 + blk]
+            # only tiles on/above the diagonal; the j0==i0 tile dedups below
+            for j0 in range(i0, len(M), blk):
+                C = A @ M[j0 : j0 + blk].T
+                ia, jb = np.where(C >= thr)
+                ga, gb = ia + i0, jb + j0
+                keep = ga < gb
+                out_a.append(ids[ga[keep]])
+                out_b.append(ids[gb[keep]])
+                out_c.append(C[ia[keep], jb[keep]])
+        if not out_a:
+            # ids[:0] keeps the id dtype (long vs string) in the empty frame
+            return pd.DataFrame(
+                {"id_a": ids[:0], "id_b": ids[:0], "cosine": np.array([], "float64")}
+            )
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(a, b),
+                "id_b": np.maximum(a, b),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    return d.groupBy("c").applyInPandas(
+        score, f"id_a {id_type}, id_b {id_type}, cosine double"
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: Optional[str] = None,
+    index=None,
+    num_cells: int = 64,
+    audit: bool = False,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication of an embedded corpus. Rows are clustered into cells, a
+    within-cell exact-cosine pass emits pairs >= ``threshold``, the pairs
+    are closed transitively (``connected_components``), and one canonical
+    row per duplicate group survives (the minimum id — deterministic).
+
+    Cells come from, in priority order: an explicit ``cell_col`` already
+    on ``df`` (e.g. a class label, or a precomputed IVF assignment), a
+    trained ``IVFIndex`` passed as ``index``, or a quantizer trained here
+    on a bounded driver-side sample (``num_cells`` centroids — the
+    test-scale convenience; at 100 TB train once and reuse).
+
+    Scale shape: the only quadratic work is within-cell (m ~ n/nlist
+    rows per GEMM task); everything else is hash joins and the O(log n)
+    CC rounds. Cross-cell duplicates are invisible by construction —
+    SemDeDup's own approximation; tighten by raising ``num_cells``
+    resolution or running a MinHash pass alongside.
+
+    Returns the surviving rows of ``df`` (original columns). With
+    ``audit=True`` returns ``(id_col, component, is_dup)`` instead — the
+    drop decisions, joinable back upstream.
+    """
+    if cell_col is None:
+        from tsflex_spark.datapipe.similarity import ivf_assign, ivf_train
+
+        if index is None:
+            index = ivf_train(df, nlist=num_cells, vec_col=vec_col, id_col=id_col)
+        work = ivf_assign(df, index, out_col="__cell")
+        cell = "__cell"
+    else:
+        work, cell = df, cell_col
+
+    pairs = semantic_pairs(
+        work, threshold, vec_col=vec_col, id_col=id_col, cell_col=cell
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    if audit:
+        return (
+            df.select(id_col)
+            .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce("component", F.col(id_col)).alias("component"),
+                F.coalesce(
+                    F.col(id_col) != F.col("component"), F.lit(False)
+                ).alias("is_dup"),
+            )
+        )
+    drops = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(drops, id_col, "left_anti")
+
+
 def duplicate_spans(
     df: DataFrame,
     text_col: str,
