@@ -1450,3 +1450,90 @@ def test_semantic_dedup_string_ids(spark):
         "doc-a",
         "doc-c",
     ]
+
+
+def test_approx_quantile_native(spark):
+    """approx_quantile (percentile_approx sketch) tracks the exact
+    quantile; at default accuracy it is exact on window-sized data."""
+    from tsflex_spark import FeatureCollection, FeatureDescriptor, FuncWrapper
+
+    ts = pd.date_range("2024-01-01", periods=240, freq="1s")
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame({"ts": ts, "v": rng.normal(0, 1, 240)})
+    fc = FeatureCollection(
+        [
+            FeatureDescriptor(
+                FuncWrapper("approx_quantile", output_names="ap50", q=0.5), "v", "60s", "60s"
+            ),
+            FeatureDescriptor(
+                FuncWrapper("quantile", output_names="ex50", q=0.5), "v", "60s", "60s"
+            ),
+        ]
+    )
+    out = fc.calculate(spark.createDataFrame(pdf), ts_col="ts", approve_sparsity=True).toPandas()
+    # sketch default accuracy -> exact at n=60; allow tiny rank slack
+    assert np.allclose(out["v__ap50__w=1m"], out["v__ex50__w=1m"], atol=0.1)
+
+
+def test_corpus_stats_per_source(spark):
+    from tsflex_spark.datapipe.curation import corpus_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three", "web", "en"),
+            (2, "vier fünf", "web", "de"),
+            (3, "six seven eight nine", "web", "en"),
+            (4, "", "books", "en"),
+        ],
+        "doc_id long, text string, source string, lang string",
+    )
+    out = (
+        corpus_stats(docs, "text", "source", lang_col="lang")
+        .toPandas()
+        .set_index("source")
+        .sort_index()
+    )
+    web = out.loc["web"]
+    assert web["n_docs"] == 3 and web["total_tokens"] == 9
+    assert web["n_langs"] == 2 and abs(web["top_lang_share"] - 2 / 3) < 1e-12
+    books = out.loc["books"]
+    assert books["n_docs"] == 1 and books["total_tokens"] == 0
+
+
+def test_orc_round_trip(spark, tmp_path):
+    from tsflex_spark.sources import read_orc, write_orc
+
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-01-01", periods=10, freq="1h"),
+            "k": ["a", "b"] * 5,
+            "v": np.arange(10.0),
+        }
+    )
+    path = str(tmp_path / "orc_rt")
+    write_orc(spark.createDataFrame(pdf), path, partition_by=["k"])
+    back = read_orc(spark, path)
+    got = back.toPandas().sort_values("v").reset_index(drop=True)
+    assert len(got) == 10 and list(got["v"]) == list(pdf["v"])
+    # hive partitioning survived: filter on k prunes at plan time
+    plan = back.where(F.col("k") == "a")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(k" in plan
+
+
+def test_dedup_exact_priority_keep(spark):
+    from tsflex_spark.datapipe.dedup import dedup_exact
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same text", 2024),
+            (2, "same text", 2025),   # newest copy wins
+            (3, "same text", 2025),   # priority tie -> min id
+            (4, "other", 2020),
+        ],
+        "doc_id long, text string, dump_year int",
+    )
+    out = dedup_exact(docs, "text", id_col="doc_id", priority_col="dump_year")
+    assert sorted(r["doc_id"] for r in out.select("doc_id").collect()) == [2, 4]
+    # without priority: min id
+    out2 = dedup_exact(docs, "text", id_col="doc_id")
+    assert sorted(r["doc_id"] for r in out2.select("doc_id").collect()) == [1, 4]

@@ -294,3 +294,19 @@ def test_all_gates_no_single_partition_exchange(spark):
         if flags:
             offenders[name] = flags
     assert not offenders, offenders
+
+
+def test_semantic_pairs_one_shuffle(spark):
+    """semantic_pairs is one hash shuffle on the cell key feeding one
+    Arrow stage — no join, no cartesian, no second exchange (the within-
+    cell GEMM is the only quadratic work, bounded by cell size)."""
+    from tsflex_spark.datapipe.dedup import semantic_pairs
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").withColumn(
+        "cell", F.col("label")
+    )
+    plan = plan_of(semantic_pairs(emb, 0.9, cell_col="cell"), mode="simple")
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(c" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "FlatMapGroupsInPandas" in plan or "ArrowEvalPython" in plan

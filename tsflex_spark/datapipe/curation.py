@@ -9,7 +9,7 @@ machine, forever, regardless of partitioning.
 
 from __future__ import annotations
 
-from typing import Dict, Sequence
+from typing import Dict, Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -111,3 +111,40 @@ def stratified_sample(
             (F.col(strata_col) == F.lit(k)) & (b < F.lit(int(round(float(frac) * m))))
         )
     return df.where(cond)
+
+
+def corpus_stats(
+    df: DataFrame,
+    text_col: str,
+    source_col: str,
+    lang_col: Optional[str] = None,
+) -> DataFrame:
+    """Per-source corpus report — the numbers a mixture plan
+    (``mix_sources`` weights, token budgets) is written against:
+    document count, total/mean characters, total/mean whitespace tokens,
+    and (when ``lang_col`` is given) distinct languages plus the share of
+    the majority language.
+
+    One hash-aggregate over the corpus; the token count is a codegen
+    expression (no Python, no explode). The majority-language share runs
+    as a two-level aggregate — (source, lang) counts, then max/sum per
+    source — so the big shuffle carries one row per (source, lang), not
+    per document.
+    """
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    toks = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(toks)
+    base = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length(text_col)).alias("total_chars"),
+        F.avg(F.length(text_col)).alias("mean_chars"),
+        F.sum(toks).alias("total_tokens"),
+        F.avg(toks).alias("mean_tokens"),
+    )
+    if lang_col is None:
+        return base
+    per_lang = df.groupBy(source_col, lang_col).agg(F.count(F.lit(1)).alias("__c"))
+    lang = per_lang.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_langs"),
+        (F.max("__c").cast("double") / F.sum("__c")).alias("top_lang_share"),
+    )
+    return base.join(lang, on=source_col)

@@ -21,15 +21,35 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def dedup_exact(df: DataFrame, cols: Sequence[str] | str, id_col: Optional[str] = None) -> DataFrame:
+def dedup_exact(
+    df: DataFrame,
+    cols: Sequence[str] | str,
+    id_col: Optional[str] = None,
+    priority_col: Optional[str] = None,
+) -> DataFrame:
     """Drop exact duplicates over ``cols``; keep the row with min ``id_col``
-    (deterministic) or an arbitrary row when no id is given."""
+    (deterministic) or an arbitrary row when no id is given.
+
+    ``priority_col`` (numeric, larger = keep) changes the keep rule to
+    highest-priority-then-min-id — dedup across crawl dumps keeping the
+    newest copy, or across sources keeping the cleanest one. Still one
+    map-side-combinable hash aggregate (``min_by`` over a (−priority, id)
+    struct carries a single running winner per group)."""
     if isinstance(cols, str):
         cols = [cols]
     if id_col is None:
         return df.dropDuplicates(list(cols))
     h = F.xxhash64(*[F.col(c) for c in cols])
-    keep = df.groupBy(h.alias("__h")).agg(F.min(id_col).alias(id_col))
+    if priority_col is None:
+        keep = df.groupBy(h.alias("__h")).agg(F.min(id_col).alias(id_col))
+    else:
+        rank = F.struct(
+            (-F.col(priority_col).cast("double")).alias("np"),
+            F.col(id_col).alias("i"),
+        )
+        keep = df.groupBy(h.alias("__h")).agg(
+            F.min_by(F.col(id_col), rank).alias(id_col)
+        )
     return df.join(keep, on=id_col, how="left_semi")
 
 

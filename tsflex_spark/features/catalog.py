@@ -109,6 +109,16 @@ _reg(
     lambda v, tsn, kw: F.approx_count_distinct(v, rsd=float(kw.get("rsd", 0.05))),
     empty=0.0,
 )
+# KLL/GK-sketch quantile — the 100 TB quantile path: exact F.percentile
+# buffers every value per segment; percentile_approx merges bounded
+# sketches (map-side combinable, streaming-safe). accuracy kwarg trades
+# memory for error (Spark default 10000 ~ 1/10000 rank error).
+_reg(
+    "approx_quantile",
+    lambda v, tsn, kw: F.percentile_approx(
+        v, F.lit(float(kw.get("q", 0.5))), F.lit(int(kw.get("accuracy", 10000)))
+    ),
+)
 # slope of the least-squares fit of value against the index expressed in
 # SECONDS (TIME domain) or raw units (SEQUENCE) — reference tests use
 # scipy.stats.linregress (tests/test_features_feature_collection.py:1880-1907)

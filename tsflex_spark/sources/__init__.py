@@ -2,9 +2,11 @@ from tsflex_spark.sources.io import (
     read_csv,
     read_events,
     read_json,
+    read_orc,
     read_parquet,
     read_table,
     write_bucketed,
+    write_orc,
     write_partitioned,
 )
 
@@ -12,8 +14,10 @@ __all__ = [
     "read_parquet",
     "read_csv",
     "read_json",
+    "read_orc",
     "read_table",
     "read_events",
     "write_partitioned",
+    "write_orc",
     "write_bucketed",
 ]

@@ -99,6 +99,28 @@ def read_json(
     return df
 
 
+def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
+    """ORC reader. ORC stores timestamps as instants (no NTZ ambiguity)
+    and supports the same predicate pushdown / column pruning as parquet;
+    every downstream operator is format-agnostic, so a corpus in ORC
+    needs no conversion pass."""
+    return spark.read.options(**options).orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: Optional[Sequence[str]] = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink, optionally hive-partitioned (same pruning story as
+    ``write_partitioned``)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_parquet(spark, f"{sf_dir}/{name}.parquet")
 
