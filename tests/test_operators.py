@@ -1537,3 +1537,118 @@ def test_dedup_exact_priority_keep(spark):
     # without priority: min id
     out2 = dedup_exact(docs, "text", id_col="doc_id")
     assert sorted(r["doc_id"] for r in out2.select("doc_id").collect()) == [1, 4]
+
+
+def test_bpe_train_and_encode(spark):
+    """Sennrich BPE: distributed word-freq train stats, driver merge
+    loop, distributed Arrow encode — parity with the per-word greedy
+    reference encode, deterministic across reruns."""
+    from tsflex_spark.datapipe.bpe import BPETokenizer, bpe_encode, train_bpe
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low low low low low lower lower"),
+            (2, "newest newest newest newest newest newest"),
+            (3, "widest widest widest"),
+        ],
+        "doc_id long, text string",
+    )
+    tok = train_bpe(docs, "text", num_merges=10)
+    tok2 = train_bpe(docs.repartition(7), "text", num_merges=10)
+    assert tok.merges == tok2.merges  # partitioning-independent
+    # classic result: 'est</w>' forms, then 'low'
+    assert ("e", "st</w>") in tok.merges and ("l", "ow") in tok.merges
+    out = bpe_encode(docs, "text", "doc_id", tok).toPandas().set_index("doc_id")
+    assert list(out.loc[1, "tokens"][:2]) == ["low</w>", "low</w>"]
+    # distributed encode == driver encode for every doc
+    for doc_id, text in [(1, "low low low low low lower lower")]:
+        assert list(out.loc[doc_id, "tokens"]) == tok.encode_text(text)
+    assert out.loc[2, "n_tokens"] == 6  # 'newest</w>' fully merged
+    # ids mode: stable vocab, round-trippable through the vocab
+    ids_out = bpe_encode(docs, "text", "doc_id", tok, ids=True).toPandas()
+    inv = {v: k for k, v in tok.vocab.items()}
+    row = ids_out.set_index("doc_id").loc[3]
+    assert tok.decode([inv[i] for i in row["tokens"]]) == "widest widest widest"
+
+
+def test_bpe_tokenizer_persist(spark, tmp_path):
+    from tsflex_spark.datapipe.bpe import BPETokenizer, train_bpe
+
+    docs = spark.createDataFrame([(1, "aa ab aa ab aa")], "doc_id long, text string")
+    tok = train_bpe(docs, "text", num_merges=4)
+    p = str(tmp_path / "bpe.json")
+    tok.save(p)
+    back = BPETokenizer.load(p)
+    assert back.merges == tok.merges and back.vocab == tok.vocab
+    assert back.encode_text("aa ab") == tok.encode_text("aa ab")
+
+
+def test_hash_embed_numpy_parity_and_semantic_use(spark):
+    """hash_embed must equal the driver-side hashing-trick construction,
+    and near-identical texts must land at high cosine (usable by
+    semantic_dedup end-to-end from raw text)."""
+    from tsflex_spark.datapipe.text import hash_embed
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog!"),
+            (3, "entirely different content with no shared trigrams xyz"),
+        ],
+        "doc_id long, text string",
+    )
+    out = hash_embed(docs, "text", "doc_id", dim=32).toPandas().set_index("doc_id")
+    V = {i: np.array(out.loc[i, "embedding"]) for i in (1, 2, 3)}
+    for v in V.values():
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-9
+    cos12 = float(V[1] @ V[2])
+    cos13 = float(V[1] @ V[3])
+    assert cos12 > 0.9 and cos13 < 0.6
+    # parity: re-derive doc 1's vector via Spark's own xxhash64 on the
+    # driver row set (sign/bucket hashes must match the plan exactly)
+    from pyspark.sql import functions as F2
+
+    norm = "the quick brown fox jumps over the lazy dog"
+    grams = [norm[i : i + 3] for i in range(len(norm) - 2)]
+    gdf = spark.createDataFrame([(g,) for g in grams], "g string").select(
+        F2.pmod(F2.xxhash64("g"), F2.lit(32)).alias("b"),
+        F2.when(F2.pmod(F2.xxhash64("g", F2.lit(1)), F2.lit(2)) == 0, 1)
+        .otherwise(-1)
+        .alias("s"),
+    )
+    acc = np.zeros(32)
+    for r in gdf.collect():
+        acc[r["b"]] += r["s"]
+    acc /= np.linalg.norm(acc)
+    assert np.allclose(acc, V[1], atol=1e-9)
+
+
+def test_clean_corpus_semantic_stage(spark):
+    """clean_corpus(semantic_threshold=): paraphrase-level near-dups
+    (same vocabulary, different shingle structure) collapse to one."""
+    from tsflex_spark.datapipe.pipeline import clean_corpus
+
+    body = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the quiet green field toward the bright morning sun"
+    )
+    para = (
+        "through the quiet green field the quick brown fox keeps running "
+        "and jumps over the lazy dog toward the bright morning sun"
+    )
+    other = (
+        "completely unrelated legal boilerplate about indemnification "
+        "clauses warranties liabilities jurisdictions and arbitration terms"
+    )
+    docs = spark.createDataFrame(
+        [(1, body), (2, para), (3, other)], "doc_id long, text string"
+    )
+    out = clean_corpus(
+        docs,
+        min_quality_score=0.0,
+        near_dup_threshold=None,
+        semantic_threshold=0.9,
+        semantic_cells=1,
+    )
+    kept = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert kept == [1, 3]

@@ -1,4 +1,5 @@
 from tsflex_spark.datapipe import (
+    bpe,
     curation,
     decontam,
     dedup,
@@ -9,6 +10,7 @@ from tsflex_spark.datapipe import (
 )
 
 __all__ = [
+    "bpe",
     "curation",
     "decontam",
     "dedup",

@@ -13,6 +13,8 @@ job actually runs them, cheapest-first so each stage sees fewer rows:
    broadcast eval n-gram hashes)
 7. exact dedup (hash-groupBy, min-id keeps)
 8. MinHash+LSH near-dedup (band/bucket equi-joins)
+9. optional SemDeDup (``semantic_threshold=``: hash_embed → cluster
+   cells → within-cell cosine → keep-one; paraphrase-level dups)
 
 Everything is ONE lazy DataFrame plan per returned frame — no driver
 round-trips, no collects; at 100 TB each stage is a projection/filter or
@@ -49,6 +51,8 @@ def clean_corpus(
     decontam_ngram: int = 8,
     exact: bool = True,
     near_dup_threshold: Optional[float] = 0.8,
+    semantic_threshold: Optional[float] = None,
+    semantic_cells: int = 64,
     annotate_only: bool = False,
 ) -> DataFrame:
     """Filter + dedup a document corpus; see module docstring.
@@ -139,4 +143,21 @@ def clean_corpus(
         survivors = minhash_dedup(
             survivors, text_col, id_col=id_col, threshold=float(near_dup_threshold)
         )
+    if semantic_threshold is not None:
+        # SemDeDup straight from raw text: feature-hashing embeddings
+        # (training-free, deterministic) → cluster cells → within-cell
+        # cosine → keep one per duplicate group. Catches paraphrase-level
+        # dups MinHash misses (shared vocabulary, different shingles).
+        from tsflex_spark.datapipe.dedup import semantic_dedup
+        from tsflex_spark.datapipe.text import hash_embed
+
+        emb = hash_embed(survivors, text_col, id_col)
+        keep = semantic_dedup(
+            emb,
+            float(semantic_threshold),
+            vec_col="embedding",
+            id_col=id_col,
+            num_cells=int(semantic_cells),
+        ).select(id_col)
+        survivors = survivors.join(keep, id_col, "left_semi")
     return survivors

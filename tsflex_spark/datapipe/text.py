@@ -493,3 +493,55 @@ def pack_sequences(
             yield pdf
 
     return d.mapInPandas(pack, schema).drop("__pid")
+
+
+def hash_embed(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    dim: int = 64,
+    ngram: int = 3,
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Feature-hashing text embedder (the hashing trick, Weinberger et
+    al. 2009): every character n-gram (with multiplicity) hashes to one
+    of ``dim`` buckets with an independent ±1 sign hash; the embedding is
+    the L2-normalized bucket-sum vector. Deterministic and training-free
+    — the honest baseline embedder that makes ``semantic_dedup`` /
+    ``knn_join`` runnable end-to-end from raw text when no model
+    embeddings exist (similar texts share n-grams ⇒ high cosine).
+
+    Scale shape: explode to n-gram rows, ONE hash-aggregate with ``dim``
+    conditional sums (map-side combined — the shuffle carries one
+    ``dim``-wide buffer per doc, never the n-grams), then a codegen
+    normalize. No Python anywhere.
+    """
+    d = fan_out(df.select(id_col, text_col))
+    d = d.withColumn(
+        "__norm", F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    )
+    n = F.length("__norm")
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(ngram - 1), F.lit(1)))
+    rows = d.select(
+        id_col,
+        F.explode(
+            F.transform(idx, lambda i: F.col("__norm").substr(i, F.lit(ngram)))
+        ).alias("__g"),
+    )
+    h = F.xxhash64("__g")
+    sign = F.when(F.pmod(F.xxhash64("__g", F.lit(1)), F.lit(2)) == 0, 1).otherwise(-1)
+    b = F.pmod(h, F.lit(dim))
+    g = rows.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(b == j, sign).otherwise(0)).cast("double").alias(f"__e{j}")
+            for j in range(dim)
+        ]
+    )
+    nrm = F.sqrt(sum(F.col(f"__e{j}") * F.col(f"__e{j}") for j in range(dim)))
+    vec = F.array(
+        *[
+            (F.col(f"__e{j}") / F.when(nrm == 0, F.lit(1.0)).otherwise(nrm))
+            for j in range(dim)
+        ]
+    )
+    return g.select(F.col(id_col), vec.alias(out_col))
