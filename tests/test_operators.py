@@ -1652,3 +1652,50 @@ def test_clean_corpus_semantic_stage(spark):
     )
     kept = sorted(r["doc_id"] for r in out.select("doc_id").collect())
     assert kept == [1, 3]
+
+
+def test_write_partitioned_dynamic_overwrite(spark, tmp_path):
+    """dynamic=True replaces ONLY the partitions present in the new
+    frame — the idempotent daily-backfill pattern."""
+    from tsflex_spark.sources import read_parquet
+    from tsflex_spark.sources.io import write_partitioned
+
+    path = str(tmp_path / "feat")
+    d1 = spark.createDataFrame(
+        [("2024-01-01", 1, 1.0), ("2024-01-02", 2, 2.0)], "ds string, k int, v double"
+    )
+    write_partitioned(d1, path, partition_by=("ds",))
+    # re-run day 2 only, with corrected values
+    fix = spark.createDataFrame([("2024-01-02", 2, 99.0)], "ds string, k int, v double")
+    write_partitioned(fix, path, partition_by=("ds",), dynamic=True)
+    got = read_parquet(spark, path).toPandas().sort_values("ds").reset_index(drop=True)
+    assert list(got["v"]) == [1.0, 99.0]  # day 1 untouched, day 2 replaced
+    # plain overwrite (no dynamic) would have dropped day 1
+
+
+def test_bpe_encode_runs_on_stream(spark, tmp_path):
+    """bpe_encode is a narrow mapInPandas — a tokenizer trained in batch
+    encodes an incoming document stream unchanged (the production shape:
+    train once, tokenize forever)."""
+    from tsflex_spark.datapipe.bpe import bpe_encode, train_bpe
+
+    pdf = pd.DataFrame({"doc_id": [1, 2], "text": ["low lower low", "newest low"]})
+    batch = spark.createDataFrame(pdf)
+    tok = train_bpe(batch, "text", num_merges=8)
+    src = str(tmp_path / "bpe_src")
+    batch.write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    enc = bpe_encode(stream, "text", "doc_id", tok)
+    sink = str(tmp_path / "bpe_sink")
+    q = (
+        enc.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "bpe_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(sink).toPandas().set_index("doc_id")
+    assert list(out.loc[1, "tokens"]) == tok.encode_text("low lower low")
+    assert out.loc[2, "n_tokens"] == len(tok.encode_text("newest low"))

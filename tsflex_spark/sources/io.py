@@ -160,6 +160,7 @@ def write_partitioned(
     partition_by=("ds",),
     ts_col: str = "ts",
     mode: str = "overwrite",
+    dynamic: bool = False,
 ) -> None:
     """Feature-frame sink for cluster-scale outputs: derive a date
     partition column from ``ts_col`` when asked for and not present, then
@@ -167,6 +168,12 @@ def write_partitioned(
     column scan only the matching directories (PartitionFilters — pruning
     happens before any file is opened), which is the difference between
     touching 1 day and 100 TB on a historical query.
+
+    ``dynamic=True`` enables dynamic partition overwrite for this write:
+    only the partitions PRESENT IN ``df`` are replaced, everything else
+    is untouched — the idempotent daily-backfill pattern (re-running one
+    day's feature extraction rewrites that day's directory, never the
+    historical 100 TB).
     """
     from pyspark.sql import functions as F
 
@@ -174,4 +181,7 @@ def write_partitioned(
     out = df
     if "ds" in partition_by and "ds" not in df.columns:
         out = out.withColumn("ds", F.to_date(F.col(ts_col)))
-    out.write.partitionBy(*partition_by).mode(mode).parquet(path)
+    w = out.write.partitionBy(*partition_by).mode(mode)
+    if dynamic:
+        w = w.option("partitionOverwriteMode", "dynamic")
+    w.parquet(path)
