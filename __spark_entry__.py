@@ -981,15 +981,21 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     entries; same table, same key, merged by doc_id join). Also carries
     the EXACT global p05/p95 length band (utils/distributed
     exact_quantiles: range-partition selection + broadcast cutoffs — the
-    curation "trim length outliers" step, never a single-task sort)."""
+    curation "trim length outliers" step, never a single-task sort).
+    Fourth op in the gate: self-perplexity under a bigram Laplace LM
+    (datapipe/lm.py — the CCNet-style LM quality filter; micro-nat
+    fixed-point log sums make the per-doc aggregate exact integers)."""
     _utc(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from tsflex_spark.datapipe.lm import score_perplexity, train_ngram_lm
     from tsflex_spark.datapipe.text import text_stats, token_count_bpe_ish
     from tsflex_spark.utils.distributed import exact_quantiles
 
     base = text_stats(docs, "text", id_col="doc_id")
     bpe = token_count_bpe_ish(docs, "text", id_col="doc_id")
-    out = base.join(bpe, on="doc_id")
+    lm = train_ngram_lm(docs, "text", id_col="doc_id")
+    ppl = score_perplexity(docs, lm, "text", id_col="doc_id", broadcast_model=True)
+    out = base.join(bpe, on="doc_id").join(ppl, on="doc_id")
     # quantiles from a MINIMAL projection straight off the scan — feeding
     # the joined frame would re-execute the whole join once per selection
     # pass (exact_quantiles is two-pass by construction)
@@ -1004,6 +1010,9 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         "n_tokens",
         "n_bpe_tokens",
+        "n_bigrams",
+        "sum_logp_e6",
+        "ppl",
         "p05_chars",
         "p95_chars",
         (
@@ -1024,11 +1033,38 @@ WITH s AS (
 c AS (
   SELECT quantile_cont(n_chars, 0.05) AS p05_chars,
          quantile_cont(n_chars, 0.95) AS p95_chars
-  FROM s)
+  FROM s),
+tk AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
+                        x -> lower(x)) AS t
+  FROM documents),
+bgf AS (
+  SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                                     i -> {'w1': t[i], 'w2': t[i + 1]})) AS b
+        FROM tk)),
+pairs AS (SELECT w1, w2, count(*) AS c FROM bgf GROUP BY w1, w2),
+ctx AS (SELECT w1, sum(c) AS cc FROM pairs GROUP BY w1),
+voc AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM tk)),
+sc AS (
+  SELECT bgf.doc_id,
+         CAST(round(ln(CAST(coalesce(p.c, 0) + 1 AS DOUBLE)
+                       / CAST(coalesce(x.cc, 0) + voc.v AS DOUBLE)) * 1e6) AS BIGINT) AS lp
+  FROM bgf
+  LEFT JOIN pairs p ON p.w1 = bgf.w1 AND p.w2 = bgf.w2
+  LEFT JOIN ctx x ON x.w1 = bgf.w1
+  CROSS JOIN voc),
+per AS (SELECT doc_id, count(*) AS n_bigrams, sum(lp) AS sum_logp_e6 FROM sc GROUP BY doc_id)
 SELECT s.doc_id, s.n_chars, s.n_tokens, s.n_bpe_tokens,
+       coalesce(per.n_bigrams, 0) AS n_bigrams,
+       coalesce(per.sum_logp_e6, 0) AS sum_logp_e6,
+       exp(-(CAST(per.sum_logp_e6 AS DOUBLE) / 1e6) / per.n_bigrams) AS ppl,
        c.p05_chars, c.p95_chars,
        CAST(s.n_chars >= c.p05_chars AND s.n_chars <= c.p95_chars AS INT) AS in_band
-FROM s CROSS JOIN c ORDER BY s.doc_id
+FROM s CROSS JOIN c LEFT JOIN per ON per.doc_id = s.doc_id
+ORDER BY s.doc_id
 """
 
 

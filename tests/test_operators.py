@@ -1699,3 +1699,106 @@ def test_bpe_encode_runs_on_stream(spark, tmp_path):
     out = spark.read.parquet(sink).toPandas().set_index("doc_id")
     assert list(out.loc[1, "tokens"]) == tok.encode_text("low lower low")
     assert out.loc[2, "n_tokens"] == len(tok.encode_text("newest low"))
+
+
+# --- n-gram LM perplexity (datapipe/lm.py) ---------------------------------
+
+
+def _py_bigram_ppl(train_texts, score_texts):
+    """Pure-python reference: Laplace bigram perplexity, micro-nat sums."""
+    import math
+
+    def toks(t):
+        return [w.lower() for w in t.split() if w != ""]
+
+    pairs, ctx, vocab = {}, {}, set()
+    for t in train_texts:
+        ws = toks(t)
+        vocab.update(ws)
+        for a, b in zip(ws, ws[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+            ctx[a] = ctx.get(a, 0) + 1
+    v = len(vocab)
+    out = []
+    for t in score_texts:
+        ws = toks(t)
+        s, n = 0, 0
+        for a, b in zip(ws, ws[1:]):
+            p = (pairs.get((a, b), 0) + 1) / (ctx.get(a, 0) + v)
+            s += round(math.log(p) * 1e6)
+            n += 1
+        ppl = math.exp(-(s / 1e6) / n) if n else None
+        out.append((n, s, ppl))
+    return out
+
+
+def test_ngram_lm_perplexity_matches_reference(spark):
+    from tsflex_spark.datapipe.lm import score_perplexity, train_ngram_lm
+
+    texts = [
+        "the cat sat on the mat",
+        "the dog sat on the log",
+        "a cat and a dog",
+        "single",
+        "",
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(len(texts))), "text": texts})
+    )
+    lm = train_ngram_lm(docs, "text")
+    got = (
+        score_perplexity(docs, lm, "text")
+        .orderBy("doc_id")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    exp = _py_bigram_ppl(texts, texts)
+    for i, (n, s, ppl) in enumerate(exp):
+        assert got.loc[i, "n_bigrams"] == n
+        assert got.loc[i, "sum_logp_e6"] == s
+        if ppl is None:
+            assert pd.isna(got.loc[i, "ppl"])
+        else:
+            assert abs(got.loc[i, "ppl"] - ppl) < 1e-9
+
+
+def test_ngram_lm_cross_corpus_and_hash_keys(spark):
+    """Scoring a corpus the LM never saw (all-unseen → p = 1/V exactly),
+    and the 8-byte-key join path must reproduce the string join."""
+    import math
+
+    from tsflex_spark.datapipe.lm import score_perplexity, train_ngram_lm
+
+    train = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["the cat sat", "the dog ran"]})
+    )
+    score = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [10, 11], "text": ["völlig neue wörter hier", "the cat sat"]})
+    )
+    lm = train_ngram_lm(train, "text")
+    a = score_perplexity(score, lm, "text").orderBy("doc_id").toPandas()
+    b = (
+        score_perplexity(score, lm, "text", hash_keys=True, broadcast_model=True)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert list(a["sum_logp_e6"]) == list(b["sum_logp_e6"])
+    # v = 5 distinct train words; unseen bigram/context -> p = 1/5 each
+    v = 5
+    per = round(math.log(1 / v) * 1e6)
+    assert a.loc[a.doc_id == 10, "sum_logp_e6"].iloc[0] == 3 * per
+
+
+def test_perplexity_filter_keeps_low_ppl(spark):
+    from tsflex_spark.datapipe.lm import perplexity_filter, score_perplexity, train_ngram_lm
+
+    texts = ["the cat sat on the mat"] * 4 + ["zq xv qqj zzk pfft glorb"]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(5)), "text": texts})
+    )
+    lm = train_ngram_lm(docs, "text")
+    ppl = score_perplexity(docs, lm, "text").toPandas().set_index("doc_id")
+    assert ppl.loc[4, "ppl"] > ppl.loc[0, "ppl"]  # gibberish scores worse
+    cut = (ppl.loc[0, "ppl"] + ppl.loc[4, "ppl"]) / 2
+    kept = perplexity_filter(docs, lm, "text", max_ppl=cut)
+    assert sorted(r.doc_id for r in kept.select("doc_id").collect()) == [0, 1, 2, 3]

@@ -1,0 +1,204 @@
+"""Distributed n-gram language model: train on a corpus, score documents
+by perplexity — the CCNet / Gopher "LM quality filter" stage of a
+training-data pipeline (docs far from the reference distribution get
+high perplexity and are dropped or bucketed).
+
+Reference semantics (public): CCNet (arXiv:1911.00359) scores Common
+Crawl paragraphs with a KenLM n-gram model trained on Wikipedia and
+keeps the low-perplexity tail. This module reproduces the shape with a
+bigram Laplace-smoothed model expressed entirely in DataFrame ops:
+
+- ``train_ngram_lm``: one groupBy over exploded bigrams (map-side
+  partial aggregation — the shuffle carries one row per DISTINCT pair,
+  not per token), a second rollup for context counts, and a global
+  distinct count for the vocabulary. All three results are small
+  relative to the corpus (vocab-sized, not corpus-sized).
+- ``score_perplexity``: explode the scored corpus's bigrams, two LEFT
+  joins against the model (pair + context), one scalar cross-join for
+  the vocab size, then a per-doc aggregate. With a Wikipedia-sized
+  model the pair table broadcasts; at web scale both sides shuffle on
+  the join key — pass ``hash_keys=True`` so the exchange carries an
+  8-byte ``xxhash64`` key instead of raw strings (the standard
+  trade: a ~2^-64 per-pair collision chance for a several-× narrower
+  shuffle).
+
+Float-parity discipline: per-bigram log-probabilities are fixed-pointed
+to micro-nats (``round(ln(p)·1e6)`` as BIGINT) before the per-doc sum,
+so the aggregation is exact integer arithmetic — deterministic across
+partitionings and engines; only the final perplexity ``exp`` is a
+derived double.
+
+Smoothing: p(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V) where c(w1·) is the
+number of bigram OCCURRENCES with context w1 (0 for unseen contexts)
+and V the corpus vocabulary size — additive (Laplace) smoothing, exact
+and engine-reproducible, standing in for KenLM's Kneser-Ney (whose
+backoff weights are not SQL-expressible in one pass).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tsflex_spark.datapipe.text import _tokens
+
+
+def _bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, w1, w2) — one row per bigram occurrence; lowercase whitespace
+    tokens, built in-row with slice + arrays_zip (codegen, no window)."""
+    toks = F.transform(_tokens(F.col(text_col)), F.lower)
+    n = F.size(toks)
+    z = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))).alias("w1"),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))).alias("w2"),
+    )
+    return df.select(F.col(id_col), F.explode(z).alias("__b")).select(
+        id_col, F.col("__b.w1").alias("w1"), F.col("__b.w2").alias("w2")
+    )
+
+
+@dataclass
+class NGramLM:
+    """A trained bigram model: three small DataFrames (persistable).
+
+    ``pairs``: (w1, w2, c) distinct bigrams with occurrence counts;
+    ``contexts``: (w1, cc) bigram occurrences per context;
+    ``vocab``: single row (v) — corpus vocabulary size.
+    """
+
+    pairs: DataFrame
+    contexts: DataFrame
+    vocab: DataFrame
+
+    def save(self, path: str) -> None:
+        self.pairs.write.mode("overwrite").parquet(f"{path}/pairs")
+        self.contexts.write.mode("overwrite").parquet(f"{path}/contexts")
+        self.vocab.write.mode("overwrite").parquet(f"{path}/vocab")
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "NGramLM":
+        return NGramLM(
+            pairs=spark.read.parquet(f"{path}/pairs"),
+            contexts=spark.read.parquet(f"{path}/contexts"),
+            vocab=spark.read.parquet(f"{path}/vocab"),
+        )
+
+
+def train_ngram_lm(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    *,
+    min_count: int = 1,
+) -> NGramLM:
+    """Train a bigram model on ``docs``. One wide pass: the groupBy
+    shuffle carries one row per distinct (w1, w2) — Zipf makes that far
+    smaller than the token stream after map-side combine.
+
+    ``min_count`` prunes rare pairs AFTER context counts are taken (the
+    pruned mass still denominates, so pruning only moves pairs into the
+    smoothed-unseen bucket — scores stay monotone under pruning).
+    """
+    bg = _bigrams(docs, text_col, id_col)
+    # pair counts feed BOTH the model table and the context rollup —
+    # checkpoint (lazily: no job until first use) so the corpus explode
+    # + big shuffle runs once, not once per consumer
+    pairs_all = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    contexts = pairs_all.groupBy("w1").agg(F.sum("c").alias("cc"))
+    pairs = pairs_all.filter(F.col("c") >= int(min_count)) if min_count > 1 else pairs_all
+    toks = docs.select(
+        F.explode(F.transform(_tokens(F.col(text_col)), F.lower)).alias("w")
+    )
+    vocab = toks.agg(F.count_distinct("w").alias("v"))
+    return NGramLM(pairs=pairs, contexts=contexts, vocab=vocab)
+
+
+def score_perplexity(
+    docs: DataFrame,
+    lm: NGramLM,
+    text_col: str,
+    id_col: str = "doc_id",
+    *,
+    broadcast_model: bool = False,
+    hash_keys: bool = False,
+) -> DataFrame:
+    """Per-document bigram perplexity under ``lm`` (Laplace smoothing).
+
+    Returns (id, n_bigrams, sum_logp_e6, ppl): ``sum_logp_e6`` is the
+    exact integer sum of micro-nat log-probs; ``ppl`` =
+    exp(-mean log p), NULL for docs with no bigram (<2 tokens).
+
+    Scale knobs: ``broadcast_model=True`` hints both model joins as
+    broadcasts (Wikipedia-scale model, web-scale corpus — the corpus
+    never shuffles at all); ``hash_keys=True`` joins on 8-byte
+    ``xxhash64`` keys so a shuffled join never carries the raw strings.
+    """
+    bg = _bigrams(docs, text_col, id_col)
+    pairs, contexts = lm.pairs, lm.contexts
+    if hash_keys:
+        pairs = pairs.select(F.xxhash64("w1", "w2").alias("__pk"), "c")
+        contexts = contexts.select(F.xxhash64("w1").alias("__ck"), "cc")
+        bg = bg.select(
+            id_col,
+            F.xxhash64("w1", "w2").alias("__pk"),
+            F.xxhash64("w1").alias("__ck"),
+        )
+        pair_on, ctx_on = ["__pk"], ["__ck"]
+    else:
+        pairs = pairs.select("w1", "w2", "c")
+        contexts = contexts.select("w1", "cc")
+        pair_on, ctx_on = ["w1", "w2"], ["w1"]
+    if broadcast_model:
+        pairs, contexts = F.broadcast(pairs), F.broadcast(contexts)
+
+    scored = (
+        bg.join(pairs, on=pair_on, how="left")
+        .join(contexts, on=ctx_on, how="left")
+        .join(F.broadcast(lm.vocab))
+    )
+    p = (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1)).cast("double") / (
+        F.coalesce(F.col("cc"), F.lit(0)) + F.col("v")
+    ).cast("double")
+    logp_e6 = F.round(F.log(p) * F.lit(1_000_000.0), 0).cast("long")
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(logp_e6).alias("sum_logp_e6"),
+    )
+    # left join back so 0/1-token docs still get a row (NULL ppl)
+    out = docs.select(id_col).join(per_doc, on=id_col, how="left")
+    n = F.col("n_bigrams")
+    ppl = F.exp(-(F.col("sum_logp_e6").cast("double") / F.lit(1_000_000.0)) / n.cast("double"))
+    return out.select(
+        id_col,
+        F.coalesce(n, F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce(F.col("sum_logp_e6"), F.lit(0)).cast("long").alias("sum_logp_e6"),
+        ppl.alias("ppl"),
+    )
+
+
+def perplexity_filter(
+    docs: DataFrame,
+    lm: NGramLM,
+    text_col: str,
+    id_col: str = "doc_id",
+    *,
+    max_ppl: float,
+    broadcast_model: bool = False,
+    hash_keys: bool = False,
+) -> DataFrame:
+    """Keep documents whose perplexity under ``lm`` is ≤ ``max_ppl``
+    (CCNet 'head/middle' retention). Docs with <2 tokens are kept —
+    perplexity is undefined, and length filters are a separate stage."""
+    ppl = score_perplexity(
+        docs, lm, text_col, id_col,
+        broadcast_model=broadcast_model, hash_keys=hash_keys,
+    ).select(id_col, "ppl")
+    return docs.join(ppl, on=id_col, how="left").filter(
+        F.col("ppl").isNull() | (F.col("ppl") <= F.lit(float(max_ppl)))
+    ).drop("ppl")
