@@ -1802,3 +1802,46 @@ def test_perplexity_filter_keeps_low_ppl(spark):
     cut = (ppl.loc[0, "ppl"] + ppl.loc[4, "ppl"]) / 2
     kept = perplexity_filter(docs, lm, "text", max_ppl=cut)
     assert sorted(r.doc_id for r in kept.select("doc_id").collect()) == [0, 1, 2, 3]
+
+
+def test_perplexity_scores_a_stream(spark, tmp_path):
+    """The join-based scorer needs a per-doc aggregation (not append-safe
+    on streams); the narrow Arrow scorer carries the bounded model in the
+    task closure, derives each output row from one input row, and so runs
+    unchanged on a stream — AND must be sum-for-sum equal to the join
+    path on the same docs."""
+    from tsflex_spark.datapipe.lm import (
+        NGramLM,
+        collect_model,
+        score_perplexity,
+        score_perplexity_local,
+        train_ngram_lm,
+    )
+
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["the cat sat on the mat", "zq xv glorb", ""]}
+    )
+    batch = spark.createDataFrame(pdf)
+    lm = train_ngram_lm(batch, "text")
+    mpath = str(tmp_path / "lm")
+    lm.save(mpath)
+    local = collect_model(NGramLM.load(spark, mpath))
+
+    src = str(tmp_path / "lm_src")
+    batch.write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    scored = score_perplexity_local(stream, local, "text")
+    sink = str(tmp_path / "lm_sink")
+    q = (
+        scored.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "lm_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink).toPandas().set_index("doc_id").sort_index()
+    exp = score_perplexity(batch, lm, "text").toPandas().set_index("doc_id").sort_index()
+    assert list(got["sum_logp_e6"]) == list(exp["sum_logp_e6"])
+    assert list(got["n_bigrams"]) == list(exp["n_bigrams"])

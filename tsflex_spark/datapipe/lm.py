@@ -182,6 +182,69 @@ def score_perplexity(
     )
 
 
+@dataclass
+class LocalNGramLM:
+    """Driver-side model snapshot (bounded by MODEL size, not corpus
+    size) for the narrow scoring path."""
+
+    pairs: dict
+    contexts: dict
+    v: int
+
+
+def collect_model(lm: NGramLM) -> LocalNGramLM:
+    """Collect the model tables to the driver. Safe when the model fits
+    in memory (the KenLM deployment shape — CCNet ships the Wikipedia
+    model to every worker); for web-scale models keep the join path."""
+    pairs = {(r["w1"], r["w2"]): r["c"] for r in lm.pairs.collect()}
+    contexts = {r["w1"]: r["cc"] for r in lm.contexts.collect()}
+    v = lm.vocab.collect()[0]["v"]
+    return LocalNGramLM(pairs=pairs, contexts=contexts, v=int(v))
+
+
+def score_perplexity_local(
+    docs: DataFrame,
+    model: LocalNGramLM,
+    text_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Narrow per-row scorer: the model rides the task closure and every
+    output row derives from exactly one input row — no shuffle, no
+    aggregation, so it runs unchanged on a STREAM in append mode (the
+    production 'train once, score the incoming crawl' shape). Bit-equal
+    to ``score_perplexity`` (same micro-nat fixed-point sums)."""
+    import math
+    import re
+
+    import pandas as pd  # noqa: F811 — resolved in the worker
+
+    pairs, contexts, v = model.pairs, model.contexts, model.v
+    out_schema = f"{id_col} long, n_bigrams long, sum_logp_e6 long, ppl double"
+    # ASCII \s+ == Java's default \s — exact tokenizer parity with the
+    # Catalyst path (str.split() would also split unicode whitespace)
+    ws_re = re.compile(r"\s+", re.ASCII)
+
+    def _score(batches):
+        for pdf in batches:
+            ids, ns, sums, ppls = [], [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                ws = [w.lower() for w in ws_re.split(text or "") if w != ""]
+                s = n = 0
+                for a, b in zip(ws, ws[1:]):
+                    p = (pairs.get((a, b), 0) + 1) / (contexts.get(a, 0) + v)
+                    s += round(math.log(p) * 1e6)
+                    n += 1
+                ids.append(did)
+                ns.append(n)
+                sums.append(s)
+                ppls.append(math.exp(-(s / 1e6) / n) if n else None)
+            yield pd.DataFrame(
+                {id_col: ids, "n_bigrams": ns, "sum_logp_e6": sums, "ppl": ppls}
+            )
+
+    return docs.mapInPandas(_score, schema=out_schema)
+
+
 def perplexity_filter(
     docs: DataFrame,
     lm: NGramLM,
