@@ -1845,3 +1845,63 @@ def test_perplexity_scores_a_stream(spark, tmp_path):
     exp = score_perplexity(batch, lm, "text").toPandas().set_index("doc_id").sort_index()
     assert list(got["sum_logp_e6"]) == list(exp["sum_logp_e6"])
     assert list(got["n_bigrams"]) == list(exp["n_bigrams"])
+
+
+# --- DSIR importance resampling (datapipe/dsir.py) -------------------------
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    from tsflex_spark.datapipe.dsir import fit_bucket_logratio, importance_weights
+
+    target = spark.createDataFrame(
+        pd.DataFrame({"text": ["the theorem follows from the lemma"] * 3
+                      + ["we prove the bound by induction"] * 3})
+    )
+    raw_texts = [
+        "the theorem follows by induction on the bound",   # target-like
+        "click here to win a free prize now",               # not
+        "buy cheap pills online no prescription",           # not
+    ]
+    raw = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1, 2], "text": raw_texts})
+    )
+    lr = fit_bucket_logratio(target, raw, "text", num_buckets=512)
+    w = importance_weights(raw, lr, "text", num_buckets=512).toPandas().set_index("doc_id")
+    assert w.loc[0, "logw_e6"] > w.loc[1, "logw_e6"]
+    assert w.loc[0, "logw_e6"] > w.loc[2, "logw_e6"]
+
+
+def test_dsir_weights_partition_independent(spark):
+    from tsflex_spark.datapipe.dsir import fit_bucket_logratio, importance_weights
+
+    texts = [f"doc number {i} about topic {i % 7} and stuff {i % 3}" for i in range(40)]
+    raw = spark.createDataFrame(pd.DataFrame({"doc_id": range(40), "text": texts}))
+    target = spark.createDataFrame(pd.DataFrame({"text": ["about topic three and stuff"] * 5}))
+    lr = fit_bucket_logratio(target, raw, "text", num_buckets=256)
+    a = importance_weights(raw, lr, "text", num_buckets=256).toPandas().set_index("doc_id").sort_index()
+    b = (
+        importance_weights(raw.repartition(13), lr, "text", num_buckets=256)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert list(a["logw_e6"]) == list(b["logw_e6"])  # exact integer scores
+
+
+def test_dsir_select_deterministic_topk(spark):
+    from tsflex_spark.datapipe.dsir import dsir_select
+
+    texts = ["the theorem follows from the lemma"] * 5 + [
+        "win free prize click now", "cheap pills online", "random filler words here",
+        "unrelated sports news today", "weather forecast rain tomorrow",
+    ]
+    raw = spark.createDataFrame(pd.DataFrame({"doc_id": range(10), "text": texts}))
+    target = spark.createDataFrame(
+        pd.DataFrame({"text": ["we prove the theorem from the lemma"] * 4})
+    )
+    s1 = sorted(r.doc_id for r in dsir_select(raw, target, "text", k=5, num_buckets=512,
+                                              temperature=0.01).select("doc_id").collect())
+    s2 = sorted(r.doc_id for r in dsir_select(raw.repartition(7), target, "text", k=5,
+                                              num_buckets=512, temperature=0.01)
+                .select("doc_id").collect())
+    assert s1 == s2  # rerun/partition stable
+    # near-zero temperature -> pure top-k: the 5 target-like docs win
+    assert s1 == [0, 1, 2, 3, 4]
