@@ -1,8 +1,11 @@
 from tsflex_spark.datapipe import (
     bpe,
+    classifier,
     curation,
     decontam,
     dedup,
+    dsir,
+    lm,
     multimodal,
     pipeline,
     similarity,
@@ -11,9 +14,12 @@ from tsflex_spark.datapipe import (
 
 __all__ = [
     "bpe",
+    "classifier",
     "curation",
     "decontam",
     "dedup",
+    "dsir",
+    "lm",
     "multimodal",
     "pipeline",
     "similarity",

@@ -11,10 +11,12 @@ job actually runs them, cheapest-first so each stage sees fewer rows:
    p-lo/p-hi cutoffs via range-partition selection, broadcast back)
 6. benchmark decontamination (``decontam.drop_contaminated`` —
    broadcast eval n-gram hashes)
-7. exact dedup (hash-groupBy, min-id keeps)
-8. MinHash+LSH near-dedup (band/bucket equi-joins)
-9. optional SemDeDup (``semantic_threshold=``: hash_embed → cluster
-   cells → within-cell cosine → keep-one; paraphrase-level dups)
+7. optional trained quality classifier (``quality_classifier=`` — a
+   ``datapipe.classifier.QualityClassifier``; per-n-gram scalar scorer)
+8. exact dedup (hash-groupBy, min-id keeps)
+9. MinHash+LSH near-dedup (band/bucket equi-joins)
+10. optional SemDeDup (``semantic_threshold=``: hash_embed → cluster
+    cells → within-cell cosine → keep-one; paraphrase-level dups)
 
 Everything is ONE lazy DataFrame plan per returned frame — no driver
 round-trips, no collects; at 100 TB each stage is a projection/filter or
@@ -49,6 +51,8 @@ def clean_corpus(
     length_band: Optional[tuple] = None,
     eval_df: Optional[DataFrame] = None,
     decontam_ngram: int = 8,
+    quality_classifier=None,
+    classifier_min_prob: float = 0.5,
     exact: bool = True,
     near_dup_threshold: Optional[float] = 0.8,
     semantic_threshold: Optional[float] = None,
@@ -127,6 +131,20 @@ def clean_corpus(
         ).select(id_col, "contaminated")
         annotated = annotated.join(flags, id_col)
         reason = reason.when(F.col("contaminated"), F.lit("contaminated"))
+    if quality_classifier is not None:
+        # trained fastText-style model (datapipe.classifier) — the scored
+        # join is id + one double; the scorer's shuffle carries one
+        # (sum, count) pair per doc
+        from tsflex_spark.datapipe.classifier import score_quality
+
+        probs = score_quality(
+            docs, quality_classifier, text_col, id_col
+        ).select(id_col, "quality_prob")
+        annotated = annotated.join(probs, id_col)
+        reason = reason.when(
+            F.col("quality_prob") < F.lit(float(classifier_min_prob)),
+            F.lit("classifier"),
+        )
     annotated = annotated.withColumn("reject_reason", reason)
 
     if annotate_only:
