@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Dict, Optional, Sequence
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -148,3 +149,105 @@ def corpus_stats(
         (F.max("__c").cast("double") / F.sum("__c")).alias("top_lang_share"),
     )
     return base.join(lang, on=source_col)
+
+
+def cluster_assign_with_sim(
+    df: DataFrame,
+    index,
+    *,
+    out_cell: str = "__cell",
+    out_sim: str = "__proto_sim",
+) -> DataFrame:
+    """Attach (nearest-centroid cell, cosine similarity to that
+    centroid) — one Arrow-vectorized BLAS pass per batch; the centroid
+    matrix rides the task closure (model-sized, never corpus-sized)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = index.centroids
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    norms = (C**2).sum(1)
+
+    @pandas_udf(f"struct<{out_cell}: int, {out_sim}: double>")
+    def _assign(v: pd.Series) -> pd.DataFrame:
+        X = np.stack([np.asarray(x, dtype="float64") for x in v.to_numpy()])
+        # nearest centroid in L2 (matches ivf_assign), similarity in cosine
+        d2 = -2.0 * (X @ C.T) + norms[None, :]
+        cell = d2.argmin(1)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sim = (Xn * Cn[cell]).sum(1)
+        return pd.DataFrame({out_cell: cell.astype("int32"), out_sim: sim})
+
+    s = _assign(F.col(index.vec_col)).alias("__cs")
+    return df.withColumn("__cs", s).select(
+        "*", f"__cs.{out_cell}", f"__cs.{out_sim}"
+    ).drop("__cs")
+
+
+def cluster_sample(
+    df: DataFrame,
+    id_col: str,
+    *,
+    vec_col: str = "embedding",
+    num_cells: int = 16,
+    keep_frac: Optional[float] = None,
+    per_cell_budget: Optional[int] = None,
+    strategy: str = "diverse",
+    index=None,
+    seed: int = 7,
+) -> DataFrame:
+    """Cluster-aware data pruning (SSL-prototypes, "Beyond neural
+    scaling laws", arXiv:2206.14486): cluster the embedding space,
+    score every example by its cosine similarity to its cluster
+    centroid ("prototypicality"), and keep a per-cluster subset:
+
+    - ``strategy="diverse"`` keeps the LEAST prototypical examples —
+      the paper's result: with abundant data, pruning easy/typical
+      examples beats random and improves the scaling curve;
+    - ``strategy="prototypical"`` keeps the MOST typical (the
+      low-data regime, or denoising a scraped corpus);
+    - ``strategy="balanced"`` keeps up to ``per_cell_budget`` per
+      cluster ordered by typicality — equalizing cluster mass (the
+      long-tail rebalancing used by cluster-based curation pipelines).
+
+    Exactly one of ``keep_frac`` (per-cluster fraction) or
+    ``per_cell_budget`` (per-cluster row cap) must be set.
+
+    Scale shape: the quantizer trains ONCE on a bounded sample (pass a
+    pre-trained ``index`` to skip even that); assignment + scoring is
+    one narrow Arrow pass; ranking is one window shuffle PARTITIONED BY
+    CELL (no global sort, no single-partition window) with hashed-id
+    tie-breaks for determinism. Use ``num_cells`` ≳ shuffle
+    parallelism at scale so cells spread across executors.
+    """
+    from pyspark.sql import Window
+
+    from tsflex_spark.datapipe.similarity import ivf_train
+
+    if (keep_frac is None) == (per_cell_budget is None):
+        raise ValueError("set exactly one of keep_frac / per_cell_budget")
+    if strategy not in ("diverse", "prototypical", "balanced"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if index is None:
+        index = ivf_train(
+            df, nlist=num_cells, vec_col=vec_col, id_col=id_col, seed=seed
+        )
+    scored = cluster_assign_with_sim(df, index)
+    asc = strategy == "diverse"  # least-typical first
+    order = (
+        [F.col("__proto_sim").asc(), F.xxhash64(F.col(id_col)).asc()]
+        if asc
+        else [F.col("__proto_sim").desc(), F.xxhash64(F.col(id_col)).asc()]
+    )
+    w = Window.partitionBy("__cell").orderBy(*order)
+    ranked = scored.withColumn("__rk", F.row_number().over(w))
+    if per_cell_budget is not None:
+        kept = ranked.filter(F.col("__rk") <= F.lit(int(per_cell_budget)))
+    else:
+        cnt = Window.partitionBy("__cell")
+        ranked = ranked.withColumn("__cn", F.count(F.lit(1)).over(cnt))
+        kept = ranked.filter(
+            F.col("__rk")
+            <= F.ceil(F.col("__cn").cast("double") * F.lit(float(keep_frac)))
+        ).drop("__cn")
+    return kept.drop("__rk", "__cell", "__proto_sim")
