@@ -231,3 +231,46 @@ def test_clean_corpus_classifier_stage(spark, clf):
     assert all(rows[i] is None for i in range(3))
     assert any(rows[i] == "classifier" for i in range(3, 6))
     assert set(out.columns) >= {"keep", "reject_reason", "quality_prob"}
+
+
+def test_local_scorer_parity_and_stream(spark, tmp_path, clf):
+    """score_quality_local must match the codegen scorer (same buckets,
+    same mean) and run unchanged on a stream."""
+    from tsflex_spark.datapipe.classifier import score_quality_local
+
+    texts = GOOD[:3] + JUNK[:3] + ["", "ab", "  leading and trailing  "]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    want = {
+        r["doc_id"]: r["quality_prob"]
+        for r in score_quality(docs, clf, "text", "doc_id").collect()
+    }
+    got = {
+        r["doc_id"]: r["quality_prob"]
+        for r in score_quality_local(docs, clf, "text", "doc_id").collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-9), k
+
+    src = str(tmp_path / "src")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    scored = score_quality_local(stream, clf, "text", "doc_id")
+    sink = str(tmp_path / "sink")
+    q = (
+        scored.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    sgot = {
+        r["doc_id"]: r["quality_prob"]
+        for r in spark.read.parquet(sink).collect()
+    }
+    for k in want:
+        assert sgot[k] == pytest.approx(want[k], rel=1e-9)

@@ -278,3 +278,59 @@ def quality_filter(
             )
         )
     return kept.drop("__qp")
+
+
+def score_quality_local(
+    docs: DataFrame,
+    clf: QualityClassifier,
+    text_col: str,
+    id_col: str,
+    out_col: str = "quality_prob",
+) -> DataFrame:
+    """Narrow per-row scorer: the ``dim`` weights ride the task closure
+    and every output row derives from exactly one input row — no
+    shuffle, no aggregation, so it runs unchanged on a STREAM in append
+    mode (the production "train once, score the incoming crawl" shape).
+
+    Buckets and signs are recomputed in-closure with
+    ``utils.xxh.spark_xxhash64`` — a pure-Python XXH64 with Catalyst's
+    argument-fold semantics, bit-identical to the engine expressions
+    (asserted by tests), so this path agrees with ``score_quality`` up
+    to float association.
+    """
+    import math
+    import re
+
+    import pandas as pd  # noqa: F811 — resolved in the worker
+
+    from tsflex_spark.utils.xxh import spark_xxhash64
+
+    w = list(clf.weights)
+    b0 = float(clf.intercept)
+    dim, ngram = int(clf.dim), int(clf.ngram)
+    out_schema = f"{id_col} long, {out_col} double"
+    # ASCII \s+ == Java's default \s (tokenizer parity with Catalyst);
+    # regexp_replace does NOT trim — neither do we
+    ws_re = re.compile(r"\s+", re.ASCII)
+
+    def _score(batches):
+        for pdf in batches:
+            ids, probs = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                norm = ws_re.sub(" ", text or "").lower()
+                if len(norm) <= ngram:
+                    grams = [norm[:ngram]]  # sequence(1, greatest(.,1))
+                else:
+                    grams = [
+                        norm[i : i + ngram] for i in range(len(norm) - ngram + 1)
+                    ]
+                s = 0.0
+                for g in grams:
+                    b = spark_xxhash64(g) % dim  # pmod: non-negative
+                    sign = 1.0 if spark_xxhash64(g, 1) % 2 == 0 else -1.0
+                    s += sign * w[b]
+                ids.append(did)
+                probs.append(1.0 / (1.0 + math.exp(-(s / len(grams) + b0))))
+            yield pd.DataFrame({id_col: ids, out_col: probs})
+
+    return docs.mapInPandas(_score, schema=out_schema)
