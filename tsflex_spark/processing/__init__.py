@@ -1,5 +1,6 @@
 from tsflex_spark.processing.series_processor import SeriesProcessor, dataframe_func
 from tsflex_spark.processing.series_pipeline import SeriesPipeline
+from tsflex_spark.processing.downsample import lttb, m4, minmax_preselect
 from tsflex_spark.processing.smoothing import ewma
 from tsflex_spark.processing.utils import process_chunks_multithreaded
 
@@ -8,5 +9,8 @@ __all__ = [
     "SeriesPipeline",
     "dataframe_func",
     "ewma",
+    "lttb",
+    "m4",
+    "minmax_preselect",
     "process_chunks_multithreaded",
 ]
