@@ -1,0 +1,116 @@
+"""Store-backed incremental near-dup dedup: bootstrap, cross-batch
+collision drops, within-batch dedup, dry-run mode, store layout, and
+the foreachBatch streaming shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsflex_spark.datapipe.dedup import band_rows, dedup_against_store
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill in the late afternoon sun of a long summer day"
+)
+NEAR = BASE.replace("late afternoon", "early evening")
+OTHER = (
+    "completely different content about distributed query engines and "
+    "columnar storage formats with vectorized execution pipelines at scale"
+)
+THIRD = (
+    "yet another unrelated document discussing garden soil composition, "
+    "compost ratios, and drought tolerant planting schedules for spring"
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bootstrap_then_cross_batch_drop(spark, tmp_path):
+    store = str(tmp_path / "store")
+    b1 = _docs(spark, [(1, BASE), (2, OTHER)])
+    s1 = dedup_against_store(b1, store, "text", "doc_id")
+    assert {r["doc_id"] for r in s1.collect()} == {1, 2}
+
+    # batch 2: a near-dup of doc 1, an exact dup of doc 2, a new doc
+    b2 = _docs(spark, [(10, NEAR), (11, OTHER), (12, THIRD)])
+    s2 = dedup_against_store(b2, store, "text", "doc_id")
+    assert {r["doc_id"] for r in s2.collect()} == {12}
+
+    # batch 3: re-submitting the new doc now collides with the store
+    b3 = _docs(spark, [(20, THIRD)])
+    s3 = dedup_against_store(b3, store, "text", "doc_id")
+    assert s3.count() == 0
+
+
+def test_within_batch_dedup_and_flag(spark, tmp_path):
+    store = str(tmp_path / "store")
+    b = _docs(spark, [(1, BASE), (2, NEAR), (3, OTHER)])
+    kept = dedup_against_store(b, store, "text", "doc_id", threshold=0.6)
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert ids == {1, 3}  # near-dup pair keeps min id
+    store2 = str(tmp_path / "store2")
+    kept2 = dedup_against_store(
+        b, store2, "text", "doc_id", within_batch=False
+    )
+    assert kept2.count() == 3  # store was empty, batch passes untouched
+
+
+def test_dry_run_does_not_update(spark, tmp_path):
+    store = str(tmp_path / "store")
+    b1 = _docs(spark, [(1, BASE)])
+    dedup_against_store(b1, store, "text", "doc_id")
+    n0 = spark.read.parquet(store).count()
+    b2 = _docs(spark, [(2, OTHER)])
+    out = dedup_against_store(
+        b2, store, "text", "doc_id", update_store=False
+    )
+    assert out.count() == 1
+    assert spark.read.parquet(store).count() == n0  # unchanged
+    # and doc 2 still passes later because it was never recorded
+    out2 = dedup_against_store(b2, store, "text", "doc_id")
+    assert out2.count() == 1
+
+
+def test_store_layout_partitioned_by_band(spark, tmp_path):
+    import os
+
+    store = str(tmp_path / "store")
+    dedup_against_store(
+        _docs(spark, [(1, BASE), (2, OTHER)]), store, "text", "doc_id"
+    )
+    parts = [d for d in os.listdir(store) if d.startswith("band=")]
+    assert len(parts) > 1  # hive-partitioned by band → join-side pruning
+    st = spark.read.parquet(store)
+    assert set(st.columns) == {"band", "band_hash", "id"}
+    # every accepted doc contributed its num_bands rows
+    assert st.groupBy("id").count().agg(F.min("count")).collect()[0][0] == 16
+
+
+def test_foreach_batch_stream_shape(spark, tmp_path):
+    """The documented streaming use: dedup each micro-batch against the
+    store inside foreachBatch, append survivors to a sink."""
+    store = str(tmp_path / "store")
+    sink = str(tmp_path / "clean")
+    src = str(tmp_path / "src")
+    _docs(spark, [(1, BASE), (2, OTHER)]).write.parquet(src)
+    _docs(spark, [(10, NEAR), (12, THIRD)]).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+
+    def handle(batch_df, epoch_id):
+        kept = dedup_against_store(batch_df, store, "text", "doc_id", threshold=0.6)
+        kept.write.mode("append").parquet(sink)
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = {r["doc_id"] for r in spark.read.parquet(sink).collect()}
+    # one of {1, 10} survives (file→batch grouping is not guaranteed),
+    # 2/OTHER exactly once, 12 always
+    assert 12 in ids and 2 in ids
+    assert len(ids & {1, 10}) == 1

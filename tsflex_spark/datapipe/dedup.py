@@ -908,3 +908,112 @@ def dedup_exact_stream(
         .dropDuplicatesWithinWatermark(["__h"])
         .drop("__h")
     )
+
+
+def band_rows(
+    signatures: DataFrame, id_col: str, num_bands: int = 16
+) -> DataFrame:
+    """(id, band, band_hash) — one row per LSH band of each signature.
+    The same banding expression ``minhash_lsh_candidates`` joins on,
+    exposed for store-backed (incremental) dedup."""
+    return signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(
+                        F.col("minhash"),
+                        b * (F.size(F.col("minhash")) / num_bands).cast("int") + 1,
+                        (F.size(F.col("minhash")) / num_bands).cast("int"),
+                    ).cast("string")
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+
+
+def dedup_against_store(
+    new_docs: DataFrame,
+    store_path: str,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    shingle_k: int = 5,
+    seed: int = 42,
+    within_batch: bool = True,
+    threshold: float = 0.8,
+    update_store: bool = True,
+) -> DataFrame:
+    """Incremental near-dup dedup: drop arriving documents that LSH-
+    collide with ANYTHING already accepted into the store, dedup the
+    batch against itself, and append the survivors' band hashes —
+    the "dedup the incoming crawl against the corpus" loop.
+
+    The store is a parquet table of (band, band_hash, id) partitioned
+    by ``band``: the membership check is an equi-join on
+    (band, band_hash) — band partitions co-locate both sides, only
+    colliding buckets ever meet, and the store carries 8-byte hashes,
+    never text or signatures. At 100 TB the same layout holds: the
+    store grows with ACCEPTED docs × num_bands rows, and the join is
+    AQE-sized like any other equi-join (salt via utils.skew if one
+    band-hash bucket goes degenerate).
+
+    The store check drops on ANY band collision (recall-heavy: the
+    store keeps no signatures to verify against — by design, so it
+    stays 8-byte rows); the within-batch pass verifies exact Jaccard
+    ≥ ``threshold`` as the batch path does. Returns the surviving rows
+    of ``new_docs``. With ``update_store=False`` the check is read-only
+    (a dry run / audit). First call bootstraps an empty store.
+
+    Streaming shape: call this inside ``foreachBatch`` — the
+    signature/band computation is per-batch, the store join is a batch
+    join, and the append is idempotent per epoch if ids are unique.
+    """
+    spark = new_docs.sparkSession
+    sig = minhash_signatures(
+        new_docs, text_col, id_col,
+        num_hashes=num_hashes, shingle_k=shingle_k, seed=seed,
+    )
+    bands = band_rows(sig, id_col, num_bands).localCheckpoint(eager=False)
+
+    try:
+        store = spark.read.parquet(store_path)
+        have_store = True
+    except Exception:
+        have_store = False
+    if have_store:
+        hit = (
+            bands.join(
+                store.select("band", "band_hash").dropDuplicates(
+                    ["band", "band_hash"]
+                ),
+                on=["band", "band_hash"],
+                how="left_semi",
+            )
+            .select(id_col)
+            .distinct()
+        )
+        survivors = new_docs.join(hit, on=id_col, how="left_anti")
+    else:
+        survivors = new_docs
+
+    if within_batch:
+        survivors = minhash_dedup(
+            survivors, text_col, id_col=id_col, threshold=threshold,
+            num_hashes=num_hashes, num_bands=num_bands,
+            shingle_k=shingle_k,
+        )
+    # materialize survivors BEFORE appending their bands: the append
+    # must not re-observe itself through the store read above
+    survivors = survivors.localCheckpoint(eager=True)
+
+    if update_store:
+        keep_ids = survivors.select(id_col)
+        out = bands.join(keep_ids, on=id_col, how="left_semi").select(
+            "band", "band_hash", F.col(id_col).alias("id")
+        )
+        out.write.mode("append").partitionBy("band").parquet(store_path)
+    return survivors
