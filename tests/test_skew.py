@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from tsflex_spark.utils.skew import (
+    approx_heavy_hitters,
     key_skew_stats,
     salted_collect_list,
     salted_join,
@@ -117,3 +118,19 @@ def test_salted_join_splits_hot_key_partitions(spark):
     )
     assert len(per_bucket) == 8  # hot key scattered over all buckets
     assert max(r["count"] for r in per_bucket) < 902
+
+
+def test_approx_heavy_hitters_finds_hot_key(spark):
+    big, _ = _skewed(spark)
+    cand = approx_heavy_hitters(big, ["k"], support=0.3)
+    vals = {r["k"] for r in cand.collect()}
+    assert 1 in vals  # no false negatives above support
+    # and the candidates feed the differential-salting path
+    small = spark.range(50).select(F.col("id").alias("k"), (F.col("id") * 10).alias("w"))
+    want = _rows(big.join(small, on=["k"], how="inner").select("k", "v", "w"))
+    got = _rows(
+        salted_join_hot(big, small, on=["k"], hot_keys=sorted(vals), buckets=8).select(
+            "k", "v", "w"
+        )
+    )
+    assert got == want

@@ -170,3 +170,27 @@ def salted_collect_list(
         partial.groupBy(*keys)
         .agg(F.flatten(F.collect_list("__part")).alias(out))
     )
+
+
+def approx_heavy_hitters(
+    df: DataFrame, keys: Sequence[str], support: float = 0.01
+) -> DataFrame:
+    """Approximate hot-key detection without a full groupBy:
+    ``DataFrame.freqItems`` (Karp/Papadimitriou/Shenker single-pass
+    counters) returns every key whose frequency MAY exceed ``support``
+    (false positives possible, false negatives not). The cheap first
+    pass at 100 TB: feed its output to ``key_skew_stats`` restricted by
+    an ``isin`` filter — or straight into ``salted_join_hot`` when a
+    false-positive hot key only costs a little extra replication.
+
+    Returns one row per candidate key combination (exploded from
+    freqItems' array-per-column result; combinations are the cross of
+    per-column candidates when ``len(keys) > 1``)."""
+    keys = list(keys)
+    arrs = df.freqItems(keys, support=float(support)).collect()[0]
+    out = None
+    for k in keys:
+        vals = [(v,) for v in (arrs[f"{k}_freqItems"] or [])]
+        col_df = df.sparkSession.createDataFrame(vals, f"`{k}` {df.schema[k].dataType.simpleString()}") if vals else df.sparkSession.createDataFrame([], f"`{k}` {df.schema[k].dataType.simpleString()}")
+        out = col_df if out is None else out.crossJoin(col_df)
+    return out
