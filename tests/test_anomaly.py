@@ -1,0 +1,88 @@
+"""anomaly_zscore: pandas-oracle parity on the trailing window, spike
+detection, cold-start NULLs, and the keyed-only contract."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tsflex_spark.processing.anomaly import anomaly_zscore
+
+
+def _data(spark):
+    ts = pd.date_range("2024-01-01", periods=120, freq="10s")
+    rng = np.random.default_rng(2)
+    rows = []
+    for k in ("a", "b"):
+        v = rng.normal(10.0 if k == "a" else -5.0, 1.0, len(ts))
+        v[60] += 50.0  # an unmistakable spike per key
+        rows += [(k, t.to_pydatetime(), float(x)) for t, x in zip(ts, v)]
+    pdf = pd.DataFrame(rows, columns=["k", "ts", "v"])
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_matches_pandas_trailing_window(spark):
+    sdf, pdf = _data(spark)
+    out = (
+        anomaly_zscore(sdf, "ts", "v", "2 minutes", ["k"], min_points=5)
+        .toPandas()
+        .sort_values(["k", "ts"])
+        .reset_index(drop=True)
+    )
+    for k, grp in pdf.groupby("k"):
+        grp = grp.sort_values("ts").reset_index(drop=True)
+        got = out[out["k"] == k].reset_index(drop=True)
+        t_us = grp["ts"].astype("int64") // 1000
+        for i in range(len(grp)):
+            m = (t_us >= t_us[i] - 120_000_000) & (t_us < t_us[i])
+            seg = grp.loc[m, "v"]
+            if len(seg) >= 5 and seg.std(ddof=0) > 0:
+                z_ref = (grp.loc[i, "v"] - seg.mean()) / seg.std(ddof=0)
+                assert got.loc[i, "zscore"] == pytest.approx(z_ref, rel=1e-9), (k, i)
+            else:
+                assert got.loc[i, "zscore"] is None or pd.isna(got.loc[i, "zscore"])
+
+
+def test_spike_flagged_per_key(spark):
+    sdf, pdf = _data(spark)
+    out = anomaly_zscore(sdf, "ts", "v", "5 minutes", ["k"]).toPandas()
+    spikes = out[out["is_anomaly"] == True]  # noqa: E712
+    # the planted spike at index 60 of each key is caught
+    assert set(spikes["k"]) == {"a", "b"}
+    for k in ("a", "b"):
+        mx = out[out["k"] == k].nlargest(1, "v").iloc[0]
+        assert mx["is_anomaly"] == True  # noqa: E712
+    # and anomalies are rare (normal points don't trip a 3-sigma wire)
+    assert len(spikes) <= 8
+
+
+def test_cold_start_is_null(spark):
+    sdf, _ = _data(spark)
+    out = (
+        anomaly_zscore(sdf, "ts", "v", "2 minutes", ["k"], min_points=5)
+        .orderBy("k", "ts")
+        .limit(5)
+        .toPandas()
+    )
+    assert out["zscore"].isna().all()
+
+
+def test_constant_baseline_is_null(spark):
+    pdf = pd.DataFrame(
+        {
+            "k": ["c"] * 10,
+            "ts": pd.date_range("2024-01-01", periods=10, freq="10s"),
+            "v": [1.0] * 9 + [99.0],
+        }
+    )
+    out = anomaly_zscore(
+        spark.createDataFrame(pdf), "ts", "v", "10 minutes", ["k"]
+    ).toPandas()
+    # zero-variance window → NULL even for the wild last point
+    assert out["zscore"].isna().all()
+
+
+def test_unkeyed_rejected(spark):
+    sdf, _ = _data(spark)
+    with pytest.raises(ValueError):
+        anomaly_zscore(sdf, "ts", "v", "2 minutes", [])
