@@ -1017,3 +1017,94 @@ def dedup_against_store(
         )
         out.write.mode("append").partitionBy("band").parquet(store_path)
     return survivors
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str,
+    left_id: str,
+    right_id: str,
+    *,
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+    method: str = "lsh",
+    num_hashes: int = 64,
+    num_bands: int = 16,
+) -> DataFrame:
+    """Cross-table record linkage by text similarity: return
+    (left_id, right_id, jaccard) for every cross pair whose shingle-set
+    Jaccard ≥ ``threshold`` — joining two catalogs/feeds on near-equal
+    titles, addresses, product names.
+
+    ``method="lsh"`` (the scale path): minhash both sides, equi-join
+    band hashes ACROSS tables (only colliding buckets meet — candidate
+    generation is linear in matches, never |L|×|R|), then exact-verify
+    the candidates with pair-driven shingle joins. ``method="exact"``
+    skips LSH and intersects full shingle tables — exact recall, one
+    hash-join on 8-byte shingle keys; right-sizes when one side is
+    small or recall is contractual.
+
+    Both text columns must be named ``text_col`` in their own frames
+    (rename before calling otherwise). Ids may collide across tables —
+    pairing is positional (left id, right id), no shared id space
+    assumed.
+    """
+    lsh_rows = shingle_rows(left, text_col, left_id, shingle_k)
+    rsh_rows = shingle_rows(right, text_col, right_id, shingle_k)
+
+    if method == "lsh":
+        lsig = minhash_signatures(
+            left, text_col, left_id, num_hashes=num_hashes,
+            shingle_k=shingle_k, shingles=lsh_rows,
+        )
+        rsig = minhash_signatures(
+            right, text_col, right_id, num_hashes=num_hashes,
+            shingle_k=shingle_k, shingles=rsh_rows,
+        )
+        lb = band_rows(lsig, left_id, num_bands).select(
+            F.col(left_id).alias("__lid"), "band", "band_hash"
+        )
+        rb = band_rows(rsig, right_id, num_bands).select(
+            F.col(right_id).alias("__rid"), "band", "band_hash"
+        )
+        cand = (
+            lb.join(rb, on=["band", "band_hash"])
+            .select("__lid", "__rid")
+            .distinct()
+        )
+    elif method == "exact":
+        cand = None
+    else:
+        raise ValueError(f"unknown method {method!r}")
+
+    lsh = lsh_rows.select(F.col(left_id).alias("__lid"), "__s")
+    rsh = rsh_rows.select(F.col(right_id).alias("__rid"), "__s")
+    if cand is not None:
+        # prune shingles to candidate docs (ngram_jaccard's shape)
+        lsh = lsh.join(cand.select("__lid").distinct(), "__lid", "left_semi")
+        rsh = rsh.join(cand.select("__rid").distinct(), "__rid", "left_semi")
+    ln = lsh.groupBy("__lid").agg(F.count(F.lit(1)).alias("__na"))
+    rn = rsh.groupBy("__rid").agg(F.count(F.lit(1)).alias("__nb"))
+    inter = (
+        lsh.join(rsh, on="__s")
+        .groupBy("__lid", "__rid")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    if cand is not None:
+        inter = inter.join(cand, on=["__lid", "__rid"], how="left_semi")
+    jac = (
+        inter.join(ln, "__lid")
+        .join(rn, "__rid")
+        .withColumn(
+            "jaccard",
+            F.col("__i").cast("double")
+            / (F.col("__na") + F.col("__nb") - F.col("__i")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= F.lit(float(threshold)))
+    )
+    return jac.select(
+        F.col("__lid").alias(left_id),
+        F.col("__rid").alias(right_id),
+        "jaccard",
+    )
