@@ -86,3 +86,62 @@ def test_unkeyed_rejected(spark):
     sdf, _ = _data(spark)
     with pytest.raises(ValueError):
         anomaly_zscore(sdf, "ts", "v", "2 minutes", [])
+
+
+def test_seasonal_profile_and_anomaly(spark):
+    from tsflex_spark.processing.anomaly import anomaly_seasonal, seasonal_profile
+
+    # two weeks of hourly data with a clear diurnal pattern; one planted
+    # "high at 3am" point that a trailing z-score would average away
+    ts = pd.date_range("2024-01-01", periods=14 * 24, freq="1h")
+    rng = np.random.default_rng(4)
+    base = 100 + 50 * np.sin(2 * np.pi * (ts.hour.to_numpy() / 24.0))
+    v = base + rng.normal(0, 2.0, len(ts))
+    spike_idx = 24 * 10 + 3  # 3am on day 10
+    v[spike_idx] += 60
+    pdf = pd.DataFrame({"ts": ts, "v": v})
+    sdf = spark.createDataFrame(pdf)
+
+    prof = seasonal_profile(sdf, "ts", "v", period="hour_of_day").toPandas()
+    assert len(prof) == 24
+    # profile mean tracks the sinusoid
+    p6 = prof[prof["slot"] == 6]["mean"].iloc[0]    # sin peak → ~150
+    p18 = prof[prof["slot"] == 18]["mean"].iloc[0]  # sin trough → ~50
+    assert p6 > 140 and p18 < 60
+
+    out = anomaly_seasonal(
+        sdf, "ts", "v", period="hour_of_day", threshold=3.5
+    ).toPandas().sort_values("ts").reset_index(drop=True)
+    flagged = out[out["is_anomaly"] == True]  # noqa: E712
+    assert pd.Timestamp(ts[spike_idx]) in set(flagged["ts"])
+    assert len(flagged) <= 5
+
+
+def test_seasonal_frozen_profile_scores_new_data(spark):
+    from tsflex_spark.processing.anomaly import anomaly_seasonal, seasonal_profile
+
+    hist = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-01-01", periods=240, freq="1h"),
+            "v": np.tile(np.arange(24, dtype=float), 10),
+        }
+    )
+    prof = seasonal_profile(spark.createDataFrame(hist), "ts", "v", period="hour_of_day")
+    # constant per slot → std 0 → NULL verdicts on new data
+    new = pd.DataFrame(
+        {"ts": pd.date_range("2024-02-01", periods=24, freq="1h"), "v": np.zeros(24)}
+    )
+    out = anomaly_seasonal(
+        spark.createDataFrame(new), "ts", "v", period="hour_of_day", profile=prof
+    ).toPandas()
+    assert out["zscore"].isna().all()
+
+
+def test_seasonal_unknown_period(spark):
+    from tsflex_spark.processing.anomaly import seasonal_profile
+
+    pdf = pd.DataFrame(
+        {"ts": pd.date_range("2024-01-01", periods=5, freq="1h"), "v": range(5)}
+    )
+    with pytest.raises(ValueError):
+        seasonal_profile(spark.createDataFrame(pdf), "ts", "v", period="fortnight")

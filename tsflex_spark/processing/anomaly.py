@@ -26,7 +26,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -85,4 +85,92 @@ def anomaly_zscore(
             F.when(z.isNotNull(), F.abs(z) > F.lit(float(threshold))),
         )
         .drop("__tsn")
+    )
+
+
+def seasonal_profile(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    key_cols: Sequence[str] = (),
+    period: str = "hour_of_week",
+) -> DataFrame:
+    """Per (key, season-slot) mean/std/count baseline — the seasonal
+    naive profile (traffic by hour-of-week, sensor by hour-of-day).
+    One map-side-combined groupBy; the profile is slot-count-sized.
+
+    ``period``: ``hour_of_week`` (168 slots), ``hour_of_day`` (24),
+    ``day_of_week`` (7), ``minute_of_hour`` (60).
+    """
+    slot = _season_slot(ts_col, period)
+    x = F.col(value_col).cast("double")
+    return (
+        df.withColumn("__slot", slot)
+        .groupBy(*list(key_cols), "__slot")
+        .agg(
+            F.count(x).alias("n"),
+            F.avg(x).alias("mean"),
+            F.stddev_pop(x).alias("std"),
+        )
+        .withColumnRenamed("__slot", "slot")
+    )
+
+
+def _season_slot(ts_col: str, period: str):
+    t = F.col(ts_col).cast("timestamp")
+    if period == "hour_of_week":
+        # dayofweek: 1=Sunday … 7=Saturday (Spark); stable slot id
+        return ((F.dayofweek(t) - 1) * 24 + F.hour(t)).cast("int")
+    if period == "hour_of_day":
+        return F.hour(t).cast("int")
+    if period == "day_of_week":
+        return (F.dayofweek(t) - 1).cast("int")
+    if period == "minute_of_hour":
+        return F.minute(t).cast("int")
+    raise ValueError(f"unknown period {period!r}")
+
+
+def anomaly_seasonal(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    key_cols: Sequence[str] = (),
+    period: str = "hour_of_week",
+    min_points: int = 5,
+    threshold: float = 3.0,
+    profile: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Flag deviations from the SEASONAL baseline: z-score against the
+    (key, season-slot) profile instead of a trailing window — catches
+    "normal for 3am, anomalous for 3pm" patterns a trailing z-score
+    normalizes away.
+
+    The profile joins back broadcast (slots × keys rows). Pass a
+    pre-computed ``profile`` (e.g. last month's, via
+    ``seasonal_profile``) to score against a FROZEN baseline — the
+    production shape, which also makes this a narrow per-row plan that
+    runs on streams.
+    """
+    key_cols = list(key_cols)
+    prof = (
+        profile
+        if profile is not None
+        else seasonal_profile(df, ts_col, value_col, key_cols, period)
+    )
+    d = df.withColumn("slot", _season_slot(ts_col, period))
+    joined = d.join(F.broadcast(prof), on=key_cols + ["slot"], how="left")
+    x = F.col(value_col).cast("double")
+    ok = (
+        F.col("n").isNotNull()
+        & (F.col("n") >= F.lit(int(min_points)))
+        & (F.col("std") > 0)
+    )
+    z = F.when(ok, (x - F.col("mean")) / F.col("std"))
+    return (
+        joined.withColumn("zscore", z)
+        .withColumn(
+            "is_anomaly",
+            F.when(z.isNotNull(), F.abs(z) > F.lit(float(threshold))),
+        )
+        .drop("n")
     )
