@@ -1905,3 +1905,26 @@ def test_dsir_select_deterministic_topk(spark):
     assert s1 == s2  # rerun/partition stable
     # near-zero temperature -> pure top-k: the 5 target-like docs win
     assert s1 == [0, 1, 2, 3, 4]
+
+
+def test_normalize_text_pipeline_order(spark):
+    from tsflex_spark.datapipe.text import normalize_text
+
+    rows = [
+        (1, "<p>Hello &amp; welcome</p>\x00\x07  to   the\tshow "),
+        (2, "&lt;b&gt; stays text but <b>tags die</b>"),
+        (3, "A&nbsp;B&quot;C&#39;D&amp;amp;E"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r["text"] for r in normalize_text(df, "text").collect()}
+    assert out[1] == "Hello & welcome to the show"
+    assert out[2] == "<b> stays text but tags die"
+    # &amp; decoded LAST: "&amp;amp;" → "&amp;" (one level, no double-decode)
+    assert out[3] == 'A B"C\'D&amp;E'
+    assert out[4] == ""
+    # out_col + lowercase leave the source column untouched
+    out2 = normalize_text(df, "text", out_col="clean", lowercase=True).collect()
+    r1 = [r for r in out2 if r["id"] == 1][0]
+    assert r1["text"].startswith("<p>")
+    assert r1["clean"] == "hello & welcome to the show"

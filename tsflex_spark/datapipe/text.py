@@ -545,3 +545,50 @@ def hash_embed(
         ]
     )
     return g.select(F.col(id_col), vec.alias(out_col))
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str,
+    out_col: Optional[str] = None,
+    *,
+    strip_html: bool = True,
+    unescape_entities: bool = True,
+    strip_control: bool = True,
+    collapse_whitespace: bool = True,
+    lowercase: bool = False,
+    trim: bool = True,
+) -> DataFrame:
+    """Canonical text cleanup before shingling/tokenizing/dedup — a
+    narrow codegen ``regexp_replace`` chain (no Python, stream-safe,
+    one projection):
+
+    1. ``strip_html``: drop ``<...>`` tags (non-greedy, no nesting —
+       the crawl-pipeline heuristic, not an HTML parser);
+    2. ``unescape_entities``: the six core entities
+       (&amp; &lt; &gt; &quot; &#39; &nbsp;);
+    3. ``strip_control``: remove C0/C1 control chars except \\t \\n \\r;
+    4. ``collapse_whitespace``: any whitespace run → one space;
+    5. ``lowercase`` / ``trim``.
+
+    Order matters and is fixed: tags before entities (so ``&lt;b&gt;``
+    stays text, real ``<b>`` dies), controls before whitespace collapse.
+    """
+    c: Column = F.col(text_col)
+    if strip_html:
+        c = F.regexp_replace(c, r"<[^>]*>", " ")
+    if unescape_entities:
+        for ent, rep in (
+            ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+            ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+        ):
+            c = F.regexp_replace(c, ent, rep)
+    if strip_control:
+        c = F.regexp_replace(c, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]", "")
+    if collapse_whitespace:
+        c = F.regexp_replace(c, r"\s+", " ")
+    if lowercase:
+        c = F.lower(c)
+    if trim:
+        c = F.trim(c)
+    return df.withColumn(out_col or text_col, c)
