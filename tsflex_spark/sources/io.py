@@ -185,3 +185,76 @@ def write_partitioned(
     if dynamic:
         w = w.option("partitionOverwriteMode", "dynamic")
     w.parquet(path)
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: Sequence[str],
+    partition_by: Optional[Sequence[str]] = None,
+    n_files: Optional[int] = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partitioned, within-file-sorted parquet — the layout that
+    makes parquet ROW-GROUP statistics effective.
+
+    Directory partitioning (``write_partitioned``) prunes whole
+    directories; this prunes WITHIN them: ``repartitionByRange`` gives
+    every output file a disjoint ``sort_cols`` range and the in-file
+    sort keeps row-group min/max tight, so a predicate on the sort key
+    (a time-range scan, an id lookup) skips whole files and row groups
+    from the footer stats alone — no data pages read. The standard
+    lakehouse practice for time-series facts: partition by day, sort by
+    (key, ts) inside.
+
+    ``n_files`` bounds the number of output files (defaults to the
+    current shuffle parallelism).
+    """
+    cols = [F.col(c) for c in sort_cols]
+    d = (
+        df.repartitionByRange(int(n_files), *cols)
+        if n_files
+        else df.repartitionByRange(*cols)
+    )
+    d = d.sortWithinPartitions(*cols)
+    w = d.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*list(partition_by))
+    w.parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_mb: int = 128,
+    sort_cols: Optional[Sequence[str]] = None,
+) -> int:
+    """Compact a small-file parquet dataset into ~``target_mb`` files.
+
+    Streaming sinks and incremental appends (e.g. the LSH store, a
+    foreachBatch output) accumulate many tiny files; scans then pay
+    per-file open/footer costs that dwarf the data. This rewrites
+    ``src`` into ``ceil(bytes / target_mb)`` files at ``dst``
+    (optionally re-sorted so stats stay tight) and returns the file
+    count. Compaction into a NEW directory, then swap, is deliberate:
+    an in-place rewrite that dies midway corrupts the dataset; a
+    directory swap is the atomic unit the filesystem gives us.
+    """
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    d = spark.read.parquet(src)
+    if sort_cols:
+        d = d.repartitionByRange(n, *[F.col(c) for c in sort_cols])
+        d = d.sortWithinPartitions(*[F.col(c) for c in sort_cols])
+    else:
+        d = d.coalesce(n)
+    d.write.mode("overwrite").parquet(dst)
+    return n
