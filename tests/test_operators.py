@@ -1928,3 +1928,45 @@ def test_normalize_text_pipeline_order(spark):
     r1 = [r for r in out2 if r["id"] == 1][0]
     assert r1["text"].startswith("<p>")
     assert r1["clean"] == "hello & welcome to the show"
+
+
+def test_ewma_stream_matches_pandas(spark, tmp_path):
+    """transformWithStateInPandas streaming EWMA: the final emitted row
+    per key equals pandas ewm(adjust=True) over the key's full ordered
+    history, across multiple micro-batches."""
+    rng = np.random.default_rng(13)
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-01-01", periods=200, freq="1s"),
+            "user_id": np.repeat(np.arange(2), 100),
+            "value": rng.normal(10, 3, size=200).round(3),
+        }
+    ).sort_values("ts").reset_index(drop=True)
+    src = str(tmp_path / "ewma_src")
+    # split BY TIME so arrival order == event order across the 2 batches
+    spark.createDataFrame(pdf.iloc[:100]).coalesce(1).write.parquet(src)
+    spark.createDataFrame(pdf.iloc[100:]).coalesce(1).write.parquet(src, mode="append")
+
+    from tsflex_spark.streaming.stateful import ewma_stream
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = ewma_stream(stream, alpha=0.3, value_col="value", key_cols=["user_id"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ewma_sink")
+        .option("checkpointLocation", str(tmp_path / "ewma_ckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("ewma_sink").toPandas()
+    final = got.sort_values("n").groupby("user_id").tail(1).set_index("user_id")
+    for uid, grp in pdf.groupby("user_id"):
+        ref = grp.sort_values("ts")["value"].ewm(alpha=0.3, adjust=True).mean().iloc[-1]
+        assert final.loc[uid, "n"] == len(grp)
+        assert final.loc[uid, "ewma"] == pytest.approx(ref, rel=1e-9)

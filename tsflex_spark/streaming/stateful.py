@@ -155,3 +155,70 @@ def running_stats_stream(
     return df.groupBy(*key_cols).applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def ewma_stream(
+    df: DataFrame,
+    alpha: float,
+    value_col: str = "value",
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-key streaming EWMA with O(1) state: two floats per key — the
+    ``adjust=True`` numerator/denominator recurrences ``num = x +
+    (1-α)·num``, ``den = 1 + (1-α)·den`` — so a key's EWMA is exact
+    over its whole history and matches the batch ``processing.ewma``
+    (pandas ``ewm(alpha, adjust=True)`` semantics).
+
+    Rows are applied in ``ts_col`` order WITHIN each micro-batch;
+    cross-batch order is arrival order (use a watermark + small batches,
+    or reconcile against the batch path, when late data matters). Emits
+    one row per key per micro-batch with the post-batch ``n``/``ewma``.
+
+    Implementation note: built on ``applyInPandasWithState``. Spark 4's
+    successor API (``transformWithStateInPandas``, typed state + timers)
+    expresses the same operator, but its Python worker requires
+    protobuf at runtime — not assumed present here.
+    """
+    key_cols = list(key_cols)
+    a = float(alpha)
+    key_fields = [df.schema[k] for k in key_cols]
+    out_schema = T.StructType(
+        key_fields
+        + [
+            T.StructField("n", T.LongType()),
+            T.StructField("ewma", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("num", T.DoubleType()),
+            T.StructField("den", T.DoubleType()),
+        ]
+    )
+
+    def update(key: Tuple, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, num, den = state.get
+        else:
+            n, num, den = 0, 0.0, 0.0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for x in pdf[value_col].astype("float64"):
+                if pd.isna(x):
+                    continue
+                num = x + (1.0 - a) * num
+                den = 1.0 + (1.0 - a) * den
+                n += 1
+        state.update((n, num, den))
+        if n > 0:
+            yield pd.DataFrame(
+                [dict(zip(key_cols, key)) | {"n": n, "ewma": num / den}]
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return df.groupBy(*key_cols).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
