@@ -84,3 +84,29 @@ def test_auto_column_selection(spark):
     b = _df(spark, {"x": rng.normal(0, 1, 500), "y": rng.normal(3, 1, 500)})
     out = feature_drift(a, b)
     assert {d["column"] for d in out} == {"x", "y"}
+
+
+def test_categorical_drift(spark):
+    from tsflex_spark.utils.drift import categorical_drift
+
+    rng = np.random.default_rng(5)
+    ref_vals = rng.choice(["a", "b", "c"], p=[0.6, 0.3, 0.1], size=3000)
+    cur_same = rng.choice(["a", "b", "c"], p=[0.6, 0.3, 0.1], size=3000)
+    cur_shift = rng.choice(["a", "b", "c", "d"], p=[0.1, 0.2, 0.3, 0.4], size=3000)
+    mk = lambda v: spark.createDataFrame([(str(x),) for x in v], "cat string")
+    same = categorical_drift(mk(ref_vals), mk(cur_same), ["cat"])[0]
+    assert same["psi"] < 0.02
+    shift = categorical_drift(mk(ref_vals), mk(cur_shift), ["cat"])[0]
+    assert shift["psi"] > 0.25
+    # unseen category 'd' lands in __other and still registers
+    assert shift["n_cur"] == 3000
+
+
+def test_categorical_drift_null_handling(spark):
+    from tsflex_spark.utils.drift import categorical_drift
+
+    ref = spark.createDataFrame([("a",), ("a",), ("b",)], "cat string")
+    cur = spark.createDataFrame([(None,), (None,), ("a",)], "cat string")
+    d = categorical_drift(ref, cur, ["cat"])[0]
+    assert d["n_cur"] == 3  # NULLs counted in __other
+    assert d["psi"] > 0.2

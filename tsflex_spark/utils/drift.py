@@ -115,3 +115,71 @@ def feature_drift(
             {"column": c, "psi": psi, "js": js, "n_ref": int(nr), "n_cur": int(nc)}
         )
     return sorted(out, key=lambda d: (d["psi"] is None, -(d["psi"] or 0.0)))
+
+
+def categorical_drift(
+    reference: DataFrame,
+    current: DataFrame,
+    cols: Sequence[str],
+    top_k: int = 20,
+    epsilon: float = 1e-4,
+) -> List[dict]:
+    """PSI/JS over CATEGORY frequencies: the reference's ``top_k`` most
+    frequent values per column are the bins, everything else (and NULL)
+    folds into ``__other`` — the standard categorical PSI construction
+    (stable bin set, bounded aggregate width).
+
+    Jobs: one small groupBy per column to discover the reference's
+    top-k (result is k rows), then ONE conditional-count aggregate per
+    frame shared across all columns.
+    """
+    cols = list(cols)
+    cats: Dict[str, List] = {}
+    for c in cols:
+        top = (
+            reference.where(F.col(c).isNotNull())
+            .groupBy(c)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .orderBy(F.col("__n").desc(), F.col(c))
+            .limit(int(top_k))
+            .collect()
+        )
+        cats[c] = [r[c] for r in top]
+
+    def hist(df: DataFrame) -> Dict[str, List[int]]:
+        aggs = []
+        for c in cols:
+            x = F.col(c)
+            for j, v in enumerate(cats[c]):
+                aggs.append(
+                    F.sum(F.when(x == F.lit(v), 1).otherwise(0)).alias(f"__{c}__{j}")
+                )
+            other = F.when(
+                x.isNull() | ~x.isin(*cats[c]) if cats[c] else F.lit(True), 1
+            ).otherwise(0)
+            aggs.append(F.sum(other).alias(f"__{c}__other"))
+        row = df.agg(*aggs).collect()[0]
+        return {
+            c: [int(row[f"__{c}__{j}"] or 0) for j in range(len(cats[c]))]
+            + [int(row[f"__{c}__other"] or 0)]
+            for c in cols
+        }
+
+    h_ref, h_cur = hist(reference), hist(current)
+    out = []
+    for c in cols:
+        nr, nc = sum(h_ref[c]), sum(h_cur[c])
+        if nr == 0 or nc == 0:
+            out.append({"column": c, "psi": None, "js": None, "n_ref": nr, "n_cur": nc})
+            continue
+        psi = js = 0.0
+        for r, q in zip(h_ref[c], h_cur[c]):
+            p_i = max(r / nr, epsilon)
+            q_i = max(q / nc, epsilon)
+            psi += (p_i - q_i) * math.log(p_i / q_i)
+            m = 0.5 * (p_i + q_i)
+            js += 0.5 * p_i * math.log(p_i / m) + 0.5 * q_i * math.log(q_i / m)
+        out.append(
+            {"column": c, "psi": psi, "js": js, "n_ref": int(nr), "n_cur": int(nc)}
+        )
+    return sorted(out, key=lambda d: (d["psi"] is None, -(d["psi"] or 0.0)))
