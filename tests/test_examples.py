@@ -1,0 +1,12 @@
+"""The examples/ scripts must keep running (they are the switch-over
+documentation for reference users)."""
+
+import sys
+
+
+def test_feature_extraction_example(spark):
+    sys.path.insert(0, "examples")
+    import feature_extraction
+
+    # reuses the test session via get_spark's getOrCreate
+    feature_extraction.main("/root/testdata/sf0.001")
