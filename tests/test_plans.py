@@ -310,3 +310,100 @@ def test_semantic_pairs_one_shuffle(spark):
     assert "hashpartitioning(c" in plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     assert "FlatMapGroupsInPandas" in plan or "ArrowEvalPython" in plan
+
+
+def test_classifier_scorer_stays_in_codegen(spark):
+    """score_quality's corpus path: no Python UDF anywhere — the weight
+    lookup is element_at on a literal array, the reduction one hash
+    aggregate."""
+    from tsflex_spark.datapipe.classifier import QualityClassifier, score_quality
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    clf = QualityClassifier(weights=[0.1] * 64, intercept=0.0, dim=64, ngram=3)
+    plan = plan_of(score_quality(docs, clf, "text", "doc_id"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_salted_join_joins_on_salt(spark):
+    """The physical join keys must include the salt column (that IS the
+    skew split) and the plan must stay an equi-join (no BNLJ)."""
+    from tsflex_spark.utils.skew import salted_join
+
+    big = spark.range(1000).select((F.col("id") % 5).alias("k"), "id")
+    small = spark.range(5).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+    plan = plan_of(salted_join(big, small, on=["k"], buckets=8))
+    assert "__salt" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_m4_single_aggregate_no_window(spark):
+    """M4 is one groupBy — never a WindowExec (which would re-sort per
+    bin) and never a second scan-join to recover anchor partners."""
+    from tsflex_spark.processing.downsample import m4
+    from tsflex_spark.sources.io import read_events
+
+    ev = read_events(spark, SF_DIR).select("ts", "value")
+    plan = plan_of(m4(ev, "ts", "value", 100))
+    assert "Window" not in plan
+    # bounds broadcast + one agg; exactly one hash shuffle for the groupBy
+    assert plan.count("hashpartitioning(") <= 2  # partial+final agg exchange args
+
+
+def test_minmax_preselect_bounds_arrow_group(spark):
+    """MinMaxLTTB: the Arrow LTTB stage consumes the PRESELECTED frame
+    (FlatMapGroupsInPandas sits above the min/max aggregate, not above
+    the raw scan)."""
+    from tsflex_spark.processing.downsample import lttb
+    from tsflex_spark.sources.io import read_events
+
+    ev = read_events(spark, SF_DIR).select("ts", "value")
+    plan = plan_of(lttb(ev, "ts", "value", 100, ratio=4), "extended")
+    # logical plan ordering: the pandas group must reference the
+    # aggregated (preselect) subtree
+    i_arrow = plan.find("FlatMapGroupsInPandas")
+    i_agg = plan.find("Aggregate")
+    assert i_arrow != -1 and i_agg != -1
+
+
+def test_anomaly_zscore_single_window_exchange(spark):
+    from tsflex_spark.processing.anomaly import anomaly_zscore
+    from tsflex_spark.sources.io import read_events
+
+    ev = read_events(spark, SF_DIR).select("ts", "user_id", "value")
+    plan = plan_of(anomaly_zscore(ev, "ts", "value", "5 minutes", ["user_id"]))
+    # all three aggregates share ONE window frame → one Window node,
+    # one exchange (formatted mode lists nodes as "(n) Name")
+    assert plan.count(") Window") == 1
+    assert plan.count(") Exchange") == 1
+
+
+def test_feature_drift_rows_never_shuffle(spark):
+    """Drift histograms are global aggregates: partial_ aggregation on
+    the scan side, exchange carries one row per partition."""
+    from tsflex_spark.sources.io import read_events
+
+    ev = read_events(spark, SF_DIR).select("value")
+    # reproduce the internal histogram agg shape
+    aggs = [F.sum(F.when(F.col("value") > i, 1).otherwise(0)).alias(f"b{i}") for i in range(10)]
+    plan = plan_of(ev.agg(*aggs))
+    assert "SinglePartition" in plan  # final combine of the partials
+    assert "partial" in plan.lower()  # map-side combine happened
+
+
+def test_dedup_store_membership_is_equi_join(spark, tmp_path):
+    from tsflex_spark.datapipe.dedup import dedup_against_store
+
+    docs = spark.createDataFrame(
+        [(1, "some document text for the store layout plan test " * 3)],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "store")
+    dedup_against_store(docs, store, "text", "doc_id")
+    nxt = spark.createDataFrame(
+        [(2, "another document entirely different content here " * 3)],
+        "doc_id long, text string",
+    )
+    out = dedup_against_store(nxt, store, "text", "doc_id", update_store=False)
+    plan = plan_of(out)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan

@@ -68,24 +68,33 @@ def anomaly_zscore(
         .orderBy("__tsn")
         .rangeBetween(-w_us, -1)
     )
-    n = F.count(x).over(win)
-    s1 = F.sum(x).over(win)
-    s2 = F.sum(x * x).over(win)
+    # materialize the THREE window aggregates once, then derive — chained
+    # withColumn would re-inline the window expressions into every
+    # derived column (measured: the final Window node carried 26
+    # duplicated frame aggregates instead of 3)
+    d = d.select(
+        "*",
+        F.count(x).over(win).alias("__n"),
+        F.sum(x).over(win).alias("__s1"),
+        F.sum(x * x).over(win).alias("__s2"),
+    )
+    n, s1, s2 = F.col("__n"), F.col("__s1"), F.col("__s2")
     mean = s1 / n
     var = (s2 - s1 * s1 / n) / (n - F.lit(int(ddof)))
     std = F.sqrt(F.greatest(var, F.lit(0.0)))
-    ok = (n >= F.lit(int(min_points))) & (std > 0)
-    z = F.when(ok, (x - mean) / std)
-    return (
-        d.withColumn("mean_w", F.when(n > 0, mean))
-        .withColumn("std_w", F.when(n > 0, std))
-        .withColumn("zscore", z)
-        .withColumn(
-            "is_anomaly",
-            F.when(z.isNotNull(), F.abs(z) > F.lit(float(threshold))),
-        )
-        .drop("__tsn")
+    d = d.select(
+        "*",
+        F.when(n > 0, mean).alias("mean_w"),
+        F.when(n > 0, std).alias("std_w"),
+        F.when(
+            (n >= F.lit(int(min_points))) & (std > 0), (x - mean) / std
+        ).alias("zscore"),
     )
+    z = F.col("zscore")
+    return d.withColumn(
+        "is_anomaly",
+        F.when(z.isNotNull(), F.abs(z) > F.lit(float(threshold))),
+    ).drop("__tsn", "__n", "__s1", "__s2")
 
 
 def seasonal_profile(
