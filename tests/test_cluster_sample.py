@@ -115,3 +115,30 @@ def test_cluster_sample_deterministic(spark):
     a = {r["vec_id"] for r in cluster_sample(df.repartition(1), "vec_id", keep_frac=0.4, index=idx).collect()}
     b = {r["vec_id"] for r in cluster_sample(df.repartition(6), "vec_id", keep_frac=0.4, index=idx).collect()}
     assert a == b
+
+
+def test_ivf_train_sample_fraction_covers_late_partitions(spark):
+    """With a layout where one cluster lives entirely in the LAST
+    partitions, the limit() sample misses it but the Bernoulli sample
+    covers it."""
+    import numpy as np
+
+    from tsflex_spark.datapipe.similarity import ivf_train
+
+    near = [(i, [0.0 + 0.01 * (i % 7), 0.0]) for i in range(2000)]
+    far = [(10_000 + i, [100.0, 100.0 + 0.01 * (i % 7)]) for i in range(2000)]
+    # repartition(1) after a union keeps input order → far rows sit late
+    df = spark.createDataFrame(
+        near + far, "vec_id long, embedding array<double>"
+    ).coalesce(1)
+    idx_biased = ivf_train(df, nlist=2, sample_per_centroid=500)
+    idx_fair = ivf_train(df, nlist=2, sample_fraction=0.1)
+    # fair sample: one centroid lands near (100, 100)
+    d_far_fair = min(
+        float(((c - np.array([100.0, 100.0])) ** 2).sum()) for c in idx_fair.centroids
+    )
+    d_far_biased = min(
+        float(((c - np.array([100.0, 100.0])) ** 2).sum()) for c in idx_biased.centroids
+    )
+    assert d_far_fair < 100.0      # covered
+    assert d_far_biased > 1000.0   # limit() never saw the far cluster

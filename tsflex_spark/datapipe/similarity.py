@@ -302,13 +302,30 @@ def ivf_train(
     id_col: str = "vec_id",
     seed: int = 7,
     sample_per_centroid: int = 640,
+    sample_fraction: Optional[float] = None,
 ) -> IVFIndex:
     """Train the coarse quantizer on a bounded, deterministic sample
     (seeded numpy Lloyd — FAISS-style practice: a few hundred samples per
-    centroid, never multi-pass Lloyd over the full corpus)."""
+    centroid, never multi-pass Lloyd over the full corpus).
+
+    Sampling: the default ``limit(n)`` pull is cheapest but reads the
+    FIRST partitions — on a corpus whose layout correlates with content
+    (written sorted by topic cluster, by source, by time) that sample
+    is biased and the quantizer under-covers later regions. Pass
+    ``sample_fraction`` to draw a partition-spanning Bernoulli sample
+    instead (one scan; unbiased w.r.t. layout) — the right knob at
+    production scale, where training runs once.
+    """
     import numpy as np
 
-    sample = df.select(vec_col).limit(nlist * sample_per_centroid).toPandas()
+    src = df.select(vec_col)
+    if sample_fraction is not None:
+        # the fraction IS the budget: a limit() on top would re-bias
+        # (it truncates the sampled stream in partition order, undoing
+        # the layout independence the sample just bought)
+        sample = src.sample(False, float(sample_fraction), seed).toPandas()
+    else:
+        sample = src.limit(nlist * sample_per_centroid).toPandas()
     X = np.asarray([np.asarray(v, dtype="float64") for v in sample[vec_col]])
     rng = np.random.default_rng(seed)
     C = X[rng.choice(len(X), size=min(nlist, len(X)), replace=False)].copy()
