@@ -70,3 +70,16 @@ def test_driver_events_props(spark):
     assert "props_k" in flat.columns
     n = flat.where(F.col("props_k").isNotNull()).count()
     assert n > 0
+
+
+def test_infer_fraction_sees_late_fields(spark):
+    rows = [(i, '{"early": 1}') for i in range(500)] + [
+        (i, '{"late": 2}') for i in range(500, 1000)
+    ]
+    df = spark.createDataFrame(rows, "id long, props string").coalesce(1)
+    names_limit = {f.name for f in infer_json_schema(df, "props", sample=300).fields}
+    names_frac = {
+        f.name for f in infer_json_schema(df, "props", fraction=0.3).fields
+    }
+    assert "late" not in names_limit   # limit() never reached the tail
+    assert {"early", "late"} <= names_frac

@@ -30,17 +30,22 @@ from pyspark.sql import types as T
 
 
 def infer_json_schema(
-    df: DataFrame, col: str, sample: int = 1000
+    df: DataFrame, col: str, sample: int = 1000, fraction: Optional[float] = None
 ) -> T.StructType:
     """Infer a struct schema from up to ``sample`` non-null JSON strings
     (driver-bounded; uses Spark's own JSON reader so the result matches
-    what ``from_json`` will produce)."""
-    rows = (
-        df.select(F.col(col).alias("j"))
-        .where(F.col("j").isNotNull())
-        .limit(int(sample))
-        .collect()
-    )
+    what ``from_json`` will produce).
+
+    The default ``limit`` pull reads the FIRST partitions — fields that
+    only appear in later data (a property added mid-history on a
+    time-ordered table) are missed. Pass ``fraction`` for a
+    partition-spanning Bernoulli sample instead; the fraction is then
+    the budget (no limit re-truncation)."""
+    src = df.select(F.col(col).alias("j")).where(F.col("j").isNotNull())
+    if fraction is not None:
+        rows = src.sample(False, float(fraction), 7).collect()
+    else:
+        rows = src.limit(int(sample)).collect()
     strs = [r["j"] for r in rows]
     if not strs:
         return T.StructType([])
