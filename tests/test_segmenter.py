@@ -802,3 +802,35 @@ def test_include_empty_windows_false_count_based(spark):
         full.sort_values("ts").reset_index(drop=True),
         check_like=True,
     )
+
+
+def test_group_by_consecutive_null_keys_reference_parity(spark):
+    """NULL group keys: the reference DROPS NaN rows first, so equal
+    keys separated only by NaNs merge into one consecutive group
+    (tsflex feature_collection.py:604-634); segment ends are the NEXT
+    group's start, and the LAST datetime segment's end is bumped by
+    +1 DAY (sic — feature_collection.py:684-688)."""
+    ev = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-01-01", periods=10, freq="1s"),
+            "g": ["x", "x", None, None, "y", "y", "x", None, "x", "x"],
+            "v": [1.0] * 10,
+        }
+    )
+    fc = FeatureCollection(FeatureDescriptor("sum", "v", "1s", "1s"))
+    out = (
+        fc.calculate(
+            spark.createDataFrame(ev),
+            ts_col="ts",
+            group_by_consecutive="g",
+            approve_sparsity=True,
+        )
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    assert list(out["g"]) == ["x", "y", "x"]
+    assert list(out["v__sum__w=manual"]) == [2.0, 2.0, 3.0]  # x merges 6,8,9
+    assert str(out.loc[0, "__end"]) == "2024-01-01 00:00:04"  # next start
+    assert str(out.loc[1, "__end"]) == "2024-01-01 00:00:06"
+    assert str(out.loc[2, "__end"]) == "2024-01-02 00:00:09"  # +1 day bump
