@@ -1970,3 +1970,50 @@ def test_ewma_stream_matches_pandas(spark, tmp_path):
         ref = grp.sort_values("ts")["value"].ewm(alpha=0.3, adjust=True).mean().iloc[-1]
         assert final.loc[uid, "n"] == len(grp)
         assert final.loc[uid, "ewma"] == pytest.approx(ref, rel=1e-9)
+
+
+def test_phash_image_neardup(spark):
+    """aHash/dHash fingerprints + hamming-band near-dup pairs: identical
+    blobs collide at distance 0, a lightly perturbed blob lands within
+    the hamming budget, an unrelated blob does not pair."""
+    from tsflex_spark.datapipe.multimodal import image_neardup_pairs, phash_images
+
+    rng = np.random.default_rng(9)
+    base = bytes(rng.integers(0, 256, 64, dtype=np.uint8))
+    # perturb ONE byte → at most a couple of bits of dHash move
+    near = bytearray(base); near[10] = (near[10] + 3) % 256; near = bytes(near)
+    other = bytes(rng.integers(0, 256, 64, dtype=np.uint8))
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, other)], "id long, media binary"
+    )
+    hashes = phash_images(df)
+    rows = {r["id"]: (r["ahash"], r["dhash"]) for r in hashes.collect()}
+    assert rows[1] == rows[2]  # identical blobs → identical hashes
+
+    pairs = image_neardup_pairs(hashes, max_hamming=8)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(1, 2)] == 0
+    assert (1, 3) in got and got[(1, 3)] <= 8
+    assert not any(4 in p for p in got)
+
+    # oracle: hamming via python popcount on the collected hashes
+    for (a, b), h in got.items():
+        ref = bin((rows[a][1] ^ rows[b][1]) & ((1 << 64) - 1)).count("1")
+        assert h == ref
+
+
+def test_phash_band_pigeonhole(spark):
+    """Any pair within max_hamming < num_bands shares a band (the
+    recall guarantee): construct a pair differing in exactly 3 bits
+    spread over 3 bands and confirm the 4-band join still finds it."""
+    from tsflex_spark.datapipe.multimodal import image_neardup_pairs
+
+    h1 = 0x0123456789ABCDEF
+    h2 = h1 ^ (1 << 0) ^ (1 << 20) ^ (1 << 40)  # 3 bits in 3 bands
+    def to_i64(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+    hashes = spark.createDataFrame(
+        [(1, to_i64(h1)), (2, to_i64(h2))], "id long, dhash long"
+    )
+    pairs = image_neardup_pairs(hashes, max_hamming=3, num_bands=4).collect()
+    assert len(pairs) == 1 and pairs[0]["hamming"] == 3

@@ -232,3 +232,102 @@ def frame_sample(
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return df.select(id_col, media_col).mapInPandas(run, schema)
+
+
+def phash_images(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "id",
+    decode_fn: Optional[Callable[[bytes], "np.ndarray"]] = None,
+) -> DataFrame:
+    """64-bit perceptual hashes per image: aHash (pixel vs mean) and
+    dHash (horizontal gradient sign) over an 8×(8|9) nearest-neighbor
+    downscale — the standard image near-dup fingerprints (visually
+    similar images differ in a few bits; recompression/resizing barely
+    moves them). Decode is the container fake unless ``decode_fn`` is a
+    real decoder; the hash math is the production algorithm.
+    """
+    decode = decode_fn or _fake_decode
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("ahash", T.LongType()),
+            T.StructField("dhash", T.LongType()),
+        ]
+    )
+
+    def _down(img: np.ndarray, h: int, w: int) -> np.ndarray:
+        H, W = img.shape[:2]
+        ri = (np.arange(h) * H) // h
+        ci = (np.arange(w) * W) // w
+        return img[np.ix_(ri, ci)].astype(np.float64)
+
+    def _bits_to_i64(bits: np.ndarray) -> int:
+        v = 0
+        for b in bits.ravel():
+            v = (v << 1) | int(b)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _id, blob in zip(pdf[id_col], pdf[media_col]):
+                img = np.asarray(decode(blob), dtype=np.float64)
+                a8 = _down(img, 8, 8)
+                ah = _bits_to_i64(a8 > a8.mean())
+                d9 = _down(img, 8, 9)
+                dh = _bits_to_i64(d9[:, 1:] > d9[:, :-1])
+                rows.append({id_col: _id, "ahash": ah, "dhash": dh})
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.select(id_col, media_col).mapInPandas(run, schema)
+
+
+def image_neardup_pairs(
+    hashes: DataFrame,
+    id_col: str = "id",
+    hash_col: str = "dhash",
+    max_hamming: int = 6,
+    num_bands: int = 4,
+) -> DataFrame:
+    """Image near-dup candidate pairs from 64-bit perceptual hashes:
+    band the hash into ``num_bands`` 16-bit chunks and equi-self-join
+    per band (two hashes within ``max_hamming`` bits share at least one
+    identical band when ``max_hamming < num_bands`` by pigeonhole
+    — same construction as SimHash bucketing; never all-pairs), then
+    verify exact hamming distance with ``bit_count(a XOR b)`` in
+    codegen. Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    width = 64 // num_bands
+    bands = hashes.select(
+        F.col(id_col),
+        F.col(hash_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col(hash_col), i * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for i in range(num_bands)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    a = bands.select(
+        F.col(id_col).alias("id_a"), F.col(hash_col).alias("__ha"), "band", "band_val"
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), F.col(hash_col).alias("__hb"), "band", "band_val"
+    )
+    pairs = (
+        a.join(b, on=["band", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__ha", "__hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+    return (
+        pairs.withColumn("hamming", ham)
+        .where(F.col("hamming") <= F.lit(int(max_hamming)))
+        .select("id_a", "id_b", "hamming")
+    )
