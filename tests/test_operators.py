@@ -2017,3 +2017,29 @@ def test_phash_band_pigeonhole(spark):
     )
     pairs = image_neardup_pairs(hashes, max_hamming=3, num_bands=4).collect()
     assert len(pairs) == 1 and pairs[0]["hamming"] == 3
+
+
+def test_audio_fingerprint_neardup(spark):
+    """Energy-contour fingerprints: gain changes do not move bits, a
+    locally perturbed clip stays within a small hamming budget, an
+    unrelated clip does not pair (via the shared band machinery)."""
+    from tsflex_spark.datapipe.multimodal import audio_fingerprints, image_neardup_pairs
+
+    rng = np.random.default_rng(21)
+    clip = rng.integers(0, 256, 1024, dtype=np.uint8)
+    # real gain: halve the amplitude around the center (requantized)
+    louder = np.clip(((clip.astype(np.float64) - 128) * 0.5 + 128).round(), 0, 255).astype(np.uint8)
+    near = clip.copy(); near[100:108] = (near[100:108] + 50) % 256
+    other = rng.integers(0, 256, 1024, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytes(clip)), (2, bytes(louder)), (3, bytes(near)), (4, bytes(other))],
+        "id long, media binary",
+    )
+    fps = audio_fingerprints(df)
+    rows = {r["id"]: r["afp"] for r in fps.collect()}
+    pairs = image_neardup_pairs(fps, hash_col="afp", max_hamming=6)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    # gain preserves the contour signs up to requantization ties
+    assert got[(1, 2)] <= 2
+    assert (1, 3) in got and got[(1, 3)] <= 6
+    assert not any(4 in p for p in got)

@@ -331,3 +331,46 @@ def image_neardup_pairs(
         .where(F.col("hamming") <= F.lit(int(max_hamming)))
         .select("id_a", "id_b", "hamming")
     )
+
+
+def audio_fingerprints(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "id",
+    decode_fn: Optional[Callable[[bytes], "np.ndarray"]] = None,
+) -> DataFrame:
+    """64-bit audio fingerprint: the clip resamples (by frame-mean) to a
+    64-point RMS energy contour; bit b = 1 iff energy rises from point
+    b to b+1 (circular) — the energy-gradient-sign construction
+    (a coarse cousin of Chromaprint's gradient bits; robust to gain and
+    mild noise, cheap everywhere). Near-dup pairs come from
+    ``image_neardup_pairs(hashes, hash_col="afp")`` — the hamming-band
+    machinery is modality-agnostic.
+    """
+    decode = decode_fn or _fake_decode_audio
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("afp", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _id, blob in zip(pdf[id_col], pdf[media_col]):
+                w = np.asarray(decode(blob), dtype=np.float64)
+                if len(w) < 64:
+                    w = np.pad(w, (0, 64 - len(w)))
+                # 64 equal frames → per-frame RMS energy
+                n = (len(w) // 64) * 64
+                e = np.sqrt((w[:n].reshape(64, -1) ** 2).mean(1))
+                bits = e < np.roll(e, -1)  # rising-energy sign, circular
+                v = 0
+                for b in bits:
+                    v = (v << 1) | int(b)
+                v = v - (1 << 64) if v >= (1 << 63) else v
+                rows.append({id_col: _id, "afp": v})
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.select(id_col, media_col).mapInPandas(run, schema)
