@@ -60,3 +60,22 @@ def test_reference_vector(spark):
 def test_unsupported_type_raises():
     with pytest.raises(TypeError):
         spark_xxhash64(1.5)
+
+
+def test_randomized_string_parity(spark):
+    """200 random strings (lengths 0-200, unicode mixed in) in one
+    batched comparison — the fuzz pass over the stripe/tail paths."""
+    import random
+
+    rnd = random.Random(99)
+    alphabet = "abcdefghijklmnopqrstuvwxyz 0123456789!@#üñß漢字✓\t\n"
+    cases = [
+        "".join(rnd.choice(alphabet) for _ in range(rnd.randrange(0, 200)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([(s,) for s in cases], "s string").select(
+        "s", F.xxhash64("s").alias("h"), F.xxhash64("s", F.lit(3)).alias("h3")
+    )
+    for r in df.collect():
+        assert spark_xxhash64(r["s"]) == r["h"], repr(r["s"])
+        assert spark_xxhash64(r["s"], 3) == r["h3"], repr(r["s"])
