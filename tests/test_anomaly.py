@@ -145,3 +145,65 @@ def test_seasonal_unknown_period(spark):
     )
     with pytest.raises(ValueError):
         seasonal_profile(spark.createDataFrame(pdf), "ts", "v", period="fortnight")
+
+
+def _cusum_ref(z, k, h):
+    """Sequential Page CUSUM reference."""
+    sp = sn = 0.0
+    out = []
+    for v in z:
+        sp = max(0.0, sp + v - k)
+        sn = max(0.0, sn - v - k)
+        out.append((sp, sn, sp > h or sn > h))
+    return out
+
+
+def test_cusum_matches_sequential_reference(spark):
+    from tsflex_spark.processing.anomaly import cusum
+
+    rng = np.random.default_rng(7)
+    n = 300
+    v = rng.normal(10, 2, n)
+    v[200:] += 4.0  # a 2-sigma upward shift at t=200
+    pdf = pd.DataFrame(
+        {"k": "a", "ts": pd.date_range("2024-01-01", periods=n, freq="1s"), "v": v}
+    )
+    mu, sd = 10.0, 2.0
+    out = (
+        cusum(
+            spark.createDataFrame(pdf), "ts", "v", ["k"],
+            target=mu, sigma=sd, k=0.5, h=8.0,
+        )
+        .toPandas().sort_values("ts").reset_index(drop=True)
+    )
+    ref = _cusum_ref((v - mu) / sd, 0.5, 8.0)
+    for i, (sp, sn, alarm) in enumerate(ref):
+        assert out.loc[i, "cusum_pos"] == pytest.approx(sp, abs=1e-9), i
+        assert out.loc[i, "cusum_neg"] == pytest.approx(sn, abs=1e-9), i
+        assert bool(out.loc[i, "is_shifted"]) == alarm, i
+    # the shift IS detected, shortly after t=200 and not before t=190
+    first = out.index[out["is_shifted"]].min()
+    assert 195 <= first <= 215
+
+
+def test_cusum_downward_shift_and_self_estimation(spark):
+    from tsflex_spark.processing.anomaly import cusum
+
+    rng = np.random.default_rng(8)
+    n = 400
+    v = rng.normal(0, 1, n)
+    v[300:] -= 3.0
+    pdf = pd.DataFrame(
+        {"k": "x", "ts": pd.date_range("2024-01-01", periods=n, freq="1s"), "v": v}
+    )
+    out = (
+        cusum(spark.createDataFrame(pdf), "ts", "v", ["k"], target=0.0, sigma=1.0)
+        .toPandas().sort_values("ts").reset_index(drop=True)
+    )
+    hits = out.index[out["is_shifted"]]
+    assert len(hits) and hits.min() >= 300
+    # per-key self-estimated baseline also runs (sanity, no exact ref)
+    out2 = cusum(spark.createDataFrame(pdf), "ts", "v", ["k"]).toPandas()
+    assert {"cusum_pos", "cusum_neg", "is_shifted"} <= set(out2.columns)
+    with pytest.raises(ValueError):
+        cusum(spark.createDataFrame(pdf), "ts", "v", [])

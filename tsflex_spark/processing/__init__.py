@@ -1,6 +1,11 @@
 from tsflex_spark.processing.series_processor import SeriesProcessor, dataframe_func
 from tsflex_spark.processing.series_pipeline import SeriesPipeline
-from tsflex_spark.processing.anomaly import anomaly_seasonal, anomaly_zscore, seasonal_profile
+from tsflex_spark.processing.anomaly import (
+    anomaly_seasonal,
+    anomaly_zscore,
+    cusum,
+    seasonal_profile,
+)
 from tsflex_spark.processing.downsample import lttb, m4, minmax_preselect
 from tsflex_spark.processing.smoothing import ewma
 from tsflex_spark.processing.utils import process_chunks_multithreaded
@@ -10,6 +15,7 @@ __all__ = [
     "SeriesPipeline",
     "anomaly_seasonal",
     "anomaly_zscore",
+    "cusum",
     "seasonal_profile",
     "dataframe_func",
     "ewma",

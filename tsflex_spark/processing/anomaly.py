@@ -183,3 +183,76 @@ def anomaly_seasonal(
         )
         .drop("n")
     )
+
+
+def cusum(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    key_cols: Sequence[str],
+    *,
+    target: Optional[float] = None,
+    sigma: Optional[float] = None,
+    k: float = 0.5,
+    h: float = 5.0,
+) -> DataFrame:
+    """Two-sided CUSUM change detection per key (Page 1954 — the
+    standard mean-shift monitor): ``S⁺_t = max(0, S⁺_{t-1} + z_t - k)``
+    and the symmetric ``S⁻``; alarm when either exceeds ``h`` (both in
+    σ units, the classical k=0.5/h=5 defaults ≈ detect 1σ shifts).
+
+    Distributed form: the recursive max is NOT associative, but
+    ``S⁺_t = P_t - min_{i≤t} P_i`` where ``P`` is the prefix sum of
+    ``z - k`` — prefix sum and running min are both frame aggregates,
+    so the whole operator is ONE keyed window exchange, all codegen.
+
+    ``target``/``sigma`` freeze the in-control mean/σ (the production
+    shape — estimated on reference data, monitored on new data); left
+    None they are estimated per key from ``df`` itself in one extra
+    aggregate (broadcast back).
+    """
+    key_cols = list(key_cols)
+    if not key_cols:
+        raise ValueError(
+            "cusum requires key_cols (unkeyed = single-partition window); "
+            "segment or key the series first"
+        )
+    d = df.withColumn("__tsn", ts_micros(ts_col))
+    x = F.col(value_col).cast("double")
+    if target is None or sigma is None:
+        base = d.groupBy(*key_cols).agg(
+            F.avg(x).alias("__mu"), F.stddev_pop(x).alias("__sd")
+        )
+        d = d.join(F.broadcast(base), on=key_cols)
+        mu = F.col("__mu") if target is None else F.lit(float(target))
+        sd = F.col("__sd") if sigma is None else F.lit(float(sigma))
+    else:
+        mu, sd = F.lit(float(target)), F.lit(float(sigma))
+    z = (x - mu) / sd
+    cum = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__tsn")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = d.select(
+        "*",
+        F.sum(z - F.lit(float(k))).over(cum).alias("__pp"),
+        F.sum(z + F.lit(float(k))).over(cum).alias("__pn"),
+    )
+    d = d.select(
+        "*",
+        F.min("__pp").over(cum).alias("__ppmin"),
+        F.max("__pn").over(cum).alias("__pnmax"),
+    )
+    # S+ = P_t - min(0, min_{i<=t} P_i): the EMPTY prefix (value 0)
+    # participates in the min — without it a monotone-up P would have
+    # S+ stuck at P_t - P_1 instead of P_t. Symmetric for S-.
+    s_pos = F.col("__pp") - F.least(F.lit(0.0), F.col("__ppmin"))
+    s_neg = F.greatest(F.lit(0.0), F.col("__pnmax")) - F.col("__pn")
+    out = d.select(
+        *[c for c in df.columns],
+        s_pos.alias("cusum_pos"),
+        s_neg.alias("cusum_neg"),
+        ((s_pos > F.lit(float(h))) | (s_neg > F.lit(float(h)))).alias("is_shifted"),
+    )
+    return out
