@@ -79,3 +79,26 @@ def test_compact_parquet_with_sort(spark, tmp_path):
     f = _files(dst)[0]
     ids = pq.read_table(f, columns=["id"])["id"].to_pylist()
     assert ids == sorted(ids)
+
+
+def test_write_sorted_with_partition_by(spark, tmp_path):
+    """Composition: hive partitions outside, disjoint sorted ranges
+    inside each partition directory."""
+    df = spark.range(20_000).select(
+        (F.col("id") % 2).alias("p"), F.col("id")
+    ).orderBy(F.xxhash64("id"))
+    out = str(tmp_path / "ps")
+    write_sorted(df, out, ["id"], partition_by=["p"], n_files=4)
+    for part in ("p=0", "p=1"):
+        files = _files(os.path.join(out, part))
+        assert files
+        ranges = []
+        for f in files:
+            md = pq.read_metadata(f)
+            mins = [md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups)]
+            maxs = [md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups)]
+            ranges.append((min(mins), max(maxs)))
+        ranges.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 < lo2
+    assert spark.read.parquet(out).count() == 20_000

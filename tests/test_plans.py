@@ -407,3 +407,15 @@ def test_dedup_store_membership_is_equi_join(spark, tmp_path):
     out = dedup_against_store(nxt, store, "text", "doc_id", update_store=False)
     plan = plan_of(out)
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_cusum_single_window_exchange(spark):
+    """Both CUSUM sides (4 frame aggregates over one cumulative frame)
+    must share one Window exchange — no per-derived-column re-windows."""
+    from tsflex_spark.processing.anomaly import cusum
+    from tsflex_spark.sources.io import read_events
+
+    ev = read_events(spark, SF_DIR).select("ts", "user_id", "value")
+    plan = plan_of(cusum(ev, "ts", "value", ["user_id"], target=0.0, sigma=1.0))
+    assert plan.count(") Exchange") == 1
+    assert plan.count(") Window") <= 2  # sums, then mins/maxs over them
