@@ -7,6 +7,7 @@ from tsflex_spark.processing.anomaly import (
     seasonal_profile,
 )
 from tsflex_spark.processing.downsample import lttb, m4, minmax_preselect
+from tsflex_spark.processing.resample import resample_interpolate
 from tsflex_spark.processing.smoothing import ewma
 from tsflex_spark.processing.utils import process_chunks_multithreaded
 
@@ -23,4 +24,5 @@ __all__ = [
     "m4",
     "minmax_preselect",
     "process_chunks_multithreaded",
+    "resample_interpolate",
 ]
