@@ -1060,7 +1060,7 @@ per AS (SELECT doc_id, count(*) AS n_bigrams, sum(lp) AS sum_logp_e6 FROM sc GRO
 SELECT s.doc_id, s.n_chars, s.n_tokens, s.n_bpe_tokens,
        coalesce(per.n_bigrams, 0) AS n_bigrams,
        coalesce(per.sum_logp_e6, 0) AS sum_logp_e6,
-       exp(-(CAST(per.sum_logp_e6 AS DOUBLE) / 1e6) / per.n_bigrams) AS ppl,
+       round(exp(-(CAST(per.sum_logp_e6 AS DOUBLE) / 1e6) / per.n_bigrams), 6) AS ppl,
        c.p05_chars, c.p95_chars,
        CAST(s.n_chars >= c.p05_chars AND s.n_chars <= c.p95_chars AS INT) AS in_band
 FROM s CROSS JOIN c LEFT JOIN per ON per.doc_id = s.doc_id

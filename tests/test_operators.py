@@ -1727,7 +1727,8 @@ def _py_bigram_ppl(train_texts, score_texts):
             p = (pairs.get((a, b), 0) + 1) / (ctx.get(a, 0) + v)
             s += round(math.log(p) * 1e6)
             n += 1
-        ppl = math.exp(-(s / 1e6) / n) if n else None
+        # engine quantizes ppl to 6 dp (cross-engine exp ulp discipline)
+        ppl = round(math.exp(-(s / 1e6) / n), 6) if n else None
         out.append((n, s, ppl))
     return out
 
@@ -1845,6 +1846,8 @@ def test_perplexity_scores_a_stream(spark, tmp_path):
     exp = score_perplexity(batch, lm, "text").toPandas().set_index("doc_id").sort_index()
     assert list(got["sum_logp_e6"]) == list(exp["sum_logp_e6"])
     assert list(got["n_bigrams"]) == list(exp["n_bigrams"])
+    # both paths quantize ppl to 6 dp -> bit-equal (NaN == NaN via fillna)
+    assert list(got["ppl"].fillna(-1.0)) == list(exp["ppl"].fillna(-1.0))
 
 
 # --- DSIR importance resampling (datapipe/dsir.py) -------------------------

@@ -173,7 +173,14 @@ def score_perplexity(
     # left join back so 0/1-token docs still get a row (NULL ppl)
     out = docs.select(id_col).join(per_doc, on=id_col, how="left")
     n = F.col("n_bigrams")
-    ppl = F.exp(-(F.col("sum_logp_e6").cast("double") / F.lit(1_000_000.0)) / n.cast("double"))
+    # quantize to 6 dp: JVM Math.exp and libm exp are both <=1-ulp but
+    # not correctly rounded, so the raw double legitimately differs in
+    # the last ulp across engines — the integer sums stay the exact
+    # cross-engine contract, ppl is a derived report value
+    ppl = F.round(
+        F.exp(-(F.col("sum_logp_e6").cast("double") / F.lit(1_000_000.0)) / n.cast("double")),
+        6,
+    )
     return out.select(
         id_col,
         F.coalesce(n, F.lit(0)).cast("long").alias("n_bigrams"),
@@ -237,7 +244,9 @@ def score_perplexity_local(
                 ids.append(did)
                 ns.append(n)
                 sums.append(s)
-                ppls.append(math.exp(-(s / 1e6) / n) if n else None)
+                # same 6-dp quantization as the engine path (kills the
+                # libm-vs-Math.exp last-ulp divergence)
+                ppls.append(round(math.exp(-(s / 1e6) / n), 6) if n else None)
             yield pd.DataFrame(
                 {id_col: ids, "n_bigrams": ns, "sum_logp_e6": sums, "ppl": ppls}
             )
