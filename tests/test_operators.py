@@ -2022,6 +2022,28 @@ def test_phash_band_pigeonhole(spark):
     assert len(pairs) == 1 and pairs[0]["hamming"] == 3
 
 
+def test_phash_band_default_bands_guarantee_recall(spark):
+    """Default num_bands = max_hamming + 1: a pair whose differing bits
+    land one-per-16-bit-band (which a fixed 4-band config would silently
+    drop) is still found; an explicit num_bands <= max_hamming raises."""
+    import pytest as _pytest
+
+    from tsflex_spark.datapipe.multimodal import image_neardup_pairs
+
+    h1 = 0x0123456789ABCDEF
+    # 5 differing bits, one in each 16-bit quarter (two in the top one)
+    h2 = h1 ^ (1 << 0) ^ (1 << 16) ^ (1 << 32) ^ (1 << 48) ^ (1 << 60)
+    def to_i64(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+    hashes = spark.createDataFrame(
+        [(1, to_i64(h1)), (2, to_i64(h2))], "id long, dhash long"
+    )
+    pairs = image_neardup_pairs(hashes, max_hamming=5).collect()
+    assert len(pairs) == 1 and pairs[0]["hamming"] == 5
+    with _pytest.raises(ValueError, match="num_bands"):
+        image_neardup_pairs(hashes, max_hamming=5, num_bands=4)
+
+
 def test_audio_fingerprint_neardup(spark):
     """Energy-contour fingerprints: gain changes do not move bits, a
     locally perturbed clip stays within a small hamming budget, an

@@ -112,7 +112,7 @@ def test_salted_join_splits_hot_key_partitions(spark):
     big, small = _skewed(spark)
     from tsflex_spark.utils.skew import _SALT, _salt_col
 
-    salted = big.withColumn(_SALT, _salt_col(["k"], 8))
+    salted = big.withColumn(_SALT, _salt_col(big, 8))
     per_bucket = (
         salted.filter(F.col("k") == 1).groupBy(_SALT).count().collect()
     )

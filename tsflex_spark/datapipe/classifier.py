@@ -51,7 +51,11 @@ def _ngram_rows(
     """(id, __g) — one row per char n-gram occurrence of the lowercased,
     whitespace-collapsed text (same normalization as ``text.hash_embed``
     so the two featurizers agree on what an n-gram is)."""
-    d = fan_out(df.select(id_col, text_col))
+    # NULL text contributes NO n-grams (the doc scores
+    # sigmoid(intercept) through the scorer's left-join miss) — without
+    # the filter the explode emits one NULL gram whose xxhash64 is the
+    # hash of the bare seed, an accidental bucket
+    d = fan_out(df.select(id_col, text_col)).where(F.col(text_col).isNotNull())
     d = d.withColumn(
         "__norm", F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
     )
@@ -308,7 +312,8 @@ def score_quality_local(
     w = list(clf.weights)
     b0 = float(clf.intercept)
     dim, ngram = int(clf.dim), int(clf.ngram)
-    out_schema = f"{id_col} long, {out_col} double"
+    id_type = docs.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, {out_col} double"
     # ASCII \s+ == Java's default \s (tokenizer parity with Catalyst);
     # regexp_replace does NOT trim — neither do we
     ws_re = re.compile(r"\s+", re.ASCII)
@@ -317,7 +322,14 @@ def score_quality_local(
         for pdf in batches:
             ids, probs = [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                norm = ws_re.sub(" ", text or "").lower()
+                if text is None or text is pd.NA or (
+                    isinstance(text, float) and math.isnan(text)
+                ):
+                    # engine parity: NULL text -> no grams -> prior score
+                    ids.append(did)
+                    probs.append(1.0 / (1.0 + math.exp(-b0)))
+                    continue
+                norm = ws_re.sub(" ", text).lower()
                 if len(norm) <= ngram:
                     grams = [norm[:ngram]]  # sequence(1, greatest(.,1))
                 else:

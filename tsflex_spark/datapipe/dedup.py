@@ -979,11 +979,16 @@ def dedup_against_store(
     )
     bands = band_rows(sig, id_col, num_bands).localCheckpoint(eager=False)
 
-    try:
+    # Probe existence via the Hadoop FS API instead of catching every
+    # read error: a transient failure (permissions, network, corrupt
+    # footer) must propagate — treating it as "no store yet" would
+    # silently skip the membership check and admit duplicates into both
+    # the corpus and the store.
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    have_store = fs.exists(jpath)
+    if have_store:
         store = spark.read.parquet(store_path)
-        have_store = True
-    except Exception:
-        have_store = False
     if have_store:
         hit = (
             bands.join(

@@ -288,16 +288,32 @@ def image_neardup_pairs(
     id_col: str = "id",
     hash_col: str = "dhash",
     max_hamming: int = 6,
-    num_bands: int = 4,
+    num_bands: Optional[int] = None,
 ) -> DataFrame:
     """Image near-dup candidate pairs from 64-bit perceptual hashes:
-    band the hash into ``num_bands`` 16-bit chunks and equi-self-join
-    per band (two hashes within ``max_hamming`` bits share at least one
-    identical band when ``max_hamming < num_bands`` by pigeonhole
-    — same construction as SimHash bucketing; never all-pairs), then
-    verify exact hamming distance with ``bit_count(a XOR b)`` in
-    codegen. Returns (id_a, id_b, hamming) with id_a < id_b.
+    band the hash into ``num_bands`` chunks and equi-self-join per band
+    (two hashes within ``max_hamming`` bits share at least one identical
+    band when ``max_hamming < num_bands`` by pigeonhole — same
+    construction as SimHash bucketing; never all-pairs), then verify
+    exact hamming distance with ``bit_count(a XOR b)`` in codegen.
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+
+    ``num_bands`` defaults to ``max_hamming + 1`` — the minimum that
+    makes the pigeonhole recall guarantee hold. An explicit
+    ``num_bands <= max_hamming`` raises: such a join silently drops
+    pairs whose differing bits land one-per-band.
     """
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    if num_bands is None:
+        num_bands = max_hamming + 1
+    elif num_bands <= max_hamming:
+        raise ValueError(
+            f"num_bands ({num_bands}) must exceed max_hamming ({max_hamming}): "
+            "with <= max_hamming bands a pair can differ one-bit-per-band and "
+            "share no band, silently escaping the candidate join"
+        )
+    num_bands = min(num_bands, 64)
     width = 64 // num_bands
     bands = hashes.select(
         F.col(id_col),

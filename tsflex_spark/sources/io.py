@@ -242,13 +242,13 @@ def compact_parquet(
     directory swap is the atomic unit the filesystem gives us.
     """
     import math
-    import os
 
-    total = 0
-    for root, _dirs, files in os.walk(src):
-        for f in files:
-            if not f.startswith(("_", ".")):
-                total += os.path.getsize(os.path.join(root, f))
+    # Size via the Hadoop FileSystem API so s3a:// / hdfs:// / file://
+    # all resolve — an os.walk would see 0 bytes on any non-local path
+    # and silently coalesce a 100 TB dataset into ONE file/task.
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(src)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(jpath).getLength()
     n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     d = spark.read.parquet(src)
     if sort_cols:

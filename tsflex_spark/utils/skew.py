@@ -50,13 +50,21 @@ def key_skew_stats(
     )
 
 
-def _salt_col(cols: Sequence[str], buckets: int) -> F.Column:
-    # deterministic per-row scatter: hash of the row's non-key content
-    # would be ideal but unknowable generically; monotonically_increasing_id
-    # is partition-deterministic and never shuffles
+def _salt_col(
+    df: DataFrame, buckets: int, salt_on: Optional[Sequence[str]] = None
+) -> F.Column:
+    # deterministic per-row scatter: hash of the row's CONTENT (all
+    # columns unless the caller names some), never
+    # monotonically_increasing_id — a nondeterministic salt re-salts
+    # rows differently on stage retry after a shuffle fetch failure,
+    # which duplicates or loses rows through the downstream exchange
+    # (the SPARK-23207 class of bug). The trade: rows that are full
+    # duplicates land in the same bucket, so a hot key made of IDENTICAL
+    # rows will not scatter — pass salt_on naming a distinguishing
+    # column if content-identical hot rows are possible.
+    cols = list(salt_on) if salt_on else list(df.columns)
     return F.pmod(
-        F.xxhash64(F.monotonically_increasing_id(), *[F.col(c) for c in cols]),
-        F.lit(int(buckets)),
+        F.xxhash64(*[F.col(c) for c in cols]), F.lit(int(buckets))
     ).cast("int")
 
 
@@ -66,6 +74,7 @@ def salted_join(
     on: Sequence[str],
     how: str = "inner",
     buckets: int = 8,
+    salt_on: Optional[Sequence[str]] = None,
 ) -> DataFrame:
     """Equi-join where every ``big``-side key is scattered over
     ``buckets`` salt values and ``small`` is replicated ``buckets``×.
@@ -76,11 +85,14 @@ def salted_join(
     volume ×``buckets`` buys a ``buckets``-way split of every hot
     key's task. Use when the whole key distribution is heavy-tailed;
     prefer ``salted_join_hot`` when you can name the hot keys.
+
+    The salt is a content hash (retry-deterministic); ``salt_on``
+    names the columns to hash (default: all of ``big``'s columns).
     """
     on = list(on)
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left joins")
-    b = big.withColumn(_SALT, _salt_col(on, buckets))
+    b = big.withColumn(_SALT, _salt_col(big, buckets, salt_on))
     s = small.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(int(buckets) - 1)))
     ).withColumn(_SALT, F.col(_SALT).cast("int"))
@@ -94,6 +106,7 @@ def salted_join_hot(
     hot_keys: Sequence,
     how: str = "inner",
     buckets: int = 32,
+    salt_on: Optional[Sequence[str]] = None,
 ) -> DataFrame:
     """Differential salting: only rows whose key is in ``hot_keys``
     (values of the FIRST join column for a single-column join, tuples
@@ -136,7 +149,7 @@ def salted_join_hot(
 
     b = big.withColumn(
         _SALT,
-        F.when(is_hot, _salt_col(on, buckets)).otherwise(F.lit(0)).cast("int"),
+        F.when(is_hot, _salt_col(big, buckets, salt_on)).otherwise(F.lit(0)).cast("int"),
     )
     s_hot = hot_of(small).withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(int(buckets) - 1)))
@@ -152,6 +165,7 @@ def salted_collect_list(
     value_col: str,
     buckets: int = 16,
     out_col: Optional[str] = None,
+    salt_on: Optional[Sequence[str]] = None,
 ) -> DataFrame:
     """Two-level ``collect_list`` for hot keys: partial lists per
     (key, salt) — ``buckets`` bounded tasks instead of one giant one —
@@ -162,7 +176,7 @@ def salted_collect_list(
     ``collect_list`` never promised an order either."""
     keys = list(keys)
     out = out_col or f"{value_col}_list"
-    salted = df.withColumn(_SALT, _salt_col(keys, buckets))
+    salted = df.withColumn(_SALT, _salt_col(df, buckets, salt_on))
     partial = salted.groupBy(*keys, _SALT).agg(
         F.collect_list(value_col).alias("__part")
     )
