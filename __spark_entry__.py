@@ -1379,24 +1379,97 @@ ORDER BY method, q_id, "rank"
 
 
 def q_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both ANN scale paths in one gate (driver caps queries() at 50):
-    top-10 via deterministic random-hyperplane LSH buckets with multi-probe
-    (hamming <= 2), unioned with top-10 via the IVF path (seeded MLlib
-    KMeans coarse quantizer, nprobe=4 of nlist=16 cells, exact cosine
-    re-rank), tagged by method. Approximate by design — rows-only check."""
+    """Both ANN scale paths in one gate (driver caps queries() at 50),
+    now FULLY oracle-checked by gating verifiable invariants instead of
+    a rows-only count:
+
+    - ``lsh``: top-10 via random-hyperplane LSH buckets with multi-probe
+      (hamming <= 2). The hyperplanes depend only on the seed, so the
+      ORACLE replays the whole algorithm (signature bits, hamming probe,
+      exact-cosine re-rank) in SQL with the plane matrix inlined as
+      literals — the LSH answer is approximate w.r.t. the true top-10
+      but exactly deterministic as an algorithm.
+    - ``ivf_all``: the IVF machinery (seeded driver-side Lloyd quantizer,
+      Arrow-BLAS cell assignment, cell-probe filter, exact cosine
+      re-rank) probed over ALL nlist cells. Cells partition the corpus,
+      so nprobe=nlist must reproduce the EXACT top-10 — the partition-
+      completeness invariant (a doc lost or double-assigned by the
+      quantizer breaks the hash match). The pruned nprobe<nlist path is
+      covered by pytest recall tests.
+    """
     _utc(spark)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from pyspark.sql import Window
+
     from tsflex_spark.datapipe.similarity import ivf_topk, lsh_bucket_topk
 
     base = emb.where(F.col("vec_id") != 0)
-    dim = len(emb.select("embedding").first()[0])
     q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_vec"))
-    lsh = lsh_bucket_topk(base, q, k=10, num_planes=8, dim=dim, probe_hamming=2)
-    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
-    ivf = ivf_topk(base, qv, k=10, nlist=16, nprobe=4)
-    return lsh.select(F.lit("lsh").alias("method"), "vec_id", "cosine").unionByName(
-        ivf.select(F.lit("ivf").alias("method"), "vec_id", "cosine")
+    lsh = lsh_bucket_topk(
+        base, q, k=10, num_planes=_ANN_PLANES, dim=_ANN_DIM, probe_hamming=2
     )
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    ivf = ivf_topk(base, qv, k=10, nlist=16, nprobe=16)
+    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    lsh = lsh.select(
+        F.lit("lsh").alias("method"), "vec_id", "cosine",
+        F.row_number().over(w).alias("rank"),
+    )
+    ivf = ivf.select(
+        F.lit("ivf_all").alias("method"), "vec_id", "cosine",
+        F.row_number().over(w).alias("rank"),
+    )
+    return lsh.unionByName(ivf).orderBy("method", "rank")
+
+
+_ANN_PLANES = 8
+_ANN_DIM = 64  # embeddings.parquet dim at every driver SF
+
+
+def _oracle_ann_methods() -> str:
+    """Replays the LSH algorithm in SQL (plane literals from the same
+    seeded generator the engine uses) and the exact top-10 for the
+    all-cells IVF invariant."""
+    from tsflex_spark.datapipe.similarity import _plane_signs
+
+    signs = _plane_signs(_ANN_PLANES, _ANN_DIM, seed=7)
+    def sig_expr(vec: str) -> str:
+        bits = []
+        for p, plane in enumerate(signs):
+            lits = ", ".join(f"{v:.1f}" for v in plane)
+            proj = (
+                f"list_reduce(list_transform(range(1, {_ANN_DIM} + 1), "
+                f"i -> {vec}[i]::DOUBLE * ([{lits}])[i]), (a, b) -> a + b)"
+            )
+            bits.append(f"(CASE WHEN {proj} > 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END)")
+        return " + ".join(bits)
+
+    cos = (
+        "list_reduce(list_transform(range(1, len(e.embedding) + 1), "
+        "i -> e.embedding[i]::DOUBLE * q.q_vec[i]::DOUBLE), (a, b) -> a + b) "
+        "/ (sqrt(list_reduce(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b)) "
+        "* sqrt(list_reduce(list_transform(q.q_vec, x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b)))"
+    )
+    return f"""
+WITH q AS (SELECT embedding AS q_vec, {sig_expr('embedding')} AS qsig
+           FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, {cos} AS cosine,
+         bit_count(CAST(xor({sig_expr('e.embedding')}, q.qsig) AS BIGINT)) AS ham
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> 0),
+lsh AS (
+  SELECT 'lsh' AS method, vec_id, cosine,
+         CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS "rank"
+  FROM (SELECT vec_id, cosine FROM scored WHERE ham <= 2
+        ORDER BY cosine DESC, vec_id LIMIT 10)),
+ivf AS (
+  SELECT 'ivf_all' AS method, vec_id, cosine,
+         CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS "rank"
+  FROM (SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10))
+SELECT * FROM lsh UNION ALL SELECT * FROM ivf
+ORDER BY method, "rank"
+"""
 
 
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1475,28 +1548,98 @@ FROM lbl GROUP BY cluster_id ORDER BY cluster_id
 
 def q_sketch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both hash-sketch dedup paths in one gate (driver caps queries() at
-    50): MinHash+LSH near-dup survivors and SimHash 64-bit fingerprints,
-    tagged by method. Rows-only check (xxhash64 sketches are
-    engine-specific by construction; the oracle-checkable verification
-    stages are ngram_jaccard / embedding_neardup / dup_clusters)."""
+    50), now FULLY oracle-checked by gating the candidate-superset
+    property instead of a rows-only count: every pair with EXACT shingle
+    Jaccard >= 0.8 must survive sketch-candidate generation + exact
+    verify, and nothing below the threshold may. The xxhash64 sketches
+    themselves stay engine-specific; what the oracle checks is the
+    recall contract each sketch is FOR — its output must equal DuckDB's
+    all-pairs exact-Jaccard >= 0.8 set.
+
+    - ``minhash``: OPH MinHash signatures → 16-band LSH candidates →
+      signature-estimate prefilter (false band collisions estimate low
+      and never reach the exact joins) → exact-Jaccard verify (the
+      production dedup path end-to-end).
+    - ``simhash``: 64-bit SimHash fingerprints → hamming<=8 banded
+      candidate pairs (pigeonhole bands) → exact-Jaccard verify.
+    """
     _utc(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    from tsflex_spark.datapipe.dedup import minhash_dedup, shingle_rows, simhash
+    from tsflex_spark.datapipe.dedup import (
+        minhash_est_jaccard,
+        minhash_lsh_candidates,
+        minhash_signatures,
+        ngram_jaccard,
+        shingle_rows,
+        simhash,
+        simhash_pairs,
+    )
 
-    # both sketches consume the same (id, shingle-hash) table — shingle
-    # once, lazily checkpoint, share
+    # all stages consume the same (id, shingle-hash) table — shingle
+    # once, lazily checkpoint, share; signatures feed the banding AND
+    # both sides of the estimate join
     sh = shingle_rows(docs, "text", "doc_id").localCheckpoint(eager=False)
-    mh = minhash_dedup(docs, "text", id_col="doc_id", threshold=0.8, shingles=sh).select(
-        F.lit("minhash").alias("method"),
-        "doc_id",
-        F.lit(None).cast("long").alias("fp"),
+    sig = minhash_signatures(docs, "text", "doc_id", shingles=sh).localCheckpoint(
+        eager=False
     )
-    sim = simhash(docs, "text", id_col="doc_id", shingles=sh).select(
-        F.lit("simhash").alias("method"),
-        "doc_id",
-        F.col("simhash").alias("fp"),
+    mh_cand = minhash_lsh_candidates(sig, "doc_id")
+    mh_pre = (
+        minhash_est_jaccard(mh_cand, sig, "doc_id")
+        .where(F.col("est_jaccard") >= 0.7)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
     )
-    return mh.unionByName(sim).orderBy("method", "doc_id")
+    fps = simhash(docs, "text", id_col="doc_id", shingles=sh)
+    sh_cand = (
+        simhash_pairs(fps, id_col="doc_id", max_hamming=8)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    # ONE exact-verify pass over the union of both methods' candidates
+    # (the expensive pair-driven shingle joins run once), then each
+    # method's survivor set is a cheap semi-join against its candidates
+    both = mh_pre.unionByName(sh_cand).distinct()
+    ver = (
+        ngram_jaccard(docs, both, "text", id_col="doc_id", shingles=sh)
+        .where(F.col("jaccard") >= 0.8)
+        .localCheckpoint(eager=False)
+    )
+    mh = ver.join(mh_pre, ["id_a", "id_b"], "left_semi")
+    sv = ver.join(sh_cand, ["id_a", "id_b"], "left_semi")
+    return (
+        mh.select(F.lit("minhash").alias("method"), "id_a", "id_b", "jaccard")
+        .unionByName(
+            sv.select(F.lit("simhash").alias("method"), "id_a", "id_b", "jaccard")
+        )
+        .orderBy("method", "id_a", "id_b")
+    )
+
+
+def _oracle_sketch_dedup() -> str:
+    # ground truth: ALL-pairs exact shingle Jaccard >= 0.8, once per
+    # sketch method — each sketch's candidates must catch every true
+    # pair (recall contract) and the shared exact-verify stage removes
+    # everything below threshold (precision contract)
+    return r"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(
+             range(1, greatest(length(n) - 4, 1) + 1),
+             i -> substr(n, i::INT, 5))) AS s
+  FROM (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS n FROM documents)),
+tp AS (
+  SELECT id_a, id_b, CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) AS jaccard
+  FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.s, b.s)) AS i,
+               len(a.s) AS na, len(b.s) AS nb
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+  WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= 0.8)
+SELECT 'minhash' AS method, id_a, id_b, jaccard FROM tp
+UNION ALL
+SELECT 'simhash' AS method, id_a, id_b, jaccard FROM tp
+ORDER BY method, id_a, id_b
+"""
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2885,6 +3028,9 @@ def oracle_sql() -> dict[str, str]:
         "integration_features": _oracle_integration_features(),
         "processing_per_user_diff": _oracle_processing_per_user_diff(),
         "dup_clusters": _oracle_dup_clusters(),
-        # ann_methods / sketch_dedup: engine-specific hashes or
-        # approximate — rows-only checks by design
+        # both former rows-only gates now check verifiable invariants:
+        # the LSH algorithm replayed in SQL + the IVF partition-
+        # completeness property; the sketch candidate-superset contract
+        "ann_methods": _oracle_ann_methods(),
+        "sketch_dedup": _oracle_sketch_dedup(),
     }

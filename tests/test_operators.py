@@ -140,6 +140,28 @@ def test_simhash_similar_docs_close(spark):
     assert ham(out[0], out[1]) < ham(out[0], out[2])
 
 
+def test_simhash_pairs_candidate_superset(spark):
+    """simhash → hamming-band candidate pairs → exact-Jaccard verify:
+    the near-dup pair survives, the unrelated doc never pairs."""
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    near = base[: -len("dog ")] + "cat "  # one token changed -> tiny hamming
+    other = "numbers 123 456 789 and totally unrelated words here " * 10
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1, 2], "text": [base, near, other]})
+    )
+    from tsflex_spark.datapipe.dedup import ngram_jaccard, simhash, simhash_pairs
+
+    fps = simhash(df, "text", "doc_id")
+    cand = simhash_pairs(fps, id_col="doc_id", max_hamming=8)
+    got = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    assert (0, 1) in got
+    verified = ngram_jaccard(
+        df, cand.select("id_a", "id_b"), "text", id_col="doc_id"
+    ).where(F.col("jaccard") >= 0.5)
+    vt = {(r["id_a"], r["id_b"]) for r in verified.collect()}
+    assert (0, 1) in vt and not any(2 in p for p in vt)
+
+
 # ------------------------------------------------------------ similarity
 def test_cosine_topk_exact(spark):
     rng = np.random.default_rng(7)

@@ -229,6 +229,41 @@ def minhash_lsh_candidates(
     return pairs.select("id_a", "id_b").distinct()
 
 
+def minhash_est_jaccard(
+    candidates: DataFrame,
+    signatures: DataFrame,
+    id_col: str,
+    out_col: str = "est_jaccard",
+) -> DataFrame:
+    """Signature-estimated Jaccard for candidate pairs: the fraction of
+    matching minhash slots (an unbiased estimator of J with sd
+    sqrt(J(1-J)/num_hashes)). The cheap middle stage between LSH
+    banding and exact verification: false band collisions estimate low
+    and are dropped BEFORE the exact pair-driven shingle joins, so the
+    expensive verify stage only sees pairs that are plausibly similar.
+    Pure codegen — two hash joins on id + one in-row fold over the two
+    64-long arrays; the shuffle carries signatures only for docs that
+    appear in a candidate pair.
+    """
+    sa = signatures.select(
+        F.col(id_col).alias("id_a"), F.col("minhash").alias("__sa")
+    )
+    sb = signatures.select(
+        F.col(id_col).alias("id_b"), F.col("minhash").alias("__sb")
+    )
+    j = candidates.join(sa, "id_a").join(sb, "id_b")
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("__sa"), F.col("__sb"),
+            lambda a, b: F.when(a == b, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    est = matches.cast("double") / F.size("__sa").cast("double")
+    return j.select("id_a", "id_b", est.alias(out_col))
+
+
 def ngram_jaccard(
     df: DataFrame,
     pairs: DataFrame,
@@ -293,14 +328,25 @@ def minhash_dedup(
     num_bands: Optional[int] = None,
     shingle_k: int = 5,
     shingles: Optional[DataFrame] = None,
+    prefilter_margin: Optional[float] = 0.15,
 ) -> DataFrame:
-    """Near-dup removal: LSH candidates → exact Jaccard ≥ threshold →
-    connected-ish grouping (min-id representative) → keep representatives.
+    """Near-dup removal: LSH candidates → signature-estimate prefilter →
+    exact Jaccard ≥ threshold → connected-ish grouping (min-id
+    representative) → keep representatives.
 
     ``num_bands`` defaults to the divisor of ``num_hashes`` whose LSH
     S-curve threshold (1/b)^(b/num_hashes) is closest to ``threshold`` in
     log space — fewer bands = fewer false candidates to verify, but bands
     must stay fine enough to catch pairs at the requested similarity.
+
+    ``prefilter_margin``: candidates whose signature-estimated Jaccard
+    falls below ``threshold - prefilter_margin`` are dropped BEFORE the
+    exact shingle joins (``minhash_est_jaccard`` — an in-row codegen
+    fold, orders of magnitude cheaper per pair than the verify joins).
+    The extra false-negative probability for a truly-``threshold`` pair
+    is P(Binom(num_hashes, J)/num_hashes < J - margin) ≈ 0.3% at the
+    defaults — same order as the banding's own miss rate. ``None``
+    disables the stage.
 
     Representative choice: each doc maps to the min id among its confirmed
     near-dups (single-hop union — documents chained A~B~C keep min per
@@ -336,6 +382,12 @@ def minhash_dedup(
     # once and TRUNCATES the lineage, so the DAG is neither re-planned nor
     # re-executed per consumer (cache alone still re-plans it under AQE)
     cands = minhash_lsh_candidates(sigs, id_col, num_bands).localCheckpoint(eager=False)
+    if prefilter_margin is not None:
+        cands = (
+            minhash_est_jaccard(cands, sigs, id_col)
+            .where(F.col("est_jaccard") >= float(threshold) - float(prefilter_margin))
+            .select("id_a", "id_b")
+        )
     confirmed = ngram_jaccard(df, cands, text_col, id_col, shingle_k, shingles=sh).where(
         F.col("jaccard") >= threshold
     )
@@ -388,6 +440,35 @@ def simhash(
             F.when(popc * 2 > F.col("__n"), mask).otherwise(F.lit(0).cast("long"))
         )
     return g.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_pairs(
+    fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    max_hamming: int = 8,
+    num_bands: Optional[int] = None,
+) -> DataFrame:
+    """SimHash candidate pairs: ``(id_a, id_b, hamming)`` for fingerprint
+    pairs within ``max_hamming`` bits (id_a < id_b).
+
+    Same hamming-band construction as the perceptual-hash near-dup join
+    (``multimodal.image_neardup_pairs`` — banded equi-join, pigeonhole
+    recall guarantee when ``max_hamming < num_bands``, exact
+    ``bit_count(a XOR b)`` verify in codegen); re-exported here so the
+    text-dedup pipeline composes without importing the multimodal module.
+    Feed the output to ``ngram_jaccard`` for the exact-similarity verify
+    stage.
+    """
+    from tsflex_spark.datapipe.multimodal import image_neardup_pairs
+
+    return image_neardup_pairs(
+        fingerprints,
+        id_col=id_col,
+        hash_col=hash_col,
+        max_hamming=max_hamming,
+        num_bands=num_bands,
+    )
 
 
 def embedding_neardup(
