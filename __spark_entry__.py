@@ -533,9 +533,11 @@ def q_udf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow applyInPandas per window config — a single-series custom range,
     a MULTI-series (tuple series_name) 3-output function over ragged
     per-series segment data (click-values vs view-values), plus dtype
-    preservation (reference tests :1965-2046): a TIME-valued feature
-    (index-aware last-sample timestamp) and a CATEGORICAL string feature,
-    both declared via FuncWrapper(output_dtypes=...)."""
+    preservation (reference tests :1965-2089): a TIME-valued feature
+    (index-aware last-sample timestamp) declared via
+    FuncWrapper(output_dtypes=...) and a CATEGORICAL string feature with
+    NO declaration — its string type is probe-INFERRED at plan time,
+    the reference's automatic dtype-retention contract."""
     _utc(spark)
     import pandas as _pd
 
@@ -568,7 +570,7 @@ def q_udf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "v", "4h", "4h",
             ),
             FeatureDescriptor(
-                FuncWrapper(_udf_level_fn, output_names="level", output_dtypes="string"),
+                FuncWrapper(_udf_level_fn, output_names="level"),
                 "v", "4h", "4h",
             ),
         ]

@@ -160,6 +160,65 @@ def test_udf_output_dtypes_preserved(spark):
     ]
 
 
+def test_udf_dtype_inferred_without_declaration(spark):
+    """AUTOMATIC input-dtype preservation (reference retains whatever the
+    function returns WITHOUT a declaration — tests :1965-2089): string-,
+    int-, bool-, and timestamp-valued features declared with no
+    output_dtypes get their natural Spark types via the plan-time probe;
+    a plain float function stays double."""
+    from tsflex_spark import FuncWrapper
+
+    ts = pd.date_range("2024-01-01", periods=101, freq="1s")
+    pdf = pd.DataFrame(
+        {"ts": ts, "v": np.arange(101.0), "cat": ["ab"[i % 2] for i in range(101)]}
+    )
+    df = spark.createDataFrame(pdf)
+
+    def mode_cat(a):  # string in -> string out
+        vals, counts = np.unique(a, return_counts=True)
+        return str(vals[np.argmax(counts)])
+
+    def n_samples(a):  # int out regardless of input dtype
+        return int(len(a))
+
+    def above_mean(a):  # bool out
+        return bool(len(a) and float(a[-1]) > float(np.mean(a)))
+
+    def last_ts(s: pd.Series):  # timestamp out (index-aware)
+        return s.index.max() if len(s) else None
+
+    def rng(a):  # float out -> stays double
+        return float(np.max(a) - np.min(a)) if len(a) else np.nan
+
+    fc = FeatureCollection(
+        [
+            FeatureDescriptor(FuncWrapper(mode_cat, output_names="m"), "cat", "50s", "50s"),
+            FeatureDescriptor(FuncWrapper(n_samples, output_names="n"), "v", "50s", "50s"),
+            FeatureDescriptor(FuncWrapper(above_mean, output_names="g"), "v", "50s", "50s"),
+            FeatureDescriptor(
+                FuncWrapper(last_ts, output_names="lts", input_type=pd.Series),
+                "v", "50s", "50s",
+            ),
+            FeatureDescriptor(FuncWrapper(rng, output_names="r"), "v", "50s", "50s"),
+        ]
+    )
+    res = fc.calculate(df, ts_col="ts")
+    types = {f.name: f.dataType.simpleString() for f in res.schema.fields}
+    assert types["cat__m__w=50s"] == "string"
+    assert types["v__n__w=50s"] == "bigint"
+    assert types["v__g__w=50s"] == "boolean"
+    assert types["v__lts__w=50s"] == "timestamp"
+    assert types["v__r__w=50s"] == "double"
+    out = res.toPandas().sort_values("ts")
+    assert list(out["cat__m__w=50s"]) == ["a", "a"]
+    assert list(out["v__n__w=50s"]) == [50, 50]
+    assert list(out["v__r__w=50s"]) == [49.0, 49.0]
+    assert list(out["v__lts__w=50s"]) == [
+        pd.Timestamp("2024-01-01 00:00:49"),
+        pd.Timestamp("2024-01-01 00:01:39"),
+    ]
+
+
 def test_explain_features_tiers():
     """Driver-side compilation report: tier + fanout + two-level verdicts
     per output, no Spark session or data touched."""

@@ -73,6 +73,81 @@ def _resolve_dtype(dt: Any) -> T.DataType:
     return T.DataType.fromDDL(str(dt))
 
 
+def _probe_series(spark_type: T.DataType, n: int, time_index: bool) -> pd.Series:
+    """A tiny dummy series of the pandas dtype matching ``spark_type``
+    (probe input for output-dtype inference)."""
+    if isinstance(spark_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        np_dt = {
+            T.ByteType: np.int8, T.ShortType: np.int16,
+            T.IntegerType: np.int32, T.LongType: np.int64,
+        }[type(spark_type)]
+        vals = np.arange(1, n + 1, dtype=np_dt)
+    elif isinstance(spark_type, T.FloatType):
+        vals = np.linspace(1.0, 2.0, n, dtype=np.float32)
+    elif isinstance(spark_type, T.BooleanType):
+        vals = np.resize([True, False], n)
+    elif isinstance(spark_type, T.StringType):
+        vals = np.array(list("abcd" * (n // 4 + 1))[:n], dtype=object)
+    elif isinstance(spark_type, (T.TimestampType, T.TimestampNTZType)):
+        vals = pd.date_range("2020-01-01", periods=n, freq="s")
+    elif isinstance(spark_type, T.DateType):
+        vals = pd.date_range("2020-01-01", periods=n, freq="D").date
+    else:
+        vals = np.linspace(1.0, 2.0, n, dtype=np.float64)
+    idx = pd.date_range("2020-01-01", periods=n, freq="s") if time_index else None
+    return pd.Series(vals, index=idx)
+
+
+def _spark_type_of_value(v: Any) -> T.DataType:
+    """Spark type of one probe-returned scalar (reference semantics: the
+    feature RETAINS whatever dtype the function returns —
+    /root/reference/tests/test_features_feature_collection.py:1965-2089)."""
+    import datetime as _dt
+
+    if v is None:
+        return T.DoubleType()
+    if isinstance(v, (bool, np.bool_)):
+        return T.BooleanType()
+    if isinstance(v, np.integer):
+        return {
+            1: T.ByteType(), 2: T.ShortType(), 4: T.IntegerType(), 8: T.LongType()
+        }[v.dtype.itemsize]
+    if isinstance(v, int):
+        return T.LongType()
+    if isinstance(v, np.float32):
+        return T.FloatType()
+    if isinstance(v, (float, np.floating)):
+        return T.DoubleType()
+    if isinstance(v, (pd.Timestamp, np.datetime64, _dt.datetime)):
+        return T.TimestampType()
+    if isinstance(v, _dt.date):
+        return T.DateType()
+    if isinstance(v, (pd.Timedelta, np.timedelta64, _dt.timedelta)):
+        return T.DayTimeIntervalType()
+    if isinstance(v, (str, np.str_)):
+        return T.StringType()
+    return T.DoubleType()
+
+
+def _infer_output_dtypes(
+    fw: Any, input_types: List[T.DataType], time_index: bool
+) -> Optional[List[T.DataType]]:
+    """Probe ``fw`` with dummy data of the input series' dtypes and map
+    what it returns to Spark types — the reference's input-dtype-
+    preservation contract without requiring ``output_dtypes``. Returns
+    None (caller falls back to double, the pre-probe behavior) when the
+    function can't run on the 8-sample probe."""
+    if isinstance(fw.func, str):
+        return None
+    try:
+        outs = fw.apply([_probe_series(t, 8, time_index) for t in input_types])
+        if len(outs) != len(fw.output_names):
+            return None
+        return [_spark_type_of_value(v) for v in outs]
+    except Exception:
+        return None
+
+
 def _grouping_columns(gd: Any) -> List[str]:
     """Grouping column names of a ``GroupedData`` (plain-column groupings
     only — PySpark exposes no public accessor, so the JVM toString is
@@ -637,34 +712,58 @@ class FeatureCollection:
         for series_tuple, win_str, fd in udf_entries:
             out_specs.append((series_tuple, win_str, fd.function))
 
+        is_time = domain == DataType.TIME
+
         out_fields = [assigned.schema[c] for c in group_cols]
         out_names: List[str] = []
         out_types: List[T.DataType] = []
+        # per-spec output meta: (colname, mode) where mode 'raw' preserves
+        # the function's value (declared dtype OR probe-inferred non-double
+        # — the reference retains whatever dtype the function returns,
+        # tests :1965-2089, without requiring a declaration) and 'coerce'
+        # is the legacy float path for double outputs
+        store_meta: List[List[Tuple[str, str]]] = []  # parallel to out_specs
         for series_tuple, win_str, fw in out_specs:
-            for o, dt in zip(fw.output_names, fw.output_dtypes):
-                out_names.append(_col_name(series_tuple, o, win_str))
-                out_types.append(_resolve_dtype(dt))
+            inferred = None
+            if any(dt is None for dt in fw.output_dtypes):
+                input_types = [assigned.schema[s].dataType for s in series_tuple]
+                inferred = _infer_output_dtypes(
+                    fw, input_types, is_time and fw.input_type is pd.Series
+                )
+            meta: List[Tuple[str, str]] = []
+            for i, (o, dt) in enumerate(zip(fw.output_names, fw.output_dtypes)):
+                name = _col_name(series_tuple, o, win_str)
+                if dt is not None:
+                    t, mode = _resolve_dtype(dt), "raw"
+                elif inferred is not None and not isinstance(
+                    inferred[i], T.DoubleType
+                ):
+                    t, mode = inferred[i], "raw"
+                else:
+                    t, mode = T.DoubleType(), "coerce"
+                out_names.append(name)
+                out_types.append(t)
+                meta.append((name, mode))
+            store_meta.append(meta)
         schema = T.StructType(
             out_fields
             + [T.StructField(n, t, True) for n, t in zip(out_names, out_types)]
         )
 
-        is_time = domain == DataType.TIME
-
-        def _store(row: Dict[str, Any], series_tuple, win_str, fw, outs) -> None:
-            for o, dt, v in zip(fw.output_names, fw.output_dtypes, outs):
-                name = _col_name(series_tuple, o, win_str)
-                if dt is None:  # default double tier — coerce like before
+        def _store(row: Dict[str, Any], spec_idx: int, fw, outs) -> None:
+            meta = store_meta[spec_idx]
+            for (name, mode), v in zip(meta, outs):
+                if mode == "coerce":  # double tier — coerce like before
                     try:
                         row[name] = float(v)
                     except (TypeError, ValueError):
                         row[name] = np.nan
-                else:  # declared dtype — preserve the raw value (NaN -> NULL)
+                else:  # preserved dtype — raw value (NaN -> NULL)
                     is_nan = isinstance(v, float) and np.isnan(v)
                     row[name] = None if (v is None or is_nan) else v
 
-        def _fill_one(row: Dict[str, Any], pdf: pd.DataFrame, spec) -> None:
-            series_tuple, win_str, fw = spec
+        def _fill_one(row: Dict[str, Any], pdf: pd.DataFrame, spec_idx: int) -> None:
+            series_tuple, win_str, fw = out_specs[spec_idx]
             if fw.input_type is pd.Series:
                 idx = pd.to_datetime(pdf[TSN], unit="us") if is_time else pdf[TSN]
                 series_vals = [
@@ -677,13 +776,13 @@ class FeatureCollection:
                 outs = fw.apply(series_vals)
             except Exception:
                 outs = [np.nan] * len(fw.output_names)
-            _store(row, series_tuple, win_str, fw, outs)
+            _store(row, spec_idx, fw, outs)
 
         def run(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values(TSN)
             row: Dict[str, Any] = {c: pdf[c].iloc[0] for c in group_cols}
-            for spec in out_specs:
-                _fill_one(row, pdf, spec)
+            for spec_idx in range(len(out_specs)):
+                _fill_one(row, pdf, spec_idx)
             return pd.DataFrame([row])
 
         if not bucketed:
@@ -694,9 +793,9 @@ class FeatureCollection:
             for _st, _ws, fw in out_specs
         ]
 
-        def _fill_vectorized(rows, groups, spec) -> None:
+        def _fill_vectorized(rows, groups, spec_idx: int) -> None:
             """One (nb, window) call when every segment has equal length."""
-            series_tuple, win_str, fw = spec
+            series_tuple, win_str, fw = out_specs[spec_idx]
             n_out = len(fw.output_names)
             arrs = [
                 [g[s].dropna().to_numpy() for s in series_tuple] for g in groups
@@ -724,10 +823,10 @@ class FeatureCollection:
                     per_seg = None
             if per_seg is None:  # ragged / empty / non-conforming: (1, n) path
                 for row, g in zip(rows, groups):
-                    _fill_one(row, g, spec)
+                    _fill_one(row, g, spec_idx)
                 return
             for row, vals in zip(rows, per_seg):
-                _store(row, series_tuple, win_str, fw, list(vals))
+                _store(row, spec_idx, fw, list(vals))
 
         def run_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
             groups = [
@@ -737,12 +836,12 @@ class FeatureCollection:
             rows: List[Dict[str, Any]] = [
                 {c: g[c].iloc[0] for c in group_cols} for g in groups
             ]
-            for spec, is_vec in zip(out_specs, vec_flags):
+            for spec_idx, is_vec in enumerate(vec_flags):
                 if is_vec:
-                    _fill_vectorized(rows, groups, spec)
+                    _fill_vectorized(rows, groups, spec_idx)
                 else:
                     for row, g in zip(rows, groups):
-                        _fill_one(row, g, spec)
+                        _fill_one(row, g, spec_idx)
             if not rows:
                 return pd.DataFrame({c: [] for c in [*group_cols, *out_names]})
             return pd.DataFrame(rows, columns=[*group_cols, *out_names])
