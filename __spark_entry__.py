@@ -652,8 +652,11 @@ FROM events GROUP BY 1 ORDER BY 1
 
 def q_processing_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pandas-tier SeriesProcessor (SURVEY §2.8): an order-dependent
-    whole-series transform (first difference) via grouped Arrow UDF —
-    the path for interpolate/filter/resample-style functions."""
+    whole-series transform (first difference) via Arrow UDF — the path
+    for interpolate/filter/resample-style functions. Runs DISTRIBUTED
+    via the overlap-stitch halo path (halo_rows=(1, 0): diff's
+    dependence radius is one row back), so the unkeyed series no longer
+    funnels through a single Arrow group."""
     _utc(spark)
     import pandas as pd
 
@@ -662,7 +665,9 @@ def q_processing_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     def diff_series(v: pd.Series) -> pd.Series:
         return pd.Series(v.to_numpy(), index=v.index, name="value_diff").diff()
 
-    pipe = SeriesPipeline([SeriesProcessor(diff_series, "value", input_type="pandas")])
+    pipe = SeriesPipeline(
+        [SeriesProcessor(diff_series, "value", input_type="pandas", halo_rows=(1, 0))]
+    )
     out = pipe.process(
         _events(spark, sf_dir).select("ts", "event_id", "value"), ts_col="ts"
     )

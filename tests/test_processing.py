@@ -424,3 +424,72 @@ def test_ewma_keyed_and_unkeyed(spark):
     )
     exp = single.sort_values("ts")["v"].ewm(alpha=0.2, adjust=True).mean().to_numpy()
     assert np.max(np.abs(sout["v_ewma"].to_numpy() - exp)) < 1e-12
+
+
+def test_halo_stitch_matches_single_group(spark):
+    """Unkeyed order-dependent-but-local funcs via the overlap-stitch
+    halo path: bit-identical to the single-group path for a lookback
+    func (diff), a lookahead func (lead-diff), and a centered rolling
+    mean — and the plan carries no single-partition exchange."""
+    from tsflex_spark import SeriesPipeline, SeriesProcessor
+    from tsflex_spark.utils.plans import scale_report
+
+    rng = np.random.default_rng(3)
+    ts = pd.date_range("2024-01-01", periods=5000, freq="1s")
+    pdf = pd.DataFrame({"ts": ts, "v": rng.normal(size=5000)})
+    sdf = spark.createDataFrame(pdf).repartition(8)
+
+    def diff_series(v: pd.Series) -> pd.Series:
+        return pd.Series(v.to_numpy(), index=v.index, name="d").diff()
+
+    def lead_diff(v: pd.Series) -> pd.Series:
+        a = v.to_numpy()
+        return pd.Series(np.append(a[1:] - a[:-1], np.nan), index=v.index, name="ld")
+
+    def center_mean5(v: pd.Series) -> pd.Series:
+        s = pd.Series(v.to_numpy(), index=v.index, name="cm")
+        return s.rolling(5, center=True, min_periods=1).mean()
+
+    procs = [
+        SeriesProcessor(diff_series, "v", input_type="pandas", halo_rows=(1, 0)),
+        SeriesProcessor(lead_diff, "v", input_type="pandas", halo_rows=(0, 1)),
+        SeriesProcessor(center_mean5, "v", input_type="pandas", halo_rows=(2, 2)),
+    ]
+    halo = SeriesPipeline(procs).process(sdf, ts_col="ts")
+    rep = scale_report(halo)
+    assert rep["findings"] == [], rep["findings"]
+
+    single = SeriesPipeline(
+        [
+            SeriesProcessor(diff_series, "v", input_type="pandas"),
+            SeriesProcessor(lead_diff, "v", input_type="pandas"),
+            SeriesProcessor(center_mean5, "v", input_type="pandas"),
+        ]
+    ).process(sdf, ts_col="ts")
+
+    a = halo.orderBy("ts").toPandas()
+    b = single.orderBy("ts").toPandas()
+    for c in ("d", "ld", "cm"):
+        assert np.array_equal(
+            a[c].to_numpy(), b[c].to_numpy(), equal_nan=True
+        ), c
+
+
+def test_halo_stitch_insufficient_radius_detectable(spark):
+    """halo_rows is a CONTRACT: a 2-back dependence with halo_rows=(1, 0)
+    diverges from the single-group answer near partition edges — the
+    caller owns the radius."""
+    from tsflex_spark import SeriesPipeline, SeriesProcessor
+
+    ts = pd.date_range("2024-01-01", periods=2000, freq="1s")
+    pdf = pd.DataFrame({"ts": ts, "v": np.arange(2000.0)})
+    sdf = spark.createDataFrame(pdf).repartition(8)
+
+    def diff2(v: pd.Series) -> pd.Series:
+        return pd.Series(v.to_numpy(), index=v.index, name="d2").diff(2)
+
+    ok = SeriesPipeline(
+        [SeriesProcessor(diff2, "v", input_type="pandas", halo_rows=(2, 0))]
+    ).process(sdf, ts_col="ts").orderBy("ts").toPandas()
+    exp = pdf["v"].diff(2).to_numpy()
+    assert np.array_equal(ok["d2"].to_numpy(), exp, equal_nan=True)

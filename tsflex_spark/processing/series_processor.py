@@ -37,6 +37,48 @@ def _to_tuple(names: Union[str, Sequence[str]]) -> Tuple[str, ...]:
     return (names,) if isinstance(names, str) else tuple(names)
 
 
+def _dummy_frame(schema: T.StructType, ts_col: str, n: int = 8) -> pd.DataFrame:
+    """A tiny synthetic frame matching ``schema`` (monotone timestamps in
+    ``ts_col``) — probe input for schema-only output discovery: the
+    processor function runs on it DRIVER-side with no Spark job and no
+    dependence on the data."""
+    cols: Dict[str, Any] = {}
+    for f in schema.fields:
+        t = f.dataType
+        if f.name == ts_col or isinstance(t, (T.TimestampType, T.TimestampNTZType)):
+            cols[f.name] = pd.date_range("2020-01-01", periods=n, freq="s")
+        elif isinstance(t, T.DateType):
+            cols[f.name] = pd.date_range("2020-01-01", periods=n, freq="D").date
+        elif isinstance(t, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            cols[f.name] = np.arange(1, n + 1, dtype=np.int64)
+        elif isinstance(t, T.FloatType):
+            cols[f.name] = np.linspace(1.0, 2.0, n, dtype=np.float32)
+        elif isinstance(t, T.BooleanType):
+            cols[f.name] = np.resize([True, False], n)
+        elif isinstance(t, T.StringType):
+            cols[f.name] = list("abcd" * (n // 4 + 1))[:n]
+        else:
+            cols[f.name] = np.linspace(1.0, 2.0, n, dtype=np.float64)
+    return pd.DataFrame(cols)
+
+
+def _added_field(name: str, probe_col: pd.Series) -> T.StructField:
+    """Spark field for a probe-discovered added column. Numeric outputs
+    stay DOUBLE (a dummy-int probe result may be float on real data —
+    e.g. diff over ints — so a narrower numeric type would truncate);
+    non-numeric outputs take their natural type."""
+    dt = probe_col.dtype
+    if str(dt).startswith("datetime64"):
+        return T.StructField(name, T.TimestampType(), True)
+    if str(dt).startswith("timedelta64"):
+        return T.StructField(name, T.DayTimeIntervalType(), True)
+    if dt == np.bool_:
+        return T.StructField(name, T.BooleanType(), True)
+    if dt == object and len(probe_col) and isinstance(probe_col.iloc[0], str):
+        return T.StructField(name, T.StringType(), True)
+    return T.StructField(name, T.DoubleType(), True)
+
+
 class SeriesProcessor:
     def __init__(
         self,
@@ -44,6 +86,7 @@ class SeriesProcessor:
         series_names: Union[str, Sequence[str], List[Sequence[str]]],
         input_type: str = "numpy",
         output_schema: Optional[Union[str, T.StructType, Dict[str, str]]] = None,
+        halo_rows: Optional[Tuple[int, int]] = None,
         **kwargs: Any,
     ):
         if isinstance(series_names, str) or (
@@ -66,6 +109,19 @@ class SeriesProcessor:
         if isinstance(output_schema, str):
             output_schema = T.StructType.fromDDL(output_schema)
         self.output_schema: Optional[T.StructType] = output_schema
+        # (lookback, lookahead) ROW radius of the function's dependence:
+        # when set and the input is UNKEYED, the series is range-
+        # partitioned in ts order and each partition computes over
+        # core + halo rows borrowed from its neighbours, keeping only the
+        # core outputs (overlap-stitch) — the 100 TB path for order-
+        # dependent-but-LOCAL functions (diff/shift/rolling smooth/
+        # bounded-gap interpolate). Exact iff the true dependence radius
+        # is <= halo_rows; None keeps the single-group semantics for
+        # genuinely whole-series functions.
+        if halo_rows is not None:
+            lb, la = halo_rows
+            assert lb >= 0 and la >= 0, "halo_rows must be non-negative"
+        self.halo_rows = halo_rows
 
     def get_required_series(self) -> List[str]:
         out: Dict[str, None] = {}
@@ -123,49 +179,49 @@ class SeriesProcessor:
                 raise TypeError(f"unsupported processor output type {type(out)}")
             return pdf
 
+        def _transform(pdf: pd.DataFrame) -> pd.DataFrame:
+            """Run the function over an ALREADY ts-sorted frame; returns
+            the frame with outputs merged (no column selection)."""
+            if whole_frame:
+                return func(pdf.set_index(ts_col), **kwargs).reset_index()
+            res = pdf
+            for tup in series_names:
+                if input_type == "numpy":
+                    args = [res[s].to_numpy() for s in tup]
+                else:
+                    args = [pd.Series(res[s].to_numpy(), index=res[ts_col], name=s) for s in tup]
+                out = func(*args, **kwargs)
+                res = handle_output(res, out, tup)
+            return res
+
         if self.output_schema is not None:
-            # declared added/replaced columns: no driver-side probe job
+            # declared added/replaced columns: no probe at all
             declared = {f.name: f for f in self.output_schema.fields}
             fields = [declared.get(c, df.schema[c]) for c in df.columns]
             fields += [f for n, f in declared.items() if n not in df.columns]
         else:
-            # discover output schema by probing a small sample driver-side
-            # (fallback — one tiny job at plan-build; declare output_schema
-            # to skip it)
-            sample = df.limit(100).toPandas().sort_values(ts_col)
-            probe = sample.copy()
-            if whole_frame:
-                probe = func(probe.set_index(ts_col), **kwargs).reset_index()
-            else:
-                for tup in series_names:
-                    if input_type == "numpy":
-                        args = [probe[s].to_numpy() for s in tup]
-                    else:
-                        args = [pd.Series(probe[s].to_numpy(), index=probe[ts_col], name=s) for s in tup]
-                    out = func(*args, **kwargs)
-                    probe = handle_output(probe, out, tup)
+            # discover added columns by probing the function on a tiny
+            # SYNTHETIC frame built from the schema — driver-side, no
+            # Spark job, no data dependence; a function the dummy data
+            # can't satisfy falls back to a 100-row sample probe (one
+            # tiny job at plan-build; declare output_schema to skip both)
+            try:
+                probe = _transform(_dummy_frame(df.schema, ts_col).copy())
+            except Exception:
+                probe = _transform(
+                    df.limit(100).toPandas().sort_values(ts_col).reset_index(drop=True)
+                )
             fields = []
             for c in probe.columns:
                 if c in df.columns:
                     fields.append(df.schema[c])
                 else:
-                    fields.append(T.StructField(c, T.DoubleType(), True))
+                    fields.append(_added_field(c, probe[c]))
         schema = T.StructType(fields)
         out_cols = [f.name for f in fields]
 
         def run(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values(ts_col).reset_index(drop=True)
-            if whole_frame:
-                res = func(pdf.set_index(ts_col), **kwargs).reset_index()
-            else:
-                res = pdf
-                for tup in series_names:
-                    if input_type == "numpy":
-                        args = [res[s].to_numpy() for s in tup]
-                    else:
-                        args = [pd.Series(res[s].to_numpy(), index=res[ts_col], name=s) for s in tup]
-                    out = func(*args, **kwargs)
-                    res = handle_output(res, out, tup)
+            res = _transform(pdf.sort_values(ts_col).reset_index(drop=True))
             for c in out_cols:
                 if c not in res.columns:
                     res[c] = np.nan
@@ -192,12 +248,76 @@ class SeriesProcessor:
                 .groupBy("__bucket")
                 .applyInPandas(run_bucket, schema)
             )
+        if self.halo_rows is not None:
+            return self._apply_unkeyed_halo(df, ts_col, _transform, schema, out_cols)
         # single group = whole series (matches the single-machine reference;
-        # pass key_cols to distribute). NB: groupBy(lit(1)) resolves as a
-        # GROUP BY *ordinal* in Spark 4 — use a named constant column.
+        # pass key_cols to distribute, or halo_rows for order-dependent-
+        # but-local functions). NB: groupBy(lit(1)) resolves as a GROUP BY
+        # *ordinal* in Spark 4 — use a named constant column.
         return (
             df.withColumn("__g", F.lit(1)).groupBy("__g").applyInPandas(run, schema)
         )
+
+    def _apply_unkeyed_halo(
+        self,
+        df: DataFrame,
+        ts_col: str,
+        transform: Callable[[pd.DataFrame], pd.DataFrame],
+        schema: T.StructType,
+        out_cols: List[str],
+    ) -> DataFrame:
+        """Overlap-stitch execution of an order-dependent-but-local
+        function over ONE unkeyed logical series — the scale path that
+        replaces the single-Arrow-group funnel.
+
+        Shape: range-partition in ts order; the last ``lookback`` rows of
+        partition p and the first ``lookahead`` rows of partition p+2-1
+        are REPLICATED into the neighbouring group via an explode of
+        group-membership ids (no driver hop, no single-partition
+        exchange); each Arrow group computes the function over
+        halo+core+halo and emits only its core rows. Exact iff the
+        function's dependence radius is <= halo_rows — the same contract
+        as ``utils.distributed.with_global_shift``, generalized to any
+        pandas transform.
+        """
+        from pyspark.sql import Window
+
+        lookback, lookahead = self.halo_rows
+        d = (
+            df.repartitionByRange(F.col(ts_col))
+            .withColumn("__pid", F.spark_partition_id())
+        )
+        w_asc = Window.partitionBy("__pid").orderBy(F.col(ts_col).asc())
+        w_desc = Window.partitionBy("__pid").orderBy(F.col(ts_col).desc())
+        d = d.withColumn("__rn", F.row_number().over(w_asc)).withColumn(
+            "__rnd", F.row_number().over(w_desc)
+        )
+        members = F.array(
+            F.col("__pid"),
+            F.when(F.col("__rnd") <= F.lit(int(lookback)), F.col("__pid") + 1),
+            F.when(
+                (F.col("__rn") <= F.lit(int(lookahead))) & (F.col("__pid") > 0),
+                F.col("__pid") - 1,
+            ),
+        )
+        d = d.select(
+            *df.columns, "__pid",
+            F.explode(F.filter(members, lambda g: g.isNotNull())).alias("__gid"),
+        )
+
+        def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+            res = transform(pdf)
+            # core mask from the RESULT frame (membership columns ride
+            # through the transform), so row-dropping dataframe_funcs
+            # stay aligned
+            core = (res["__pid"] == res["__gid"]).to_numpy()
+            for c in out_cols:
+                if c not in res.columns:
+                    res[c] = np.nan
+            return res.loc[core, out_cols]
+
+        return d.groupBy("__gid").applyInPandas(run_group, schema)
 
     def __repr__(self) -> str:
         return f"SeriesProcessor({self.name}, {self.series_names})"
