@@ -784,6 +784,14 @@ def test_knn_join_matches_bruteforce(spark):
         got = list(out[out["q_id"] == qi].sort_values("rank")["vec_id"])
         assert got == expect, (qi, got, expect)
 
+    # the driver-collect assumption is guarded: an oversized query table
+    # errors with a pointer at the bucketed ANN paths, and the small-
+    # query path is unchanged by the guard
+    with pytest.raises(ValueError, match="max_queries"):
+        knn_join(corpus, queries, k=4, max_queries=2)
+    ok = knn_join(corpus, queries, k=4, max_queries=3).toPandas()
+    assert len(ok) == 12
+
 
 def test_clean_corpus_pipeline(spark):
     from tsflex_spark.datapipe.pipeline import clean_corpus

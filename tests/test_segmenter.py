@@ -630,6 +630,16 @@ def test_pre_grouped_input(spark):
     for k in exp2.index:
         assert got2.loc[k] == exp2.loc[k]
 
+    # the DOCUMENTED stable form — (df, keys) — no GroupedData internals
+    out3 = fc.calculate((df2, ["a", "b"]), ts_col="ts").toPandas()
+    got3 = out3.set_index(["a", "b"])["v__sum__w=manual"]
+    for k in exp2.index:
+        assert got3.loc[k] == exp2.loc[k]
+    out4 = fc.calculate((df, "a"), ts_col="ts").toPandas()
+    got4 = out4.set_index("a")["v__sum__w=manual"]
+    for k in exp.index:
+        assert got4.loc[k] == exp.loc[k]
+
 
 def test_manual_segments_out_of_range_warns(spark):
     """Reference strided_rolling.py:548-551,604-614: explicit segment

@@ -196,6 +196,7 @@ def knn_join(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     q_id_col: str = "q_id",
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Exact cosine k-nearest-neighbor JOIN: for every query vector, the
     ``k`` most similar corpus vectors — ``(q_id, vec_id, cosine, rank)``.
@@ -219,6 +220,17 @@ def knn_join(
 
     from pyspark.sql import Window
 
+    # the shape's load-bearing assumption is a BOUNDED query table (it
+    # rides the driver + every task closure) — guard it instead of
+    # letting a million-row query side become a silent driver OOM
+    probe = queries.limit(int(max_queries) + 1).count()
+    if probe > int(max_queries):
+        raise ValueError(
+            f"knn_join collects the query table to the driver; it has more "
+            f"than max_queries={max_queries} rows. For large query tables "
+            f"use lsh_bucket_topk / ivf_search_parquet (bucketed ANN "
+            f"joins), or raise max_queries if the driver can hold it."
+        )
     qp = queries.select(F.col(q_id_col), F.col(vec_col)).toPandas()
     Q = np.asarray(qp[vec_col].tolist(), dtype="float64")
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)

@@ -150,19 +150,30 @@ def _infer_output_dtypes(
 
 def _grouping_columns(gd: Any) -> List[str]:
     """Grouping column names of a ``GroupedData`` (plain-column groupings
-    only — PySpark exposes no public accessor, so the JVM toString is
-    parsed and every name validated against the underlying DataFrame)."""
+    only). PySpark exposes no public accessor, so this is BEST-EFFORT
+    over private internals (the JVM toString), version-tolerant: any
+    parse failure raises with the documented stable alternatives —
+    ``calculate((df, keys))`` or ``calculate(df, group_by_all=keys)`` —
+    rather than silently miscomputing."""
     import re as _re
 
-    s = gd._jgd.toString()
-    m = _re.search(r"grouping expressions: \[(.*?)\], value:", s)
-    assert m, f"cannot determine grouping columns from {s!r}"
-    cols = [c.strip() for c in m.group(1).split(",") if c.strip()]
-    assert cols, "pre-grouped input must have at least one grouping column"
-    missing = [c for c in cols if c not in gd._df.columns]
+    try:
+        s = gd._jgd.toString()
+        m = _re.search(r"grouping expressions: \[(.*?)\], value:", s)
+        cols = [c.strip() for c in m.group(1).split(",") if c.strip()]
+        assert cols
+        df_cols = gd._df.columns
+    except Exception as e:
+        raise TypeError(
+            "cannot determine the grouping columns of this GroupedData "
+            "(private-API layout changed?). Pass the stable forms instead: "
+            "fc.calculate((df, keys), ...) or "
+            "fc.calculate(df, group_by_all=keys, ...)"
+        ) from e
+    missing = [c for c in cols if c not in df_cols]
     assert not missing, (
         f"pre-grouped input must group by plain columns; {missing} not in "
-        f"{gd._df.columns}"
+        f"{df_cols}"
     )
     return cols
 
@@ -365,6 +376,17 @@ class FeatureCollection:
         assert not (group_by_all and group_by_consecutive), "choose one group_by mode"
         from pyspark.sql.group import GroupedData
 
+        if isinstance(data, tuple) and len(data) == 2:
+            # (df, keys) — the DOCUMENTED stable form of pre-grouped
+            # input (no private GroupedData internals involved)
+            gdf, keys = data
+            keys = [keys] if isinstance(keys, str) else list(keys)
+            assert not (group_by_all or group_by_consecutive), (
+                "data is already grouped — don't pass group_by_all/_consecutive"
+            )
+            missing = [c for c in keys if c not in gdf.columns]
+            assert not missing, f"grouping columns not in data: {missing}"
+            return self._calculate_group_by_all(gdf, keys, ts_col)
         if isinstance(data, GroupedData):
             # pre-grouped input ≙ the reference accepting a pandas
             # DataFrameGroupBy (feature_collection.py:1095-1170): routes to
