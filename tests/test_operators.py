@@ -2098,3 +2098,81 @@ def test_audio_fingerprint_neardup(spark):
     assert got[(1, 2)] <= 2
     assert (1, 3) in got and got[(1, 3)] <= 6
     assert not any(4 in p for p in got)
+
+
+def test_remove_duplicate_lines_modes(spark):
+    """Corpus-level line dedup (RefinedWeb/CCNet boilerplate removal):
+    keep_first keeps the globally-first occurrence, drop_all removes
+    every copy past the occurrence threshold; short lines always stay."""
+    from tsflex_spark.datapipe.dedup import remove_duplicate_lines
+
+    docs = [
+        (1, "COOKIE BANNER\nunique content one\nfooter text"),
+        (2, "COOKIE BANNER\nunique content two\nfooter text"),
+        (3, "COOKIE BANNER\nall mine here\nx"),
+        (4, ""),  # fully empty doc survives as ''
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def py_ref(mode, min_occurrences=2, min_line_chars=0):
+        lines = [
+            (i, p, ln)
+            for i, t in docs
+            for p, ln in enumerate(t.split("\n"))
+        ]
+        from collections import Counter
+        cnt = Counter(ln for _, _, ln in lines if len(ln) >= min_line_chars)
+        first = {}
+        for i, p, ln in sorted(lines):
+            if len(ln) >= min_line_chars:
+                first.setdefault(ln, (i, p))
+        out = {}
+        for i, t in docs:
+            kept = []
+            for p, ln in enumerate(t.split("\n")):
+                if len(ln) < min_line_chars:
+                    kept.append(ln)
+                elif mode == "keep_first" and first[ln] == (i, p):
+                    kept.append(ln)
+                elif mode == "drop_all" and cnt[ln] < min_occurrences:
+                    kept.append(ln)
+            out[i] = "\n".join(kept)
+        return out
+
+    for mode in ("keep_first", "drop_all"):
+        got = {
+            r["doc_id"]: r["text"]
+            for r in remove_duplicate_lines(df, "text", "doc_id", mode=mode).collect()
+        }
+        assert got == py_ref(mode), mode
+
+    # short lines are exempt: 'x' stays even though... make a dup of 'x'
+    df2 = spark.createDataFrame(
+        [(1, "x\nlong enough line"), (2, "x\nother long line")],
+        "doc_id long, text string",
+    )
+    got2 = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicate_lines(
+            df2, "text", "doc_id", mode="drop_all", min_line_chars=2
+        ).collect()
+    }
+    assert got2 == {1: "x\nlong enough line", 2: "x\nother long line"}
+    # and a non-exempt duplicated long line is dropped everywhere
+    df3 = spark.createDataFrame(
+        [(1, "dup line here\na"), (2, "dup line here\nb")],
+        "doc_id long, text string",
+    )
+    got3 = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicate_lines(
+            df3, "text", "doc_id", mode="drop_all", min_line_chars=2
+        ).collect()
+    }
+    assert got3 == {1: "a", 2: "b"}
+
+    # out_col keeps the original text column intact
+    with_col = remove_duplicate_lines(
+        df, "text", "doc_id", mode="keep_first", out_col="clean"
+    )
+    assert set(with_col.columns) == {"doc_id", "text", "clean"}

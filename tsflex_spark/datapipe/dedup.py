@@ -442,6 +442,94 @@ def simhash(
     return g.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
+def remove_duplicate_lines(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    mode: str = "keep_first",
+    min_occurrences: int = 2,
+    min_line_chars: int = 0,
+    out_col: Optional[str] = None,
+) -> DataFrame:
+    """Corpus-level LINE dedup (the RefinedWeb / CCNet paragraph-dedup
+    stage): rewrite every document with lines that repeat ACROSS the
+    corpus removed — boilerplate (navigation, cookie banners, headers)
+    repeats verbatim across pages and survives document-level dedup.
+
+    ``mode="keep_first"`` keeps each distinct line's first occurrence in
+    global (id, position) order and drops the rest; ``mode="drop_all"``
+    drops every occurrence of lines appearing >= ``min_occurrences``
+    times. Lines shorter than ``min_line_chars`` are always kept (dedup
+    of trivial lines like "" destroys formatting).
+
+    Scale shape: lines explode once; the dedup decision aggregates
+    (hash, id, pos) rows — 24-byte, map-side-combined, the line TEXT is
+    never in the decision exchange — then one equi-join on the 8-byte
+    hash marks survivors and one groupBy(id) reassembles documents with
+    order restored via array_sort over (pos, line) structs. Two text
+    shuffles total, both keyed; no window over an unpartitioned set.
+
+    Returns ``docs`` with ``out_col`` (default: replaces ``text_col``)
+    holding the rewritten text; docs whose every line was dropped get ''.
+    """
+    out_col = out_col or text_col
+    if mode not in ("keep_first", "drop_all"):
+        raise ValueError("mode must be keep_first or drop_all")
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    ).withColumn("__h", F.xxhash64("__line"))
+    dedupable = F.length("__line") >= int(min_line_chars)
+    if mode == "keep_first":
+        firsts = (
+            lines.where(dedupable)
+            .groupBy("__h")
+            .agg(F.min(F.struct(id_col, "__pos")).alias("__first"))
+        )
+        kept = (
+            lines.join(firsts, "__h", "left")
+            .where(
+                ~dedupable
+                | (
+                    (F.col(f"__first.{id_col}") == F.col(id_col))
+                    & (F.col("__first.__pos") == F.col("__pos"))
+                )
+            )
+        )
+    else:
+        counts = (
+            lines.where(dedupable)
+            .groupBy("__h")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .where(F.col("__c") >= int(min_occurrences))
+        )
+        kept = lines.join(counts, "__h", "left_anti" if min_line_chars == 0 else "left")
+        if min_line_chars > 0:
+            kept = kept.where(~dedupable | F.col("__c").isNull())
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                    lambda s: s["__line"],
+                ),
+            ).alias("__rebuilt")
+        )
+    )
+    out = docs.join(rebuilt, id_col, "left")
+    cols = [
+        F.coalesce("__rebuilt", F.lit("")).alias(out_col) if c == out_col
+        else F.col(c)
+        for c in docs.columns
+    ]
+    if out_col not in docs.columns:
+        cols.append(F.coalesce("__rebuilt", F.lit("")).alias(out_col))
+    return out.select(*cols)
+
+
 def simhash_pairs(
     fingerprints: DataFrame,
     id_col: str = "doc_id",
@@ -631,7 +719,11 @@ def connected_components(
         # large-star: for every node u, connect each LARGER neighbor v to
         # m = min(N(u) + {u}); keeps edges pointing big -> small
         nbrs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        mins = nbrs.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        mins = (
+            nbrs.groupBy("u")
+            .agg(F.min("v").alias("__mv"))
+            .select("u", F.least(F.col("__mv"), F.col("u")).alias("m"))
+        )
         ls = (
             nbrs.join(mins, "u")
             .where(F.col("v") > F.col("u"))
