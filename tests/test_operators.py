@@ -2176,3 +2176,30 @@ def test_remove_duplicate_lines_modes(spark):
         df, "text", "doc_id", mode="keep_first", out_col="clean"
     )
     assert set(with_col.columns) == {"doc_id", "text", "clean"}
+
+
+def test_normalize_unicode_forms(spark):
+    """NFC/NFKC canonicalization: composed == decomposed after NFC,
+    full-width/ligature folding under NFKC, and the hashes agree after
+    normalization (the dedup motivation)."""
+    import unicodedata
+
+    from tsflex_spark.datapipe.text import normalize_unicode
+
+    composed = "caf\u00e9"             # e-acute as one codepoint
+    decomposed = "cafe\u0301"          # e + combining accent
+    assert composed != decomposed      # distinct codepoints going in
+    fullwidth = "Ｈｉ"       # Ｈｉ
+    df = spark.createDataFrame(
+        [(1, composed), (2, decomposed), (3, fullwidth)],
+        "doc_id long, text string",
+    )
+    nfc = {r["doc_id"]: r["text"] for r in normalize_unicode(df, "text", form="NFC").collect()}
+    assert nfc[1] == nfc[2] == unicodedata.normalize("NFC", decomposed)
+    nfkc = {r["doc_id"]: r["text"] for r in normalize_unicode(df, "text", form="NFKC").collect()}
+    assert nfkc[3] == "Hi"
+    # out_col keeps the original
+    w = normalize_unicode(df, "text", out_col="norm", form="NFKC")
+    assert set(w.columns) == {"doc_id", "text", "norm"}
+    with pytest.raises(ValueError, match="form"):
+        normalize_unicode(df, "text", form="nfc8")

@@ -592,3 +592,37 @@ def normalize_text(
     if trim:
         c = F.trim(c)
     return df.withColumn(out_col or text_col, c)
+
+
+def normalize_unicode(
+    df: DataFrame,
+    text_col: str,
+    out_col: Optional[str] = None,
+    *,
+    form: str = "NFKC",
+) -> DataFrame:
+    """Unicode normalization (NFC/NFKC/NFD/NFKD) — the multilingual-
+    corpus canonicalization step before hashing/dedup: visually
+    identical strings with different codepoint sequences (composed vs
+    decomposed accents, full-width forms, ligatures under NFKC) hash
+    differently and defeat exact/fuzzy dedup unless normalized first.
+
+    No Catalyst builtin exists, so this is an Arrow ``mapInPandas``
+    pass (pandas ``str.normalize`` — vectorized ICU-backed C, not a
+    per-row Python UDF); every output row derives from exactly one
+    input row: no shuffle, stream-safe in append mode.
+    """
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"form must be NFC/NFKC/NFD/NFKD, got {form!r}")
+    out = out_col or text_col
+    fields = [f"{fld.name} {fld.dataType.simpleString()}" for fld in df.schema.fields]
+    if out not in df.columns:
+        fields.append(f"{out} string")
+    schema = ", ".join(fields)
+
+    def run(batches):
+        for pdf in batches:
+            pdf[out] = pdf[text_col].str.normalize(form)
+            yield pdf
+
+    return df.mapInPandas(run, schema)
