@@ -822,6 +822,20 @@ def test_clean_corpus_pipeline(spark):
         for r in clean_corpus(docs, near_dup_threshold=0.8).select("doc_id").collect()
     )
     assert kept == [1]
+    # line-dedup stage: with the repetition filters loosened so two docs
+    # sharing a boilerplate line survive, keep_first strips the SECOND
+    # doc's copy of the shared line
+    shared = "this exact shared boilerplate navigation line appears in both"
+    docs2 = spark.createDataFrame(
+        [(1, shared + "\n" + good), (2, shared + "\n" + good + " different tail here")],
+        "doc_id long, text string",
+    )
+    out2 = clean_corpus(
+        docs2, near_dup_threshold=None, exact=False,
+        line_dedup="keep_first", line_dedup_min_chars=16,
+    ).toPandas().set_index("doc_id")
+    assert out2.loc[1, "text"].startswith(shared)
+    assert shared not in out2.loc[2, "text"]
 
 
 def test_dedup_exact_stream(spark, tmp_path):

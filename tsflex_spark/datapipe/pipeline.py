@@ -17,6 +17,9 @@ job actually runs them, cheapest-first so each stage sees fewer rows:
 9. MinHash+LSH near-dedup (band/bucket equi-joins)
 10. optional SemDeDup (``semantic_threshold=``: hash_embed → cluster
     cells → within-cell cosine → keep-one; paraphrase-level dups)
+11. optional cross-corpus LINE dedup (``line_dedup="keep_first"`` /
+    ``"drop_all"`` — ``dedup.remove_duplicate_lines``, RefinedWeb
+    boilerplate removal; rewrites text, so it runs after scoring)
 
 Everything is ONE lazy DataFrame plan per returned frame — no driver
 round-trips, no collects; at 100 TB each stage is a projection/filter or
@@ -57,6 +60,8 @@ def clean_corpus(
     near_dup_threshold: Optional[float] = 0.8,
     semantic_threshold: Optional[float] = None,
     semantic_cells: int = 64,
+    line_dedup: Optional[str] = None,
+    line_dedup_min_chars: int = 16,
     annotate_only: bool = False,
 ) -> DataFrame:
     """Filter + dedup a document corpus; see module docstring.
@@ -178,4 +183,14 @@ def clean_corpus(
             num_cells=int(semantic_cells),
         ).select(id_col)
         survivors = survivors.join(keep, id_col, "left_semi")
+    if line_dedup is not None:
+        # cross-corpus boilerplate line removal (RefinedWeb shape) runs
+        # LAST: it rewrites text, and the scoring stages above should see
+        # the document as crawled
+        from tsflex_spark.datapipe.dedup import remove_duplicate_lines
+
+        survivors = remove_duplicate_lines(
+            survivors, text_col, id_col,
+            mode=line_dedup, min_line_chars=int(line_dedup_min_chars),
+        )
     return survivors
