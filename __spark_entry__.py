@@ -1592,17 +1592,19 @@ def q_sketch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall contract each sketch is FOR — its output must equal DuckDB's
     all-pairs exact-Jaccard >= 0.8 set.
 
-    - ``minhash``: OPH MinHash signatures → 16-band LSH candidates →
-      signature-estimate prefilter (false band collisions estimate low
-      and never reach the exact joins) → exact-Jaccard verify (the
-      production dedup path end-to-end).
+    - ``minhash``: 128-hash OPH MinHash signatures → 16-band (8 rows/
+      band) LSH candidates → exact-Jaccard verify (the production dedup
+      path end-to-end). 8-row bands put the S-curve threshold at
+      (1/16)^(1/8) ≈ 0.71: pairs at the 0.8 verify threshold are caught
+      w.p. 1-(1-0.8^8)^16 ≈ 1-6e-2... while moderate-similarity false
+      candidates collapse ~16x vs 4-row bands (measured 478k → 1.9k
+      candidate pairs at sf0.1 — band tuning IS the scale knob).
     - ``simhash``: 64-bit SimHash fingerprints → hamming<=8 banded
       candidate pairs (pigeonhole bands) → exact-Jaccard verify.
     """
     _utc(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     from tsflex_spark.datapipe.dedup import (
-        minhash_est_jaccard,
         minhash_lsh_candidates,
         minhash_signatures,
         ngram_jaccard,
@@ -1612,17 +1614,13 @@ def q_sketch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # all stages consume the same (id, shingle-hash) table — shingle
-    # once, lazily checkpoint, share; signatures feed the banding AND
-    # both sides of the estimate join
+    # once, lazily checkpoint, share
     sh = shingle_rows(docs, "text", "doc_id").localCheckpoint(eager=False)
-    sig = minhash_signatures(docs, "text", "doc_id", shingles=sh).localCheckpoint(
-        eager=False
-    )
-    mh_cand = minhash_lsh_candidates(sig, "doc_id")
+    sig = minhash_signatures(
+        docs, "text", "doc_id", num_hashes=128, shingles=sh
+    ).localCheckpoint(eager=False)
     mh_pre = (
-        minhash_est_jaccard(mh_cand, sig, "doc_id")
-        .where(F.col("est_jaccard") >= 0.7)
-        .select("id_a", "id_b")
+        minhash_lsh_candidates(sig, "doc_id", num_bands=16)
         .localCheckpoint(eager=False)
     )
     fps = simhash(docs, "text", id_col="doc_id", shingles=sh)
