@@ -1676,27 +1676,6 @@ ORDER BY method, id_a, id_b
 """
 
 
-def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup removal (shingle → 64 minhashes → 16 bands →
-    bucket self-join → exact-Jaccard >= 0.8 verify). Rows-only check
-    (xxhash64 signatures are engine-specific)."""
-    _utc(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    from tsflex_spark.datapipe.dedup import minhash_dedup
-
-    out = minhash_dedup(docs, "text", id_col="doc_id", threshold=0.8)
-    return out.select("doc_id").orderBy("doc_id")
-
-
-def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash 64-bit fingerprints (SURVEY north-star). Rows-only check."""
-    _utc(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    from tsflex_spark.datapipe.dedup import simhash
-
-    return simhash(docs, "text", id_col="doc_id").orderBy("doc_id")
-
-
 def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational substrate: TPC-H Q6 forecasting revenue change — pure
     filter + aggregate; predicates push down to the parquet scan."""

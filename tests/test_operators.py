@@ -2217,3 +2217,32 @@ def test_normalize_unicode_forms(spark):
     assert set(w.columns) == {"doc_id", "text", "norm"}
     with pytest.raises(ValueError, match="form"):
         normalize_unicode(df, "text", form="nfc8")
+
+
+def test_shuffle_corpus_deterministic_uniform(spark):
+    """Deterministic global shuffle: same seed -> same order regardless
+    of input partitioning; different seeds -> different permutations;
+    num_files mode gives range-disjoint sorted shards of the hash key."""
+    from tsflex_spark.datapipe.curation import shuffle_corpus
+
+    df = spark.range(0, 2000).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    a = [r["id"] for r in shuffle_corpus(df, "id", seed=1).collect()]
+    b = [r["id"] for r in shuffle_corpus(df.repartition(13), "id", seed=1).collect()]
+    c = [r["id"] for r in shuffle_corpus(df, "id", seed=2).collect()]
+    assert a == b                       # partitioning-independent
+    assert a != c                       # seed changes the permutation
+    assert sorted(a) == list(range(2000))  # a permutation, nothing lost
+    assert a != list(range(2000))       # actually shuffled
+
+    sharded = shuffle_corpus(df, "id", seed=1, num_files=4)
+    assert sharded.rdd.getNumPartitions() == 4
+    # per-shard hash ranges are disjoint and each shard is sorted
+    import pyspark.sql.functions as _F
+    parts = (
+        sharded.withColumn("__h", _F.xxhash64("id", _F.lit(1)))
+        .withColumn("__p", _F.spark_partition_id())
+        .groupBy("__p").agg(_F.min("__h").alias("lo"), _F.max("__h").alias("hi"))
+        .orderBy("lo").collect()
+    )
+    for prev, nxt in zip(parts, parts[1:]):
+        assert prev["hi"] <= nxt["lo"]

@@ -59,6 +59,7 @@ def main() -> None:
     from tsflex_spark.datapipe.dedup import (
         minhash_dedup,
         ngram_jaccard,
+        remove_duplicate_lines,
         shingle_rows,
         simhash,
     )
@@ -85,6 +86,9 @@ def main() -> None:
                 lambda: ngram_jaccard(d, pairs, "text", id_col="doc_id", shingles=sh)
             ),
             f"decontaminate_{tag}": t(lambda: decontaminate(corpus, ev, id_col="doc_id")),
+            f"line_dedup_{tag}": t(
+                lambda: remove_duplicate_lines(d, "text", "doc_id", mode="keep_first")
+            ),
         }
 
     timings = {}

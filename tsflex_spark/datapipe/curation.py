@@ -51,6 +51,36 @@ def deterministic_split(
     return df.withColumn(out_col, expr)
 
 
+def shuffle_corpus(
+    df: DataFrame,
+    id_col: str,
+    seed: int = 42,
+    num_files: Optional[int] = None,
+) -> DataFrame:
+    """Deterministic global shuffle of a training corpus: order rows by
+    ``xxhash64(id, seed)`` — the "shuffle once, read sequentially"
+    step before sharding a pre-training dataset, where epoch order must
+    be reproducible across reruns and robust to input partitioning
+    (``df.orderBy(rand())`` is neither: its sample is partition-order-
+    dependent and unseeded re-plans reshuffle).
+
+    Hash order is uniform over ids, stable forever for a given seed,
+    and different seeds give independent permutations (new epochs =
+    new seeds). The sort is a range-partitioned exchange — no single
+    task ever holds the corpus; with ``num_files`` the output is also
+    coalesced-by-range into that many write tasks so the shuffled
+    shards land as exactly ``num_files`` files via ``write.parquet``.
+    """
+    h = F.xxhash64(F.col(id_col), F.lit(int(seed)))
+    out = df.withColumn("__shuffle_key", h)
+    if num_files is not None:
+        out = out.repartitionByRange(int(num_files), F.col("__shuffle_key"))
+        out = out.sortWithinPartitions("__shuffle_key")
+    else:
+        out = out.orderBy("__shuffle_key")
+    return out.drop("__shuffle_key")
+
+
 def mix_sources(
     df: DataFrame,
     source_col: str,
