@@ -21,9 +21,9 @@ def test_oracles_subset_of_queries():
     assert set(o) <= q, set(o) - q
     # every oracle is a non-trivial SQL string
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in o.values())
-    # rows-only set stays small and intentional
+    # every query is oracle-checked (no rows-only escapes)
     rows_only = q - set(o)
-    assert rows_only == {"ann_methods", "sketch_dedup"}, rows_only
+    assert rows_only == set(), rows_only
 
 
 def test_entry_callable_defined():

@@ -2246,3 +2246,142 @@ def test_shuffle_corpus_deterministic_uniform(spark):
     )
     for prev, nxt in zip(parts, parts[1:]):
         assert prev["hi"] <= nxt["lo"]
+
+
+def test_temperature_mix_flattens_sources(spark):
+    from tsflex_spark.datapipe.curation import temperature_mix
+
+    rows = [(i, "web") for i in range(8000)] + [(i + 100_000, "books") for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, source string")
+    # alpha=1 keeps natural proportions -> nothing dropped
+    assert temperature_mix(df, "source", "id", alpha=1.0).count() == 9000
+    # alpha=0 targets a uniform mix -> both sources ~1000 (books limiting)
+    out0 = temperature_mix(df, "source", "id", alpha=0.0)
+    by = {r["source"]: r["count"] for r in out0.groupBy("source").count().collect()}
+    assert by["books"] == 1000
+    assert abs(by["web"] - 1000) < 150
+    # intermediate alpha lands between natural and uniform web share
+    out7 = temperature_mix(df, "source", "id", alpha=0.5)
+    by7 = {r["source"]: r["count"] for r in out7.groupBy("source").count().collect()}
+    assert by7["books"] == 1000  # smallest source always keeps 100%
+    # target web share = 8000^.5 / (8000^.5+1000^.5) ≈ 0.7388 of T
+    import math
+    t = 1000 / (math.sqrt(1000) / (math.sqrt(8000) + math.sqrt(1000)))
+    want_web = t * math.sqrt(8000) / (math.sqrt(8000) + math.sqrt(1000))
+    assert abs(by7["web"] - want_web) < 200
+    # deterministic vs partitioning
+    again = temperature_mix(df.repartition(13), "source", "id", alpha=0.5)
+    assert out7.select("id").exceptAll(again.select("id")).count() == 0
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mix(df, "source", "id", alpha=1.5)
+
+
+def test_url_extract_domain_and_filter(spark):
+    from tsflex_spark.datapipe.text import (
+        domain_filter,
+        extract_urls,
+        registered_domain,
+        url_host,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "see https://Sub.Example.co.uk/path?q=1 and http://spam.biz/x."),
+            (2, "ftp ignored ftp://a.b; visit https://user:p@www.good.org:8080/dl"),
+            (3, "bare ip http://192.168.0.1/admin plus https://single"),
+            (4, "no urls at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["urls"] for r in extract_urls(df, "text", "doc_id").collect()}
+    assert got[1] == ["https://Sub.Example.co.uk/path?q=1", "http://spam.biz/x."]
+    assert got[2] == ["https://user:p@www.good.org:8080/dl"]
+    assert got[4] == []
+    ex = extract_urls(df, "text", "doc_id", explode=True)
+    assert ex.count() == 5
+
+    doms = ex.select(
+        "doc_id", registered_domain(url_host(F.col("url"))).alias("dom")
+    ).collect()
+    dset = {(r["doc_id"], r["dom"]) for r in doms}
+    assert ("1", "example.co.uk") not in dset  # doc_id stays long
+    assert (1, "example.co.uk") in dset        # co.uk -> three labels
+    assert (1, "spam.biz") in dset
+    assert (2, "good.org") in dset             # userinfo/port/www stripped
+    assert (3, "192.168.0.1") in dset          # IP passes through
+    assert (3, "single") in dset               # single label passes through
+
+    # blocklist drops spam.biz rows; allowlist keeps only good.org
+    blocked = domain_filter(ex, "url", blocklist=["spam.biz"])
+    assert blocked.count() == 4
+    allowed = domain_filter(ex, "url", allowlist=["good.org"], out_col="dom")
+    rows = allowed.collect()
+    assert len(rows) == 1 and rows[0]["dom"] == "good.org"
+    # DataFrame blocklist = broadcast anti join
+    bl = spark.createDataFrame([("spam.biz",), ("example.co.uk",)], "domain string")
+    assert domain_filter(ex, "url", blocklist=bl).count() == 3
+    with pytest.raises(ValueError, match="exactly one"):
+        domain_filter(ex, "url")
+
+
+def test_ppl_buckets_head_middle_tail(spark):
+    from tsflex_spark.datapipe.lm import ppl_buckets, train_ngram_lm
+
+    texts = (
+        ["the cat sat on the mat"] * 3          # in-distribution -> low ppl
+        + ["the dog sat on a rug today"] * 3    # mixed
+        + ["zq xv qqj zzk pfft glorb wug"] * 3  # gibberish -> high ppl
+        + ["one"]                               # <2 tokens -> NULL bucket
+    )
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(len(texts))), "text": texts})
+    )
+    # CCNet shape: the reference LM trains on the in-distribution slice
+    # (docs 0-5), then buckets the whole corpus — unseen-bigram gibberish
+    # lands in the high-ppl tail
+    lm = train_ngram_lm(docs.where(F.col("doc_id") < 6), "text")
+    out = ppl_buckets(docs, lm, "text").toPandas().set_index("doc_id")
+    assert set(out.columns) >= {"text", "ppl", "ppl_bucket"}
+    assert list(out.loc[6:8, "ppl_bucket"]) == ["tail"] * 3
+    assert pd.isna(out.loc[9, "ppl_bucket"])
+    # thirds of the 9 scored docs: 3 per bucket (identical texts tie
+    # within each group, cuts at exact quantiles split the groups)
+    counts = out["ppl_bucket"].value_counts()
+    assert counts["head"] == 3 and counts["tail"] == 3 and counts["middle"] == 3
+    assert set(out.loc[0:5, "ppl_bucket"]) == {"head", "middle"}
+    with pytest.raises(ValueError, match="labels"):
+        ppl_buckets(docs, lm, "text", cuts=(0.5,), labels=("a", "b", "c"))
+
+
+def test_filter_lines_rules(spark):
+    from tsflex_spark.datapipe.text import filter_lines
+
+    doc = "\n".join(
+        [
+            "A perfectly normal sentence about things.",
+            "OK",                          # too short
+            "CLICK HERE TO SUBSCRIBE NOW", # all caps
+            "1234567890 55 77",            # mostly digits
+            "Accept all cookies to continue",  # pattern
+            "Another good line stays put.",
+        ]
+    )
+    df = spark.createDataFrame([(1, doc), (2, "short\n\nBut this line is long enough.")],
+                               "doc_id long, text string")
+    out = filter_lines(
+        df,
+        "text",
+        min_chars=5,
+        max_uppercase_frac=0.5,
+        max_digit_frac=0.5,
+        drop_rlike=[r"cookie", r"subscribe"],
+        dropped_col="n_dropped",
+    ).collect()
+    r = {row["doc_id"]: row for row in out}
+    assert r[1]["text"] == (
+        "A perfectly normal sentence about things.\nAnother good line stays put."
+    )
+    assert r[1]["n_dropped"] == 4
+    # "short" is exactly 5 chars -> survives min_chars=5; the empty line drops
+    assert r[2]["text"] == "short\nBut this line is long enough."
+    assert r[2]["n_dropped"] == 1

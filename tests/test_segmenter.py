@@ -844,3 +844,33 @@ def test_group_by_consecutive_null_keys_reference_parity(spark):
     assert str(out.loc[0, "__end"]) == "2024-01-01 00:00:04"  # next start
     assert str(out.loc[1, "__end"]) == "2024-01-01 00:00:06"
     assert str(out.loc[2, "__end"]) == "2024-01-02 00:00:09"  # +1 day bump
+
+
+def test_threshold_count_natives(spark):
+    """count_above / count_below / range_count / frac_above natives."""
+    from tsflex_spark import FuncWrapper
+    # 9 points so end=8 gives exactly two full windows [0,4) and [4,8)
+    rows = [(float(i), float(v)) for i, v in enumerate([1, 5, 3, 8, 2, 9, 4, 7, 0])]
+    df = spark.createDataFrame(rows, "ts double, val double")
+    fc = FeatureCollection(
+        [
+            FeatureDescriptor(
+                FuncWrapper("count_above", output_names="na", t=4.0), "val", 4, 4
+            ),
+            FeatureDescriptor(
+                FuncWrapper("count_below", output_names="nb", t=4.0), "val", 4, 4
+            ),
+            FeatureDescriptor(
+                FuncWrapper("range_count", output_names="nr", lo=2.0, hi=8.0), "val", 4, 4
+            ),
+            FeatureDescriptor(
+                FuncWrapper("frac_above", output_names="fa", t=4.0), "val", 4, 4
+            ),
+        ]
+    )
+    out = fc.calculate(df, ts_col="ts").orderBy("ts").collect()
+    # windows [0,4): 1,5,3,8  and [4,8): 2,9,4,7
+    assert [r["val__na__w=4"] for r in out] == [2, 2]   # >4: {5,8} / {9,7}
+    assert [r["val__nb__w=4"] for r in out] == [2, 1]   # <4: {1,3} / {2}
+    assert [r["val__nr__w=4"] for r in out] == [2, 3]   # [2,8): {5,3} / {2,4,7}
+    assert [r["val__fa__w=4"] for r in out] == [0.5, 0.5]

@@ -122,6 +122,47 @@ def mix_sources(
     return out.where(b < (F.col("__keep") * m).cast("long")).drop("__keep")
 
 
+def temperature_mix(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    alpha: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-scaled source rebalancing: target proportions are
+    ``p_s ∝ c_s^alpha`` (c_s = per-source row count) — the standard
+    up-weighting of small sources in multilingual / multi-source
+    pre-training mixes. ``alpha=1`` keeps natural proportions (no rows
+    dropped); ``alpha=0`` targets a uniform mix; values in between
+    flatten the source distribution smoothly.
+
+    Down-sampling only, with maximal retention: the corpus size is the
+    largest T with T·p_s <= c_s for every source (the most-boosted —
+    smallest — source keeps 100%). Membership is a pure function of
+    (id, seed), so the kept set is stable across reruns, partitionings,
+    and cluster sizes. Plan shape: one tiny per-source count aggregate,
+    a scalar-limit broadcast join back — the corpus itself never
+    shuffles.
+    """
+    if not 0.0 <= float(alpha) <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    m = 1_000_000
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__c"))
+    w = counts.withColumn("__w", F.pow(F.col("__c").cast("double"), F.lit(float(alpha))))
+    # largest corpus T with T * (w_s / W) <= c_s  ⇒  T = min_s c_s·W/w_s;
+    # keep_s = T·w_s / (W·c_s). W cancels, so work with t' = min(c/w):
+    lim = w.agg(F.min(F.col("__c").cast("double") / F.col("__w")).alias("__t"))
+    frac = w.join(F.broadcast(lim)).select(
+        source_col,
+        F.least(
+            F.col("__t") * F.col("__w") / F.col("__c").cast("double"), F.lit(1.0)
+        ).alias("__keep"),
+    )
+    b = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(m))
+    out = df.join(F.broadcast(frac), on=source_col)
+    return out.where(b < (F.col("__keep") * m).cast("long")).drop("__keep")
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

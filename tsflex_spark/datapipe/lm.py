@@ -38,6 +38,7 @@ backoff weights are not SQL-expressible in one pass).
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -274,3 +275,46 @@ def perplexity_filter(
     return docs.join(ppl, on=id_col, how="left").filter(
         F.col("ppl").isNull() | (F.col("ppl") <= F.lit(float(max_ppl)))
     ).drop("ppl")
+
+
+def ppl_buckets(
+    docs: DataFrame,
+    lm: NGramLM,
+    text_col: str,
+    id_col: str = "doc_id",
+    *,
+    cuts: Sequence[float] = (1 / 3, 2 / 3),
+    labels: Sequence[str] = ("head", "middle", "tail"),
+    broadcast_model: bool = False,
+    hash_keys: bool = False,
+    out_col: str = "ppl_bucket",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: tag each document head/middle/
+    tail (configurable) by where its perplexity under ``lm`` falls
+    against EXACT corpus-level quantile cuts — the partition used to
+    keep 'head' (low-ppl, Wikipedia-like) slices of a web crawl.
+
+    Cut values come from :func:`utils.distributed.exact_quantiles`
+    (range-partition selection, no single-task sort) and ride a 1-row
+    broadcast — fully declarative, no ``collect``. Docs with <2 tokens
+    have undefined perplexity and get a NULL bucket (length filtering
+    is a separate stage).
+    """
+    if len(labels) != len(cuts) + 1:
+        raise ValueError(f"need len(labels) == len(cuts)+1, got {len(labels)}/{len(cuts)}")
+    from tsflex_spark.utils.distributed import exact_quantiles
+
+    scored = score_perplexity(
+        docs, lm, text_col, id_col,
+        broadcast_model=broadcast_model, hash_keys=hash_keys,
+    ).select(id_col, "ppl")
+    qs = exact_quantiles(scored.where(F.col("ppl").isNotNull()), "ppl", list(cuts))
+    cuts_row = qs.groupBy().agg(F.array_sort(F.collect_list("value")).alias("__cuts"))
+    out = docs.join(scored, on=id_col, how="left").join(F.broadcast(cuts_row))
+    expr = F.when(F.col("ppl").isNull(), F.lit(None).cast("string"))
+    for i, lab in enumerate(labels[:-1]):
+        expr = expr.when(
+            F.col("ppl") <= F.element_at(F.col("__cuts"), i + 1), F.lit(lab)
+        )
+    expr = expr.otherwise(F.lit(labels[-1]))
+    return out.withColumn(out_col, expr).drop("__cuts")

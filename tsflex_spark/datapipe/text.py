@@ -626,3 +626,160 @@ def normalize_unicode(
             yield pdf
 
     return df.mapInPandas(run, schema)
+
+
+# --- URL / domain curation (C4- and RefinedWeb-style source filtering) -------
+
+# second-level public suffixes where the registrable domain is THREE labels
+# (a bounded, well-known subset of the public-suffix list; extend via the
+# ``extra_suffixes`` parameter for exotic TLD policies)
+_MULTIPART_SUFFIXES = [
+    "co.uk", "ac.uk", "gov.uk", "org.uk", "me.uk", "net.uk", "sch.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
+    "com.mx", "com.tr", "com.sg", "com.hk", "com.tw", "com.ar",
+    "co.in", "net.in", "org.in", "co.kr", "or.kr", "co.za", "org.za",
+    "co.id", "or.id", "com.my", "com.ph", "com.vn", "com.eg", "com.sa",
+]
+
+_URL_RE = r"""https?://[^\s<>"'\)\]\}]+"""
+
+
+def extract_urls(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    explode: bool = False,
+) -> DataFrame:
+    """Extract all http(s) URLs from a text column — `(id, urls array)`
+    or one `(id, url)` row per hit with ``explode=True``. Pure codegen
+    ``regexp_extract_all``; no Python, no shuffle.
+    """
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(_URL_RE), 0)
+    out = df.select(F.col(id_col), urls.alias("urls"))
+    if explode:
+        return out.select(id_col, F.explode("urls").alias("url"))
+    return out
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host of a URL (scheme/userinfo/port/path stripped);
+    empty string when nothing parses. Composable codegen expression.
+    """
+    h = F.regexp_extract(url, r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^@/?#\s]*@)?([^/:?#\s]+)", 1)
+    return F.lower(F.regexp_replace(h, r"\.+$", ""))
+
+
+def registered_domain(
+    host: Column,
+    extra_suffixes: Optional[Sequence[str]] = None,
+) -> Column:
+    """Registrable ("eTLD+1") domain of a host: the last two labels,
+    or the last three when the 2-label tail is a known multi-part public
+    suffix (``co.uk``-class); IPs and single-label hosts pass through.
+    All codegen — ``split`` + ``element_at`` + one ``isin`` over a
+    bounded literal set, no Python, no shuffle.
+    """
+    suffixes = list(_MULTIPART_SUFFIXES) + [s.lower() for s in (extra_suffixes or [])]
+    h = F.lower(host)
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
+    last3 = F.concat_ws(
+        ".", F.element_at(labels, -3), F.element_at(labels, -2), F.element_at(labels, -1)
+    )
+    is_ip = h.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+    return (
+        F.when(is_ip | (n <= 2), h)
+        .when((n >= 3) & last2.isin(suffixes), last3)
+        .otherwise(last2)
+    )
+
+
+def domain_filter(
+    df: DataFrame,
+    url_col: str,
+    blocklist=None,
+    allowlist=None,
+    out_col: Optional[str] = None,
+) -> DataFrame:
+    """Filter rows by the registered domain of ``url_col`` — the C4/
+    RefinedWeb URL-blocklist curation step. Exactly one of ``blocklist``
+    (drop matching domains) or ``allowlist`` (keep only matching) must
+    be given, each either a small Python sequence (compiled to a literal
+    ``isin`` — pure codegen) or a single-column DataFrame of domains (a
+    **broadcast** semi/anti join — the corpus side never shuffles, so a
+    million-domain blocklist still streams map-side). ``out_col`` keeps
+    the computed domain as a column for audit.
+    """
+    if (blocklist is None) == (allowlist is None):
+        raise ValueError("pass exactly one of blocklist / allowlist")
+    dom = registered_domain(url_host(F.col(url_col)))
+    keep_col = out_col or "__dom"
+    out = df.withColumn(keep_col, dom)
+    lst = blocklist if blocklist is not None else allowlist
+    if isinstance(lst, DataFrame):
+        dcol = lst.columns[0]
+        dims = lst.select(F.lower(F.col(dcol)).alias(keep_col)).distinct()
+        how = "left_anti" if blocklist is not None else "left_semi"
+        out = out.join(F.broadcast(dims), on=keep_col, how=how)
+    else:
+        lits = [str(s).lower() for s in lst]
+        cond = F.col(keep_col).isin(lits)
+        out = out.where(~cond if blocklist is not None else cond)
+    return out if out_col else out.drop(keep_col)
+
+
+def filter_lines(
+    df: DataFrame,
+    text_col: str,
+    *,
+    min_chars: int = 0,
+    max_uppercase_frac: Optional[float] = None,
+    max_digit_frac: Optional[float] = None,
+    drop_rlike: Optional[Sequence[str]] = None,
+    out_col: Optional[str] = None,
+    dropped_col: Optional[str] = None,
+) -> DataFrame:
+    """RefinedWeb-style LINE-wise cleaning: drop boilerplate lines from
+    each document (too short, mostly-uppercase, mostly-digits, or
+    matching ``drop_rlike`` patterns — nav menus, cookie banners,
+    "sign in" chrome) and rejoin the survivors with ``\\n``.
+
+    One ``split`` → ``filter`` → ``array_join`` chain per row — no
+    explode, no shuffle, stream-safe; every output row derives from one
+    input row. The per-line predicates run in Catalyst's interpreted
+    higher-order-function evaluator, which is fine here: cost scales
+    with line COUNT (dozens per doc), not characters. ``dropped_col``
+    records how many lines each document lost (audit).
+    """
+    lines = F.split(F.col(text_col), r"\n")
+
+    def keep(x: Column) -> Column:
+        cond = F.length(F.trim(x)) >= F.lit(int(min_chars))
+        n = F.length(x)
+        if max_uppercase_frac is not None:
+            ups = F.length(F.regexp_replace(x, r"[^A-Z]", ""))
+            cond = cond & (
+                (n == 0) | (ups / n <= F.lit(float(max_uppercase_frac)))
+            )
+        if max_digit_frac is not None:
+            digs = F.length(F.regexp_replace(x, r"[^0-9]", ""))
+            cond = cond & (
+                (n == 0) | (digs / n <= F.lit(float(max_digit_frac)))
+            )
+        for pat in drop_rlike or []:
+            cond = cond & ~F.lower(x).rlike(pat)
+        return cond
+
+    kept = F.filter(lines, keep)
+    # one withColumns call: both expressions bind to the ORIGINAL text —
+    # a chained second withColumn would re-split the already-filtered
+    # output when out_col overwrites text_col
+    cols = {(out_col or text_col): F.array_join(kept, "\n")}
+    if dropped_col:
+        cols[dropped_col] = F.size(lines) - F.size(kept)
+    return df.withColumns(cols)

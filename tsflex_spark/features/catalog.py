@@ -20,7 +20,7 @@ Semantics gotchas encoded here (reference parity, SURVEY §2.4):
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Callable, Optional
+from typing import Any, Callable, Optional, Sequence
 
 import numpy as np
 from pyspark.sql import Column
@@ -43,6 +43,9 @@ class NativeSpec:
     # value an empty segment produces (None → NULL/NaN)
     empty: Optional[float] = None
     arity: int = 1
+    # kwargs this native's build understands (anything else disqualifies
+    # recognition so a CALLABLE with overloaded args falls to the UDF tier)
+    kwargs_allowed: frozenset = frozenset({"ddof", "q"})
 
 
 def _simple(fn: Callable[[Column], Column]) -> Callable[[Column, Column, dict], Column]:
@@ -52,8 +55,18 @@ def _simple(fn: Callable[[Column], Column]) -> Callable[[Column, Column, dict], 
 _REGISTRY: dict[str, NativeSpec] = {}
 
 
-def _reg(name: str, build: Callable[[Column, Column, dict], Column], empty: Optional[float] = None) -> None:
-    _REGISTRY[name] = NativeSpec(name, build, empty)
+def _reg(
+    name: str,
+    build: Callable[[Column, Column, dict], Column],
+    empty: Optional[float] = None,
+    kwargs_allowed: Optional[Sequence[str]] = None,
+) -> None:
+    spec = (
+        NativeSpec(name, build, empty)
+        if kwargs_allowed is None
+        else NativeSpec(name, build, empty, kwargs_allowed=frozenset(kwargs_allowed))
+    )
+    _REGISTRY[name] = spec
 
 
 def _std_build(v: Column, tsn: Column, kw: dict) -> Column:
@@ -108,6 +121,7 @@ _reg(
     "approx_n_unique",
     lambda v, tsn, kw: F.approx_count_distinct(v, rsd=float(kw.get("rsd", 0.05))),
     empty=0.0,
+    kwargs_allowed=["rsd"],
 )
 # KLL/GK-sketch quantile — the 100 TB quantile path: exact F.percentile
 # buffers every value per segment; percentile_approx merges bounded
@@ -118,10 +132,43 @@ _reg(
     lambda v, tsn, kw: F.percentile_approx(
         v, F.lit(float(kw.get("q", 0.5))), F.lit(int(kw.get("accuracy", 10000)))
     ),
+    kwargs_allowed=["q", "accuracy"],
 )
 # slope of the least-squares fit of value against the index expressed in
 # SECONDS (TIME domain) or raw units (SEQUENCE) — reference tests use
 # scipy.stats.linregress (tests/test_features_feature_collection.py:1880-1907)
+# tsfresh-style threshold counts (count_above/count_below/range_count):
+# kwargs t / lo,hi set the bounds; all single codegen aggregates
+_reg(
+    "count_above",
+    lambda v, tsn, kw: F.count(F.when(v > F.lit(float(kw.get("t", 0.0))), v)),
+    empty=0.0,
+    kwargs_allowed=["t"],
+)
+_reg(
+    "count_below",
+    lambda v, tsn, kw: F.count(F.when(v < F.lit(float(kw.get("t", 0.0))), v)),
+    empty=0.0,
+    kwargs_allowed=["t"],
+)
+_reg(
+    "range_count",
+    lambda v, tsn, kw: F.count(
+        F.when(
+            (v >= F.lit(float(kw.get("lo", 0.0)))) & (v < F.lit(float(kw.get("hi", 1.0)))),
+            v,
+        )
+    ),
+    empty=0.0,
+    kwargs_allowed=["lo", "hi"],
+)
+_reg(
+    "frac_above",
+    lambda v, tsn, kw: F.try_divide(
+        F.count(F.when(v > F.lit(float(kw.get("t", 0.0))), v)), F.count(v)
+    ),
+    kwargs_allowed=["t"],
+)
 _reg("slope", lambda v, tsn, kw: F.regr_slope(v, tsn / F.lit(1_000_000.0)))
 _reg("intercept", lambda v, tsn, kw: F.regr_intercept(v, tsn / F.lit(1_000_000.0)))
 
@@ -225,10 +272,10 @@ def lookup_native(func: Any, kwargs: dict) -> Optional[NativeSpec]:
         name = _CALLABLE_TABLE.get(id(func))
     if name is None or name not in _REGISTRY:
         return None
-    allowed = {"ddof", "q"}
-    if any(k not in allowed for k in kwargs):
+    spec = _REGISTRY[name]
+    if any(k not in spec.kwargs_allowed for k in kwargs):
         return None
-    return _REGISTRY[name]
+    return spec
 
 
 def lookup_native2(func: Any, kwargs: dict) -> Optional[NativeSpec]:

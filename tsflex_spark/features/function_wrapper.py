@@ -49,6 +49,22 @@ class FuncWrapper:
             output_names = [output_names]
         assert all(isinstance(o, str) for o in output_names), "output_names must be str"
         self.output_names: List[str] = list(output_names)
+        if isinstance(func, str):
+            # a catalog string has no Python body to fall back to — fail at
+            # plan build (unknown name, unsupported kwargs, or multi-output)
+            # instead of silently producing NULL features in the UDF tier
+            if len(self.output_names) != 1:
+                raise ValueError(
+                    f"catalog function {func!r} produces one output; "
+                    f"got output_names={self.output_names}"
+                )
+            if lookup_native(func, kwargs) is None and lookup_native2(func, kwargs) is None:
+                from tsflex_spark.features.catalog import native_names
+
+                raise ValueError(
+                    f"unknown catalog function {func!r} or unsupported "
+                    f"kwargs {sorted(kwargs)}; known natives: {native_names()}"
+                )
         assert input_type in (np.ndarray, pd.Series), "input_type must be np.ndarray or pd.Series"
         self.input_type = input_type
         self.vectorized = vectorized
