@@ -1303,10 +1303,12 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = pairs.join(
         docs.select(F.col("doc_id").alias("id_b")), on="id_b", how="left_semi"
     )
-    # the shingle table feeds three plan branches — materialize it once
+    # the shingle table feeds three plan branches — materialize it once;
+    # pairs touch every doc, so the involved-doc prune checkpoint inside
+    # ngram_jaccard would just re-materialize the whole table
     sh = shingle_rows(docs, "text", "doc_id").localCheckpoint(eager=False)
     return ngram_jaccard(
-        docs, pairs, "text", id_col="doc_id", shingles=sh
+        docs, pairs, "text", id_col="doc_id", shingles=sh, prune_checkpoint=False
     ).orderBy("id_a")
 
 
@@ -1532,7 +1534,11 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle rows feed three plan branches (sizes + both join sides);
     # checkpoint once instead of recomputing the explode+distinct 3x
     sh = shingle_rows(docs, "text", "doc_id").localCheckpoint(eager=False)
-    sim = ngram_jaccard(docs, pairs, "text", id_col="doc_id", shingles=sh)
+    # pairs cover EVERY doc (consecutive ids): the involved-doc prune keeps
+    # the whole table, so skip its checkpoint — the caller's is enough
+    sim = ngram_jaccard(
+        docs, pairs, "text", id_col="doc_id", shingles=sh, prune_checkpoint=False
+    )
     edges = sim.where(F.col("jaccard") >= 0.2)
     cc = connected_components(edges, "id_a", "id_b")
     labeled = docs.select("doc_id").join(

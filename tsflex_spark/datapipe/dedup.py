@@ -271,6 +271,7 @@ def ngram_jaccard(
     id_col: str,
     shingle_k: int = 5,
     shingles: Optional[DataFrame] = None,
+    prune_checkpoint: bool = True,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (verification stage).
 
@@ -292,7 +293,16 @@ def ngram_jaccard(
         .union(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
+    # the pruned slice feeds THREE consumers (sizes, side-a, side-b):
+    # checkpoint it so the semi-join prune of the full shingle table runs
+    # once, not three times (the full table is often itself a lazily
+    # checkpointed branch shared with sketch generation). Pass
+    # prune_checkpoint=False when the pairs cover most of the corpus —
+    # there the prune keeps ~everything and the extra materialization
+    # costs more than the three scans it saves.
     sh = sh.join(involved, id_col, "left_semi")
+    if prune_checkpoint:
+        sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
     sha = sh.select(F.col(id_col).alias("id_a"), F.col("__s"))
     shb = sh.select(F.col(id_col).alias("id_b"), F.col("__s"))
