@@ -102,3 +102,68 @@ def test_write_sorted_with_partition_by(spark, tmp_path):
         for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
             assert hi1 < lo2
     assert spark.read.parquet(out).count() == 20_000
+
+
+def test_write_zorder_skips_on_both_columns(spark, tmp_path):
+    from tsflex_spark.sources.io import write_zorder
+
+    n = 100_000
+    # two INDEPENDENT uniform dimensions: a plain sort can only tighten one
+    df = spark.range(n).select(
+        F.col("id"),
+        F.pmod(F.xxhash64("id"), F.lit(1000)).alias("x"),
+        F.pmod(F.xxhash64("id", F.lit(7)), F.lit(1000)).alias("y"),
+    )
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zorder(df, zpath, ["x", "y"], n_files=16)
+    write_sorted(df, spath, ["x"], n_files=16)
+
+    def spans(path, col_idx):
+        out = []
+        for f in _files(path):
+            md = pq.read_metadata(f)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col_idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            out.append(max(maxs) - min(mins))
+        return out
+
+    # schema order: id, x, y -> x is col 1, y is col 2
+    zx, zy = spans(zpath, 1), spans(zpath, 2)
+    sx, sy = spans(spath, 1), spans(spath, 2)
+    full = 999
+    # the x-sorted layout: x tight, y spans ~everything in every file
+    assert max(sx) < full * 0.3
+    assert min(sy) > full * 0.8
+    # z-order: BOTH dimensions materially tighter than full range ON
+    # AVERAGE (files at range-partition boundaries can straddle a Morton
+    # high-bit flip and span wide — that's inherent to the curve; the
+    # expected scan fraction is what matters)
+    assert sum(zx) / len(zx) < full * 0.5
+    assert sum(zy) / len(zy) < full * 0.5
+    # round trip
+    assert spark.read.parquet(zpath).count() == n
+    with pytest.raises(ValueError, match=">= 2"):
+        write_zorder(df, str(tmp_path / "bad"), ["x"])
+    with pytest.raises(ValueError, match="fit a long"):
+        write_zorder(df, str(tmp_path / "bad"), ["x", "y"], bits=32)
+
+
+def test_write_zorder_null_and_skew(spark, tmp_path):
+    from tsflex_spark.sources.io import write_zorder
+
+    # heavy skew on x (90% one value) + NULLs: quantile buckets keep the
+    # other dimension useful and nothing is lost
+    df = spark.range(20_000).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 < 9, F.lit(5.0)).otherwise(F.col("id").cast("double")).alias("x"),
+        F.when(F.col("id") % 100 == 0, F.lit(None).cast("double"))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(1000)).cast("double")).alias("y"),
+    )
+    out = str(tmp_path / "zs")
+    write_zorder(df, out, ["x", "y"], n_files=8)
+    back = spark.read.parquet(out)
+    assert back.count() == 20_000
+    assert back.where(F.col("y").isNull()).count() == 200

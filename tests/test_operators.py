@@ -2385,3 +2385,25 @@ def test_filter_lines_rules(spark):
     # "short" is exactly 5 chars -> survives min_chars=5; the empty line drops
     assert r[2]["text"] == "short\nBut this line is long enough."
     assert r[2]["n_dropped"] == 1
+
+
+def test_clean_corpus_line_filter_stage(spark):
+    from tsflex_spark.datapipe.pipeline import clean_corpus
+
+    df = spark.createDataFrame(
+        [
+            (1, "A good paragraph with enough words to score well here.\n"
+                "ACCEPT ALL COOKIES\n"
+                "Another decent sentence follows the banner line."),
+        ],
+        "doc_id long, text string",
+    )
+    out = clean_corpus(
+        df,
+        min_quality_score=0.0,
+        near_dup_threshold=None,
+        line_filter={"drop_rlike": [r"cookie"], "min_chars": 4},
+    ).collect()
+    assert len(out) == 1
+    assert "COOKIES" not in out[0]["text"]
+    assert "good paragraph" in out[0]["text"]

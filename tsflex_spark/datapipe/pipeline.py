@@ -51,6 +51,7 @@ def clean_corpus(
     max_top_2gram_frac: float = 0.5,
     allowed_languages: Optional[Sequence[str]] = None,
     scrub_pii: bool = False,
+    line_filter: Optional[dict] = None,
     length_band: Optional[tuple] = None,
     eval_df: Optional[DataFrame] = None,
     decontam_ngram: int = 8,
@@ -83,6 +84,13 @@ def clean_corpus(
         from tsflex_spark.datapipe.text import redact_pii
 
         docs = redact_pii(docs, text_col)
+    if line_filter is not None:
+        # RefinedWeb order: line-wise boilerplate removal BEFORE document
+        # scoring, so quality/repetition see the cleaned text. A text
+        # TRANSFORM like scrub_pii — applies in audit mode too.
+        from tsflex_spark.datapipe.text import filter_lines
+
+        docs = filter_lines(docs, text_col, **line_filter)
     q = quality_score(docs, text_col, id_col=id_col).select(
         id_col, "quality_score"
     )

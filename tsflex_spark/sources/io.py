@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import numpy as np
+import pandas as pd
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -258,3 +260,76 @@ def compact_parquet(
         d = d.coalesce(n)
     d.write.mode("overwrite").parquet(dst)
     return n
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    zorder_cols: Sequence[str],
+    n_files: Optional[int] = None,
+    bits: int = 8,
+    mode: str = "overwrite",
+    partition_by: Optional[Sequence[str]] = None,
+) -> None:
+    """Z-ORDER layout: multi-column data skipping for parquet scans.
+
+    ``write_sorted`` makes footer stats tight for ONE leading key; a
+    predicate on any other column still reads every file. This writer
+    interleaves the bits of per-column QUANTILE buckets (``bits`` per
+    column — rank-bucketed, so skew cannot collapse a dimension) into a
+    Morton z-key, range-partitions files by it, and sorts within files —
+    every output file then covers a small hyper-rectangle of the key
+    space, so footer min/max prune files for predicates on EACH z-order
+    column independently (the Delta/iceberg OPTIMIZE ZORDER layout,
+    expressed with open Spark APIs).
+
+    Bucket cut points come from one ``percentile_approx`` pass (a tiny
+    bounded collect: ``(2^bits - 1) × n_cols`` doubles); the z-key is
+    computed in one Arrow batch pass (vectorized ``np.searchsorted`` +
+    bit interleave — a per-row literal-array fold would run in the
+    interpreted HOF evaluator). Columns must be numeric/timestamp;
+    NULLs sort into the top bucket.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    cols = list(zorder_cols)
+    if len(cols) < 2:
+        raise ValueError("z-ordering needs >= 2 columns; use write_sorted for one")
+    if bits * len(cols) > 62:
+        raise ValueError(f"bits({bits}) * n_cols({len(cols)}) must fit a long")
+    nb = 1 << int(bits)
+    qs = [float(i) / nb for i in range(1, nb)]
+    cast = [F.col(c).cast("double").alias(c) for c in cols]
+    cut_row = df.select(cast).agg(
+        *[F.percentile_approx(c, F.array(*[F.lit(q) for q in qs]), 10000).alias(c) for c in cols]
+    ).collect()[0]
+    cuts = {c: np.asarray([v for v in (cut_row[c] or []) if v is not None], dtype=np.float64)
+            for c in cols}
+    ncols = len(cols)
+    top = nb - 1
+
+    @pandas_udf("long")
+    def _zkey(s: pd.DataFrame) -> pd.Series:
+        z = np.zeros(len(s), dtype=np.int64)
+        for i, c in enumerate(cols):
+            v = s[c].to_numpy(dtype=np.float64, na_value=np.nan)
+            b = np.searchsorted(cuts[c], v, side="right").astype(np.int64)
+            b[np.isnan(v)] = top
+            np.clip(b, 0, top, out=b)
+            for bit in range(int(bits)):
+                z |= ((b >> bit) & 1) << (bit * ncols + i)
+        return pd.Series(z)
+
+    d = df.withColumn(
+        "__z", _zkey(F.struct(*[F.col(c).cast("double").alias(c) for c in cols]))
+    )
+    d = (
+        d.repartitionByRange(int(n_files), F.col("__z"))
+        if n_files
+        else d.repartitionByRange(F.col("__z"))
+    )
+    d = d.sortWithinPartitions("__z").drop("__z")
+    w = d.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*list(partition_by))
+    w.parquet(path)
