@@ -1,0 +1,67 @@
+"""End-to-end pre-training data preparation. Run:
+python examples/pretraining_data.py [sf_dir] [out_dir]
+
+The full curation path a 100 TB pipeline runs, at example scale:
+line-wise cleaning + doc filters + dedup (clean_corpus) → CCNet
+perplexity bucketing, keep head+middle → temperature-scaled source
+rebalancing → deterministic epoch shuffle → context-window chunking →
+sequence packing → sharded parquet. Every stage is hash-deterministic:
+re-running produces byte-identical shards.
+"""
+
+import sys
+import tempfile
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+from tsflex_spark.datapipe.curation import shuffle_corpus, temperature_mix
+from tsflex_spark.datapipe.lm import ppl_buckets, train_ngram_lm
+from tsflex_spark.datapipe.pipeline import clean_corpus
+from tsflex_spark.datapipe.text import chunk_documents, pack_sequences
+from tsflex_spark.session import get_spark
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001", out_dir: str | None = None) -> None:
+    spark = get_spark("example_pretraining")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # 1. clean: line-wise boilerplate, quality/repetition filters, dedup
+    cleaned = clean_corpus(
+        docs,
+        "text",
+        "doc_id",
+        min_quality_score=0.2,
+        near_dup_threshold=0.8,
+        line_filter={"min_chars": 3},
+    )
+
+    # 2. CCNet bucketing: LM trained on the cleaned corpus itself here;
+    # production trains on a curated reference (e.g. Wikipedia)
+    lm = train_ngram_lm(cleaned, "text")
+    bucketed = ppl_buckets(cleaned, lm, "text")
+    kept = bucketed.where(
+        F.col("ppl_bucket").isin("head", "middle") | F.col("ppl_bucket").isNull()
+    )
+
+    # 3. flatten source skew (alpha<1 boosts small sources)
+    mixed = temperature_mix(kept, "source", "doc_id", alpha=0.7)
+
+    # 4. deterministic epoch shuffle, then context windows + packing
+    shuffled = shuffle_corpus(mixed, "doc_id", seed=0)
+    chunks = chunk_documents(shuffled, "text", "doc_id", max_tokens=64)
+    packed = pack_sequences(chunks, "n_chunk_tokens", budget=256)
+
+    out = out_dir or tempfile.mkdtemp(prefix="pretraining_shards_")
+    shuffle_corpus(packed, "bin_id", seed=0, num_files=4).write.mode(
+        "overwrite"
+    ).parquet(out)
+
+    n_docs, n_chunks = mixed.count(), chunks.count()
+    n_bins = packed.select("bin_id").distinct().count()
+    print(f"docs kept {n_docs}, chunks {n_chunks}, packed bins {n_bins} -> {out}")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])

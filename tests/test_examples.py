@@ -10,3 +10,10 @@ def test_feature_extraction_example(spark):
 
     # reuses the test session via get_spark's getOrCreate
     feature_extraction.main("/root/testdata/sf0.001")
+
+
+def test_pretraining_data_example(spark, tmp_path):
+    sys.path.insert(0, "examples")
+    import pretraining_data
+
+    pretraining_data.main("/root/testdata/sf0.001", str(tmp_path / "shards"))
