@@ -419,3 +419,52 @@ def test_cusum_single_window_exchange(spark):
     plan = plan_of(cusum(ev, "ts", "value", ["user_id"], target=0.0, sigma=1.0))
     assert plan.count(") Exchange") == 1
     assert plan.count(") Window") <= 2  # sums, then mins/maxs over them
+
+
+def test_temperature_mix_corpus_never_shuffles(spark):
+    """The corpus side of temperature_mix joins a broadcast fraction table:
+    no exchange may sit above the corpus scan."""
+    from tsflex_spark.datapipe.curation import temperature_mix
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(temperature_mix(docs, "source", "doc_id", alpha=0.5), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_filter_lines_is_narrow(spark):
+    """Line filtering is split→filter→array_join: one row in, one row out,
+    zero exchanges."""
+    from tsflex_spark.datapipe.text import filter_lines
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(filter_lines(docs, "text", min_chars=3, dropped_col="nd"), "simple")
+    assert "Exchange" not in plan
+
+
+def test_domain_filter_broadcast_anti_join(spark):
+    """A DataFrame blocklist must plan as a broadcast anti join — the
+    corpus never shuffles for a million-domain list."""
+    from tsflex_spark.datapipe.text import domain_filter
+
+    urls = spark.createDataFrame(
+        [(i, f"https://site{i % 7}.com/x") for i in range(100)], "id long, url string"
+    )
+    bl = spark.createDataFrame([("site1.com",), ("site2.com",)], "domain string")
+    plan = plan_of(domain_filter(urls, "url", blocklist=bl), "simple")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_shuffle_corpus_range_partitions(spark):
+    """The epoch shuffle is a range-partitioned sort (parallel), never a
+    single-partition collapse."""
+    from tsflex_spark.datapipe.curation import shuffle_corpus
+    from tsflex_spark.utils.plans import scale_report
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = shuffle_corpus(docs, "doc_id", seed=3)
+    plan = plan_of(out, "simple")
+    assert "rangepartitioning" in plan.lower(), plan
+    rep = scale_report(out)
+    assert not rep.get("single_partition_exchange"), rep
