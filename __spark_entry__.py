@@ -1023,14 +1023,19 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-point log sums make the per-doc aggregate exact integers)."""
     _utc(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    from tsflex_spark.datapipe.lm import score_perplexity, train_ngram_lm
+    from tsflex_spark.datapipe.lm import bigram_rows, score_perplexity, train_ngram_lm
     from tsflex_spark.datapipe.text import text_stats, token_count_bpe_ish
     from tsflex_spark.utils.distributed import exact_quantiles
 
     base = text_stats(docs, "text", id_col="doc_id")
     bpe = token_count_bpe_ish(docs, "text", id_col="doc_id")
-    lm = train_ngram_lm(docs, "text", id_col="doc_id")
-    ppl = score_perplexity(docs, lm, "text", id_col="doc_id", broadcast_model=True)
+    # self-perplexity: train AND score consume the same bigram explode —
+    # checkpoint it once instead of exploding the corpus twice
+    bg = bigram_rows(docs, "text", "doc_id").localCheckpoint(eager=False)
+    lm = train_ngram_lm(docs, "text", id_col="doc_id", bigrams=bg)
+    ppl = score_perplexity(
+        docs, lm, "text", id_col="doc_id", broadcast_model=True, bigrams=bg
+    )
     out = base.join(bpe, on="doc_id").join(ppl, on="doc_id")
     # quantiles from a MINIMAL projection straight off the scan — feeding
     # the joined frame would re-execute the whole join once per selection

@@ -38,7 +38,7 @@ backoff weights are not SQL-expressible in one pass).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Sequence
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -46,9 +46,14 @@ from pyspark.sql import functions as F
 from tsflex_spark.datapipe.text import _tokens
 
 
-def _bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def bigram_rows(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, w1, w2) — one row per bigram occurrence; lowercase whitespace
-    tokens, built in-row with slice + arrays_zip (codegen, no window)."""
+    tokens, built in-row with slice + arrays_zip (codegen, no window).
+
+    Public so a caller that both TRAINS and SCORES on the same corpus
+    (self-perplexity) can compute the explode once, checkpoint it, and
+    pass it to ``train_ngram_lm(bigrams=...)`` and
+    ``score_perplexity(bigrams=...)`` — halving the corpus explode."""
     toks = F.transform(_tokens(F.col(text_col)), F.lower)
     n = F.size(toks)
     z = F.arrays_zip(
@@ -58,6 +63,9 @@ def _bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(F.col(id_col), F.explode(z).alias("__b")).select(
         id_col, F.col("__b.w1").alias("w1"), F.col("__b.w2").alias("w2")
     )
+
+
+_bigrams = bigram_rows
 
 
 @dataclass
@@ -93,6 +101,7 @@ def train_ngram_lm(
     id_col: str = "doc_id",
     *,
     min_count: int = 1,
+    bigrams: Optional[DataFrame] = None,
 ) -> NGramLM:
     """Train a bigram model on ``docs``. One wide pass: the groupBy
     shuffle carries one row per distinct (w1, w2) — Zipf makes that far
@@ -102,7 +111,7 @@ def train_ngram_lm(
     pruned mass still denominates, so pruning only moves pairs into the
     smoothed-unseen bucket — scores stay monotone under pruning).
     """
-    bg = _bigrams(docs, text_col, id_col)
+    bg = bigrams if bigrams is not None else bigram_rows(docs, text_col, id_col)
     # pair counts feed BOTH the model table and the context rollup —
     # checkpoint (lazily: no job until first use) so the corpus explode
     # + big shuffle runs once, not once per consumer
@@ -128,6 +137,7 @@ def score_perplexity(
     *,
     broadcast_model: bool = False,
     hash_keys: bool = False,
+    bigrams: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Per-document bigram perplexity under ``lm`` (Laplace smoothing).
 
@@ -140,7 +150,7 @@ def score_perplexity(
     never shuffles at all); ``hash_keys=True`` joins on 8-byte
     ``xxhash64`` keys so a shuffled join never carries the raw strings.
     """
-    bg = _bigrams(docs, text_col, id_col)
+    bg = bigrams if bigrams is not None else bigram_rows(docs, text_col, id_col)
     pairs, contexts = lm.pairs, lm.contexts
     if hash_keys:
         pairs = pairs.select(F.xxhash64("w1", "w2").alias("__pk"), "c")
