@@ -874,3 +874,19 @@ def test_threshold_count_natives(spark):
     assert [r["val__nb__w=4"] for r in out] == [2, 1]   # <4: {1,3} / {2}
     assert [r["val__nr__w=4"] for r in out] == [2, 3]   # [2,8): {5,3} / {2,4,7}
     assert [r["val__fa__w=4"] for r in out] == [0.5, 0.5]
+
+
+def test_mode_native_categorical(spark):
+    from tsflex_spark import FuncWrapper
+
+    rows = [
+        (0.0, "a"), (1.0, "b"), (2.0, "a"), (3.0, "a"),
+        (4.0, "c"), (5.0, "c"), (6.0, "c"), (7.0, "b"), (8.0, "x"),
+    ]
+    df = spark.createDataFrame(rows, "ts double, cat string")
+    fc = FeatureCollection(
+        FeatureDescriptor(FuncWrapper("mode", output_names="m"), "cat", 4, 4)
+    )
+    out = fc.calculate(df, ts_col="ts").orderBy("ts").collect()
+    # [0,4): a,b,a,a -> 'a'; [4,8): c,c,c,b -> 'c'; dtype retained (string)
+    assert [r["cat__m__w=4"] for r in out] == ["a", "c"]

@@ -137,6 +137,11 @@ _reg(
 # slope of the least-squares fit of value against the index expressed in
 # SECONDS (TIME domain) or raw units (SEQUENCE) — reference tests use
 # scipy.stats.linregress (tests/test_features_feature_collection.py:1880-1907)
+# most-frequent value (categorical windows). Spark's mode is
+# NON-deterministic on count ties — fine for feature use, not for an
+# oracle gate; pin deterministic=True semantics yourself by pre-mapping
+# values if tie order matters
+_reg("mode", lambda v, tsn, kw: F.mode(v))
 # tsfresh-style threshold counts (count_above/count_below/range_count):
 # kwargs t / lo,hi set the bounds; all single codegen aggregates
 _reg(
