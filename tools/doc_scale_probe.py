@@ -64,6 +64,14 @@ def main() -> None:
         simhash,
     )
 
+    from tsflex_spark.datapipe.lm import bigram_rows, score_perplexity, train_ngram_lm
+    from tsflex_spark.datapipe.text import filter_lines
+
+    def _self_ppl(d):
+        bg = bigram_rows(d, "text", "doc_id").localCheckpoint(eager=False)
+        lm = train_ngram_lm(d, "text", bigrams=bg)
+        return score_perplexity(d, lm, "text", broadcast_model=True, bigrams=bg)
+
     def t(fn) -> float:
         t0 = time.perf_counter()
         fn().write.format("noop").mode("overwrite").save()
@@ -89,6 +97,10 @@ def main() -> None:
             f"line_dedup_{tag}": t(
                 lambda: remove_duplicate_lines(d, "text", "doc_id", mode="keep_first")
             ),
+            f"filter_lines_{tag}": t(
+                lambda: filter_lines(d, "text", min_chars=3, max_uppercase_frac=0.9)
+            ),
+            f"lm_self_ppl_{tag}": t(lambda: _self_ppl(d)),
         }
 
     timings = {}
