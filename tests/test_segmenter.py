@@ -890,3 +890,42 @@ def test_mode_native_categorical(spark):
     out = fc.calculate(df, ts_col="ts").orderBy("ts").collect()
     # [0,4): a,b,a,a -> 'a'; [4,8): c,c,c,b -> 'c'; dtype retained (string)
     assert [r["cat__m__w=4"] for r in out] == ["a", "c"]
+
+
+def test_two_level_threshold_counts(spark):
+    """count_above/count_below/range_count/frac_above decompose through
+    the bucketed rewrite bit-exactly (pure counts); two different
+    thresholds on one config get distinct partials."""
+    from tsflex_spark import FeatureCollection, FeatureDescriptor, FuncWrapper
+
+    rng = np.random.default_rng(7)
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        np.sort(rng.choice(300_000, size=2500, replace=False)), unit="s"
+    )
+    pdf = pd.DataFrame({"ts": ts, "v": rng.integers(0, 100, size=2500).astype(float)})
+    df = spark.createDataFrame(pdf)
+    fc = FeatureCollection(
+        [
+            FeatureDescriptor(FuncWrapper("count_above", output_names="a50", t=50.0), "v", "4h", "10m"),
+            FeatureDescriptor(FuncWrapper("count_above", output_names="a80", t=80.0), "v", "4h", "10m"),
+            FeatureDescriptor(FuncWrapper("count_below", output_names="b20", t=20.0), "v", "4h", "10m"),
+            FeatureDescriptor(FuncWrapper("range_count", output_names="r", lo=30.0, hi=60.0), "v", "4h", "10m"),
+            FeatureDescriptor(FuncWrapper("frac_above", output_names="f", t=50.0), "v", "4h", "10m"),
+        ]
+    )
+    try:
+        FeatureCollection.TWO_LEVEL_FANOUT_THRESHOLD = 10**9
+        one = fc.calculate(df, ts_col="ts").toPandas()
+        FeatureCollection.TWO_LEVEL_FANOUT_THRESHOLD = 1
+        two = fc.calculate(df, ts_col="ts").toPandas()
+    finally:
+        FeatureCollection.TWO_LEVEL_FANOUT_THRESHOLD = 8
+    one = one.sort_values("ts").reset_index(drop=True)
+    two = two.sort_values("ts").reset_index(drop=True)
+    assert list(one.columns) == list(two.columns)
+    for c in one.columns:
+        if c == "ts":
+            assert one[c].equals(two[c])
+        else:
+            a, b = one[c].to_numpy(dtype=float), two[c].to_numpy(dtype=float)
+            assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), c

@@ -381,13 +381,45 @@ _DECOMPOSABLE_DDOF1: dict[str, tuple] = {
 
 
 def decomposition(name: str, kwargs: Optional[dict] = None):
-    """(partial kinds, final builder) for a decomposable aggregate, else None."""
-    if kwargs and kwargs.get("ddof", 0) == 1:
+    """(partial kinds, final builder) for a decomposable aggregate, else None.
+
+    Threshold counts are PARAMETERIZED partials: the kwarg value is baked
+    into the partial-kind key (``cntgt=4.0``), so two descriptors with
+    different thresholds get distinct bucket columns while identical
+    thresholds share one — and ``partial_builder`` re-derives the
+    predicate from the key alone.
+    """
+    kw = kwargs or {}
+    if name in ("count_above", "frac_above"):
+        k = f"cntgt={float(kw.get('t', 0.0))!r}"
+        if name == "count_above":
+            return ((k,), lambda p, _k=k: F.sum(p[_k]))
+        return (
+            (k, "cnt"),
+            lambda p, _k=k: F.try_divide(F.sum(p[_k]), F.sum(p["cnt"])),
+        )
+    if name == "count_below":
+        k = f"cntlt={float(kw.get('t', 0.0))!r}"
+        return ((k,), lambda p, _k=k: F.sum(p[_k]))
+    if name == "range_count":
+        k = f"cntin={float(kw.get('lo', 0.0))!r}..{float(kw.get('hi', 1.0))!r}"
+        return ((k,), lambda p, _k=k: F.sum(p[_k]))
+    if kw.get("ddof", 0) == 1:
         return _DECOMPOSABLE_DDOF1.get(name)
     return _DECOMPOSABLE.get(name)
 
 
 def partial_builder(kind: str) -> Callable[[Column, Column], Column]:
+    if kind.startswith("cntgt="):
+        t = float(kind[len("cntgt="):])
+        return lambda v, tsn: F.count(F.when(v > F.lit(t), v))
+    if kind.startswith("cntlt="):
+        t = float(kind[len("cntlt="):])
+        return lambda v, tsn: F.count(F.when(v < F.lit(t), v))
+    if kind.startswith("cntin="):
+        lo_s, hi_s = kind[len("cntin="):].split("..")
+        lo, hi = float(lo_s), float(hi_s)
+        return lambda v, tsn: F.count(F.when((v >= F.lit(lo)) & (v < F.lit(hi)), v))
     return _PARTIAL_BUILDERS[kind]
 
 
