@@ -2407,3 +2407,33 @@ def test_clean_corpus_line_filter_stage(spark):
     assert len(out) == 1
     assert "COOKIES" not in out[0]["text"]
     assert "good paragraph" in out[0]["text"]
+
+
+def test_gopher_rules_per_rule(spark):
+    from tsflex_spark.datapipe.text import gopher_rules
+
+    good = (
+        "The quick brown fox jumps over the lazy dog and runs to be with "
+        "a friend that will have come along with many other words to fill "
+        "out the fifty word minimum for this test of quality and more "
+        "words that keep the document long enough for the rule to pass now."
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "too short to pass"),                    # word count
+            (3, " ".join(["#"] * 60) + " the be to of"), # symbol ratio + alpha
+            (4, "\n".join(["- bullet point item here"] * 10)
+                + "\nthe be to of and that have with "
+                + " ".join(["word"] * 60)),              # bullet lines
+            (5, " ".join(["zzzz"] * 80)),                # no required stopwords
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_rules(docs, "text", "doc_id").collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["r_word_count"] is False and out[2]["keep"] is False
+    assert out[3]["r_symbol_ratio"] is False
+    assert out[3]["r_alpha_words"] is False
+    assert out[4]["r_bullet_lines"] is False
+    assert out[5]["r_required_words"] is False and out[5]["keep"] is False

@@ -783,3 +783,86 @@ def filter_lines(
     if dropped_col:
         cols[dropped_col] = F.size(lines) - F.size(kept)
     return df.withColumns(cols)
+
+
+# Gopher rule constants (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", Appendix A1.1)
+_GOPHER_REQUIRED_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_required_words: int = 2,
+) -> DataFrame:
+    """The canonical Gopher document-quality rules (Rae et al. 2021,
+    App. A1.1) as per-rule boolean columns + a combined ``keep`` flag:
+    word-count band, mean-word-length band, symbol-to-word ratio
+    (# and ellipses), bullet-line and ellipsis-line fractions,
+    alphabetic-word fraction, and the required-stop-word presence test.
+
+    Entirely in-row codegen (token array hoisted once; line rules via a
+    split→filter pass) — no shuffle, stream-safe. The companion
+    REPETITION rules (dup-line / top-n-gram fractions) are
+    :func:`repetition_stats` — they need per-doc grouping, so they stay
+    a separate (joinable) op.
+    """
+    df = fan_out(df)
+    df = df.withColumn("__toks", _tokens(F.col(text_col)))
+    toks = F.col("__toks")
+    n_words = F.size(toks).cast("double")
+    safe_words = F.greatest(n_words, F.lit(1.0))
+    mean_word_len = (
+        F.aggregate(toks, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t))
+        / safe_words
+    )
+    n_symbols = (
+        F.regexp_count(F.col(text_col), F.lit(r"#"))
+        + F.regexp_count(F.col(text_col), F.lit(r"\.\.\.|…"))
+    ).cast("double")
+    lines = F.filter(
+        F.split(F.col(text_col), r"\n"), lambda x: F.length(F.trim(x)) > 0
+    )
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_frac = (
+        F.size(F.filter(lines, lambda x: F.trim(x).rlike(r"^[•\-\*•]"))) / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda x: F.trim(x).rlike(r"(\.\.\.|…)$"))) / n_lines
+    )
+    alpha_frac = (
+        F.size(F.filter(toks, lambda x: x.rlike(r"[A-Za-z]"))).cast("double")
+        / safe_words
+    )
+    lower_toks = F.transform(toks, F.lower)
+    n_required = F.size(
+        F.array_intersect(lower_toks, F.array(*[F.lit(w) for w in _GOPHER_REQUIRED_WORDS]))
+    )
+    rules = {
+        "r_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "r_mean_word_len": (mean_word_len >= min_mean_word_len)
+        & (mean_word_len <= max_mean_word_len),
+        "r_symbol_ratio": (n_symbols / safe_words) <= max_symbol_word_ratio,
+        "r_bullet_lines": bullet_frac <= max_bullet_line_frac,
+        "r_ellipsis_lines": ellipsis_frac <= max_ellipsis_line_frac,
+        "r_alpha_words": alpha_frac >= min_alpha_word_frac,
+        "r_required_words": n_required >= min_required_words,
+    }
+    keep = F.lit(True)
+    for expr in rules.values():
+        keep = keep & expr
+    return df.select(
+        F.col(id_col),
+        *[expr.alias(name) for name, expr in rules.items()],
+        keep.alias("keep"),
+    )
