@@ -45,12 +45,18 @@ def main(sf_dir: str = "/root/testdata/sf0.001", out_dir: str | None = None) -> 
         F.col("ppl_bucket").isin("head", "middle") | F.col("ppl_bucket").isNull()
     )
 
-    # 3. flatten source skew (alpha<1 boosts small sources)
-    mixed = temperature_mix(kept, "source", "doc_id", alpha=0.7)
+    # 3. flatten source skew (alpha<1 boosts small sources). Checkpoint:
+    # the cleaned+scored+mixed frame feeds several actions below — without
+    # the lineage cut each one re-runs the whole curation DAG
+    mixed = temperature_mix(kept, "source", "doc_id", alpha=0.7).localCheckpoint(
+        eager=False
+    )
 
     # 4. deterministic epoch shuffle, then context windows + packing
     shuffled = shuffle_corpus(mixed, "doc_id", seed=0)
-    chunks = chunk_documents(shuffled, "text", "doc_id", max_tokens=64)
+    chunks = chunk_documents(shuffled, "text", "doc_id", max_tokens=64).localCheckpoint(
+        eager=False
+    )
     packed = pack_sequences(chunks, "n_chunk_tokens", budget=256)
 
     out = out_dir or tempfile.mkdtemp(prefix="pretraining_shards_")

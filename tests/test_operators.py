@@ -2251,23 +2251,29 @@ def test_shuffle_corpus_deterministic_uniform(spark):
 def test_temperature_mix_flattens_sources(spark):
     from tsflex_spark.datapipe.curation import temperature_mix
 
-    rows = [(i, "web") for i in range(8000)] + [(i + 100_000, "books") for i in range(1000)]
+    rows = (
+        [(i, "web") for i in range(8000)]
+        + [(i + 100_000, "books") for i in range(1000)]
+        + [(i + 200_000, None) for i in range(1000)]  # NULL source = a group
+    )
     df = spark.createDataFrame(rows, "id long, source string")
-    # alpha=1 keeps natural proportions -> nothing dropped
-    assert temperature_mix(df, "source", "id", alpha=1.0).count() == 9000
-    # alpha=0 targets a uniform mix -> both sources ~1000 (books limiting)
+    # alpha=1 keeps natural proportions -> nothing dropped (incl. NULLs)
+    assert temperature_mix(df, "source", "id", alpha=1.0).count() == 10000
+    # alpha=0 targets a uniform mix -> every group ~1000 (smallest limits)
     out0 = temperature_mix(df, "source", "id", alpha=0.0)
     by = {r["source"]: r["count"] for r in out0.groupBy("source").count().collect()}
     assert by["books"] == 1000
+    assert by[None] == 1000  # NULL source participates as its own group
     assert abs(by["web"] - 1000) < 150
     # intermediate alpha lands between natural and uniform web share
     out7 = temperature_mix(df, "source", "id", alpha=0.5)
     by7 = {r["source"]: r["count"] for r in out7.groupBy("source").count().collect()}
-    assert by7["books"] == 1000  # smallest source always keeps 100%
-    # target web share = 8000^.5 / (8000^.5+1000^.5) ≈ 0.7388 of T
+    assert by7["books"] == 1000  # smallest sources always keep 100%
+    assert by7[None] == 1000
     import math
-    t = 1000 / (math.sqrt(1000) / (math.sqrt(8000) + math.sqrt(1000)))
-    want_web = t * math.sqrt(8000) / (math.sqrt(8000) + math.sqrt(1000))
+    w_tot = math.sqrt(8000) + 2 * math.sqrt(1000)
+    t = 1000 / (math.sqrt(1000) / w_tot)  # corpus size the smallest group allows
+    want_web = t * math.sqrt(8000) / w_tot
     assert abs(by7["web"] - want_web) < 200
     # deterministic vs partitioning
     again = temperature_mix(df.repartition(13), "source", "id", alpha=0.5)
@@ -2374,7 +2380,7 @@ def test_filter_lines_rules(spark):
         min_chars=5,
         max_uppercase_frac=0.5,
         max_digit_frac=0.5,
-        drop_rlike=[r"cookie", r"subscribe"],
+        drop_rlike=[r"(?i)cookie", r"(?i)subscribe"],
         dropped_col="n_dropped",
     ).collect()
     r = {row["doc_id"]: row for row in out}
@@ -2402,7 +2408,7 @@ def test_clean_corpus_line_filter_stage(spark):
         df,
         min_quality_score=0.0,
         near_dup_threshold=None,
-        line_filter={"drop_rlike": [r"cookie"], "min_chars": 4},
+        line_filter={"drop_rlike": [r"(?i)cookie"], "min_chars": 4},
     ).collect()
     assert len(out) == 1
     assert "COOKIES" not in out[0]["text"]

@@ -100,7 +100,6 @@ def mix_sources(
     broadcast back; no collect, no driver loop. Sources absent from
     ``target_weights`` are dropped.
     """
-    m = 1_000_000
     spark = df.sparkSession
     w = spark.createDataFrame(
         [(str(k), float(v)) for k, v in target_weights.items()],
@@ -108,18 +107,32 @@ def mix_sources(
     )
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__c"))
     wc = counts.join(w, on=source_col)  # inner: unlisted sources drop out
-    lim = wc.agg(
-        F.min(F.col("__c").cast("double") / F.col("__w")).alias("__t")
-    )
+    return _keep_by_weights(df, source_col, wc, id_col, seed)
+
+
+def _keep_by_weights(
+    df: DataFrame, source_col: str, wc: DataFrame, id_col: str, seed: int
+) -> DataFrame:
+    """Shared max-retention mechanics for the source-mixing ops: given a
+    per-source ``(source, __c, __w)`` frame, keep each source's rows with
+    probability ``min(T·w_s / (Σw·c_s), 1)`` where T is the largest corpus
+    with every T·p_s <= c_s — membership a pure function of (id, seed).
+    NULL source groups participate (null-safe join)."""
+    m = 1_000_000
+    lim = wc.agg(F.min(F.col("__c").cast("double") / F.col("__w")).alias("__t"))
     frac = wc.join(F.broadcast(lim)).select(
-        source_col,
+        F.col(source_col).alias("__src"),
         F.least(
             F.col("__t") * F.col("__w") / F.col("__c").cast("double"), F.lit(1.0)
         ).alias("__keep"),
     )
     b = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(m))
-    out = df.join(F.broadcast(frac), on=source_col)
-    return out.where(b < (F.col("__keep") * m).cast("long")).drop("__keep")
+    # eqNullSafe: a NULL source is a legitimate group (scraped corpora);
+    # a plain equi-join would silently drop every NULL-source row
+    out = df.join(F.broadcast(frac), on=df[source_col].eqNullSafe(frac["__src"]))
+    return (
+        out.where(b < (F.col("__keep") * m).cast("long")).drop("__src", "__keep")
+    )
 
 
 def temperature_mix(
@@ -146,21 +159,13 @@ def temperature_mix(
     """
     if not 0.0 <= float(alpha) <= 1.0:
         raise ValueError(f"alpha must be in [0, 1], got {alpha}")
-    m = 1_000_000
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__c"))
-    w = counts.withColumn("__w", F.pow(F.col("__c").cast("double"), F.lit(float(alpha))))
     # largest corpus T with T * (w_s / W) <= c_s  ⇒  T = min_s c_s·W/w_s;
-    # keep_s = T·w_s / (W·c_s). W cancels, so work with t' = min(c/w):
-    lim = w.agg(F.min(F.col("__c").cast("double") / F.col("__w")).alias("__t"))
-    frac = w.join(F.broadcast(lim)).select(
-        source_col,
-        F.least(
-            F.col("__t") * F.col("__w") / F.col("__c").cast("double"), F.lit(1.0)
-        ).alias("__keep"),
+    # keep_s = T·w_s / (W·c_s). W cancels inside _keep_by_weights' ratio.
+    wc = counts.withColumn(
+        "__w", F.pow(F.col("__c").cast("double"), F.lit(float(alpha)))
     )
-    b = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(m))
-    out = df.join(F.broadcast(frac), on=source_col)
-    return out.where(b < (F.col("__keep") * m).cast("long")).drop("__keep")
+    return _keep_by_weights(df, source_col, wc, id_col, seed)
 
 
 def stratified_sample(

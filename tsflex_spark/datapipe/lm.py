@@ -297,6 +297,7 @@ def ppl_buckets(
     labels: Sequence[str] = ("head", "middle", "tail"),
     broadcast_model: bool = False,
     hash_keys: bool = False,
+    bigrams: Optional[DataFrame] = None,
     out_col: str = "ppl_bucket",
 ) -> DataFrame:
     """CCNet-style perplexity bucketing: tag each document head/middle/
@@ -314,10 +315,18 @@ def ppl_buckets(
         raise ValueError(f"need len(labels) == len(cuts)+1, got {len(labels)}/{len(cuts)}")
     from tsflex_spark.utils.distributed import exact_quantiles
 
-    scored = score_perplexity(
-        docs, lm, text_col, id_col,
-        broadcast_model=broadcast_model, hash_keys=hash_keys,
-    ).select(id_col, "ppl")
+    # the scored frame feeds TWO consumers (the quantile-cut pass and the
+    # bucket join); checkpoint it or the whole bigram-explode + model-join
+    # scoring DAG re-executes per consumer
+    scored = (
+        score_perplexity(
+            docs, lm, text_col, id_col,
+            broadcast_model=broadcast_model, hash_keys=hash_keys,
+            bigrams=bigrams,
+        )
+        .select(id_col, "ppl")
+        .localCheckpoint(eager=False)
+    )
     qs = exact_quantiles(scored.where(F.col("ppl").isNotNull()), "ppl", list(cuts))
     cuts_row = qs.groupBy().agg(F.array_sort(F.collect_list("value")).alias("__cuts"))
     out = docs.join(scored, on=id_col, how="left").join(F.broadcast(cuts_row))

@@ -748,6 +748,8 @@ def filter_lines(
     each document (too short, mostly-uppercase, mostly-digits, or
     matching ``drop_rlike`` patterns — nav menus, cookie banners,
     "sign in" chrome) and rejoin the survivors with ``\\n``.
+    ``drop_rlike`` patterns are java regexes matched against the raw
+    line — prefix with ``(?i)`` for case-insensitive matching.
 
     One ``split`` → ``filter`` → ``array_join`` chain per row — no
     explode, no shuffle, stream-safe; every output row derives from one
@@ -771,8 +773,10 @@ def filter_lines(
             cond = cond & (
                 (n == 0) | (digs / n <= F.lit(float(max_digit_frac)))
             )
+        # patterns match the RAW line (case-sensitive java regex); prefix
+        # a pattern with (?i) for case-insensitive boilerplate matching
         for pat in drop_rlike or []:
-            cond = cond & ~F.lower(x).rlike(pat)
+            cond = cond & ~x.rlike(pat)
         return cond
 
     kept = F.filter(lines, keep)

@@ -44,8 +44,10 @@ class NativeSpec:
     empty: Optional[float] = None
     arity: int = 1
     # kwargs this native's build understands (anything else disqualifies
-    # recognition so a CALLABLE with overloaded args falls to the UDF tier)
-    kwargs_allowed: frozenset = frozenset({"ddof", "q"})
+    # recognition: a CALLABLE with overloaded args falls to the UDF tier,
+    # a catalog STRING raises at plan build). Default EMPTY — a kwarg a
+    # build lambda ignores must not be silently accepted.
+    kwargs_allowed: frozenset = frozenset()
 
 
 def _simple(fn: Callable[[Column], Column]) -> Callable[[Column, Column, dict], Column]:
@@ -94,17 +96,21 @@ _reg("amax", _simple(F.max))
 _reg("nanmax", _simple(F.max))
 _reg("median", _simple(F.median))
 _reg("nanmedian", _simple(F.median))
-_reg("std", _std_build)
-_reg("nanstd", _std_build)
-_reg("var", _var_build)
-_reg("nanvar", _var_build)
+_reg("std", _std_build, kwargs_allowed=["ddof"])
+_reg("nanstd", _std_build, kwargs_allowed=["ddof"])
+_reg("var", _var_build, kwargs_allowed=["ddof"])
+_reg("nanvar", _var_build, kwargs_allowed=["ddof"])
 _reg("skew", _simple(F.skewness))
 _reg("kurtosis", _simple(F.kurtosis))
 _reg("count", _simple(F.count), empty=0.0)
 _reg("len", _simple(F.count), empty=0.0)
-_reg("quantile", _quantile_build)
-_reg("nanquantile", _quantile_build)
-_reg("percentile", lambda v, tsn, kw: F.percentile(v, F.lit(float(kw.get("q", 50.0)) / 100.0)))
+_reg("quantile", _quantile_build, kwargs_allowed=["q"])
+_reg("nanquantile", _quantile_build, kwargs_allowed=["q"])
+_reg(
+    "percentile",
+    lambda v, tsn, kw: F.percentile(v, F.lit(float(kw.get("q", 50.0)) / 100.0)),
+    kwargs_allowed=["q"],
+)
 # time-series extras (Spark-native, no numpy counterpart needed)
 _reg("first", lambda v, tsn, kw: F.min_by(v, tsn))
 _reg("last", lambda v, tsn, kw: F.max_by(v, tsn))
@@ -134,9 +140,6 @@ _reg(
     ),
     kwargs_allowed=["q", "accuracy"],
 )
-# slope of the least-squares fit of value against the index expressed in
-# SECONDS (TIME domain) or raw units (SEQUENCE) — reference tests use
-# scipy.stats.linregress (tests/test_features_feature_collection.py:1880-1907)
 # most-frequent value (categorical windows). Spark's mode is
 # NON-deterministic on count ties — fine for feature use, not for an
 # oracle gate; pin deterministic=True semantics yourself by pre-mapping
@@ -174,6 +177,9 @@ _reg(
     ),
     kwargs_allowed=["t"],
 )
+# slope of the least-squares fit of value against the index expressed in
+# SECONDS (TIME domain) or raw units (SEQUENCE) — reference tests use
+# scipy.stats.linregress (tests/test_features_feature_collection.py:1880-1907)
 _reg("slope", lambda v, tsn, kw: F.regr_slope(v, tsn / F.lit(1_000_000.0)))
 _reg("intercept", lambda v, tsn, kw: F.regr_intercept(v, tsn / F.lit(1_000_000.0)))
 
