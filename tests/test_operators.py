@@ -2443,3 +2443,56 @@ def test_gopher_rules_per_rule(spark):
     assert out[3]["r_alpha_words"] is False
     assert out[4]["r_bullet_lines"] is False
     assert out[5]["r_required_words"] is False and out[5]["keep"] is False
+
+
+def test_interval_join_overlap_semantics(spark):
+    """interval_join: half-open overlap, exactly-once emission across
+    shared buckets, keys, and collision suffixing."""
+    from tsflex_spark.relational import interval_join
+
+    left = spark.createDataFrame(
+        [
+            ("a", 1, 0, 10),    # overlaps r1 [5,15) and r2 [9,12)
+            ("a", 2, 10, 20),   # touches r1 end at 15? [10,20) vs [5,15): overlap
+            ("a", 3, 30, 40),   # overlaps nothing
+            ("b", 4, 0, 100),   # long interval, many buckets; overlaps r3 once
+            ("a", 5, 20, 25),   # [20,25) vs r2 [9,12): none; r1 [5,15): none
+        ],
+        "k string, lid long, start long, end long",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", 101, 5, 15),   # r1
+            ("a", 102, 9, 12),   # r2
+            ("b", 103, 50, 60),  # r3
+            ("a", 104, 25, 30),  # r4: touches lid=5 at 25 -> NO overlap (half-open)
+        ],
+        "k string, rid long, start long, end long",
+    )
+    out = interval_join(
+        left, right, by=["k"], granule=7
+    ).select("lid", "rid").collect()
+    pairs = sorted((r["lid"], r["rid"]) for r in out)
+    assert pairs == [(1, 101), (1, 102), (2, 101), (2, 102), (4, 103)]
+
+    # brute-force oracle on random data: every overlapping pair exactly once
+    import random
+    rnd = random.Random(3)
+    lrows = [("k", i, s := rnd.randint(0, 200), s + rnd.randint(1, 40)) for i in range(60)]
+    rrows = [("k", i, s := rnd.randint(0, 200), s + rnd.randint(1, 40)) for i in range(60)]
+    ld = spark.createDataFrame(lrows, "k string, lid long, start long, end long")
+    rd = spark.createDataFrame(rrows, "k string, rid long, start long, end long")
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_join(ld, rd, by=["k"]).select("lid", "rid").collect()
+    )
+    want = sorted(
+        (l[1], r[1])
+        for l in lrows
+        for r in rrows
+        if l[2] < r[3] and r[2] < l[3]
+    )
+    assert got == want
+    # collision suffix: right start/end renamed
+    cols = interval_join(ld, rd, by=["k"]).columns
+    assert "start_r" in cols and "end_r" in cols

@@ -468,3 +468,21 @@ def test_shuffle_corpus_range_partitions(spark):
     assert "rangepartitioning" in plan.lower(), plan
     rep = scale_report(out)
     assert not rep.get("single_partition_exchange"), rep
+
+
+def test_interval_join_no_bnlj(spark):
+    """Interval-overlap join plans as a granule-bucketed equi-join, never
+    BroadcastNestedLoop/cartesian."""
+    from tsflex_spark.relational import interval_join
+
+    l = spark.range(1000).select(
+        F.lit("k").alias("k"), F.col("id").alias("lid"),
+        (F.col("id") * 10).alias("start"), (F.col("id") * 10 + 25).alias("end"),
+    )
+    r = spark.range(1000).select(
+        F.lit("k").alias("k"), F.col("id").alias("rid"),
+        (F.col("id") * 10 + 5).alias("start"), (F.col("id") * 10 + 20).alias("end"),
+    )
+    plan = plan_of(interval_join(l, r, by=["k"], granule=25), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -186,3 +186,83 @@ def range_join(
     for c in r_cols:
         miss = miss.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
     return matched.unionByName(miss)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_start: str = "start",
+    left_end: str = "end",
+    right_start: str = "start",
+    right_end: str = "end",
+    by: Sequence[str] = (),
+    granule: Optional[int] = None,
+    right_suffix: str = "_r",
+) -> DataFrame:
+    """Interval-OVERLAP join: every (left, right) interval pair with
+    ``l_start < r_end AND r_start < l_end`` (half-open on both sides) —
+    without a BroadcastNestedLoopJoin.
+
+    Same granule-bucketing strategy as :func:`range_join`, applied to
+    BOTH sides: each interval explodes to the granule buckets it covers,
+    the pair hash-joins on (by, bucket), and the exact overlap predicate
+    re-checks. A pair sharing several buckets is emitted ONCE — the join
+    additionally requires the matched bucket to be the FIRST bucket the
+    two intervals share (``greatest(floor(ls/g), floor(rs/g))``), so no
+    post-join ``distinct`` shuffle is needed. Fan-out per row is bounded
+    by ``len/granule + 1``; ``granule`` defaults to the max interval
+    length across both sides (one tiny aggregate each).
+
+    Right-side columns that collide with left names (outside ``by``)
+    get ``right_suffix``. Timestamps compare in integer microseconds.
+    """
+    by = list(by)
+
+    def _num(df: DataFrame, c: str):
+        dt = df.schema[c].dataType.simpleString()
+        return ts_micros(c) if dt.startswith("timestamp") else F.col(c).cast("long")
+
+    l_n = (
+        left.withColumn("__ls", _num(left, left_start))
+        .withColumn("__le", _num(left, left_end))
+        .where(F.col("__le") > F.col("__ls"))
+    )
+    # rename colliding right columns BEFORE the join
+    collide = (set(left.columns) & set(right.columns)) - set(by)
+    r = right
+    for c in collide:
+        r = r.withColumnRenamed(c, c + right_suffix)
+    rs_c = right_start + right_suffix if right_start in collide else right_start
+    re_c = right_end + right_suffix if right_end in collide else right_end
+    r_n = (
+        r.withColumn("__rs", _num(r, rs_c))
+        .withColumn("__re", _num(r, re_c))
+        .where(F.col("__re") > F.col("__rs"))
+    )
+    if granule is None:
+        gl = l_n.agg(F.max(F.col("__le") - F.col("__ls")).alias("m")).first()["m"]
+        gr = r_n.agg(F.max(F.col("__re") - F.col("__rs")).alias("m")).first()["m"]
+        granule = max(int(gl or 1), int(gr or 1), 1)
+    g = int(granule)
+    l_b = l_n.withColumn(
+        "__b", F.explode(F.sequence(F.floor(F.col("__ls") / g), F.floor((F.col("__le") - 1) / g)))
+    )
+    r_b = r_n.withColumn(
+        "__b", F.explode(F.sequence(F.floor(F.col("__rs") / g), F.floor((F.col("__re") - 1) / g)))
+    )
+    cond = [l_b["__b"] == r_b["__b"]] + [l_b[c] == r_b[c] for c in by]
+    first_shared = F.greatest(
+        F.floor(l_b["__ls"] / g), F.floor(r_b["__rs"] / g)
+    )
+    out = (
+        l_b.join(r_b, cond, "inner")
+        .where(
+            (l_b["__ls"] < r_b["__re"])
+            & (r_b["__rs"] < l_b["__le"])
+            & (l_b["__b"] == first_shared)
+        )
+        .drop(r_b["__b"])
+        .drop(*[r_b[c] for c in by])
+    )
+    return out.drop("__b", "__ls", "__le", "__rs", "__re")
