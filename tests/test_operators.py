@@ -2496,3 +2496,42 @@ def test_interval_join_overlap_semantics(spark):
     # collision suffix: right start/end renamed
     cols = interval_join(ld, rd, by=["k"]).columns
     assert "start_r" in cols and "end_r" in cols
+
+
+def test_validate_expectations(spark):
+    from tsflex_spark.utils.validate import (
+        check_rules,
+        duplicate_keys,
+        expect,
+        in_range,
+        matches,
+        not_null,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a@b.com", 10.0),
+            (2, None, 5.0),          # null email
+            (3, "not-an-email", -1.0),  # bad email + out of range
+            (1, "x@y.org", 3.0),     # duplicate id
+        ],
+        "id long, email string, v double",
+    )
+    rules = {
+        "email_not_null": not_null("email"),
+        "email_shape": matches("email", r"[^@]+@[^@]+\.[^@]+"),
+        "v_in_range": in_range("v", lo=0.0, hi=100.0),
+    }
+    rep = check_rules(df, rules)
+    assert rep["n_rows"] == 4
+    assert rep["violations"] == {
+        "email_not_null": 1,
+        "email_shape": 2,  # NULL fails the shape rule too
+        "v_in_range": 1,
+    }
+    with pytest.raises(ValueError, match="email_shape"):
+        expect(df, rules)
+    ok = expect(df, {"v_not_null": not_null("v")})
+    assert ok["violations"] == {"v_not_null": 0}
+    dups = duplicate_keys(df, ["id"]).collect()
+    assert len(dups) == 1 and dups[0]["id"] == 1 and dups[0]["n"] == 2
