@@ -2535,3 +2535,35 @@ def test_validate_expectations(spark):
     assert ok["violations"] == {"v_not_null": 0}
     dups = duplicate_keys(df, ["id"]).collect()
     assert len(dups) == 1 and dups[0]["id"] == 1 and dups[0]["n"] == 2
+
+
+def test_profile_columns_one_pass(spark):
+    from tsflex_spark.utils.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, 2.5), (3, "b", None), (4, "a", 4.0)],
+        "id long, s string, v double",
+    )
+    prof = {r["column"]: r for r in profile_columns(df).collect()}
+    assert prof["id"]["n_rows"] == 4 and prof["id"]["n_null"] == 0
+    assert prof["s"]["n_null"] == 1 and abs(prof["s"]["null_frac"] - 0.25) < 1e-9
+    assert prof["v"]["min"] == "1.5" and prof["v"]["max"] == "4.0"
+    assert prof["s"]["min"] is None  # strings: no range
+    assert prof["id"]["approx_distinct"] == 4
+
+
+def test_diff_snapshots_changes(spark):
+    from tsflex_spark.utils.profile import diff_snapshots
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], "id long, s string, v double"
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 2.0), (3, "c", 99.0), (4, "d", 4.0)], "id long, s string, v double"
+    )
+    d = {r["id"]: r["change"] for r in diff_snapshots(old, new, ["id"]).collect()}
+    assert d == {1: "removed", 3: "changed", 4: "added"}  # id=2 unchanged, dropped
+    # NULL payloads compare stably
+    old2 = spark.createDataFrame([(1, None)], "id long, s string")
+    new2 = spark.createDataFrame([(1, None)], "id long, s string")
+    assert diff_snapshots(old2, new2, ["id"]).count() == 0
