@@ -1,0 +1,77 @@
+"""End-to-end ML on extracted features. Run:
+python examples/ml_pipeline.py [sf_dir]
+
+FeatureCollection (per-user rolling features over events) → FRESH-style
+relevance selection (Benjamini-Hochberg) → MLlib logistic regression,
+composed so feature extraction, selection, assembly, and training run
+as Spark jobs end-to-end — the "switch from tsflex+sklearn to
+tsflex_spark+MLlib" path.
+"""
+
+import sys
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+from tsflex_spark import FeatureCollection, FeatureDescriptor
+from tsflex_spark.features.selection import feature_relevance, select_features
+from tsflex_spark.session import get_spark
+from tsflex_spark.sources.io import read_events
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
+    spark = get_spark("example_ml")
+    ev = read_events(spark, sf_dir).select("user_id", "ts", "value")
+
+    # per-user 6h tumbling features
+    fc = FeatureCollection(
+        [
+            FeatureDescriptor("mean", "value", "6h", "6h"),
+            FeatureDescriptor("std", "value", "6h", "6h"),
+            FeatureDescriptor("count", "value", "6h", "6h"),
+            FeatureDescriptor("ptp", "value", "6h", "6h"),
+        ]
+    )
+    # approve_sparsity: the sparsity watcher rides a DataFrame.observe
+    # metric, which MLlib's RDD-based evaluators cannot serialize —
+    # irregular per-user windows are expected here anyway
+    feats = fc.calculate(
+        ev,
+        ts_col="ts",
+        key_cols=["user_id"],
+        include_empty_windows=False,
+        approve_sparsity=True,
+    ).localCheckpoint(eager=False)
+    feat_cols = [c for c in feats.columns if "__" in c]
+
+    # label: "active window" = count above this corpus's median count
+    med = feats.agg(F.median(f"value__count__w=6h").alias("m")).first()["m"]
+    labeled = feats.withColumn(
+        "label", (F.col("value__count__w=6h") > F.lit(float(med))).cast("double")
+    ).na.drop(subset=feat_cols)
+
+    scores = feature_relevance(labeled, "label", feat_cols)
+    print("top features:", [(s["feature"], round(s["p"], 4)) for s in scores[:3]])
+    selected = select_features(labeled, "label", feat_cols, keep_cols=["user_id", "ts"])
+    kept = [c for c in selected.columns if "__" in c]
+    print(f"BH kept {len(kept)}/{len(feat_cols)} features")
+
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.feature import VectorAssembler
+
+    # drop the label-defining feature so the model learns from the rest
+    model_feats = [c for c in kept if "count" not in c] or kept
+    train, test = selected.randomSplit([0.8, 0.2], seed=7)
+    asm = VectorAssembler(inputCols=model_feats, outputCol="features")
+    lr = LogisticRegression(featuresCol="features", labelCol="label", maxIter=20)
+    model = lr.fit(asm.transform(train))
+    auc = BinaryClassificationEvaluator(labelCol="label").evaluate(
+        model.transform(asm.transform(test))
+    )
+    print(f"AUC on held-out windows: {auc:.3f}")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])

@@ -17,3 +17,10 @@ def test_pretraining_data_example(spark, tmp_path):
     import pretraining_data
 
     pretraining_data.main("/root/testdata/sf0.001", str(tmp_path / "shards"))
+
+
+def test_ml_pipeline_example(spark):
+    sys.path.insert(0, "examples")
+    import ml_pipeline
+
+    ml_pipeline.main("/root/testdata/sf0.001")

@@ -11,6 +11,13 @@ Both wrappers are thin: ``_transform`` delegates to ``process``/
 ``calculate``, so the full plan (native aggregates, two-level rewrite,
 Arrow tiers) still compiles into the surrounding pipeline's DataFrame
 lineage lazily — an MLlib estimator downstream triggers one fused job.
+
+GOTCHA: MLlib's RDD-backed components (e.g.
+``BinaryClassificationEvaluator``) serialize the feature frame's plan
+into task closures, and the sparsity watcher's ``DataFrame.observe``
+metric node is not serializable there — pass
+``approve_sparsity=True`` to ``calculate`` (or eagerly checkpoint the
+feature frame) before feeding MLlib evaluators.
 """
 
 from __future__ import annotations
