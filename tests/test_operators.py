@@ -2567,3 +2567,31 @@ def test_diff_snapshots_changes(spark):
     old2 = spark.createDataFrame([(1, None)], "id long, s string")
     new2 = spark.createDataFrame([(1, None)], "id long, s string")
     assert diff_snapshots(old2, new2, ["id"]).count() == 0
+
+
+def test_semantic_decontaminate(spark):
+    from tsflex_spark.datapipe.decontam import semantic_decontaminate
+
+    import numpy as np
+    rng = np.random.default_rng(4)
+    base = rng.normal(size=(3, 8)).astype("float32")
+    corpus_rows = []
+    # doc 0/1: near-copies of eval vectors; doc 2-5: random
+    corpus_rows.append((0, (base[0] + 0.001).tolist()))
+    corpus_rows.append((1, (base[1] * 1.5).tolist()))  # scaled = same direction
+    for i in range(2, 6):
+        corpus_rows.append((i, rng.normal(size=8).astype("float32").tolist()))
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, embedding array<float>")
+    ev = spark.createDataFrame(
+        [(i, base[i].tolist()) for i in range(3)], "eid long, embedding array<float>"
+    )
+    out = {r["doc_id"]: r for r in semantic_decontaminate(corpus, ev, threshold=0.99).collect()}
+    assert out[0]["contaminated"] and out[1]["contaminated"]
+    assert not any(out[i]["contaminated"] for i in range(2, 6))
+    assert out[1]["max_eval_cosine"] > 0.999  # cosine ignores scale
+    # empty eval set: nothing contaminated
+    empty = ev.where(F.col("eid") < 0)
+    out2 = semantic_decontaminate(corpus, empty).collect()
+    assert len(out2) == 6 and not any(r["contaminated"] for r in out2)
+    with pytest.raises(ValueError, match="max_eval_rows"):
+        semantic_decontaminate(corpus, ev, max_eval_rows=2)

@@ -143,3 +143,65 @@ def drop_contaminated(
         broadcast_eval=broadcast_eval,
     ).where(F.col("contaminated")).select(id_col)
     return df.join(flags, on=id_col, how="left_anti")
+
+
+def semantic_decontaminate(
+    corpus_emb: DataFrame,
+    eval_emb: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+    eval_vec_col: Optional[str] = None,
+    max_eval_rows: int = 1_000_000,
+) -> DataFrame:
+    """Embedding-level benchmark decontamination: flag corpus documents
+    whose embedding is within ``threshold`` cosine of ANY eval-set
+    embedding — catching paraphrased/reformatted eval leakage that
+    word-n-gram overlap (:func:`decontaminate`) misses.
+
+    Scale shape: the EVAL set is the bounded side — it is collected once
+    (guarded by ``max_eval_rows``) and rides every task's closure as a
+    dense normalized matrix; the corpus side is a map-only Arrow scan
+    with one BLAS product per batch and NEVER shuffles. Returns
+    ``(id, max_eval_cosine, contaminated)`` for every corpus row;
+    filter ``~contaminated`` to keep the clean slice.
+    """
+    import numpy as np
+    import pandas as pd
+
+    evec = eval_vec_col or vec_col
+    n_eval = eval_emb.limit(max_eval_rows + 1).count()
+    if n_eval > max_eval_rows:
+        raise ValueError(
+            f"eval set exceeds max_eval_rows={max_eval_rows}; decontaminate "
+            "against a sampled/sharded eval set or raise the guard"
+        )
+    q = eval_emb.select(F.col(evec).alias(vec_col)).toPandas()
+    id_dt = corpus_emb.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_dt}, max_eval_cosine double, contaminated boolean"
+    if len(q) == 0:
+        return corpus_emb.select(
+            F.col(id_col),
+            F.lit(None).cast("double").alias("max_eval_cosine"),
+            F.lit(False).alias("contaminated"),
+        )
+    qm = np.vstack(q[vec_col].to_numpy()).astype(np.float64)
+    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    thr = float(threshold)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            best = (mn @ qn.T).max(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "max_eval_cosine": best,
+                    "contaminated": best >= thr,
+                }
+            )
+
+    return corpus_emb.select(id_col, vec_col).mapInPandas(score, out_schema)
