@@ -19,7 +19,7 @@ from tsflex_spark.features.feature_collection import FeatureCollection
 from tsflex_spark.features.function_wrapper import FuncWrapper, make_robust
 from tsflex_spark.processing.series_pipeline import SeriesPipeline
 from tsflex_spark.processing.series_processor import SeriesProcessor, dataframe_func
-from tsflex_spark.relational import asof_join
+from tsflex_spark.relational import asof_join, interval_join, range_join
 
 __all__ = [
     "FeatureDescriptor",
@@ -32,4 +32,6 @@ __all__ = [
     "dataframe_func",
     "chunk_data",
     "asof_join",
+    "interval_join",
+    "range_join",
 ]
