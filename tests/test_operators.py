@@ -2595,3 +2595,34 @@ def test_semantic_decontaminate(spark):
     assert len(out2) == 6 and not any(r["contaminated"] for r in out2)
     with pytest.raises(ValueError, match="max_eval_rows"):
         semantic_decontaminate(corpus, ev, max_eval_rows=2)
+
+
+def test_clean_corpus_gopher_stage(spark):
+    from tsflex_spark.datapipe.pipeline import clean_corpus
+
+    long_good = (
+        "The quick brown fox jumps over the lazy dog and runs to be with "
+        "a friend that will have come along with many other words to fill "
+        "out the fifty word minimum for this test of quality and more "
+        "words that keep the document long enough for the rule to pass now."
+    )
+    df = spark.createDataFrame(
+        [(1, long_good), (2, "way too short to pass gopher rules")],
+        "doc_id long, text string",
+    )
+    out = clean_corpus(
+        df, min_quality_score=0.0, near_dup_threshold=None, gopher={}
+    ).collect()
+    assert [r["doc_id"] for r in out] == [1]
+    audit = clean_corpus(
+        df, min_quality_score=0.0, near_dup_threshold=None, gopher={},
+        annotate_only=True,
+    ).collect()
+    reasons = {r["doc_id"]: r["reject_reason"] for r in audit}
+    assert reasons[2] == "gopher" and reasons[1] is None
+    # thresholds pass through
+    relaxed = clean_corpus(
+        df, min_quality_score=0.0, near_dup_threshold=None,
+        gopher={"min_words": 3, "min_required_words": 1},
+    ).collect()
+    assert len(relaxed) == 2

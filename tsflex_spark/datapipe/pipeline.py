@@ -52,6 +52,7 @@ def clean_corpus(
     allowed_languages: Optional[Sequence[str]] = None,
     scrub_pii: bool = False,
     line_filter: Optional[dict] = None,
+    gopher: Optional[dict] = None,
     length_band: Optional[tuple] = None,
     eval_df: Optional[DataFrame] = None,
     decontam_ngram: int = 8,
@@ -75,6 +76,9 @@ def clean_corpus(
 
     ``scrub_pii=True`` rewrites ``text_col`` in place before any scoring
     (so filters see the scrubbed text, as production pipelines do).
+    ``gopher={...}`` (or ``{}`` for the published defaults) adds the
+    Gopher A1.1 document rules (:func:`text.gopher_rules`) as a
+    ``reject_reason='gopher'`` stage.
     ``length_band=(q_lo, q_hi)`` trims global char-length outliers with
     EXACT quantile cutoffs. ``eval_df`` enables benchmark
     decontamination (word-``decontam_ngram``-gram overlap). In audit
@@ -112,6 +116,14 @@ def clean_corpus(
             F.lit("repetition_ngrams"),
         )
     )
+    if gopher is not None:
+        from tsflex_spark.datapipe.text import gopher_rules
+
+        gr = gopher_rules(
+            docs, text_col, id_col, **(gopher if isinstance(gopher, dict) else {})
+        ).select(id_col, F.col("keep").alias("__gopher_keep"))
+        annotated = annotated.join(gr, id_col)
+        reason = reason.when(~F.col("__gopher_keep"), F.lit("gopher"))
     if allowed_languages is not None:
         lang = language_id(docs, text_col, id_col=id_col)
         annotated = annotated.join(lang, id_col)
