@@ -26,6 +26,15 @@ dominated by ops whose OUTPUT is inherently large-and-keyed (resample's
 Top writer processing_resample (38.3 MB) was then fused to one
 union-window exchange → 27.2 MB. Every TPC-H/rolling/dedup gate writes
 < 14 MB; no query shuffles an intermediate that dwarfs its own output.
+
+Round-5 re-run (same sf, gates now 50/50 oracle-checked): total 193 MB.
+New top writer sketch_dedup 38.2 MB — expected: the gate gained the
+full candidate-superset contract (128-hash signatures ≈ 1 KB/doc
+through the groupBy, banded joins for two sketches, and an exact
+shingle-join verify over ~75% of the docs). Write scales linearly with
+corpus size (no quadratic pair blow-up: candidates stay ~2k of 12.5M
+possible pairs), so the constant is fine at cluster scale. Next:
+processing_resample 27.2, dup_clusters 13.4, quality_score 13.2.
 """
 
 from __future__ import annotations
