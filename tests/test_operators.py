@@ -2626,3 +2626,109 @@ def test_clean_corpus_gopher_stage(spark):
         gopher={"min_words": 3, "min_required_words": 1},
     ).collect()
     assert len(relaxed) == 2
+
+
+def test_windowed_features_stream_batch_parity(spark, tmp_path):
+    """Arbitrary Python feature functions on a STREAM (stateful window
+    buffer) must reproduce the batch UDF tier row-for-row on the same
+    data (tumbling windows, watermark-complete windows only)."""
+    import numpy as np
+
+    from tsflex_spark import FeatureCollection, FeatureDescriptor, FuncWrapper
+    from tsflex_spark.streaming.stateful import windowed_features_stream
+
+    def iqr(x: np.ndarray) -> float:
+        return float(np.quantile(x, 0.75) - np.quantile(x, 0.25))
+
+    rng = np.random.default_rng(13)
+    # both keys start exactly on the hour so the batch grid (t0-anchored)
+    # and the stream grid (epoch-floor-anchored) coincide
+    rows = []
+    for uid in (0, 1):
+        ts = pd.date_range("2024-01-01 00:00:00", periods=6 * 60, freq="1min")
+        vals = rng.normal(50, 10, size=len(ts)).round(2)
+        rows.append(pd.DataFrame({"ts": ts, "user_id": uid, "v": vals}))
+    pdf = pd.concat(rows, ignore_index=True).sort_values("ts")
+    sentinel = pd.DataFrame(
+        {"ts": [pd.Timestamp("2024-01-01 08:00:00")], "user_id": [0], "v": [0.0]}
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(pdf.iloc[: len(pdf) // 2]).coalesce(1).write.parquet(src)
+    spark.createDataFrame(pdf.iloc[len(pdf) // 2 :]).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    spark.createDataFrame(sentinel).coalesce(1).write.parquet(src, mode="append")
+
+    fc = FeatureCollection(
+        [
+            FeatureDescriptor(iqr, "v", "1h", "1h"),
+            FeatureDescriptor(
+                FuncWrapper(lambda x: float(x.sum()), output_names="mysum"), "v", "1h", "1h"
+            ),
+        ]
+    )
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = windowed_features_stream(stream, fc, ts_col="ts", key_cols=["user_id"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wfs_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("wfs_sink")
+        .toPandas()
+        .sort_values(["user_id", "ts"])
+        .reset_index(drop=True)
+    )
+    # the sentinel's own window [08:00,09:00) never passes the watermark
+    assert got["ts"].max() == pd.Timestamp("2024-01-01 06:00:00")
+    assert len(got) == 12  # 2 keys x 6 complete hourly windows
+
+    batch = spark.createDataFrame(pd.concat([pdf, sentinel], ignore_index=True))
+    exp = (
+        fc.calculate(
+            batch, ts_col="ts", key_cols=["user_id"],
+            include_empty_windows=False, approve_sparsity=True,
+            include_final_window=True,  # stream emits every window with data
+        )
+        .toPandas()
+        .sort_values(["user_id", "ts"])
+        .reset_index(drop=True)
+    )
+    exp = exp[exp["ts"] <= pd.Timestamp("2024-01-01 06:00:00")].reset_index(drop=True)
+    assert set(got.columns) == set(exp.columns)
+    got = got[list(exp.columns)]
+    for c in got.columns:
+        if c == "ts":
+            assert got[c].equals(exp[c])
+        elif c == "user_id":
+            assert (got[c] == exp[c]).all()
+        else:
+            assert np.allclose(got[c].to_numpy(), exp[c].to_numpy(), atol=1e-12), c
+
+
+def test_windowed_features_stream_rejections(spark):
+    from tsflex_spark import FeatureCollection, FeatureDescriptor
+    from tsflex_spark.streaming.stateful import windowed_features_stream
+
+    df = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="calculate_streaming"):
+        windowed_features_stream(
+            df, FeatureCollection(FeatureDescriptor("mean", "value", "1h", "1h")),
+            ts_col="timestamp",
+        )
+    with pytest.raises(ValueError, match="TUMBLING"):
+        windowed_features_stream(
+            df,
+            FeatureCollection(FeatureDescriptor(lambda x: 1.0, "value", "1h", "30m")),
+            ts_col="timestamp",
+        )

@@ -591,8 +591,11 @@ class FeatureCollection:
             if udf:
                 bad = sorted({fd.function.func_name for *_, fd in udf})
                 raise ValueError(
-                    f"streaming supports native catalog functions only; "
-                    f"Python-tier funcs in config: {bad}"
+                    f"calculate_streaming compiles native catalog functions "
+                    f"only; Python-tier funcs in config: {bad} — use "
+                    f"streaming.stateful.windowed_features_stream (stateful "
+                    f"window buffer) for arbitrary functions on tumbling "
+                    f"windows"
                 )
             distinct = sorted(
                 {fd.function.func_name for *_, fd, _s in native if fd.function.func_name == "n_unique"}

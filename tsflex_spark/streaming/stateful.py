@@ -19,6 +19,7 @@ from typing import Iterator, Sequence, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -221,4 +222,159 @@ def ewma_stream(
 
     return df.groupBy(*key_cols).applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def windowed_features_stream(
+    df: DataFrame,
+    fc,
+    *,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Arbitrary-Python-function feature extraction on a STREAM — the
+    UDF-tier complement to ``FeatureCollection.calculate_streaming``
+    (which compiles native catalog aggregates to incremental plans but
+    rejects Python feature functions).
+
+    Tumbling TIME windows only (every descriptor's stride must equal its
+    window): rows buffer in per-(key, window) state; when the event-time
+    watermark passes the window end the group times out, the feature
+    functions run ONCE over the completed window buffer (same
+    ``FuncWrapper.apply`` contract as the batch UDF tier — np.ndarray or
+    index-aware pd.Series inputs, nulls dropped per series), one row is
+    appended, and the state is freed. State size per group is the
+    window's row count — bounded by window span × rate, not stream
+    length; total store size is live-windows × keys.
+
+    Output: ``(keys..., ts = window END, <series>__<feat>__w=<win>)``
+    with double feature columns, matching the batch naming grammar —
+    ``fc.calculate`` over the same data gives the same rows (parity test
+    in tests/test_operators.py). Catalog-string functions are rejected:
+    they stream incrementally via ``calculate_streaming`` and need no
+    buffer.
+    """
+    from tsflex_spark.features.feature_collection import _col_name
+    from tsflex_spark.streaming.rolling import _ensure_event_time
+    from tsflex_spark.utils.time_args import parse_time_arg, to_numeric_units
+
+    descs = list(fc.descriptors)
+    if not descs:
+        raise ValueError("empty FeatureCollection")
+    win_strs = {fd.window_str for fd in descs}
+    if len(win_strs) != 1 or "manual" in win_strs:
+        raise ValueError(f"one shared time window required, got {sorted(win_strs)}")
+    for fd in descs:
+        if isinstance(fd.function.func, str):
+            raise ValueError(
+                f"catalog function {fd.function.func!r} streams incrementally — "
+                "use FeatureCollection.calculate_streaming for the native tier"
+            )
+        strides = fd.stride if fd.stride is not None else [fd.window]
+        for s in strides:
+            if parse_time_arg(s) != parse_time_arg(fd.window):
+                raise ValueError(
+                    "windowed_features_stream supports TUMBLING windows only "
+                    f"(stride {s!r} != window {fd.window!r})"
+                )
+    w_us = int(to_numeric_units(parse_time_arg(descs[0].window), True))
+    series_cols = fc.get_required_series()
+    missing = [s for s in series_cols if s not in df.columns]
+    if missing:
+        raise ValueError(f"series not in stream: {missing}")
+
+    key_cols = list(key_cols)
+    out_fields = [df.schema[k] for k in key_cols] + [
+        T.StructField(ts_col, T.TimestampType())
+    ]
+    out_names: list = []
+    specs: list = []
+    for fd in descs:
+        fw = fd.function
+        names = [
+            _col_name(fd.series_name, o, fd.window_str) for o in fw.output_names
+        ]
+        out_names += names
+        specs.append((fd.series_name, fw, names))
+    out_schema = T.StructType(
+        out_fields + [T.StructField(n, T.DoubleType(), True) for n in out_names]
+    )
+    state_schema = T.StructType(
+        [T.StructField("__ts", T.ArrayType(T.LongType()))]
+        + [T.StructField(f"__v_{s}", T.ArrayType(T.DoubleType())) for s in series_cols]
+    )
+
+    df = _ensure_event_time(df, ts_col)
+    df = df.withWatermark(ts_col, watermark)
+    from tsflex_spark.utils.time_args import ts_micros
+
+    d = df.withColumn("__ws", (F.floor(ts_micros(ts_col) / w_us) * w_us).cast("long"))
+
+    n_series = len(series_cols)
+
+    def update(key: Tuple, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        # key values arrive as numpy scalars; GroupState round-trips
+        # through JSON, which rejects np.int64 — normalize to Python int
+        ws_val = int(key[-1])
+        if state.hasTimedOut:
+            stored = state.get
+            ts_arr = np.asarray(stored[0], dtype="int64")
+            order = np.argsort(ts_arr, kind="stable")
+            pdf = pd.DataFrame({"__tsn": ts_arr[order]})
+            for i, s in enumerate(series_cols):
+                pdf[s] = np.asarray(stored[1 + i], dtype="float64")[order]
+            row: dict = dict(zip(key_cols, key[:-1]))
+            row[ts_col] = pd.Timestamp((ws_val + w_us) * 1000)
+            for series_tuple, fw, names in specs:
+                if fw.input_type is pd.Series:
+                    idx = pd.to_datetime(pdf["__tsn"], unit="us")
+                    vals = [
+                        pd.Series(pdf[s].to_numpy(), index=idx, name=s).dropna()
+                        for s in series_tuple
+                    ]
+                else:
+                    vals = [pdf[s].dropna() for s in series_tuple]
+                try:
+                    outs = fw.apply(vals)
+                except Exception:
+                    outs = [np.nan] * len(names)
+                for n, v in zip(names, outs):
+                    try:
+                        row[n] = float(v)
+                    except (TypeError, ValueError):
+                        row[n] = np.nan
+            state.remove()
+            yield pd.DataFrame([row])
+            return
+        if state.exists:
+            stored = state.get
+            ts_list = list(stored[0])
+            val_lists = [list(stored[1 + i]) for i in range(n_series)]
+        else:
+            ts_list = []
+            val_lists = [[] for _ in range(n_series)]
+        for pdf in pdfs:
+            t = (
+                pd.to_datetime(pdf[ts_col])
+                .to_numpy()
+                .astype("datetime64[us]")
+                .astype("int64")
+            )
+            ts_list += t.tolist()
+            for i, s in enumerate(series_cols):
+                val_lists[i] += pdf[s].astype("float64").tolist()
+        state.update((ts_list, *val_lists))
+        # fire when the watermark passes this window's END (never set a
+        # timeout at-or-before the current watermark — the API rejects it)
+        end_ms = int((ws_val + w_us) // 1000)
+        state.setTimeoutTimestamp(max(end_ms, int(state.getCurrentWatermarkMs()) + 1))
+        return
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return d.groupBy(*key_cols, "__ws").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
     )
