@@ -2726,9 +2726,77 @@ def test_windowed_features_stream_rejections(spark):
             df, FeatureCollection(FeatureDescriptor("mean", "value", "1h", "1h")),
             ts_col="timestamp",
         )
-    with pytest.raises(ValueError, match="TUMBLING"):
+    with pytest.raises(ValueError, match="stride must be <= window"):
         windowed_features_stream(
             df,
-            FeatureCollection(FeatureDescriptor(lambda x: 1.0, "value", "1h", "30m")),
+            FeatureCollection(FeatureDescriptor(lambda x: 1.0, "value", "30m", "1h")),
             ts_col="timestamp",
         )
+
+
+def test_windowed_features_stream_sliding(spark, tmp_path):
+    """Sliding windows (stride < window): explode membership + the same
+    state machinery; parity vs the batch UDF tier."""
+    import numpy as np
+
+    from tsflex_spark import FeatureCollection, FeatureDescriptor, FuncWrapper
+    from tsflex_spark.streaming.stateful import windowed_features_stream
+
+    rng = np.random.default_rng(21)
+    ts = pd.date_range("2024-01-01 00:00:00", periods=4 * 60, freq="1min")
+    pdf = pd.DataFrame({"ts": ts, "user_id": 0, "v": rng.normal(0, 1, len(ts)).round(3)})
+    sentinel = pd.DataFrame(
+        {"ts": [pd.Timestamp("2024-01-01 06:00:00")], "user_id": [1], "v": [0.0]}
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(src)
+    spark.createDataFrame(sentinel).coalesce(1).write.parquet(src, mode="append")
+
+    fc = FeatureCollection(
+        FeatureDescriptor(
+            FuncWrapper(lambda x: float(np.mean(x)), output_names="m"), "v", "1h", "30m"
+        )
+    )
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = windowed_features_stream(stream, fc, ts_col="ts", key_cols=["user_id"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wfs_slide")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("wfs_slide")
+        .where(F.col("user_id") == 0)
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    # stream grid: starts ...-0:30, 0:00, 0:30 ... ends 0:30..4:30 for
+    # windows containing data in [0, 4h)
+    exp = (
+        fc.calculate(
+            spark.createDataFrame(pdf), ts_col="ts",
+            include_empty_windows=False, approve_sparsity=True,
+            include_final_window=True,
+        )
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    # batch grid is t0-anchored = epoch-aligned here; the stream also
+    # emits the leading partial window [-0:30, 0:30) which batch's grid
+    # (starting at t0=0:00) does not have — drop it for the comparison
+    got = got[got["ts"] >= exp["ts"].min()].reset_index(drop=True)
+    col = "v__m__w=1h"
+    m = min(len(got), len(exp))
+    assert m >= 7
+    assert np.allclose(got[col].to_numpy()[:m], exp[col].to_numpy()[:m], atol=1e-12)
+    assert got["ts"].iloc[:m].equals(exp["ts"].iloc[:m])

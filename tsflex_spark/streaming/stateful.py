@@ -238,9 +238,11 @@ def windowed_features_stream(
     (which compiles native catalog aggregates to incremental plans but
     rejects Python feature functions).
 
-    Tumbling TIME windows only (every descriptor's stride must equal its
-    window): rows buffer in per-(key, window) state; when the event-time
-    watermark passes the window end the group times out, the feature
+    Tumbling or sliding TIME windows (one shared stride <= window; the
+    grid is epoch-anchored stride multiples): each row's window
+    memberships explode statelessly (ceil(window/stride) per row), rows
+    buffer in per-(key, window-start) state; when the event-time
+    watermark passes a window's end the group times out, the feature
     functions run ONCE over the completed window buffer (same
     ``FuncWrapper.apply`` contract as the batch UDF tier — np.ndarray or
     index-aware pd.Series inputs, nulls dropped per series), one row is
@@ -271,14 +273,22 @@ def windowed_features_stream(
                 f"catalog function {fd.function.func!r} streams incrementally — "
                 "use FeatureCollection.calculate_streaming for the native tier"
             )
+    stride_args = set()
+    for fd in descs:
         strides = fd.stride if fd.stride is not None else [fd.window]
         for s in strides:
-            if parse_time_arg(s) != parse_time_arg(fd.window):
-                raise ValueError(
-                    "windowed_features_stream supports TUMBLING windows only "
-                    f"(stride {s!r} != window {fd.window!r})"
-                )
+            stride_args.add(parse_time_arg(s))
+    if len(stride_args) != 1:
+        raise ValueError(
+            f"one shared stride required across descriptors, got {stride_args}"
+        )
     w_us = int(to_numeric_units(parse_time_arg(descs[0].window), True))
+    s_us = int(to_numeric_units(next(iter(stride_args)), True))
+    if s_us > w_us:
+        raise ValueError(
+            "stride must be <= window (TUMBLING when equal, SLIDING when "
+            f"smaller); got window={w_us}us stride={s_us}us"
+        )
     series_cols = fc.get_required_series()
     missing = [s for s in series_cols if s not in df.columns]
     if missing:
@@ -309,7 +319,16 @@ def windowed_features_stream(
     df = df.withWatermark(ts_col, watermark)
     from tsflex_spark.utils.time_args import ts_micros
 
-    d = df.withColumn("__ws", (F.floor(ts_micros(ts_col) / w_us) * w_us).cast("long"))
+    # window-start membership: every stride-multiple start with
+    # start <= ts < start + window. Tumbling (s == w) gives exactly one
+    # start; sliding gives ceil(w/s) — a stateless explode, so the
+    # per-(key, start) state machinery below is identical for both.
+    t = ts_micros(ts_col)
+    first = (F.floor((t - w_us) / s_us) + 1).cast("long")
+    last = F.floor(t / s_us).cast("long")
+    d = df.withColumn("__wsi", F.explode(F.sequence(first, last))).withColumn(
+        "__ws", (F.col("__wsi") * F.lit(s_us)).cast("long")
+    ).drop("__wsi")
 
     n_series = len(series_cols)
 
