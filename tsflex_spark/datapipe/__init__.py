@@ -5,6 +5,7 @@ from tsflex_spark.datapipe import (
     decontam,
     dedup,
     dsir,
+    embedding,
     lm,
     multimodal,
     pipeline,
@@ -19,6 +20,7 @@ __all__ = [
     "decontam",
     "dedup",
     "dsir",
+    "embedding",
     "lm",
     "multimodal",
     "pipeline",

@@ -405,3 +405,167 @@ def ivf_search_parquet(
         cosine_similarity_col(F.col(index.vec_col), query_vec).alias("cosine"),
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(index.id_col)).limit(k)
+
+
+# --------------------------------------------------- product quantization
+class PQCodebook:
+    """Product-quantization codebooks (Jégou et al., TPAMI 2011): the
+    d-dim space is split into ``m`` subspaces of ``d/m`` dims, each with
+    its own ``ksub``-centroid codebook. A vector becomes ``m`` small
+    codes — 64-dim float32 (256 B) compresses to ``m`` bytes-ish — and
+    distances are computed against codes via one table lookup per
+    subspace (ADC), never against reconstructed vectors.
+
+    The 100 TB composition is IVF-PQ: ``ivf_write`` partitions the
+    corpus by coarse cell (partition pruning), ``pq_assign`` stores only
+    codes inside each partition, ``pq_search`` ADC-scans the pruned
+    candidate set. Codebooks are a tiny npz artifact trained once.
+    """
+
+    def __init__(self, codebooks, vec_col: str = "embedding", id_col: str = "vec_id"):
+        import numpy as np
+
+        self.codebooks = np.asarray(codebooks, dtype="float64")  # (m, ksub, dsub)
+        if self.codebooks.ndim != 3:
+            raise ValueError("codebooks must be (m, ksub, dsub)")
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    @property
+    def m(self) -> int:
+        return self.codebooks.shape[0]
+
+    @property
+    def ksub(self) -> int:
+        return self.codebooks.shape[1]
+
+    @property
+    def dim(self) -> int:
+        return self.codebooks.shape[0] * self.codebooks.shape[2]
+
+    def save(self, path: str) -> None:
+        import numpy as np
+
+        np.savez(
+            path if path.endswith(".npz") else path + ".npz",
+            codebooks=self.codebooks,
+            vec_col=np.array(self.vec_col),
+            id_col=np.array(self.id_col),
+        )
+
+    @staticmethod
+    def load(path: str) -> "PQCodebook":
+        import numpy as np
+
+        z = np.load(path if path.endswith(".npz") else path + ".npz")
+        return PQCodebook(z["codebooks"], str(z["vec_col"]), str(z["id_col"]))
+
+
+def _lloyd(X, k: int, seed: int, iters: int = 12):
+    """Seeded numpy Lloyd on a bounded sample (BLAS distance form)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    k = min(k, len(X))
+    C = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d2 = -2.0 * (X @ C.T) + (C**2).sum(1)[None, :]
+        a = d2.argmin(1)
+        for j in range(k):
+            mask = a == j
+            if mask.any():
+                C[j] = X[mask].mean(0)
+    return C
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    ksub: int = 256,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+    sample_per_centroid: int = 64,
+    sample_fraction: Optional[float] = None,
+) -> PQCodebook:
+    """Train per-subspace codebooks on a bounded, deterministic sample
+    (same sampling contract as ``ivf_train`` — pass ``sample_fraction``
+    on layout-correlated corpora)."""
+    import numpy as np
+
+    src = df.select(vec_col)
+    if sample_fraction is not None:
+        sample = src.sample(False, float(sample_fraction), seed).toPandas()
+    else:
+        sample = src.limit(max(ksub * sample_per_centroid, 4 * ksub)).toPandas()
+    X = np.asarray([np.asarray(v, dtype="float64") for v in sample[vec_col]])
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = [
+        _lloyd(X[:, s * dsub : (s + 1) * dsub], ksub, seed + s) for s in range(m)
+    ]
+    if len({len(b) for b in books}) != 1:
+        raise ValueError("sample smaller than ksub; lower ksub or widen the sample")
+    return PQCodebook(np.stack(books), vec_col=vec_col, id_col=id_col)
+
+
+def pq_assign(df: DataFrame, cb: PQCodebook, out_col: str = "pq_code") -> DataFrame:
+    """Encode vectors to PQ codes: one BLAS argmin per subspace per Arrow
+    batch, narrow plan, no shuffle. Codes are ``array<smallint>`` (values
+    0..ksub-1) so ksub=256 round-trips without sign gymnastics."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    B = cb.codebooks
+    m, _, dsub = B.shape
+    norms = (B**2).sum(2)  # (m, ksub)
+
+    @pandas_udf("array<smallint>")
+    def _code(v: pd.Series) -> pd.Series:
+        X_ = np.stack([np.asarray(x, dtype="float64") for x in v.to_numpy()])
+        codes = np.empty((len(X_), m), dtype="int16")
+        for s in range(m):
+            Xs = X_[:, s * dsub : (s + 1) * dsub]
+            d2 = -2.0 * (Xs @ B[s].T) + norms[s][None, :]
+            codes[:, s] = d2.argmin(1)
+        return pd.Series(list(codes))
+
+    return df.withColumn(out_col, _code(F.col(cb.vec_col)))
+
+
+def pq_search(
+    df: DataFrame,
+    cb: PQCodebook,
+    query_vec: Sequence[float],
+    k: int = 10,
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """ADC top-k over PQ codes: the query is expanded once into an
+    (m, ksub) distance table; each row costs m table lookups + a sum —
+    no vector reconstruction, the corpus scan reads only the code column
+    (ReadSchema prunes the raw embedding if it is even stored). Returns
+    ``(id, approx_dist)`` ascending — TakeOrdered, no global sort."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(list(query_vec), dtype="float64")
+    B = cb.codebooks
+    m, _, dsub = B.shape
+    if len(q) != m * dsub:
+        raise ValueError(f"query dim {len(q)} != codebook dim {m * dsub}")
+    table = np.stack(
+        [((B[s] - q[s * dsub : (s + 1) * dsub][None, :]) ** 2).sum(1) for s in range(m)]
+    )  # (m, ksub)
+
+    @pandas_udf("double")
+    def _adc(codes: pd.Series) -> pd.Series:
+        C_ = np.stack([np.asarray(c, dtype="int64") for c in codes.to_numpy()])
+        return pd.Series(table[np.arange(m)[None, :], C_].sum(1))
+
+    id_col = cb.id_col
+    scored = df.select(F.col(id_col), _adc(F.col(code_col)).alias("approx_dist"))
+    return scored.orderBy(F.col("approx_dist").asc(), F.col(id_col)).limit(k)
