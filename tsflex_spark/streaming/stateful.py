@@ -397,3 +397,180 @@ def windowed_features_stream(
     return d.groupBy(*key_cols, "__ws").applyInPandasWithState(
         update, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
     )
+
+
+def session_features_stream_udf(
+    df: DataFrame,
+    gap: str,
+    funcs,
+    *,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Arbitrary Python feature functions over SESSION windows on a
+    stream — the UDF-tier complement to ``session_features_stream``
+    (which runs native catalog aggregates through ``F.session_window``).
+
+    ``funcs`` is a sequence of ``(series_name, FuncWrapper-or-callable)``
+    pairs (``series_name`` may be a tuple for multi-series functions).
+    Rows buffer in per-key state; a session is the maximal run of rows
+    whose successive gaps are ``< gap`` (Spark ``session_window``
+    semantics). A session closes when the event-time watermark passes
+    ``last_ts + gap``: closed sessions are emitted eagerly on every
+    update (state holds only OPEN sessions — bounded by session span ×
+    rate, not stream length) and a state timeout sweeps the final one.
+
+    Output: ``(keys..., session_start, session_end = last_ts + gap,
+    n_events, <series>__<out>__w=session ...)`` — the same contract as
+    the native session stream, double feature columns.
+    """
+    import numpy as np
+
+    from tsflex_spark.features.function_wrapper import FuncWrapper
+    from tsflex_spark.streaming.rolling import _ensure_event_time
+    from tsflex_spark.utils.time_args import parse_time_arg, to_numeric_units, ts_micros
+
+    gap_us = int(to_numeric_units(parse_time_arg(gap), True))
+    if gap_us <= 0:
+        raise ValueError("gap must be positive")
+
+    specs = []
+    series_cols: list = []
+    for series_name, fw in funcs:
+        if isinstance(fw, str) or (isinstance(fw, FuncWrapper) and isinstance(fw.func, str)):
+            raise ValueError(
+                "catalog-string functions stream natively — use "
+                "session_features_stream for the native tier"
+            )
+        if not isinstance(fw, FuncWrapper):
+            fw = FuncWrapper(fw)
+        series_tuple = (series_name,) if isinstance(series_name, str) else tuple(series_name)
+        for s in series_tuple:
+            if s not in df.columns:
+                raise ValueError(f"series {s!r} not in stream")
+            if s not in series_cols:
+                series_cols.append(s)
+        names = [f"{'|'.join(series_tuple)}__{o}__w=session" for o in fw.output_names]
+        specs.append((series_tuple, fw, names))
+    if not specs:
+        raise ValueError("no feature functions given")
+
+    key_cols = list(key_cols)
+    grouped_keys = key_cols if key_cols else ["__g"]
+    d = _ensure_event_time(df, ts_col)
+    if not key_cols:
+        d = d.withColumn("__g", F.lit(0))
+    d = d.withWatermark(ts_col, watermark)
+
+    out_fields = [d.schema[k] for k in key_cols] + [
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+    out_names: list = []
+    for _, _, names in specs:
+        out_names += names
+    out_schema = T.StructType(
+        out_fields + [T.StructField(n, T.DoubleType(), True) for n in out_names]
+    )
+    state_schema = T.StructType(
+        [T.StructField("__ts", T.ArrayType(T.LongType()))]
+        + [T.StructField(f"__v_{s}", T.ArrayType(T.DoubleType())) for s in series_cols]
+    )
+    n_series = len(series_cols)
+
+    def _emit_rows(key, ts_arr, val_arrs, island_slices):
+        rows = []
+        for lo, hi in island_slices:
+            t = ts_arr[lo:hi]
+            row: dict = dict(zip(key_cols, key[: len(key_cols)]))
+            row["session_start"] = pd.Timestamp(int(t[0]) * 1000)
+            row["session_end"] = pd.Timestamp((int(t[-1]) + gap_us) * 1000)
+            row["n_events"] = int(hi - lo)
+            for series_tuple, fw, names in specs:
+                if fw.input_type is pd.Series:
+                    idx = pd.to_datetime(t, unit="us")
+                    vals = [
+                        pd.Series(val_arrs[series_cols.index(s)][lo:hi], index=idx, name=s).dropna()
+                        for s in series_tuple
+                    ]
+                else:
+                    vals = [
+                        pd.Series(val_arrs[series_cols.index(s)][lo:hi]).dropna()
+                        for s in series_tuple
+                    ]
+                try:
+                    outs = fw.apply(vals)
+                except Exception:
+                    outs = [np.nan] * len(names)
+                for n, v in zip(names, outs):
+                    try:
+                        row[n] = float(v)
+                    except (TypeError, ValueError):
+                        row[n] = np.nan
+            rows.append(row)
+        return rows
+
+    def _islands(ts_arr):
+        """Sorted session slices: split where the successive gap >= gap_us."""
+        if len(ts_arr) == 0:
+            return []
+        cuts = np.flatnonzero(np.diff(ts_arr) >= gap_us) + 1
+        bounds = [0, *cuts.tolist(), len(ts_arr)]
+        return list(zip(bounds[:-1], bounds[1:]))
+
+    def update(key: Tuple, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        # one body for data batches AND timeout sweeps: merge buffer (+ any
+        # new rows), split into gap-islands, emit the islands the watermark
+        # has closed, keep the rest, and arm the timeout at the EARLIEST
+        # open island's close (targeting the last island would let a young
+        # session — e.g. a far-future straggler — starve older ones).
+        ts_list = list(state.get[0]) if state.exists else []
+        val_lists = (
+            [list(state.get[1 + i]) for i in range(n_series)]
+            if state.exists
+            else [[] for _ in range(n_series)]
+        )
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                t = (
+                    pd.to_datetime(pdf[ts_col])
+                    .to_numpy()
+                    .astype("datetime64[us]")
+                    .astype("int64")
+                )
+                ts_list += t.tolist()
+                for i, s in enumerate(series_cols):
+                    val_lists[i] += pdf[s].astype("float64").tolist()
+        ts_arr = np.asarray(ts_list, dtype="int64")
+        order = np.argsort(ts_arr, kind="stable")
+        ts_arr = ts_arr[order]
+        val_arrs = [np.asarray(v, dtype="float64")[order] for v in val_lists]
+        wm_ms = int(state.getCurrentWatermarkMs())
+        wm_us = wm_ms * 1000
+        slices = _islands(ts_arr)
+        closed = [sl for sl in slices if int(ts_arr[sl[1] - 1]) + gap_us <= wm_us]
+        open_ = [sl for sl in slices if int(ts_arr[sl[1] - 1]) + gap_us > wm_us]
+        rows = _emit_rows(key, ts_arr, val_arrs, closed)
+        if open_:
+            keep = np.concatenate([np.arange(lo, hi) for lo, hi in open_])
+            state.update(
+                (
+                    ts_arr[keep].tolist(),
+                    *[v[keep].tolist() for v in val_arrs],
+                )
+            )
+            end_ms = (int(ts_arr[open_[0][1] - 1]) + gap_us) // 1000
+            state.setTimeoutTimestamp(max(end_ms, wm_ms + 1))
+        elif state.exists:
+            state.remove()
+        if rows:
+            yield pd.DataFrame(rows)
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out = d.groupBy(*grouped_keys).applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )
+    return out
