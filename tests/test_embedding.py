@@ -184,3 +184,42 @@ def test_embedding_stats_numpy_parity(vec_sdf, vec_pdf):
     np.testing.assert_allclose(st["std"].to_numpy(), X.std(axis=0), atol=1e-9)
     np.testing.assert_allclose(st["min"].to_numpy(), X.min(axis=0))
     np.testing.assert_allclose(st["max"].to_numpy(), X.max(axis=0))
+
+
+# ---------------------------------------------------------------- kmeans
+def test_kmeans_recovers_separated_clusters(spark):
+    rng = np.random.default_rng(5)
+    centers = np.array([[0.0] * 8, [20.0] * 8, [-20.0] * 8])
+    X = centers[rng.integers(0, 3, 300)] + rng.standard_normal((300, 8)) * 0.5
+    sdf = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": np.arange(300, dtype="int64"),
+                "embedding": [r.astype("float32") for r in X],
+            }
+        )
+    )
+    C, inertia = E.kmeans_fit(sdf, k=3, iters=15, seed=1)
+    # each true center has a learned centroid within noise distance
+    for c in centers:
+        d = np.linalg.norm(C - c[None, :], axis=1).min()
+        assert d < 1.0, d
+    # inertia ~ n * d * sigma^2 = 300*8*0.25 = 600
+    assert inertia < 2 * 600
+
+
+def test_kmeans_partition_independent(vec_sdf):
+    C1, i1 = E.kmeans_fit(vec_sdf.repartition(1), k=4, iters=5, seed=2)
+    # different partitioning, same seeded init sample after sort-stability:
+    # limit() over one partition is deterministic; compare against coalesce(1)
+    C2, i2 = E.kmeans_fit(vec_sdf.coalesce(1), k=4, iters=5, seed=2)
+    np.testing.assert_allclose(np.sort(C1, axis=0), np.sort(C2, axis=0), atol=1e-8)
+    np.testing.assert_allclose(i1, i2, rtol=1e-9)
+
+
+def test_kmeans_k_too_large(spark):
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"embedding": [[1.0, 2.0], [3.0, 4.0]]})
+    )
+    with pytest.raises(ValueError, match="fewer non-null"):
+        E.kmeans_fit(sdf, k=5)

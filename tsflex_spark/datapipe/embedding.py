@@ -380,3 +380,97 @@ def dequantize_int8(
             yield out
 
     return df.mapInPandas(part, f"{out_fields}, `{out_col}` array<float>")
+
+
+# ------------------------------------------------------------- k-means
+def kmeans_fit(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    iters: int = 10,
+    seed: int = 7,
+    init_sample: int = 4096,
+    tol: float = 1e-6,
+):
+    """Distributed Lloyd k-means over the FULL corpus (the scale-correct
+    refinement of ``similarity.ivf_train``'s bounded-sample trainer).
+
+    Each iteration is one job: a narrow Arrow pass assigns every vector
+    to its nearest centroid and emits per-partition partial sums
+    (cell → (count, Σx)); the shuffle carries at most k rows per
+    partition — never the vectors. The driver merges k tiny rows,
+    recomputes centroids, and stops early when no centroid moves more
+    than ``tol``. Initialization is a seeded sample (deterministic given
+    seed + data), so refits reproduce.
+
+    Returns ``(centroids ndarray (k, d), inertia float)`` — wrap in
+    ``similarity.IVFIndex(centroids)`` to reuse the IVF write/search
+    machinery on the refined cells.
+    """
+    init = df.select(vec_col).where(F.col(vec_col).isNotNull()).limit(init_sample).toPandas()
+    X0 = np.asarray(init[vec_col].tolist(), dtype="float64")
+    if len(X0) < k:
+        raise ValueError(f"fewer non-null vectors ({len(X0)}) than k={k}")
+    # k-means++ D² seeding on the sample (Arthur & Vassilvitskii 2007):
+    # plain random init routinely drops a well-separated cluster
+    rng = np.random.default_rng(seed)
+    xx = (X0 * X0).sum(1)
+    C = X0[rng.integers(len(X0))][None, :].copy()
+    best_d2 = np.full(len(X0), np.inf)
+    for _ in range(1, k):
+        new = C[-1]
+        d2 = np.maximum(xx - 2.0 * (X0 @ new) + (new * new).sum(), 0.0)
+        best_d2 = np.minimum(best_d2, d2)
+        tot = best_d2.sum()
+        probs = best_d2 / tot if tot > 0 else np.full(len(X0), 1.0 / len(X0))
+        C = np.vstack([C, X0[rng.choice(len(X0), p=probs)]])
+
+    src = df.select(vec_col).where(F.col(vec_col).isNotNull())
+    inertia = float("nan")
+    for _ in range(iters):
+        Cb = C.copy()
+
+        def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cnt = np.zeros(len(Cb), dtype="int64")
+            sums = np.zeros_like(Cb)
+            sse = 0.0
+            norms = (Cb**2).sum(1)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = _stack(pdf[vec_col])
+                d2 = -2.0 * (X @ Cb.T) + norms[None, :]
+                a = d2.argmin(1)
+                sse += float((d2[np.arange(len(X)), a] + (X * X).sum(1)).sum())
+                np.add.at(cnt, a, 1)
+                np.add.at(sums, a, X)
+            nz = np.flatnonzero(cnt)
+            if len(nz):
+                yield pd.DataFrame(
+                    {
+                        "cell": nz,
+                        "cnt": cnt[nz],
+                        "s": [sums[j].tolist() for j in nz],
+                        "sse": [sse] + [0.0] * (len(nz) - 1),
+                    }
+                )
+
+        parts = src.mapInPandas(
+            part, "cell int, cnt long, s array<double>, sse double"
+        ).collect()
+        cnt = np.zeros(k, dtype="int64")
+        sums = np.zeros_like(C)
+        inertia = 0.0
+        for r in parts:
+            cnt[r["cell"]] += r["cnt"]
+            sums[r["cell"]] += np.asarray(r["s"])
+            inertia += r["sse"]
+        moved = 0.0
+        for j in range(k):
+            if cnt[j]:
+                nc = sums[j] / cnt[j]
+                moved = max(moved, float(((nc - C[j]) ** 2).sum()))
+                C[j] = nc
+        if moved <= tol:
+            break
+    return C, inertia
