@@ -929,3 +929,84 @@ def test_two_level_threshold_counts(spark):
         else:
             a, b = one[c].to_numpy(dtype=float), two[c].to_numpy(dtype=float)
             assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), c
+
+
+def test_native_two_series_diff_features(spark):
+    """mean_abs_diff / rmse natives + the shift recipe: with
+    b = lag(a) they realize tsfresh's mean_abs_change and lag-1
+    autocorrelation (corr) — all native Catalyst aggregates.
+
+    v_lag is NULL on the first row, so the inner bound starts at the
+    second timestamp: 26 samples give two full windows [1s,13s), [13s,25s)."""
+    import numpy as np
+    import pandas as pd
+
+    from tsflex_spark import FeatureCollection, FeatureDescriptor
+    from tsflex_spark.utils.distributed import with_global_shift
+
+    rng = np.random.default_rng(9)
+    ts = pd.date_range("2024-01-01", periods=26, freq="1s")
+    v = rng.normal(10, 2, 26).round(2)
+    df = spark.createDataFrame(pd.DataFrame({"ts": ts, "v": v}))
+    df = with_global_shift(df, "v", "ts", "v_lag", offset=-1)
+
+    fc = FeatureCollection(
+        [
+            FeatureDescriptor("mean_abs_diff", ("v", "v_lag"), "12s", "12s"),
+            FeatureDescriptor("rmse", ("v", "v_lag"), "12s", "12s"),
+            FeatureDescriptor("corr", ("v", "v_lag"), "12s", "12s"),
+        ]
+    )
+    out = fc.calculate(df, ts_col="ts", approve_sparsity=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "FlatMapGroupsInPandas" not in plan
+    pdf = out.toPandas().sort_values("ts").reset_index(drop=True)
+    assert len(pdf) == 2
+    for i, sl in enumerate([slice(1, 13), slice(13, 25)]):
+        pa = v[sl]
+        pb = v[sl.start - 1 : sl.stop - 1]  # lag-1
+        assert abs(
+            pdf["v|v_lag__mean_abs_diff__w=12s"].iloc[i] - np.abs(pa - pb).mean()
+        ) < 1e-12
+        assert abs(
+            pdf["v|v_lag__rmse__w=12s"].iloc[i] - np.sqrt(((pa - pb) ** 2).mean())
+        ) < 1e-12
+        assert abs(
+            pdf["v|v_lag__corr__w=12s"].iloc[i] - np.corrcoef(pa, pb)[0, 1]
+        ) < 1e-12
+
+
+def test_two_level_diff_features_parity(spark):
+    """mean_abs_diff / rmse decompose through the two-level fine-stride
+    rewrite bit-identically to the one-level plan (decimal inputs: the
+    partial sums are exact, the final double formula is token-identical)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from tsflex_spark import FeatureCollection, FeatureDescriptor
+
+    rng = np.random.default_rng(4)
+    ts = pd.date_range("2024-01-01", periods=600, freq="1s")
+    pdf = pd.DataFrame(
+        {"ts": ts, "a": rng.normal(5, 1, 600).round(2), "b": rng.normal(5, 1, 600).round(2)}
+    )
+    sdf = spark.createDataFrame(pdf).withColumns(
+        {"a": F.col("a").cast("decimal(10,2)"), "b": F.col("b").cast("decimal(10,2)")}
+    )
+    descs = lambda stride: [
+        FeatureDescriptor("mean_abs_diff", ("a", "b"), "64s", stride),
+        FeatureDescriptor("rmse", ("a", "b"), "64s", stride),
+    ]
+    fine = FeatureCollection(descs("1s")).calculate(
+        sdf, ts_col="ts", approve_sparsity=True
+    ).toPandas()
+    coarse = FeatureCollection(descs("64s")).calculate(
+        sdf, ts_col="ts", approve_sparsity=True
+    ).toPandas()
+    m = fine.merge(coarse, on="ts", suffixes=("_2l", "_1l"))
+    assert len(m) >= 8
+    for base in ("a|b__mean_abs_diff__w=1m4s", "a|b__rmse__w=1m4s"):
+        two = m[f"{base}_2l"].to_numpy()
+        one = m[f"{base}_1l"].to_numpy()
+        assert (two == one).all(), base

@@ -236,11 +236,30 @@ def _covar_samp_build(a: Column, b: Column, tsn: Column, kw: dict) -> Column:
     return F.when(n > 1, (n * sab - sa * sb) / (n * (n - 1)))
 
 
+def _mean_abs_diff_build(a: Column, b: Column, tsn: Column, kw: dict) -> Column:
+    """mean(|a - b|), pairwise-non-null. With b = shift(a) this is
+    tsfresh's ``mean_abs_change`` over the window (the shift comes from
+    ``utils.distributed.with_global_shift`` — see the catalog recipe
+    test); exact decimal sum, one final double division."""
+    both = a.isNotNull() & b.isNotNull()
+    d = F.when(both, F.abs(a - b))
+    return F.when(F.count(d) > 0, F.sum(d).cast("double") / F.count(d))
+
+
+def _rmse_build(a: Column, b: Column, tsn: Column, kw: dict) -> Column:
+    """sqrt(mean((a - b)²)), pairwise-non-null — series-vs-forecast error."""
+    both = a.isNotNull() & b.isNotNull()
+    d2 = F.when(both, (a - b) * (a - b))
+    return F.when(F.count(d2) > 0, F.sqrt(F.sum(d2).cast("double") / F.count(d2)))
+
+
 _reg2("corr", _corr_build)
 _reg2("covar_pop", _covar_pop_build)
 _reg2("covar_samp", _covar_samp_build)
 _reg2("dot", lambda a, b, tsn, kw: F.sum(a * b), empty=0.0)
 _reg2("mean_ratio", lambda a, b, tsn, kw: F.avg(F.try_divide(a, b)))
+_reg2("mean_abs_diff", _mean_abs_diff_build)
+_reg2("rmse", _rmse_build)
 
 
 # --- callable → registry-name recognition (by identity) ---------------------
@@ -444,6 +463,10 @@ _PAIR_PARTIAL_BUILDERS: dict[str, Callable[[Column, Column], Column]] = {
     "psbb": lambda a, b: F.sum(F.when(a.isNotNull() & b.isNotNull(), b * b)),
     "psr": lambda a, b: F.sum(F.try_divide(a, b)),
     "prcnt": lambda a, b: F.count(F.try_divide(a, b)),
+    "psad": lambda a, b: F.sum(F.when(a.isNotNull() & b.isNotNull(), F.abs(a - b))),
+    "psdd": lambda a, b: F.sum(
+        F.when(a.isNotNull() & b.isNotNull(), (a - b) * (a - b))
+    ),
 }
 
 
@@ -481,6 +504,19 @@ _DECOMPOSABLE2: dict[str, tuple] = {
     "covar_samp": (("pcnt", "psa", "psb", "psab"), _covar_samp2_final),
     "dot": (("psab",), lambda p: F.sum(p["psab"])),
     "mean_ratio": (("psr", "prcnt"), lambda p: F.sum(p["psr"]) / F.sum(p["prcnt"])),
+    "mean_abs_diff": (
+        ("pcnt", "psad"),
+        lambda p: F.when(
+            F.sum(p["pcnt"]) > 0, F.sum(p["psad"]).cast("double") / F.sum(p["pcnt"])
+        ),
+    ),
+    "rmse": (
+        ("pcnt", "psdd"),
+        lambda p: F.when(
+            F.sum(p["pcnt"]) > 0,
+            F.sqrt(F.sum(p["psdd"]).cast("double") / F.sum(p["pcnt"])),
+        ),
+    ),
 }
 
 
