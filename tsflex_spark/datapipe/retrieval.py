@@ -1,0 +1,178 @@
+"""Lexical retrieval over the ``documents`` table: distributed TF-IDF /
+BM25 (Robertson & Spärck Jones; the Okapi BM25 form) — the sparse
+complement to the dense ANN stack in ``datapipe/similarity.py``.
+
+Scale design:
+
+- **Corpus statistics** (``doc_frequencies``): terms explode per-doc
+  DISTINCT (shingle-style: the shuffle carries ``(term_hash, 1)`` pairs,
+  never text), one groupBy — the same shape as the shingle tables in
+  ``dedup.py``. The result is a bounded vocabulary table.
+- **Scoring** (``bm25_score``, ``tfidf_topk``): the query's few terms
+  (with their document frequencies) ride the plan as literals/broadcast;
+  the corpus is scanned ONCE, term counts per doc come from one
+  in-row codegen pass (no explode, no shuffle of the corpus), and the
+  final top-k is a TakeOrdered. A thousand-query batch should instead
+  join on an inverted index — out of scope here; for interactive
+  retrieval this is the plan you want.
+
+Tokenization is lower-cased ``\\W+`` splitting shared by both the stats
+and scoring paths (consistency matters more than linguistics here).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TOKEN_RE = r"[^0-9A-Za-z]+"
+
+
+def _tokens_col(text: Column) -> Column:
+    # split + array_remove are native Catalyst collection expressions —
+    # NOT interpreted HOF lambdas (the winnowing perf lesson)
+    return F.array_remove(F.split(F.lower(text), _TOKEN_RE), "")
+
+
+def tokenize_query(query: str) -> List[str]:
+    """Driver-side twin of ``_tokens_col`` — MUST stay in lockstep."""
+    return [t for t in re.split(_TOKEN_RE, query.lower()) if t]
+
+
+def doc_frequencies(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-term document frequency: ``(term, df)``.
+
+    Terms are deduplicated per document BEFORE the shuffle
+    (``array_distinct``), so the exchange carries one short string per
+    distinct (doc, term) — the vocabulary table that comes back is
+    bounded by vocabulary size, not corpus size. Persist it once per
+    corpus snapshot; every query scores against it.
+    """
+    terms = df.select(
+        F.explode(F.array_distinct(_tokens_col(F.col(text_col)))).alias("term")
+    )
+    return terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+
+def corpus_size_and_avgdl(
+    df: DataFrame, text_col: str = "text"
+) -> "tuple[int, float]":
+    """(N docs, average token count) in one scalar aggregate."""
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size(_tokens_col(F.col(text_col)))).alias("avgdl"),
+    ).collect()[0]
+    return int(row["n"]), float(row["avgdl"] or 0.0)
+
+
+def _term_freq(toks: Column, term: str) -> Column:
+    """In-row term frequency via the array_remove counting trick:
+    ``tf = size(toks) - size(array_remove(toks, t))`` — pure codegen
+    collection expressions, no explode, no interpreted lambda."""
+    return (F.size(toks) - F.size(F.array_remove(toks, term))).cast("double")
+
+
+def bm25_score(
+    df: DataFrame,
+    query: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    df_table: Optional[DataFrame] = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+    out_col: str = "bm25",
+) -> DataFrame:
+    """Okapi BM25 of every document against one query string.
+
+    ``score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))`` with
+    ``idf(t) = ln(1 + (N-df+0.5)/(df+0.5))``. The per-term document
+    frequencies come from ``df_table`` (pass the persisted
+    ``doc_frequencies`` output; computed on the fly otherwise) but enter
+    the plan as LITERALS — the corpus scan itself is one narrow pass.
+    """
+    import math
+
+    terms = tokenize_query(query)
+    if not terms:
+        raise ValueError("query has no tokens")
+    if df_table is None:
+        df_table = doc_frequencies(df, text_col, id_col)
+    n, avgdl = corpus_size_and_avgdl(df, text_col)
+    if avgdl <= 0:
+        raise ValueError("empty corpus")
+    df_rows = {
+        r["term"]: int(r["df"])
+        for r in df_table.where(F.col("term").isin(terms)).collect()
+    }
+
+    d = df.withColumn("__toks", _tokens_col(F.col(text_col)))
+    toks = F.col("__toks")
+    dl = F.size(toks).cast("double")
+    norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avgdl))
+    score = F.lit(0.0)
+    for t in dict.fromkeys(terms):  # dedup, stable order
+        dft = df_rows.get(t, 0)
+        idf = math.log(1.0 + (n - dft + 0.5) / (dft + 0.5))
+        tf = _term_freq(toks, t)
+        score = score + F.lit(idf) * tf * F.lit(k1 + 1.0) / (tf + norm)
+    return d.select(F.col(id_col), score.alias(out_col))
+
+
+def bm25_topk(
+    df: DataFrame,
+    query: str,
+    k: int = 10,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    df_table: Optional[DataFrame] = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents by BM25 — TakeOrdered (per-partition heap), never
+    a global sort of the corpus."""
+    scored = bm25_score(
+        df, query, text_col=text_col, id_col=id_col, df_table=df_table, k1=k1, b=b
+    )
+    return scored.orderBy(F.col("bm25").desc(), F.col(id_col)).limit(k)
+
+
+def tfidf_topk(
+    df: DataFrame,
+    query: str,
+    k: int = 10,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    df_table: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Top-k by plain TF-IDF (``tf · ln(N/df)``, raw counts) — the
+    simpler baseline when BM25's saturation/length terms aren't wanted."""
+    import math
+
+    terms = tokenize_query(query)
+    if not terms:
+        raise ValueError("query has no tokens")
+    if df_table is None:
+        df_table = doc_frequencies(df, text_col, id_col)
+    n = df.count()
+    df_rows = {
+        r["term"]: int(r["df"])
+        for r in df_table.where(F.col("term").isin(terms)).collect()
+    }
+    d = df.withColumn("__toks", _tokens_col(F.col(text_col)))
+    toks = F.col("__toks")
+    score = F.lit(0.0)
+    for t in dict.fromkeys(terms):
+        dft = df_rows.get(t, 0)
+        if dft == 0:
+            continue
+        score = score + _term_freq(toks, t) * F.lit(math.log(n / dft))
+    scored = d.select(F.col(id_col), score.alias("tfidf"))
+    return scored.orderBy(F.col("tfidf").desc(), F.col(id_col)).limit(k)
