@@ -1337,6 +1337,12 @@ ORDER BY p.id_a
 """
 
 
+# fixed query for the bm25 leg of cosine_topk (terms from the synthetic
+# documents vocabulary; inlined into BOTH the Spark plan and the oracle)
+BM25_GATE_QUERY = "data table query"
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-10 against the vec_id=0 embedding
     (SURVEY north-star similarity search). Per-partition heap top-k —
@@ -1382,7 +1388,74 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     knn = knn_join(
         emb.where(F.col("vec_id") > 4), qs, k=5, q_id_col="q_id"
     ).select(F.lit("knn").alias("method"), "q_id", "vec_id", "cosine", "rank")
-    return brute.unionByName(knn).orderBy("method", "q_id", "rank")
+    # PCA isometry leg: full-rank (k = d) PCA is an orthonormal rotation
+    # of the centered space, so euclidean top-10 in PCA coordinates MUST
+    # equal euclidean top-10 on the raw vectors (DuckDB computes the
+    # latter). Gates pca_train's moment reduction + eigh + pca_transform's
+    # projection end-to-end on ids/ranks (cosine emitted NULL — pca-space
+    # distances differ from raw by rotation float dust, ids don't).
+    from tsflex_spark.datapipe.embedding import pca_train, pca_transform
+
+    dim = len(emb.select("embedding").first()["embedding"])
+    model = pca_train(emb, k=dim)
+    proj = pca_transform(emb, model, out_col="p")
+    qp = proj.where(F.col("vec_id") == 0).select(F.col("p").alias("q_p"))
+    pj = proj.where(F.col("vec_id") != 0).join(F.broadcast(qp))
+    d2 = F.aggregate(
+        F.zip_with(F.col("p"), F.col("q_p"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pca_top = (
+        pj.select(F.col("vec_id"), d2.alias("d2"))
+        .orderBy(F.col("d2").asc(), F.col("vec_id"))
+        .limit(10)
+        .select(
+            F.lit("pca64").alias("method"),
+            F.lit(0).cast("long").alias("q_id"),
+            "vec_id",
+            F.lit(None).cast("double").alias("cosine"),
+            F.row_number()
+            .over(Window.orderBy(F.col("d2").asc(), F.col("vec_id")))
+            .alias("rank"),
+        )
+    )
+    # BM25 leg: lexical retrieval over documents (datapipe/retrieval).
+    # idf literals come from python libm log on exact integer (N, df) —
+    # DuckDB's ln on the same doubles is the same libm, and every other
+    # operand (tf, dl, avgdl) is integer-exact, so the double scores are
+    # bit-equal; micro-rounding to 1e-6 on both sides removes any last-ulp
+    # risk before the (score, id) ordering.
+    from tsflex_spark.datapipe.retrieval import bm25_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bm = bm25_score(
+        docs, BM25_GATE_QUERY, text_col="text", id_col="doc_id",
+        k1=_BM25_K1, b=_BM25_B,
+    )
+    bm = bm.select(
+        F.col("doc_id").alias("vec_id"),
+        (F.round(F.col("bm25") * 1e6)).cast("long").alias("s_e6"),
+    )
+    bm_top = (
+        bm.orderBy(F.col("s_e6").desc(), F.col("vec_id"))
+        .limit(10)
+        .select(
+            F.lit("bm25").alias("method"),
+            F.lit(0).cast("long").alias("q_id"),
+            "vec_id",
+            (F.col("s_e6").cast("double") / F.lit(1e6)).alias("cosine"),
+            F.row_number()
+            .over(Window.orderBy(F.col("s_e6").desc(), F.col("vec_id")))
+            .alias("rank"),
+        )
+    )
+    return (
+        brute.unionByName(knn)
+        .unionByName(pca_top)
+        .unionByName(bm_top)
+        .orderBy("method", "q_id", "rank")
+    )
 
 
 def _oracle_cosine_topk() -> str:
@@ -1415,10 +1488,63 @@ knn AS (
          CAST(rnk AS INT) AS "rank"
   FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
         FROM s2)
-  WHERE rnk <= 5)
+  WHERE rnk <= 5),
+pd2 AS (
+  SELECT e.vec_id,
+         list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                     i -> (e.embedding[i]::DOUBLE - q.q_vec[i]::DOUBLE)
+                        * (e.embedding[i]::DOUBLE - q.q_vec[i]::DOUBLE)),
+                     (a, b) -> a + b) AS d2
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> 0),
+pca AS (
+  SELECT 'pca64' AS method, CAST(0 AS BIGINT) AS q_id, vec_id,
+         CAST(NULL AS DOUBLE) AS cosine,
+         CAST(row_number() OVER (ORDER BY d2 ASC, vec_id) AS INT) AS "rank"
+  FROM pd2 ORDER BY d2 ASC, vec_id LIMIT 10),
+""" + _bm25_oracle_ctes() + """
 SELECT * FROM brute UNION ALL SELECT * FROM knn
+UNION ALL SELECT * FROM pca UNION ALL SELECT * FROM bm25
 ORDER BY method, q_id, "rank"
 """
+
+
+def _bm25_oracle_ctes() -> str:
+    """bm25 leg CTEs: token-identical arithmetic to retrieval.bm25_score
+    (same left-assoc order, same double literals; idf computed by DuckDB's
+    libm ln on the same exact integer (N, df) inputs that the Spark side
+    feeds python's libm log — see the q_cosine_topk docstring)."""
+    from tsflex_spark.datapipe.retrieval import tokenize_query
+
+    terms = list(dict.fromkeys(tokenize_query(BM25_GATE_QUERY)))
+    k1, b = _BM25_K1, _BM25_B
+    toks = "list_filter(string_split_regex(lower(text), '[^0-9A-Za-z]+'), x -> x <> '')"
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN list_contains(t, '{t}') THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
+        for i, t in enumerate(terms)
+    )
+    tf_cols = ", ".join(
+        f"CAST(len(t) - len(list_filter(t, x -> x <> '{t_}')) AS DOUBLE) AS tf{i}"
+        for i, t_ in enumerate(terms)
+    )
+    norm = f"{k1!r} * ({1.0 - b!r} + {b!r} * dl / avgdl)"
+    score_terms = " + ".join(
+        f"ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5)) * tf{i} * {k1 + 1.0!r} / (tf{i} + {norm})"
+        for i in range(len(terms))
+    )
+    return f"""
+bt AS (SELECT doc_id, {toks} AS t FROM documents),
+bmn AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(CAST(len(t) AS DOUBLE)) AS avgdl, {df_cols} FROM bt),
+bms AS (
+  SELECT doc_id,
+         CAST(round((0.0 + {score_terms}) * 1e6) AS BIGINT) AS s_e6
+  FROM (SELECT doc_id, {tf_cols}, CAST(len(t) AS DOUBLE) AS dl FROM bt)
+  CROSS JOIN bmn),
+bm25 AS (
+  SELECT 'bm25' AS method, CAST(0 AS BIGINT) AS q_id,
+         doc_id AS vec_id, CAST(s_e6 AS DOUBLE) / 1e6 AS cosine,
+         CAST(row_number() OVER (ORDER BY s_e6 DESC, doc_id) AS INT) AS "rank"
+  FROM bms ORDER BY s_e6 DESC, doc_id LIMIT 10)"""
 
 
 def q_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -19,6 +19,8 @@ from tsflex_spark.datapipe.similarity import (
     ivf_write,
     ivf_search_parquet,
 )
+from pyspark.sql import functions as F
+
 from tsflex_spark.session import get_spark
 
 
@@ -43,6 +45,18 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
 
     kept = semantic_dedup(emb, 0.995, vec_col="embedding", id_col="vec_id")
     print("semantic dedup keeps", kept.count(), "of", emb.count())
+
+    # compression path: PCA to 16 dims, then PQ codes for the ADC scan
+    from tsflex_spark.datapipe.embedding import pca_train, pca_transform
+    from tsflex_spark.datapipe.similarity import pq_assign, pq_search, pq_train
+
+    model = pca_train(emb, k=16)
+    proj = pca_transform(emb, model, out_col="p").select("vec_id", F.col("p").alias("embedding"))
+    cb = pq_train(proj, m=4, ksub=32)
+    codes = pq_assign(proj, cb).select("vec_id", "pq_code")
+    qp = ((__import__("numpy").asarray(q, dtype="float64") - model.mean) @ model.components.T)
+    print("PQ/ADC top-5 in PCA space:")
+    pq_search(codes, cb, qp, k=5).show()
 
 
 if __name__ == "__main__":

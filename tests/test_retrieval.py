@@ -99,3 +99,48 @@ def test_empty_query_raises(docs_sdf):
         R.bm25_score(docs_sdf, "!!!")
     with pytest.raises(ValueError, match="no tokens"):
         R.tfidf_topk(docs_sdf, "  ")
+
+
+def test_bm25_join_parity_with_single_query_path(spark, docs_sdf):
+    """The inverted-index batch path must reproduce the literal-expression
+    single-query path for every query in the batch."""
+    queries = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "q_id": [0, 1, 2],
+                "q_text": ["quick fox data", "distributed data engine", "lazy dog"],
+            }
+        )
+    )
+    postings = R.build_postings(docs_sdf)
+    n, avgdl = R.corpus_size_and_avgdl(docs_sdf)
+    got = (
+        R.bm25_join(queries, postings, n_docs=n, avgdl=avgdl, k=None)
+        .toPandas()
+        .sort_values(["q_id", "doc_id"])
+    )
+    for q_id, q_text in [(0, "quick fox data"), (1, "distributed data engine"), (2, "lazy dog")]:
+        single = {
+            r["doc_id"]: r["bm25"] for r in R.bm25_score(docs_sdf, q_text).collect()
+        }
+        batch = got[got["q_id"] == q_id].set_index("doc_id")["bm25"].to_dict()
+        # batch path omits zero-overlap docs; every present score must match
+        for doc_id, s in batch.items():
+            assert abs(s - single[doc_id]) < 1e-9, (q_id, doc_id)
+        missing = set(single) - set(batch)
+        assert all(abs(single[d]) < 1e-12 for d in missing)
+
+
+def test_bm25_join_topk_ranks(spark, docs_sdf):
+    queries = spark.createDataFrame(
+        pd.DataFrame({"q_id": [7], "q_text": ["fox park"]})
+    )
+    postings = R.build_postings(docs_sdf)
+    n, avgdl = R.corpus_size_and_avgdl(docs_sdf)
+    rows = (
+        R.bm25_join(queries, postings, n_docs=n, avgdl=avgdl, k=2)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r["rank"] for r in rows] == [1, 2]
+    assert rows[0]["doc_id"] == 3  # only doc with both terms

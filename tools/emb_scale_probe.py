@@ -72,6 +72,11 @@ def main() -> None:
     ).localCheckpoint(eager=True)
     qvec = [1.0] + [0.0] * (dim0 - 1)
 
+    from tsflex_spark.datapipe.embedding import kmeans_fit, pca_train, pca_transform
+    from tsflex_spark.datapipe.similarity import pq_assign, pq_train
+
+    cb = pq_train(small, m=8, ksub=64)  # codebooks fixed, corpus grows
+
     def run(df):
         out = {}
         t0 = time.perf_counter()
@@ -85,6 +90,19 @@ def main() -> None:
         t0 = time.perf_counter()
         cosine_topk(df, qvec, k=10).write.format("noop").mode("overwrite").save()
         out["cosine_topk"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        pca_train(df, k=16)
+        out["pca_train"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        model = pca_train(df, k=dim0)
+        pca_transform(df, model).write.format("noop").mode("overwrite").save()
+        out["pca_train_transform_full"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        kmeans_fit(df, k=16, iters=5)
+        out["kmeans_5it"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        pq_assign(df, cb).write.format("noop").mode("overwrite").save()
+        out["pq_assign"] = round(time.perf_counter() - t0, 2)
         return out
 
     run(small)  # warm-up: absorb codegen/JIT/Arrow-worker startup

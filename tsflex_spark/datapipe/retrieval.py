@@ -12,9 +12,12 @@ Scale design:
   (with their document frequencies) ride the plan as literals/broadcast;
   the corpus is scanned ONCE, term counts per doc come from one
   in-row codegen pass (no explode, no shuffle of the corpus), and the
-  final top-k is a TakeOrdered. A thousand-query batch should instead
-  join on an inverted index — out of scope here; for interactive
-  retrieval this is the plan you want.
+  final top-k is a TakeOrdered — the interactive single-query plan.
+- **Batch scoring** (``build_postings`` + ``bm25_join``): thousands of
+  queries at once join an inverted index instead — one (term, doc)
+  postings aggregate, then one broadcast-query join + per-(query, doc)
+  sum; pre-bucket the postings by term and the big side never
+  re-shuffles.
 
 Tokenization is lower-cased ``\\W+`` splitting shared by both the stats
 and scoring paths (consistency matters more than linguistics here).
@@ -176,3 +179,91 @@ def tfidf_topk(
         score = score + _term_freq(toks, t) * F.lit(math.log(n / dft))
     scored = d.select(F.col(id_col), score.alias("tfidf"))
     return scored.orderBy(F.col("tfidf").desc(), F.col(id_col)).limit(k)
+
+
+# ------------------------------------------------- batch path: inverted index
+def build_postings(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Postings list ``(term, doc_id, tf, dl)`` — the inverted index.
+
+    One explode + one groupBy on ``(term, doc_id)``; the shuffle carries
+    short strings + two ints, never text. Write it out partitioned /
+    bucketed by ``term`` (``io.write_bucketed``) and batch scoring
+    becomes a co-located join.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(_tokens_col(F.col(text_col))).alias("term"),
+        F.size(_tokens_col(F.col(text_col))).alias("dl"),
+    )
+    return toks.groupBy("term", id_col).agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+
+
+def bm25_join(
+    queries: DataFrame,
+    postings: DataFrame,
+    *,
+    n_docs: int,
+    avgdl: float,
+    q_id_col: str = "q_id",
+    q_text_col: str = "q_text",
+    id_col: str = "doc_id",
+    k: Optional[int] = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 for a BATCH of queries against a postings table — the scale
+    path when scoring thousands of queries at once (the literal-expression
+    plan in ``bm25_score`` is one scan per query; this is ONE join for
+    all of them).
+
+    Plan: explode query terms (tiny) → broadcast-join against postings
+    on ``term`` (the corpus-sized side shuffles at most once, on its own
+    term key if pre-bucketed — broadcast of the query side keeps it
+    shuffle-free here) → per-(query, doc) sum of score terms → top-k per
+    query via ranked window. ``n_docs``/``avgdl`` come from
+    ``corpus_size_and_avgdl`` once per corpus snapshot.
+
+    Returns ``(q_id, doc_id, bm25, rank)`` (all scored pairs when
+    ``k=None``). Documents sharing no term with a query score 0 and are
+    absent — BM25's natural sparsity.
+    """
+    from pyspark.sql import Window
+
+    if avgdl <= 0:
+        raise ValueError("avgdl must be positive")
+    qt = queries.select(
+        F.col(q_id_col),
+        F.explode(F.array_distinct(_tokens_col(F.col(q_text_col)))).alias("term"),
+    )
+    # per-term document frequency from the postings themselves (df =
+    # number of docs holding the term) — restricted to the query terms
+    # BEFORE the aggregate via a broadcast semi-join
+    dfs = (
+        postings.join(F.broadcast(qt.select("term").distinct()), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+    tf = F.col("tf").cast("double")
+    norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.lit(float(avgdl)))
+    scored = (
+        F.broadcast(qt)
+        .join(postings, "term")
+        .join(F.broadcast(dfs), "term")
+        .select(
+            F.col(q_id_col),
+            F.col(id_col),
+            (idf * tf * F.lit(k1 + 1.0) / (tf + norm)).alias("__t"),
+        )
+        .groupBy(q_id_col, id_col)
+        .agg(F.sum("__t").alias("bm25"))
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.col("bm25").desc(), F.col(id_col))
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if k is not None:
+        ranked = ranked.where(F.col("rank") <= k)
+    return ranked.select(q_id_col, id_col, "bm25", "rank")
