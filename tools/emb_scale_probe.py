@@ -23,6 +23,11 @@ Findings recorded from the 2026-08 run (local[32], factor 10,
   this size (fixed job overhead dominates); no quadratic blowup from
   the within-cell GEMM. At real scale the m² term is (n/nlist)² per
   cell — kept flat in production by scaling nlist with n.
+- embedding-toolbox ops (2026-08 second run, same replication):
+  pca_train(k=16) 0.22 -> 0.48 s, full-rank train+transform
+  0.44 -> 0.66 s, kmeans_fit(k=16, 5 iters) 1.09 -> 1.74 s,
+  pq_assign(m=8) 0.22 -> 0.34 s at 2k -> 20k vectors — all sub-linear;
+  the moment/partial reductions stay O(partitions) on the driver.
 """
 
 from __future__ import annotations

@@ -1,0 +1,103 @@
+"""Link-graph analytics for corpus curation: PageRank + degree stats.
+
+Web-curation pipelines rank hosts/domains by link structure (the
+CommonCrawl-style companion to ``text.domain_filter``): crawl edges →
+``pagerank`` per domain → keep/weight documents by source authority.
+
+Scale design: the edge list is the only big table. Each PageRank
+iteration is (ranks ⋈ out-degrees on src) → contributions → groupBy dst
+— two keyed shuffles of ``(node, double)`` pairs per iteration, never
+anything wider; lineage is cut per iteration with a lazy
+``localCheckpoint`` (the connected-components recipe from
+``dedup.connected_components``). Dangling mass (nodes without
+out-edges) is one scalar aggregate per iteration, redistributed
+uniformly — the textbook formulation (Page et al. 1999).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node (out_degree, in_degree) — one aggregate per direction."""
+    out_d = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    in_d = edges.groupBy(F.col(dst).alias("node")).agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+    return (
+        out_d.join(in_d, "node", "full_outer")
+        .na.fill({"out_degree": 0, "in_degree": 0})
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iters: int = 20,
+    tol: Optional[float] = None,
+) -> DataFrame:
+    """PageRank over a directed edge list → ``(node, rank)``, Σrank = 1.
+
+    Duplicate edges count as parallel links (weight = multiplicity).
+    ``tol`` (L1 movement) enables early stop — it adds one tiny join +
+    scalar aggregate per iteration, so leave it None for fixed-cost runs.
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError("damping must be in (0, 1)")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    out_deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("od")
+    )
+    # (node, od) with od NULL for dangling nodes
+    base = nodes.join(out_deg, "node", "left").localCheckpoint(eager=False)
+
+    ranks = base.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iters):
+        prev = ranks
+        dangling = (
+            ranks.where(F.col("od").isNull()).agg(F.sum("rank")).collect()[0][0]
+            or 0.0
+        )
+        contribs = (
+            e.join(ranks.select("node", "rank", "od"), e.src == F.col("node"))
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("od")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            base.join(contribs, "node", "left")
+            .withColumn(
+                "rank",
+                F.lit((1.0 - damping) / n + damping * dangling / n)
+                + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0)),
+            )
+            .select("node", "od", "rank")
+            .localCheckpoint(eager=False)
+        )
+        if tol is not None:
+            moved = (
+                ranks.select("node", "rank")
+                .join(prev.select("node", F.col("rank").alias("r0")), "node")
+                .agg(F.sum(F.abs(F.col("rank") - F.col("r0"))))
+                .collect()[0][0]
+            )
+            if moved is not None and moved < tol:
+                break
+    return ranks.select("node", "rank")
