@@ -493,3 +493,60 @@ def test_halo_stitch_insufficient_radius_detectable(spark):
     ).process(sdf, ts_col="ts").orderBy("ts").toPandas()
     exp = pdf["v"].diff(2).to_numpy()
     assert np.array_equal(ok["d2"].to_numpy(), exp, equal_nan=True)
+
+
+def test_column_tier_pipeline_runs_on_stream(spark, tmp_path):
+    """Column-tier SeriesProcessors compile to narrow codegen projections,
+    so a SeriesPipeline must run UNCHANGED on a Structured Stream and
+    match the batch result row-for-row."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from tsflex_spark.processing.series_pipeline import SeriesPipeline
+    from tsflex_spark.processing.series_processor import SeriesProcessor
+
+    rng = np.random.default_rng(21)
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-01-01", periods=200, freq="1s"),
+            "v": rng.normal(10, 2, 200).round(3),
+        }
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame(pdf.iloc[:100]).coalesce(1).write.parquet(src)
+    spark.createDataFrame(pdf.iloc[100:]).coalesce(1).write.parquet(src, mode="append")
+
+    pipe = SeriesPipeline(
+        [
+            SeriesProcessor(lambda c: {"v_abs": F.abs(c)}, "v", input_type="column"),
+            SeriesProcessor(
+                lambda c: {"v_scaled": c * 2.0 + 1.0}, "v_abs", input_type="column"
+            ),
+        ]
+    )
+    stream = (
+        spark.readStream.schema("ts timestamp, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = pipe.process(stream, ts_col="ts")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("proc_sink")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = spark.table("proc_sink").toPandas().sort_values("ts").reset_index(drop=True)
+    exp = (
+        pipe.process(spark.createDataFrame(pdf), ts_col="ts")
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    assert list(got.columns) == list(exp.columns)
+    for c in exp.columns:
+        assert got[c].equals(exp[c]), c
