@@ -24,3 +24,10 @@ def test_ml_pipeline_example(spark):
     import ml_pipeline
 
     ml_pipeline.main("/root/testdata/sf0.001")
+
+
+def test_hybrid_retrieval_example(spark):
+    sys.path.insert(0, "examples")
+    import hybrid_retrieval
+
+    hybrid_retrieval.main("/root/testdata/sf0.001")

@@ -88,3 +88,30 @@ def test_pq_dim_validation(pq_sdf):
     cb = S.pq_train(pq_sdf, m=4, ksub=8)
     with pytest.raises(ValueError, match="query dim"):
         S.pq_search(pq_sdf, cb, [0.0] * 7)
+
+
+def test_ivfpq_search_composes(spark, pq_sdf, pq_pdf):
+    from tsflex_spark.datapipe import similarity as S2
+
+    idx = S2.ivf_train(pq_sdf, nlist=8)
+    cb = S2.pq_train(pq_sdf, m=8, ksub=32)
+    enc = S2.pq_assign(S2.ivf_assign(pq_sdf, idx), cb).select(
+        "vec_id", "__cell", "pq_code"
+    )
+    X = _X(pq_pdf)
+    q = X[42] + 0.01
+    # all-cells probe == plain pq_search (partition completeness)
+    full = S2.ivfpq_search(enc, idx, cb, q, k=20, nprobe=idx.nlist).toPandas()
+    plain = S2.pq_search(enc.drop("__cell"), cb, q, k=20).toPandas()
+    assert full["vec_id"].tolist() == plain["vec_id"].tolist()
+    # pruned probe returns a subset drawn only from probed cells
+    pruned = S2.ivfpq_search(enc, idx, cb, q, k=10, nprobe=2).toPandas()
+    probed = set(S2.probe_cells(idx, q, 2))
+    cells = {
+        r["__cell"]
+        for r in enc.join(
+            spark.createDataFrame(pruned[["vec_id"]]), "vec_id"
+        ).collect()
+    }
+    assert cells <= probed
+    assert len(pruned) == 10

@@ -569,3 +569,29 @@ def pq_search(
     id_col = cb.id_col
     scored = df.select(F.col(id_col), _adc(F.col(code_col)).alias("approx_dist"))
     return scored.orderBy(F.col("approx_dist").asc(), F.col(id_col)).limit(k)
+
+
+def ivfpq_search(
+    df: DataFrame,
+    index: IVFIndex,
+    cb: PQCodebook,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    cell_col: str = "__cell",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """IVF-PQ: the composed 100 TB ANN plan — coarse cells prune the scan
+    (``nprobe``/``nlist`` of the corpus), PQ codes make what remains a
+    table-lookup scan (no raw vectors read).
+
+    ``df`` is the encoded corpus: ``(id, cell_col, code_col)`` from
+    ``ivf_assign`` + ``pq_assign`` (persist it partitioned by
+    ``cell_col`` — see ``ivf_write`` — and the cell filter becomes
+    parquet partition pruning at plan time). Returns ``(id, approx_dist)``
+    ascending; re-rank the top candidates against raw vectors for exact
+    order when recall matters.
+    """
+    probe = probe_cells(index, query_vec, nprobe)
+    cand = df.where(F.col(cell_col).isin(probe))
+    return pq_search(cand, cb, query_vec, k=k, code_col=code_col)
