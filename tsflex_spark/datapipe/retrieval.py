@@ -26,7 +26,7 @@ and scoring paths (consistency matters more than linguistics here).
 from __future__ import annotations
 
 import re
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
