@@ -217,6 +217,26 @@ def test_kmeans_partition_independent(vec_sdf):
     np.testing.assert_allclose(i1, i2, rtol=1e-9)
 
 
+def test_kmeans_sample_fraction_unbiased_seeding(spark):
+    # layout-correlated corpus: all of cluster A first, then B, then C.
+    # limit(init_sample) seeds only from A; fraction sampling spans the
+    # layout and the D² seeds cover every cluster.
+    rng = np.random.default_rng(9)
+    centers = np.array([[0.0] * 6, [30.0] * 6, [-30.0] * 6])
+    X = np.vstack([c + rng.standard_normal((100, 6)) * 0.5 for c in centers])
+    sdf = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": np.arange(300, dtype="int64"),
+                "embedding": [r.astype("float32") for r in X],
+            }
+        )
+    ).coalesce(1)  # single partition => limit() truly reads in layout order
+    C, _ = E.kmeans_fit(sdf, k=3, iters=15, seed=3, sample_fraction=0.5)
+    for c in centers:
+        assert np.linalg.norm(C - c[None, :], axis=1).min() < 1.0
+
+
 def test_kmeans_k_too_large(spark):
     sdf = spark.createDataFrame(
         pd.DataFrame({"embedding": [[1.0, 2.0], [3.0, 4.0]]})

@@ -1146,6 +1146,44 @@ def test_deterministic_split_and_stratified_sample(spark):
     assert abs(by["en"] - 2500) < 200 and abs(by["de"] - 500) < 120
 
 
+def test_leakage_safe_split(spark):
+    from tsflex_spark.datapipe.curation import deterministic_split, leakage_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    # near-dup pairs: a 3-chain {0,1,2} plus 200 straddle-prone pairs
+    pairs = [(0, 1), (1, 2)] + [(10 + 2 * i, 11 + 2 * i) for i in range(200)]
+    edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+
+    out = leakage_safe_split(docs, "doc_id", [0.8, 0.1, 0.1], edges=edges).toPandas()
+    by_id = dict(zip(out["doc_id"], out["split"]))
+    # every cluster is split-pure: the chain and each pair agree
+    assert by_id[0] == by_id[1] == by_id[2]
+    for a, b in pairs:
+        assert by_id[a] == by_id[b], (a, b)
+    # proportions still roughly honor the weights
+    counts = out["split"].value_counts()
+    assert abs(counts.get("train", 0) - 1600) < 200
+    # row-id splitting (the thing this op replaces) DOES split some pair
+    naive = deterministic_split(docs, "doc_id", [0.8, 0.1, 0.1]).toPandas()
+    nv = dict(zip(naive["doc_id"], naive["split"]))
+    assert any(nv[a] != nv[b] for a, b in pairs)
+    # precomputed-labels form matches the edges form
+    from tsflex_spark.datapipe.dedup import connected_components
+
+    labels = connected_components(edges, "id_a", "id_b")
+    out2 = leakage_safe_split(
+        docs, "doc_id", [0.8, 0.1, 0.1], cluster_labels=labels
+    ).toPandas()
+    assert dict(zip(out2["doc_id"], out2["split"])) == by_id
+    # exactly one of edges/cluster_labels must be given
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exactly one"):
+        leakage_safe_split(docs, "doc_id", [0.8, 0.2], edges=edges, cluster_labels=labels)
+    with _pytest.raises(ValueError, match="exactly one"):
+        leakage_safe_split(docs, "doc_id", [0.8, 0.2])
+
+
 def test_decontaminate_flags_overlap(spark):
     from tsflex_spark.datapipe.decontam import decontaminate, drop_contaminated
 

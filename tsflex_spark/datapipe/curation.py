@@ -327,3 +327,58 @@ def cluster_sample(
             <= F.ceil(F.col("__cn").cast("double") * F.lit(float(keep_frac)))
         ).drop("__cn")
     return kept.drop("__rk", "__cell", "__proto_sim")
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    weights: Sequence[float],
+    names: Sequence[str] = ("train", "val", "test"),
+    seed: int = 42,
+    *,
+    edges: Optional[DataFrame] = None,
+    edge_cols: Sequence[str] = ("id_a", "id_b"),
+    cluster_labels: Optional[DataFrame] = None,
+    out_col: str = "split",
+) -> DataFrame:
+    """Train/val/test split that CANNOT leak through near-duplicates:
+    membership is hashed from the document's duplicate-CLUSTER label, so
+    every member of a near-dup cluster lands in the SAME split.
+
+    Splitting by row id (``deterministic_split``) silently contaminates
+    evaluation whenever near-duplicate documents straddle the boundary —
+    the standard benchmark-leakage failure of web-scale corpora (the
+    reason dedup pipelines run BEFORE splitting; see Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better", §6).
+    This op makes the split dedup-aware instead of order-dependent.
+
+    Provide the duplicate structure either way:
+
+    - ``edges``: a candidate/verified pair frame (e.g. LSH + Jaccard
+      verify output) with columns ``edge_cols`` — resolved here with
+      ``dedup.connected_components`` (O(log n) rounds);
+    - ``cluster_labels``: a precomputed ``(node, component)`` frame (the
+      CC output) when the pipeline already resolved clusters.
+
+    Docs absent from the label table are singleton clusters (their own
+    id). Plan shape: one equi-join of the corpus against the bounded
+    label table (only docs that appear in a pair carry a label), then
+    the same codegen hash-bucket assignment as ``deterministic_split``
+    — the corpus shuffles at most once, on the join key.
+    """
+    if (edges is None) == (cluster_labels is None):
+        raise ValueError("pass exactly one of edges= or cluster_labels=")
+    if cluster_labels is None:
+        from tsflex_spark.datapipe.dedup import connected_components
+
+        cluster_labels = connected_components(edges, *edge_cols)
+    labels = cluster_labels.select(
+        F.col("node").alias("__node"), F.col("component").alias("__grp")
+    )
+    labeled = df.join(
+        labels, on=df[id_col] == labels["__node"], how="left"
+    ).withColumn("__grp", F.coalesce("__grp", F.col(id_col))).drop("__node")
+    out = deterministic_split(
+        labeled, "__grp", weights, names=names, seed=seed, out_col=out_col
+    )
+    return out.drop("__grp")

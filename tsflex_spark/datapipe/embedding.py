@@ -391,6 +391,7 @@ def kmeans_fit(
     seed: int = 7,
     init_sample: int = 4096,
     tol: float = 1e-6,
+    sample_fraction: Optional[float] = None,
 ):
     """Distributed Lloyd k-means over the FULL corpus (the scale-correct
     refinement of ``similarity.ivf_train``'s bounded-sample trainer).
@@ -403,11 +404,23 @@ def kmeans_fit(
     than ``tol``. Initialization is a seeded sample (deterministic given
     seed + data), so refits reproduce.
 
+    Sampling contract matches ``similarity.ivf_train``: the default
+    ``limit(init_sample)`` pull reads the FIRST partitions — on a corpus
+    whose layout correlates with content (sorted by source/topic/time)
+    the D² seeding under-covers later regions even though Lloyd then
+    refines on the full corpus. Pass ``sample_fraction`` for a
+    partition-spanning Bernoulli seed sample (one scan, layout-unbiased).
+
     Returns ``(centroids ndarray (k, d), inertia float)`` — wrap in
     ``similarity.IVFIndex(centroids)`` to reuse the IVF write/search
     machinery on the refined cells.
     """
-    init = df.select(vec_col).where(F.col(vec_col).isNotNull()).limit(init_sample).toPandas()
+    seed_src = df.select(vec_col).where(F.col(vec_col).isNotNull())
+    if sample_fraction is not None:
+        # the fraction IS the budget: a limit() on top would re-bias
+        init = seed_src.sample(False, float(sample_fraction), seed).toPandas()
+    else:
+        init = seed_src.limit(init_sample).toPandas()
     X0 = np.asarray(init[vec_col].tolist(), dtype="float64")
     if len(X0) < k:
         raise ValueError(f"fewer non-null vectors ({len(X0)}) than k={k}")
