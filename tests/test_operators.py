@@ -1232,6 +1232,54 @@ def test_word_ngram_rows_short_doc_clamp(spark):
     assert word_ngram_rows(docs, "text", "doc_id", n=8).count() == 1
 
 
+def test_top_ngrams_counter_parity(spark):
+    from collections import Counter
+
+    from tsflex_spark.datapipe.text import top_ngrams
+
+    texts = [
+        "click here to subscribe now",
+        "please click here to subscribe today",
+        "click here to unsubscribe",
+        "totally unrelated sentence about cats",
+        "to be or not to be",
+        "ab",  # shorter than n=3 -> contributes nothing
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = top_ngrams(docs, n=3, k=5, id_col="doc_id", min_count=1).toPandas()
+    # python oracle
+    c = Counter()
+    reach = {}
+    for i, t in enumerate(texts):
+        toks = t.lower().split()
+        grams = [" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)]
+        c.update(grams)
+        for g in set(grams):
+            reach.setdefault(g, set()).add(i)
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert list(zip(out["ngram"], out["count"])) == top
+    # approx_count_distinct is exact at these cardinalities
+    for g, nd in zip(out["ngram"], out["n_docs"]):
+        assert nd == len(reach[g]), g
+    # "click here to" appears 3x across 3 docs and must rank first
+    assert out["ngram"].iloc[0] == "click here to" and out["count"].iloc[0] == 3
+    # min_count prunes the singleton tail
+    pruned = top_ngrams(docs, n=3, k=50, id_col="doc_id", min_count=2).toPandas()
+    assert set(pruned["count"]) == {3} or (pruned["count"] >= 2).all()
+    # by_docs ranks by reach; requires id_col
+    byd = top_ngrams(docs, n=3, k=3, id_col="doc_id", by_docs=True, min_count=1).toPandas()
+    assert byd["ngram"].iloc[0] == "click here to"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="by_docs"):
+        top_ngrams(docs, n=3, k=3, by_docs=True)
+    # no id_col: counts only
+    noid = top_ngrams(docs, n=3, k=5, min_count=1).toPandas()
+    assert list(noid.columns) == ["ngram", "count"]
+
+
 def test_mix_sources_proportions_and_determinism(spark):
     from tsflex_spark.datapipe.curation import mix_sources
 

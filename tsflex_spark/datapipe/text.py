@@ -870,3 +870,79 @@ def gopher_rules(
         *[expr.alias(name) for name, expr in rules.items()],
         keep.alias("keep"),
     )
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 3,
+    k: int = 100,
+    text_col: str = "text",
+    id_col: Optional[str] = None,
+    *,
+    by_docs: bool = False,
+    lowercase: bool = True,
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-wide most-frequent word ``n``-grams → top-``k``
+    ``(ngram, count[, n_docs])`` — the boilerplate-DISCOVERY companion to
+    ``repetition_stats`` (which scores repetition per document): shared
+    templates ("click here to subscribe", cookie banners, SEO footers)
+    only show up when counted across the corpus.
+
+    Scale shape: tokens explode to (xxhash64(gram), gram) rows; ONE
+    hash-keyed aggregate computes ``count(*)``, ``min(gram)`` (the
+    string rides the shuffle once per distinct gram per partition —
+    map-side combine bounds the exchange at per-partition vocabulary,
+    never corpus size) and, when ``id_col`` is given, an
+    ``approx_count_distinct(id)`` HLL partial for the documents-
+    containing count. The final top-k is a TakeOrdered heap, no global
+    sort. ``by_docs=True`` ranks by document reach instead of raw
+    occurrences (the better boilerplate signal: a single spammy doc
+    can't dominate). ``min_count`` prunes the long singleton tail
+    before the heap.
+
+    Reuses ``decontam.word_ngram_rows``'s explode/slice construction
+    (codegen `slice` + `concat_ws`, no interpreted HOF lambdas).
+    """
+    from tsflex_spark.utils.data import fan_out
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    txt = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    cols = [F.col(id_col)] if id_col is not None else []
+    d = fan_out(df).select(*cols, _tokens(txt).alias("__t"))
+    # explode to a column FIRST: a generator nested inside another
+    # expression is UNSUPPORTED_GENERATOR.NESTED_IN_EXPRESSIONS
+    d = d.select(
+        *cols,
+        F.col("__t"),
+        # docs shorter than n contribute nothing; the explicit empty
+        # branch matters because sequence(1, 0) steps BACKWARDS ([1, 0])
+        F.explode(
+            F.when(
+                F.size("__t") >= F.lit(n),
+                F.sequence(F.lit(1), F.size("__t") - F.lit(n - 1)),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("__i"),
+    )
+    d = d.select(
+        *cols,
+        F.concat_ws(" ", F.slice(F.col("__t"), F.col("__i"), n)).alias("__g"),
+    ).where(F.col("__g") != "")
+    aggs = [F.count(F.lit(1)).alias("count"), F.min("__g").alias("__str")]
+    if id_col is not None:
+        aggs.append(F.approx_count_distinct(id_col).alias("n_docs"))
+    grouped = d.groupBy(F.xxhash64("__g").alias("__h")).agg(*aggs)
+    if min_count > 1:
+        grouped = grouped.where(F.col("count") >= int(min_count))
+    order_col = "n_docs" if by_docs else "count"
+    if by_docs and id_col is None:
+        raise ValueError("by_docs=True requires id_col")
+    out_cols = [F.col("__str").alias("ngram"), F.col("count")]
+    if id_col is not None:
+        out_cols.append(F.col("n_docs"))
+    return (
+        grouped.orderBy(F.col(order_col).desc(), F.col("__str"))
+        .limit(int(k))
+        .select(*out_cols)
+    )
