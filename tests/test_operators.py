@@ -639,7 +639,7 @@ def test_connected_components_long_chain_converges(spark):
 
     edges = [(i, i + 1) for i in range(63)]
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
-    out = connected_components(pairs, max_iter=12).collect()
+    out = connected_components(pairs, max_iter=12, driver_threshold=None).collect()
     assert len(out) == 64
     assert {r["component"] for r in out} == {0}
 
@@ -913,9 +913,15 @@ def test_connected_components_property_vs_union_find(spark):
         pairs = spark.createDataFrame(real, "id_a long, id_b long")
         got = {
             (r["node"], r["component"])
-            for r in connected_components(pairs).collect()
+            for r in connected_components(pairs, driver_threshold=None).collect()
         }
         assert got == set(expect.items())
+        # the adaptive driver fast path must agree exactly
+        fast = {
+            (r["node"], r["component"])
+            for r in connected_components(pairs).collect()
+        }
+        assert fast == got
 
     check()
 

@@ -267,7 +267,7 @@ def test_connected_components_no_cartesian(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(40)], "id_a long, id_b long"
     )
-    out = connected_components(pairs, max_iter=8)
+    out = connected_components(pairs, max_iter=8, driver_threshold=None)
     plan = plan_of(out)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan

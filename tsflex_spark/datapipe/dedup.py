@@ -19,6 +19,7 @@ from typing import List, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dedup_exact(
@@ -679,11 +680,53 @@ def embedding_neardup(
 
 
 # ------------------------------------------------- connected components
+def _cc_driver(e: DataFrame) -> DataFrame:
+    """Driver-side union-find over a bounded, deduplicated edge frame —
+    the small-graph fast path of :func:`connected_components`. Same
+    contract: one ``(node, component=min id of its component)`` row per
+    node appearing in an edge."""
+    rows = e.collect()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        u, v = r["u"], r["v"]
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by LABEL: the smaller id becomes the root, so the
+            # final root IS the component's min id (matches least/greatest
+            # normalization: ids are mutually orderable)
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+
+    out = [(n, find(n)) for n in parent]
+    schema = T.StructType(
+        [
+            T.StructField("node", e.schema["u"].dataType),
+            T.StructField("component", e.schema["u"].dataType),
+        ]
+    )
+    return e.sparkSession.createDataFrame(out, schema)
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    driver_threshold: Optional[int] = 1_000_000,
 ) -> DataFrame:
     """Resolve duplicate-candidate pairs into clusters: returns one row
     ``(node, component)`` for every node that appears in ``pairs``, where
@@ -706,6 +749,18 @@ def connected_components(
     order-insensitive (count, hash-sum) signature of the edge set.
 
     Node ids may be any orderable type (long doc ids, string keys).
+
+    Adaptive small-graph path: verified near-dup graphs are usually
+    MUCH smaller than the corpus that produced them (pairs survive LSH
+    banding AND exact verification), so when the deduplicated edge count
+    is at most ``driver_threshold`` the closure runs as a driver-side
+    union-find (path-halving + union-by-label) in one collect instead of
+    O(log n) distributed rounds — identical (node, min-id component)
+    labels, milliseconds instead of round barriers. The distributed
+    loop remains the path for genuinely large graphs; pass
+    ``driver_threshold=None`` (or 0) to force it. The threshold bounds
+    DRIVER memory: 1M edges ≈ tens of MB of Python tuples — the same
+    order as a broadcast join's small side.
     """
     e = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -714,6 +769,11 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if driver_threshold:
+        # e is checkpointed: the count re-reads persisted blocks only
+        n_edges = e.count()
+        if n_edges <= int(driver_threshold):
+            return _cc_driver(e)
     all_nodes = e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
 
     def _sig(d: DataFrame):
