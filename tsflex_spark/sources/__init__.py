@@ -9,6 +9,7 @@ from tsflex_spark.sources.io import (
     write_orc,
     write_partitioned,
 )
+from tsflex_spark.sources.warc import read_warc, read_wet
 
 __all__ = [
     "read_parquet",
@@ -17,6 +18,8 @@ __all__ = [
     "read_orc",
     "read_table",
     "read_events",
+    "read_warc",
+    "read_wet",
     "write_partitioned",
     "write_orc",
     "write_bucketed",
