@@ -113,6 +113,32 @@ def test_read_wet_documents_shape(spark, tmp_path):
     ]
 
 
+def test_read_warc_streaming_source(spark, tmp_path):
+    src_dir = tmp_path / "crawl_in"
+    src_dir.mkdir()
+    with open(src_dir / "part1.warc.gz", "wb") as f:
+        f.write(gzip.compress(_record("response", "http://s/1", b"stream one")))
+        f.write(gzip.compress(_record("request", "http://s/1", b"GET")))
+    with open(src_dir / "part2.warc.gz", "wb") as f:
+        f.write(gzip.compress(_record("response", "http://s/2", b"stream two")))
+
+    feats = read_warc(spark, str(src_dir), stream=True)
+    assert feats.isStreaming
+    sink = str(tmp_path / "sink")
+    q = (
+        feats.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(sink).orderBy("target_uri").collect()
+    assert [r["target_uri"] for r in out] == ["http://s/1", "http://s/2"]
+    assert [bytes(r["payload"]) for r in out] == [b"stream one", b"stream two"]
+
+
 def test_read_warc_corrupt_tail_stops_cleanly(spark, tmp_path):
     good = _record("response", "http://ok/", b"fine")
     p = tmp_path / "bad.warc"

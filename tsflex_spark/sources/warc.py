@@ -126,6 +126,7 @@ def read_warc(
     *,
     record_types: Sequence[str] = ("response",),
     max_payload_bytes: Optional[int] = None,
+    stream: bool = False,
 ) -> DataFrame:
     """Read ``.warc(.gz)`` archives into one row per record.
 
@@ -134,6 +135,14 @@ def read_warc(
     values (``None`` keeps all); ``max_payload_bytes`` truncates each
     record's payload at parse time. ``warc_date`` is parsed to a
     timestamp column (NULL when absent/invalid).
+
+    ``stream=True`` reads the same path as a STREAMING source (Spark's
+    file stream: new archives appearing under the path become
+    micro-batch input) — the parse is a narrow ``mapInPandas``, so the
+    continuous-ingestion plan is identical to the batch one; compose
+    with the stream-safe curation ops (``redact_pii``, ``filter_lines``,
+    ``score_quality_local``, ``dedup_exact_stream``) for a live crawl
+    pipeline.
     """
     kept = set(record_types) if record_types is not None else None
     maxp = max_payload_bytes
@@ -144,19 +153,27 @@ def read_warc(
         for pdf in batches:
             for fpath, blob in zip(pdf["path"], pdf["content"]):
                 raw = io.BytesIO(bytes(blob))
-                stream = (
+                src = (
                     gzip.GzipFile(fileobj=raw)  # multi-member aware
                     if fpath.endswith(".gz")
                     else raw
                 )
                 rows = []
-                for rec in _parse_warc_stream(stream, kept, maxp):
+                for rec in _parse_warc_stream(src, kept, maxp):
                     rec["warc_file"] = fpath
                     rows.append(rec)
                 if rows:
                     yield pd.DataFrame(rows)
 
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    if stream:
+        # streaming file sources require an explicit schema; binaryFile's
+        # is fixed by the format
+        reader = spark.readStream.format("binaryFile").schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+    else:
+        reader = spark.read.format("binaryFile")
+    files = reader.load(path).select("path", "content")
     out = files.mapInPandas(parse, _WARC_SCHEMA)
     return out.withColumn(
         "warc_date", F.try_to_timestamp(F.col("warc_date"))
@@ -168,6 +185,7 @@ def read_wet(
     path: str,
     *,
     max_payload_bytes: Optional[int] = None,
+    stream: bool = False,
 ) -> DataFrame:
     """Read CommonCrawl ``.wet(.gz)`` extracted-text archives into a
     ``documents``-shaped frame: ``(warc_file, record_id, target_uri,
@@ -180,6 +198,7 @@ def read_wet(
         path,
         record_types=("conversion",),
         max_payload_bytes=max_payload_bytes,
+        stream=stream,
     )
     return out.select(
         "warc_file",
