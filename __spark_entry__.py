@@ -1753,35 +1753,44 @@ def q_sketch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # all stages consume the same (id, shingle-hash) table — shingle
     # once, lazily checkpoint, share
     sh = shingle_rows(docs, "text", "doc_id").localCheckpoint(eager=False)
-    sig = minhash_signatures(
-        docs, "text", "doc_id", num_hashes=128, shingles=sh
-    ).localCheckpoint(eager=False)
-    mh_pre = (
-        minhash_lsh_candidates(sig, "doc_id", num_bands=16)
-        .localCheckpoint(eager=False)
-    )
+    sig = minhash_signatures(docs, "text", "doc_id", num_hashes=128, shingles=sh)
+    mh_pre = minhash_lsh_candidates(sig, "doc_id", num_bands=16)
     fps = simhash(docs, "text", id_col="doc_id", shingles=sh)
-    sh_cand = (
-        simhash_pairs(fps, id_col="doc_id", max_hamming=8)
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=False)
+    sh_cand = simhash_pairs(fps, id_col="doc_id", max_hamming=8).select(
+        "id_a", "id_b"
     )
-    # ONE exact-verify pass over the union of both methods' candidates
-    # (the expensive pair-driven shingle joins run once), then each
-    # method's survivor set is a cheap semi-join against its candidates
-    both = mh_pre.unionByName(sh_cand).distinct()
-    ver = (
-        ngram_jaccard(docs, both, "text", id_col="doc_id", shingles=sh)
-        .where(F.col("jaccard") >= 0.8)
-        .localCheckpoint(eager=False)
-    )
-    mh = ver.join(mh_pre, ["id_a", "id_b"], "left_semi")
-    sv = ver.join(sh_cand, ["id_a", "id_b"], "left_semi")
-    return (
-        mh.select(F.lit("minhash").alias("method"), "id_a", "id_b", "jaccard")
-        .unionByName(
-            sv.select(F.lit("simhash").alias("method"), "id_a", "id_b", "jaccard")
+    # per-method provenance rides the candidate union as two booleans and
+    # ONE pair-keyed aggregate replaces union->distinct; the shared exact
+    # verify then runs once and each method's survivors come back by
+    # exploding the flags — no per-method semi-joins, and sig/mh_pre/
+    # sh_cand each feed exactly one consumer (no checkpoints needed;
+    # cands feeds the verify's two pair joins + the tag join, so IT is
+    # the one lineage cut)
+    cands = (
+        mh_pre.select(
+            "id_a", "id_b", F.lit(True).alias("__m"), F.lit(False).alias("__s")
         )
+        .unionByName(
+            sh_cand.select(
+                "id_a", "id_b", F.lit(False).alias("__m"), F.lit(True).alias("__s")
+            )
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.max("__m").alias("__m"), F.max("__s").alias("__s"))
+        .localCheckpoint(eager=False)
+    )
+    ver = ngram_jaccard(
+        docs, cands.select("id_a", "id_b"), "text", id_col="doc_id", shingles=sh
+    ).where(F.col("jaccard") >= 0.8)
+    tagged = ver.join(cands, ["id_a", "id_b"])
+    methods = F.array_compact(
+        F.array(
+            F.when(F.col("__m"), F.lit("minhash")),
+            F.when(F.col("__s"), F.lit("simhash")),
+        )
+    )
+    return (
+        tagged.select(F.explode(methods).alias("method"), "id_a", "id_b", "jaccard")
         .orderBy("method", "id_a", "id_b")
     )
 
