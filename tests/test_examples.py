@@ -19,6 +19,13 @@ def test_pretraining_data_example(spark, tmp_path):
     pretraining_data.main("/root/testdata/sf0.001", str(tmp_path / "shards"))
 
 
+def test_crawl_ingest_example(spark, tmp_path):
+    sys.path.insert(0, "examples")
+    import crawl_ingest
+
+    crawl_ingest.main(str(tmp_path / "shards"))
+
+
 def test_ml_pipeline_example(spark):
     sys.path.insert(0, "examples")
     import ml_pipeline
