@@ -139,6 +139,75 @@ def test_read_warc_streaming_source(spark, tmp_path):
     assert [bytes(r["payload"]) for r in out] == [b"stream one", b"stream two"]
 
 
+def test_warc_parser_payload_cannot_confuse_framing():
+    """Property: framing is Content-Length-driven, so payload bytes —
+    including embedded 'WARC/1.0' lines and CRLF header lookalikes —
+    never desync the parser."""
+    import io
+
+    from hypothesis import given
+    from hypothesis import strategies as st
+
+    from tsflex_spark.sources.warc import _parse_warc_stream
+
+    adversarial = st.binary(max_size=200) | st.sampled_from(
+        [
+            b"WARC/1.0\r\nWARC-Type: response\r\n\r\n",
+            b"\r\n\r\nContent-Length: 999\r\n",
+            b"WARC/",
+        ]
+    )
+
+    @given(payloads=st.lists(adversarial, min_size=1, max_size=5))
+    def check(payloads):
+        blob = b"".join(
+            _record("response", f"http://p/{i}", p, rec_id=f"urn:uuid:{i}")
+            for i, p in enumerate(payloads)
+        )
+        recs = list(_parse_warc_stream(io.BytesIO(blob), {"response"}, None))
+        assert [r["payload"] for r in recs] == payloads
+        assert [r["record_id"] for r in recs] == [
+            f"urn:uuid:{i}" for i in range(len(payloads))
+        ]
+
+    check()
+
+
+def test_html_to_text_extraction(spark):
+    from tsflex_spark.datapipe.text import html_to_text
+
+    html = (
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        "<html><head><title>skip me</title><style>body{color:red}</style></head>"
+        "<body><script>var x=1; if(x<2){alert('skip')}</script>"
+        "<!-- a comment -->"
+        "<h1>Title &amp; More</h1>"
+        "<p>First &lt;paragraph&gt; with <b>bold</b> text.</p>"
+        "<div>Second&nbsp;block</div>"
+        "<ul><li>one</li><li>two</li></ul></body></html>"
+    )
+    df = spark.createDataFrame([(1, html.encode()), (2, b"plain, no markup")],
+                               "doc_id long, payload binary")
+    out = {r["doc_id"]: r["text"] for r in
+           html_to_text(df, "payload").collect()}
+    t = out[1]
+    assert "skip" not in t and "color:red" not in t and "comment" not in t
+    assert "Title & More" in t
+    assert "First <paragraph> with bold text." in t
+    assert "Second block" in t
+    # block tags produced line structure
+    lines = t.split("\n")
+    assert "one" in lines and "two" in lines
+    # HTTP headers stripped
+    assert "200 OK" not in t and "Content-Type" not in t
+    # non-HTML row passes through
+    assert out[2] == "plain, no markup"
+    # string input + keep headers path
+    sdf = spark.createDataFrame([(3, "<p>hi</p>")], "doc_id long, page string")
+    got = html_to_text(sdf, "page", strip_http_headers=False).collect()[0]["text"]
+    assert got == "hi"
+
+
 def test_read_warc_corrupt_tail_stops_cleanly(spark, tmp_path):
     good = _record("response", "http://ok/", b"fine")
     p = tmp_path / "bad.warc"

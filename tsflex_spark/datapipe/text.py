@@ -946,3 +946,64 @@ def top_ngrams(
         .limit(int(k))
         .select(*out_cols)
     )
+
+
+def html_to_text(
+    df: DataFrame,
+    html_col: str,
+    out_col: str = "text",
+    *,
+    charset: str = "UTF-8",
+    strip_http_headers: bool = True,
+) -> DataFrame:
+    """Basic HTML → text extraction for crawl payloads (the step between
+    ``sources.warc.read_warc`` response records and ``clean_corpus``):
+    drops ``<script>/<style>/<head>/<noscript>/<template>`` blocks and
+    comments, turns block-level tags into newlines (paragraph structure
+    for the line-wise cleaners downstream), strips remaining tags,
+    decodes the common entities, and collapses whitespace.
+
+    ``html_col`` may be binary (decoded with ``charset``, invalid bytes
+    replaced) or string. WARC 'response' payloads are full HTTP
+    responses; ``strip_http_headers`` removes the status line + headers
+    when the payload starts with ``HTTP/``.
+
+    A deliberately simple, fully-codegen regexp chain (narrow, no
+    shuffle, stream-safe; one row in, one row out) — the honest
+    stdlib-only stand-in for a boilerplate-aware extractor
+    (trafilatura / jusText); crawl providers publish WET files because
+    they run exactly this extraction at scale.
+    """
+    from pyspark.sql import types as _T
+
+    raw = F.col(html_col)
+    if isinstance(df.schema[html_col].dataType, _T.BinaryType):
+        raw = F.decode(raw, charset)
+    # hoist into a projected column: every regexp below would otherwise
+    # re-evaluate the decode per consuming expression
+    d = df.withColumn("__html", raw)
+    t = F.col("__html")
+    if strip_http_headers:
+        t = F.when(
+            t.startswith("HTTP/"),
+            F.regexp_replace(t, r"(?s)^.*?\r?\n\r?\n", ""),
+        ).otherwise(t)
+    for blk in ("script", "style", "head", "noscript", "template"):
+        t = F.regexp_replace(t, rf"(?is)<{blk}\b.*?</{blk}\s*>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(
+        t,
+        r"(?i)</?(p|div|br|li|ul|ol|tr|td|th|table|h[1-6]|section|article|"
+        r"header|footer|blockquote)\b[^>]*>",
+        "\n",
+    )
+    t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    for ent, rep in (
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"), ("&amp;", "&"),
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    t = F.regexp_replace(t, r"[ \t\x0b\f\r]+", " ")
+    t = F.regexp_replace(t, r" ?\n[ \n]*", "\n")
+    t = F.trim(F.regexp_replace(t, r"^\n+|\n+$", ""))
+    return d.withColumn(out_col, t).drop("__html")
