@@ -337,3 +337,282 @@ def ppl_buckets(
         )
     expr = expr.otherwise(F.lit(labels[-1]))
     return out.withColumn(out_col, expr).drop("__cuts")
+
+
+# --------------------------------------------------------------- Kneser-Ney
+def ngram_rows(
+    df: DataFrame, text_col: str, id_col: str, order: int
+) -> DataFrame:
+    """(id, g1..g<order>) — one row per ``order``-gram occurrence;
+    lowercase whitespace tokens, in-row slice + arrays_zip (codegen).
+    Docs shorter than ``order`` tokens contribute nothing (no padding —
+    same no-BOS convention as ``bigram_rows``)."""
+    toks = F.transform(_tokens(F.col(text_col)), F.lower)
+    n = F.size(toks)
+    width = F.greatest(n - F.lit(order - 1), F.lit(0))
+    z = F.arrays_zip(
+        *[F.slice(toks, i + 1, width).alias(f"g{i + 1}") for i in range(order)]
+    )
+    out = df.select(F.col(id_col), F.explode(z).alias("__g"))
+    return out.select(
+        id_col, *[F.col(f"__g.g{i + 1}").alias(f"g{i + 1}") for i in range(order)]
+    )
+
+
+@dataclass
+class KNModel:
+    """Interpolated Kneser-Ney model (Chen & Goodman 1999 "one-discount"
+    form), order >= 2 — a stack of small-relative-to-corpus DataFrames:
+
+    - ``top``: (g1..gN, c) regular N-gram counts;
+    - ``tables[k]`` for k = N-1..1: the order-k CONTINUATION count table
+      (g1..gk, cc) — distinct left-extensions in the (k+1)-gram type set;
+    - ``ctx[k]`` for k = N..2: per-context totals + distinct-continuation
+      counts (g1..g_{k-1}, tot, n1p) over the level-k table;
+    - ``consts``: one row (v, tot1, n1p1, d_N..d_1) — vocabulary size
+      (+1 for the implicit unk), the unigram-continuation denominator,
+      the number of distinct continuation unigrams, and the per-order
+      Ney discounts D_k = n1/(n1 + 2 n2) estimated from each level's
+      count-of-counts.
+
+    Every table is vocabulary-bounded (Zipf), never corpus-bounded; the
+    training pass is one explode + a groupBy per order.
+    """
+
+    order: int
+    top: DataFrame
+    tables: dict  # k -> DataFrame (continuation counts, k < order)
+    ctx: dict  # k -> DataFrame (context totals for level k, k >= 2)
+    consts: DataFrame
+
+    def save(self, path: str) -> None:
+        self.top.write.mode("overwrite").parquet(f"{path}/top")
+        for k, t in self.tables.items():
+            t.write.mode("overwrite").parquet(f"{path}/cont_{k}")
+        for k, t in self.ctx.items():
+            t.write.mode("overwrite").parquet(f"{path}/ctx_{k}")
+        self.consts.write.mode("overwrite").parquet(f"{path}/consts")
+
+    @staticmethod
+    def load(spark: SparkSession, path: str, order: int) -> "KNModel":
+        return KNModel(
+            order=order,
+            top=spark.read.parquet(f"{path}/top"),
+            tables={
+                k: spark.read.parquet(f"{path}/cont_{k}")
+                for k in range(order - 1, 0, -1)
+            },
+            ctx={
+                k: spark.read.parquet(f"{path}/ctx_{k}")
+                for k in range(order, 1, -1)
+            },
+            consts=spark.read.parquet(f"{path}/consts"),
+        )
+
+
+def _ney_discount(counts: DataFrame, c_col: str) -> DataFrame:
+    """One-row (n1, n2) count-of-counts frame for D = n1/(n1+2·n2)."""
+    return counts.agg(
+        F.sum(F.when(F.col(c_col) == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col(c_col) == 2, 1).otherwise(0)).alias("n2"),
+    )
+
+
+def train_kn_lm(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    *,
+    order: int = 3,
+    ngrams: Optional[DataFrame] = None,
+) -> KNModel:
+    """Train an interpolated Kneser-Ney ``order``-gram model — the
+    published CCNet/KenLM smoothing (arXiv:1911.00359 trains 5-gram KN
+    on Wikipedia), replacing this module's simpler Laplace bigram when
+    filter quality matters more than oracle replayability.
+
+    Shape: ONE corpus explode at the top order; every lower level is a
+    groupBy over the previous level's TYPE SET (continuation counts —
+    "how many distinct left contexts", the KN insight), so the corpus
+    is read once and each shuffle carries distinct grams only. Discounts
+    D_k use Ney's estimate from each level's count-of-counts, computed
+    in one tiny aggregate per level and folded into a single-row consts
+    frame (broadcast at scoring time).
+    """
+    if order < 2:
+        raise ValueError("order must be >= 2")
+    N = int(order)
+    ng = ngrams if ngrams is not None else ngram_rows(docs, text_col, id_col, N)
+    gcols = [f"g{i + 1}" for i in range(N)]
+    top = (
+        ng.groupBy(*gcols)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    ctx: dict = {}
+    ctx[N] = top.groupBy(*gcols[:-1]).agg(
+        F.sum("c").alias("tot"), F.count(F.lit(1)).alias("n1p")
+    )
+    tables: dict = {}
+    # level N-1 continuation counts come from the top-order TYPE set;
+    # each further level from the previous continuation table's key set.
+    # A k-gram's continuation count keys on the LAST k words of the
+    # (k+1)-gram above it.
+    prev_keys = top.select(*gcols)  # distinct by construction
+    for k in range(N - 1, 0, -1):
+        kcols = [f"g{i + 1}" for i in range(k)]
+        shifted = prev_keys.select(
+            *[F.col(f"g{i + 2}").alias(f"g{i + 1}") for i in range(k)]
+        )
+        cont = (
+            shifted.groupBy(*kcols)
+            .agg(F.count(F.lit(1)).alias("cc"))
+            .localCheckpoint(eager=False)
+        )
+        tables[k] = cont
+        if k >= 2:
+            ctx[k] = cont.groupBy(*kcols[:-1]).agg(
+                F.sum("cc").alias("tot"), F.count(F.lit(1)).alias("n1p")
+            )
+        prev_keys = cont.select(*kcols)
+        # NB: for k-1 the type set must be the distinct (k)-grams of the
+        # CORPUS; the continuation table's key set IS that type set
+        # whenever every corpus k-gram extends to a (k+1)-gram — true for
+        # all but each doc's trailing words. The trailing-type loss is
+        # O(docs) grams vs O(tokens): the standard sentence-internal
+        # approximation (KenLM pads with </s>; we document instead).
+    toks = docs.select(
+        F.explode(F.transform(_tokens(F.col(text_col)), F.lower)).alias("w")
+    )
+    vrow = toks.agg((F.count_distinct("w") + F.lit(1)).alias("v"))  # +1 unk
+    uni = tables[1]
+    urow = uni.agg(F.sum("cc").alias("tot1"), F.count(F.lit(1)).alias("n1p1"))
+    dcols = []
+    d_src = {N: top}
+    d_src.update({k: tables[k] for k in range(N - 1, 0, -1)})
+    drows = None
+    for k in range(N, 0, -1):
+        cc = "c" if k == N else "cc"
+        dk = _ney_discount(d_src[k], cc).select(
+            (
+                F.col("n1").cast("double")
+                / F.greatest(F.col("n1") + 2 * F.col("n2"), F.lit(1)).cast("double")
+            ).alias(f"d{k}")
+        )
+        drows = dk if drows is None else drows.join(dk)
+        dcols.append(f"d{k}")
+    consts = vrow.join(urow).join(drows).localCheckpoint(eager=False)
+    return KNModel(order=N, top=top, tables=tables, ctx=ctx, consts=consts)
+
+
+def score_perplexity_kn(
+    docs: DataFrame,
+    model: KNModel,
+    text_col: str,
+    id_col: str = "doc_id",
+    *,
+    broadcast_model: bool = False,
+    ngrams: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Per-document perplexity under an interpolated KN model.
+
+    Returns (id, n_ngrams, sum_logp_e6, ppl) with the same micro-nat
+    fixed-point discipline as :func:`score_perplexity` (exact integer
+    sums; ppl quantized to 6 dp). Docs with < ``order`` tokens get a
+    NULL ppl row.
+
+    Plan: the doc N-grams left-join one count table + one context table
+    per level (2(N)-ish vocabulary-bounded joins; ``broadcast_model``
+    hints them all — the corpus then never shuffles), the interpolation
+    folds bottom-up in one codegen expression, and one per-doc aggregate
+    finishes. Unseen contexts fall through with λ=1 to the next level —
+    the standard interpolated-KN recursion:
+
+        p_k(w|h) = max(cnt-Dk, 0)/tot + Dk·n1p/tot · p_{k-1}
+        (cnt/tot regular at k=N, continuation below; base 1/V)
+    """
+    N = model.order
+    ng = ngrams if ngrams is not None else ngram_rows(docs, text_col, id_col, N)
+    gcols = [f"g{i + 1}" for i in range(N)]
+
+    def b(t):
+        return F.broadcast(t) if broadcast_model else t
+
+    j = ng
+    # level N: join (c on full gram) + (tot, n1p on context)
+    j = j.join(
+        b(model.top.select(*gcols, F.col("c").alias("__c_N"))), on=gcols, how="left"
+    )
+    j = j.join(
+        b(
+            model.ctx[N].select(
+                *gcols[:-1],
+                F.col("tot").alias("__tot_N"),
+                F.col("n1p").alias("__n1p_N"),
+            )
+        ),
+        on=gcols[:-1],
+        how="left",
+    )
+    # levels N-1..2: tables key on the LAST k words of the N-gram
+    for k in range(N - 1, 1, -1):
+        kcols = [f"g{i + 1}" for i in range(N - k, N)]
+        tbl = model.tables[k].select(
+            *[F.col(f"g{i + 1}").alias(kcols[i]) for i in range(k)],
+            F.col("cc").alias(f"__c_{k}"),
+        )
+        j = j.join(b(tbl), on=kcols, how="left")
+        cxt = model.ctx[k].select(
+            *[F.col(f"g{i + 1}").alias(kcols[i]) for i in range(k - 1)],
+            F.col("tot").alias(f"__tot_{k}"),
+            F.col("n1p").alias(f"__n1p_{k}"),
+        )
+        j = j.join(b(cxt), on=kcols[:-1], how="left")
+    # level 1: unigram continuation count on the last word
+    uni = model.tables[1].select(
+        F.col("g1").alias(gcols[-1]), F.col("cc").alias("__c_1")
+    )
+    j = j.join(b(uni), on=[gcols[-1]], how="left")
+    j = j.join(F.broadcast(model.consts))
+
+    # fold bottom-up: base = uniform over V (unk floor)
+    p = F.lit(1.0) / F.col("v").cast("double")
+    # level 1
+    tot1 = F.col("tot1").cast("double")
+    c1 = F.coalesce(F.col("__c_1"), F.lit(0)).cast("double")
+    d1 = F.col("d1")
+    lam1 = d1 * F.col("n1p1").cast("double") / tot1
+    p = F.greatest(c1 - d1, F.lit(0.0)) / tot1 + lam1 * p
+    # levels 2..N
+    for k in range(2, N + 1):
+        ck = F.coalesce(F.col(f"__c_{k}" if k < N else "__c_N"), F.lit(0)).cast(
+            "double"
+        )
+        tot = F.col(f"__tot_{k}" if k < N else "__tot_N").cast("double")
+        n1p = F.col(f"__n1p_{k}" if k < N else "__n1p_N").cast("double")
+        dk = F.col(f"d{k}")
+        seen = tot.isNotNull() & (tot > 0)
+        pk = F.greatest(ck - dk, F.lit(0.0)) / tot + (dk * n1p / tot) * p
+        # unseen context: λ=1 — fall through to the lower level entirely
+        p = F.when(seen, pk).otherwise(p)
+
+    logp_e6 = F.round(F.log(p) * F.lit(1_000_000.0), 0).cast("long")
+    per_doc = j.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.sum(logp_e6).alias("sum_logp_e6"),
+    )
+    out = docs.select(id_col).join(per_doc, on=id_col, how="left")
+    n = F.col("n_ngrams")
+    ppl = F.round(
+        F.exp(
+            -(F.col("sum_logp_e6").cast("double") / F.lit(1_000_000.0))
+            / n.cast("double")
+        ),
+        6,
+    )
+    return out.select(
+        id_col,
+        F.coalesce(n, F.lit(0)).cast("long").alias("n_ngrams"),
+        F.coalesce(F.col("sum_logp_e6"), F.lit(0)).cast("long").alias("sum_logp_e6"),
+        ppl.alias("ppl"),
+    )
