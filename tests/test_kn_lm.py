@@ -155,6 +155,30 @@ def test_kn_save_load_roundtrip(spark, tmp_path):
     assert a == b
 
 
+def test_kn_dispatch_in_filter_and_buckets(spark):
+    from tsflex_spark.datapipe.lm import perplexity_filter, ppl_buckets
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    model = train_kn_lm(docs, "text", order=3)
+    # a permissive threshold keeps everything incl. the short doc
+    kept = perplexity_filter(docs, model, "text", max_ppl=1e12)
+    assert kept.count() == len(CORPUS)
+    # a data-derived strict threshold drops the high-ppl rows but keeps
+    # the short doc (undefined ppl)
+    ppls = sorted(
+        r["ppl"]
+        for r in score_perplexity_kn(docs, model, "text").collect()
+        if r["ppl"] is not None
+    )
+    strict = perplexity_filter(docs, model, "text", max_ppl=ppls[len(ppls) // 2])
+    ids = {r["doc_id"] for r in strict.select("doc_id").collect()}
+    assert 7 in ids and len(ids) < len(CORPUS)
+    bucketed = ppl_buckets(docs, model, "text")
+    rows = {r["doc_id"]: r["ppl_bucket"] for r in bucketed.collect()}
+    assert rows[7] is None  # short doc: undefined ppl -> NULL bucket
+    assert set(rows.values()) <= {"head", "middle", "tail", None}
+
+
 def test_ngram_rows_counts(spark):
     docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
     rows = ngram_rows(docs, "text", "doc_id", 3).collect()

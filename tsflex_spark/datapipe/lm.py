@@ -276,12 +276,20 @@ def perplexity_filter(
     hash_keys: bool = False,
 ) -> DataFrame:
     """Keep documents whose perplexity under ``lm`` is ≤ ``max_ppl``
-    (CCNet 'head/middle' retention). Docs with <2 tokens are kept —
-    perplexity is undefined, and length filters are a separate stage."""
-    ppl = score_perplexity(
-        docs, lm, text_col, id_col,
-        broadcast_model=broadcast_model, hash_keys=hash_keys,
-    ).select(id_col, "ppl")
+    (CCNet 'head/middle' retention). ``lm`` may be the Laplace bigram
+    ``NGramLM`` or an interpolated-KN ``KNModel`` (dispatched by type;
+    ``hash_keys`` applies to the bigram path only). Docs too short to
+    have an n-gram are kept — perplexity is undefined there, and length
+    filters are a separate stage."""
+    if isinstance(lm, KNModel):
+        ppl = score_perplexity_kn(
+            docs, lm, text_col, id_col, broadcast_model=broadcast_model
+        ).select(id_col, "ppl")
+    else:
+        ppl = score_perplexity(
+            docs, lm, text_col, id_col,
+            broadcast_model=broadcast_model, hash_keys=hash_keys,
+        ).select(id_col, "ppl")
     return docs.join(ppl, on=id_col, how="left").filter(
         F.col("ppl").isNull() | (F.col("ppl") <= F.lit(float(max_ppl)))
     ).drop("ppl")
@@ -318,15 +326,18 @@ def ppl_buckets(
     # the scored frame feeds TWO consumers (the quantile-cut pass and the
     # bucket join); checkpoint it or the whole bigram-explode + model-join
     # scoring DAG re-executes per consumer
-    scored = (
-        score_perplexity(
+    if isinstance(lm, KNModel):
+        scored_df = score_perplexity_kn(
+            docs, lm, text_col, id_col,
+            broadcast_model=broadcast_model, ngrams=bigrams,
+        )
+    else:
+        scored_df = score_perplexity(
             docs, lm, text_col, id_col,
             broadcast_model=broadcast_model, hash_keys=hash_keys,
             bigrams=bigrams,
         )
-        .select(id_col, "ppl")
-        .localCheckpoint(eager=False)
-    )
+    scored = scored_df.select(id_col, "ppl").localCheckpoint(eager=False)
     qs = exact_quantiles(scored.where(F.col("ppl").isNotNull()), "ppl", list(cuts))
     cuts_row = qs.groupBy().agg(F.array_sort(F.collect_list("value")).alias("__cuts"))
     out = docs.join(scored, on=id_col, how="left").join(F.broadcast(cuts_row))
