@@ -1100,6 +1100,41 @@ def test_chunk_documents_no_shuffle(spark):
     assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
 
 
+def test_materialize_packed_sequences(spark):
+    from tsflex_spark.datapipe.text import materialize_packed
+
+    rows = [
+        # bin 0: two docs (order by doc_id), 3+1 and 2+1 tokens with EOS
+        (1, 0, [10, 11, 12]),
+        (2, 0, [20, 21]),
+        # bin 1: one doc that overflows seq_len after EOS -> truncated
+        (3, 1, [30, 31, 32, 33, 34, 35, 36, 37]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, bin_id long, ids array<int>")
+    out = {
+        r["bin_id"]: r
+        for r in materialize_packed(
+            df, "ids", seq_len=8, eos_id=99, pad_id=0
+        ).collect()
+    }
+    b0 = out[0]
+    assert b0["input_ids"] == [10, 11, 12, 99, 20, 21, 99, 0]
+    assert b0["segment_ids"] == [0, 0, 0, 0, 1, 1, 1, -1]
+    assert b0["n_docs"] == 2 and b0["n_tokens"] == 7
+    b1 = out[1]
+    assert b1["input_ids"] == [30, 31, 32, 33, 34, 35, 36, 37]  # EOS truncated
+    assert b1["segment_ids"] == [0] * 8
+    assert b1["n_docs"] == 1 and b1["n_tokens"] == 8
+    # deterministic under repartitioning
+    again = {
+        r["bin_id"]: r["input_ids"]
+        for r in materialize_packed(
+            df.repartition(7), "ids", seq_len=8, eos_id=99, pad_id=0
+        ).collect()
+    }
+    assert again == {k: v["input_ids"] for k, v in out.items()}
+
+
 def test_pack_sequences_ffd(spark):
     from tsflex_spark.datapipe.text import pack_sequences
 

@@ -1007,3 +1007,70 @@ def html_to_text(
     t = F.regexp_replace(t, r" ?\n[ \n]*", "\n")
     t = F.trim(F.regexp_replace(t, r"^\n+|\n+$", ""))
     return d.withColumn(out_col, t).drop("__html")
+
+
+def materialize_packed(
+    df: DataFrame,
+    ids_col: str,
+    bin_col: str = "bin_id",
+    order_col: str = "doc_id",
+    *,
+    seq_len: int,
+    eos_id: int,
+    pad_id: int = 0,
+) -> DataFrame:
+    """Materialize training sequences from packed bins — the final step
+    of the tokenize (``bpe.encode``) → budget (``pack_sequences``) →
+    batch story: per bin, concatenate each document's token ids + EOS in
+    deterministic ``order_col`` order, truncate to ``seq_len``, pad with
+    ``pad_id``, and emit the position→document map packed-attention
+    training needs.
+
+    Output: ``(bin_col, input_ids array<int> (length == seq_len),
+    segment_ids array<int> (0-based doc index per position, -1 on
+    padding), n_docs, n_tokens)`` — ``n_tokens`` counts real (non-pad)
+    positions. Entirely Catalyst collection expressions (collect_list +
+    sort_array + flatten/transform): no Python, one bin-keyed exchange;
+    a bin's payload is bounded by the packing budget, so the groupBy
+    state is O(seq_len) per bin regardless of corpus size. Size
+    ``pack_sequences(budget=seq_len - n_docs_per_bin)`` headroom or
+    accept EOS-driven truncation of the last document.
+    """
+    if seq_len < 1:
+        raise ValueError("seq_len must be >= 1")
+    g = df.select(
+        F.col(bin_col),
+        F.struct(F.col(order_col).alias("o"), F.col(ids_col).alias("ids")).alias(
+            "__d"
+        ),
+    )
+    agg = g.groupBy(bin_col).agg(
+        F.sort_array(F.collect_list("__d")).alias("__docs")
+    )
+    docs = F.col("__docs")
+    with_eos = F.transform(
+        docs, lambda d: F.concat(d["ids"], F.array(F.lit(eos_id)))
+    )
+    flat = F.flatten(with_eos)
+    seg = F.flatten(
+        F.transform(
+            docs,
+            lambda d, i: F.array_repeat(i.cast("int"), F.size(d["ids"]) + 1),
+        )
+    )
+    n_real = F.least(F.size(flat), F.lit(seq_len))
+    pad_n = F.lit(seq_len) - n_real
+    ids_out = F.concat(
+        F.slice(flat, 1, seq_len),
+        F.array_repeat(F.lit(pad_id), pad_n),
+    )
+    seg_out = F.concat(
+        F.slice(seg, 1, seq_len), F.array_repeat(F.lit(-1), pad_n)
+    )
+    return agg.select(
+        F.col(bin_col),
+        ids_out.cast("array<int>").alias("input_ids"),
+        seg_out.cast("array<int>").alias("segment_ids"),
+        F.size(docs).alias("n_docs"),
+        n_real.alias("n_tokens"),
+    )
