@@ -19,7 +19,12 @@ from pyspark.sql import functions as F
 from tsflex_spark.datapipe.curation import shuffle_corpus, temperature_mix
 from tsflex_spark.datapipe.lm import ppl_buckets, train_ngram_lm
 from tsflex_spark.datapipe.pipeline import clean_corpus
-from tsflex_spark.datapipe.text import chunk_documents, pack_sequences
+from tsflex_spark.datapipe.bpe import bpe_encode, train_bpe
+from tsflex_spark.datapipe.text import (
+    chunk_documents,
+    materialize_packed,
+    pack_sequences,
+)
 from tsflex_spark.session import get_spark
 
 
@@ -59,14 +64,28 @@ def main(sf_dir: str = "/root/testdata/sf0.001", out_dir: str | None = None) -> 
     )
     packed = pack_sequences(chunks, "n_chunk_tokens", budget=256)
 
+    # 5. tokenize (BPE trained on the corpus) + materialize fixed-length
+    # training sequences: ids + EOS per chunk, concat per bin, pad, and
+    # the position->doc segment map packed attention needs
+    tok = train_bpe(mixed, "text", num_merges=150)
+    # chunk_id is per-doc; synthesize a globally-unique chunk key for the
+    # encode join and the deterministic within-bin order
+    packed = packed.withColumn("cuid", F.xxhash64("doc_id", "chunk_id"))
+    ids = bpe_encode(packed, "chunk_text", "cuid", tok, ids=True)
+    with_ids = packed.select("cuid", "bin_id").join(ids, "cuid")
+    eos = len(tok.vocab)
+    seqs = materialize_packed(
+        with_ids, "tokens", order_col="cuid", seq_len=320, eos_id=eos
+    )
+
     out = out_dir or tempfile.mkdtemp(prefix="pretraining_shards_")
-    shuffle_corpus(packed, "bin_id", seed=0, num_files=4).write.mode(
+    shuffle_corpus(seqs, "bin_id", seed=0, num_files=4).write.mode(
         "overwrite"
     ).parquet(out)
 
     n_docs, n_chunks = mixed.count(), chunks.count()
-    n_bins = packed.select("bin_id").distinct().count()
-    print(f"docs kept {n_docs}, chunks {n_chunks}, packed bins {n_bins} -> {out}")
+    n_bins = seqs.count()
+    print(f"docs kept {n_docs}, chunks {n_chunks}, packed sequences {n_bins} -> {out}")
 
 
 if __name__ == "__main__":
