@@ -486,3 +486,61 @@ def test_interval_join_no_bnlj(spark):
     plan = plan_of(interval_join(l, r, by=["k"], granule=25), "simple")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_new_text_ops_plan_shapes(spark):
+    """Session additions hold the plan contracts: html_to_text is a pure
+    narrow chain (zero exchanges), top_ngrams partial-aggregates before
+    its single hash exchange + TakeOrdered (no global sort), and
+    materialize_packed is one bin-keyed exchange."""
+    from tsflex_spark.datapipe.text import (
+        html_to_text,
+        materialize_packed,
+        top_ngrams,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"some words repeated words {i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    p = plan_of(html_to_text(docs.withColumnRenamed("text", "page"), "page"))
+    assert "Exchange" not in p and "BatchEvalPython" not in p
+
+    p = plan_of(top_ngrams(docs, n=2, k=5, id_col="doc_id"))
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+    assert "partial" in p  # map-side combine before the shuffle
+    assert "TakeOrdered" in p  # top-k heap, never a global Sort
+
+    packed = spark.createDataFrame(
+        [(1, 0, [1, 2]), (2, 0, [3]), (3, 1, [4, 5])],
+        "doc_id long, bin_id long, ids array<int>",
+    )
+    p = plan_of(materialize_packed(packed, "ids", seq_len=8, eos_id=9))
+    assert p.count("Exchange") <= 2 and "CartesianProduct" not in p
+
+
+def test_leakage_safe_split_and_kn_no_hazards(spark):
+    """leakage_safe_split joins the corpus against the bounded label
+    table (equi-join only); KN scoring is left-joins + one aggregate —
+    no cartesian, no row-at-a-time Python anywhere."""
+    from tsflex_spark.datapipe.curation import leakage_safe_split
+    from tsflex_spark.datapipe.lm import score_perplexity_kn, train_kn_lm
+
+    docs = spark.createDataFrame(
+        [(i, "w%d x y z the end of line %d" % (i % 7, i)) for i in range(60)],
+        "doc_id long, text string",
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1)], "node long, component long"
+    )
+    p = plan_of(
+        leakage_safe_split(docs, "doc_id", [0.8, 0.2], names=("a", "b"),
+                           cluster_labels=labels)
+    )
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+
+    model = train_kn_lm(docs, "text", order=3)
+    p = plan_of(score_perplexity_kn(docs, model, "text", broadcast_model=True))
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+    # broadcast_model hints every model join
+    assert "BroadcastHashJoin" in p
