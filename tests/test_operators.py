@@ -2625,6 +2625,44 @@ def test_interval_join_overlap_semantics(spark):
     assert "start_r" in cols and "end_r" in cols
 
 
+def test_observe_rules_batch_and_stream(spark, tmp_path):
+    import pandas as pd
+
+    from tsflex_spark.utils.validate import in_range, not_null, observe_rules
+
+    pdf = pd.DataFrame({"id": [1, 2, 3, None], "v": [1.0, 99.0, 5.0, 2.0]})
+    df = spark.createDataFrame(pdf)
+    rules = {"id_not_null": not_null("id"), "v_in_range": in_range("v", 0, 10)}
+    observed, obs = observe_rules(df, rules)
+    # metrics ride the consuming action: no separate scan
+    assert observed.count() == 4
+    got = obs.get
+    assert got["__n"] == 4 and got["id_not_null"] == 1 and got["v_in_range"] == 1
+
+    # streaming: metrics surface in query progress per micro-batch
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    s_observed, none_obs = observe_rules(stream, rules, name="dq")
+    assert none_obs is None
+    q = (
+        s_observed.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    metrics = [
+        p["observedMetrics"]["dq"]
+        for p in q.recentProgress
+        if p.get("observedMetrics", {}).get("dq")
+    ]
+    assert metrics
+    dicts = [m.asDict() for m in metrics]
+    total = {k: sum(m[k] for m in dicts) for k in dicts[0]}
+    assert total["__n"] == 4 and total["id_not_null"] == 1 and total["v_in_range"] == 1
+
+
 def test_validate_expectations(spark):
     from tsflex_spark.utils.validate import (
         check_rules,

@@ -10,6 +10,7 @@ from tsflex_spark.utils.validate import (
     in_range,
     matches,
     not_null,
+    observe_rules,
 )
 from tsflex_spark.utils.semistructured import (
     flatten_struct,
@@ -44,6 +45,7 @@ __all__ = [
     "in_range",
     "matches",
     "not_null",
+    "observe_rules",
     "flatten_struct",
     "infer_json_schema",
     "json_field",

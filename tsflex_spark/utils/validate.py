@@ -76,3 +76,36 @@ def duplicate_keys(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") > 1)
     )
+
+
+def rule_aggs(rules: Dict[str, Column]) -> list:
+    """The violation-count aggregate columns ``check_rules`` uses, for
+    callers that attach them to an EXISTING job instead of paying a
+    separate scan."""
+    return [F.count(F.lit(1)).alias("__n")] + [
+        F.count(F.when(~F.coalesce(expr, F.lit(False)), F.lit(1))).alias(name)
+        for name, expr in rules.items()
+    ]
+
+
+def observe_rules(df: DataFrame, rules: Dict[str, Column], name: str = "expectations"):
+    """Attach expectation counters to ``df`` as observed metrics — the
+    violation counts then ride whatever job consumes the frame, costing
+    ZERO extra scans (``check_rules`` pays one).
+
+    Batch: returns ``(df, Observation)`` — run any action on the
+    returned frame, then read ``observation.get`` (a dict with ``__n``
+    plus one violation count per rule).
+
+    Streaming: returns ``(df, None)`` — the metrics surface per
+    micro-batch in ``query.lastProgress["observedMetrics"][name]``
+    (and in ``QueryProgressEvent`` listeners), giving continuous data-
+    quality monitoring on an unbounded stream for free.
+    """
+    aggs = rule_aggs(rules)
+    if df.isStreaming:
+        return df.observe(name, *aggs), None
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *aggs), obs
