@@ -469,10 +469,19 @@ def test_halo_stitch_matches_single_group(spark):
 
     a = halo.orderBy("ts").toPandas()
     b = single.orderBy("ts").toPandas()
-    for c in ("d", "ld", "cm"):
+    # diffs are exact float subtractions — bit-equal regardless of where
+    # the halo chunks start
+    for c in ("d", "ld"):
         assert np.array_equal(
             a[c].to_numpy(), b[c].to_numpy(), equal_nan=True
         ), c
+    # pandas rolling.mean keeps a sliding-sum accumulator whose roundoff
+    # depends on where accumulation STARTED — chunked (halo) and global
+    # runs legitimately differ in the last ulps, so the stitch contract
+    # for it is value-equality up to float association, not bit equality
+    av, bv = a["cm"].to_numpy(), b["cm"].to_numpy()
+    assert np.isnan(av).tolist() == np.isnan(bv).tolist()
+    assert np.allclose(av, bv, rtol=1e-9, atol=1e-12, equal_nan=True)
 
 
 def test_halo_stitch_insufficient_radius_detectable(spark):
