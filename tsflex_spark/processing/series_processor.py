@@ -283,9 +283,15 @@ class SeriesProcessor:
         from pyspark.sql import Window
 
         lookback, lookahead = self.halo_rows
+        from tsflex_spark.utils.distributed import _n_range_parts
+
+        # explicit count + materialization: AQE coalesces/replans range
+        # exchanges per-CONSUMER, desyncing __pid between the row branch
+        # and the halo-boundary branches (see distributed._ranged)
         d = (
-            df.repartitionByRange(F.col(ts_col))
+            df.repartitionByRange(_n_range_parts(df), F.col(ts_col))
             .withColumn("__pid", F.spark_partition_id())
+            .localCheckpoint(eager=False)
         )
         w_asc = Window.partitionBy("__pid").orderBy(F.col(ts_col).asc())
         w_desc = Window.partitionBy("__pid").orderBy(F.col(ts_col).desc())

@@ -47,11 +47,47 @@ __all__ = [
 ]
 
 
+def _n_range_parts(df: DataFrame) -> int:
+    """Explicit partition count for these helpers' range exchanges.
+
+    The count MUST be user-specified: AQE coalesces each CONSUMER of a
+    reused exchange independently (AQEShuffleRead is per-reader), so a
+    ``spark_partition_id()`` stamped after an implicit-count range
+    exchange can disagree between the row branch and the per-partition
+    aggregate branch of the same helper — the boundary patch then joins
+    on misaligned pids (observed as off-by-one islands / wrong shift
+    values at partition edges when the coalesce floor changed). A
+    user-specified count is exempt from AQE coalescing, making the pid
+    consumer-stable."""
+    v = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    try:
+        return max(int(v), 1)
+    except (TypeError, ValueError):
+        return df.sparkSession.sparkContext.defaultParallelism
+
+
 def _ranged(df: DataFrame, order_col: str) -> DataFrame:
     """Range-partition by ``order_col`` and stamp the post-shuffle
-    partition id (evaluated after the exchange — ``spark_partition_id``
-    is non-deterministic, so Catalyst cannot push it below the shuffle)."""
-    return df.repartitionByRange(F.col(order_col)).withColumn(PID, F.spark_partition_id())
+    partition id, then MATERIALIZE (lazy localCheckpoint).
+
+    The checkpoint is load-bearing for correctness, not a perf knob:
+    every helper reads this frame from >= 2 plan branches (rows + a
+    per-partition boundary/offset aggregate), and the branches must see
+    IDENTICAL partition ids. Without materialization that only holds if
+    Catalyst reuses one exchange for both — which AQE breaks two ways:
+    per-consumer AQEShuffleRead can coalesce the same shuffle output
+    differently per branch, and when the exchange is re-planned per
+    branch the RangePartitioner re-SAMPLES boundaries with a different
+    seed (observed live: the boundary aggregate saw different partition
+    contents than the row branch — wrong shift values at every edge).
+    Freezing the pid into materialized blocks makes it consumer-stable
+    by construction. Explicit count: user-specified counts are exempt
+    from AQE repartition rewrites (see ``_n_range_parts``)."""
+    return (
+        df.repartitionByRange(_n_range_parts(df), F.col(order_col))
+        .withColumn(PID, F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
 
 
 def _prefix(
@@ -209,8 +245,11 @@ def with_global_carry(
     """
     cols = list(cols)
     order_cols = list(order_cols)
-    d = df.repartitionByRange(*[F.col(c) for c in order_cols]).withColumn(
-        PID, F.spark_partition_id()
+    # materialized for the same reason as _ranged: consumer-stable pids
+    d = (
+        df.repartitionByRange(_n_range_parts(df), *[F.col(c) for c in order_cols])
+        .withColumn(PID, F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     wloc = (
         W.partitionBy(PID)
@@ -393,10 +432,12 @@ def with_global_ewma(
     assert 0.0 < alpha <= 1.0, "alpha must be in (0, 1]"
     order_cols = list(order_cols)
 
+    # materialized for the same reason as _ranged: consumer-stable pids
     d = (
-        df.repartitionByRange(*[F.col(c) for c in order_cols])
+        df.repartitionByRange(_n_range_parts(df), *[F.col(c) for c in order_cols])
         .sortWithinPartitions(*[F.col(c) for c in order_cols])
         .withColumn(PID, F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     from pyspark.sql import types as T
 
