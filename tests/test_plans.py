@@ -221,8 +221,19 @@ def test_unkeyed_asof_range_partitions(spark):
     right = spark.createDataFrame(
         pd.DataFrame({"ts": pd.date_range("2024-01-01", periods=32, freq="2s"), "rv": 1.0})
     )
-    plan = plan_of(asof_join(left, right, on="ts", value_cols=["rv"]), "simple")
-    assert "rangepartitioning" in plan.lower()
+    out = asof_join(left, right, on="ts", value_cols=["rv"])
+    plan = plan_of(out, "simple").lower()
+    # the range exchange itself now sits BEHIND the consumer-stable pid
+    # checkpoint (utils/distributed._ranged: lazy localCheckpoint freezing
+    # spark_partition_id across plan branches), so the visible plan is a
+    # checkpoint scan + a window partitioned by the frozen pid — assert
+    # the window is keyed on __gpid (never an empty partition spec) and
+    # the input is the materialized range-partitioned RDD
+    assert "scan existingrdd" in plan, plan
+    assert "__gpid" in plan, plan
+    w_lines = [ln for ln in plan.splitlines() if "window" in ln]
+    assert w_lines and all("__gpid" in ln for ln in w_lines), plan
+    assert out.count() == 64
 
 
 def test_knn_join_corpus_never_shuffles(spark):

@@ -1010,3 +1010,153 @@ def test_two_level_diff_features_parity(spark):
         two = m[f"{base}_2l"].to_numpy()
         one = m[f"{base}_1l"].to_numpy()
         assert (two == one).all(), base
+
+
+def test_argmax_argmin_cv_unique_ratio_natives(spark):
+    """argmax/argmin (tsn of FIRST max/min — pandas idxmax semantics),
+    variation_coefficient (std_pop/mean) and unique_ratio vs a pandas
+    reference; all compile to native aggregates (no Arrow in the plan)."""
+    import numpy as np
+    import pandas as pd
+
+    from tsflex_spark import FeatureCollection, FeatureDescriptor, FuncWrapper
+
+    rng = np.random.default_rng(11)
+    ts = pd.date_range("2024-01-01", periods=60, freq="1s")
+    # integers with repeats → argmax ties + unique_ratio < 1
+    v = rng.integers(0, 8, 60).astype(float)
+    df = spark.createDataFrame(pd.DataFrame({"ts": ts, "v": v}))
+    fc = FeatureCollection(
+        [
+            FeatureDescriptor("argmax", "v", "20s", "20s"),
+            FeatureDescriptor("argmin", "v", "20s", "20s"),
+            FeatureDescriptor("variation_coefficient", "v", "20s", "20s"),
+            FeatureDescriptor(
+                FuncWrapper("variation_coefficient", output_names="cv1", ddof=1),
+                "v", "20s", "20s",
+            ),
+            FeatureDescriptor("unique_ratio", "v", "20s", "20s"),
+        ]
+    )
+    out = fc.calculate(df, ts_col="ts", approve_sparsity=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "FlatMapGroupsInPandas" not in plan
+    pdf = out.toPandas().sort_values("ts").reset_index(drop=True)
+    assert len(pdf) == 2  # [0,20s), [20s,40s) inner-bounds full windows
+    base = ts[0].value // 1000  # micros
+    for i, sl in enumerate([slice(0, 20), slice(20, 40)]):
+        seg = v[sl]
+        exp_argmax = base + (sl.start + int(np.argmax(seg))) * 1_000_000
+        exp_argmin = base + (sl.start + int(np.argmin(seg))) * 1_000_000
+        assert pdf["v__argmax__w=20s"].iloc[i] == exp_argmax
+        assert pdf["v__argmin__w=20s"].iloc[i] == exp_argmin
+        assert abs(
+            pdf["v__variation_coefficient__w=20s"].iloc[i]
+            - seg.std() / seg.mean()
+        ) < 1e-12
+        assert abs(
+            pdf["v__cv1__w=20s"].iloc[i] - seg.std(ddof=1) / seg.mean()
+        ) < 1e-12
+        assert abs(
+            pdf["v__unique_ratio__w=20s"].iloc[i]
+            - len(np.unique(seg)) / len(seg)
+        ) < 1e-12
+
+
+def test_native_change_features_shift_recipe(spark):
+    """mean_diff / cid_ce / crossings natives + the shift recipe realize
+    tsfresh's mean_change, cid_ce(normalize=False) and number_crossing_m
+    as pure Catalyst aggregates."""
+    import numpy as np
+    import pandas as pd
+
+    from tsflex_spark import FeatureCollection, FeatureDescriptor, FuncWrapper
+    from tsflex_spark.utils.distributed import with_global_shift
+
+    rng = np.random.default_rng(13)
+    ts = pd.date_range("2024-01-01", periods=26, freq="1s")
+    v = rng.normal(0, 1, 26).round(2)
+    df = spark.createDataFrame(pd.DataFrame({"ts": ts, "v": v}))
+    # v_lag[t] = v[t-1]: pairs (v_t, v_{t-1}) realize first differences
+    df = with_global_shift(df, "v", "ts", "v_lag", offset=-1)
+    fc = FeatureCollection(
+        [
+            FeatureDescriptor("mean_diff", ("v", "v_lag"), "12s", "12s"),
+            FeatureDescriptor("cid_ce", ("v", "v_lag"), "12s", "12s"),
+            FeatureDescriptor(
+                FuncWrapper("crossings", output_names="x0", t=0.0),
+                ("v", "v_lag"), "12s", "12s",
+            ),
+        ]
+    )
+    out = fc.calculate(df, ts_col="ts", approve_sparsity=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "FlatMapGroupsInPandas" not in plan
+    pdf = out.toPandas().sort_values("ts").reset_index(drop=True)
+    assert len(pdf) == 2
+    for i, sl in enumerate([slice(1, 13), slice(13, 25)]):
+        pa = v[sl]
+        pb = v[sl.start - 1 : sl.stop - 1]  # lag-1
+        d = pa - pb
+        assert abs(pdf["v|v_lag__mean_diff__w=12s"].iloc[i] - d.mean()) < 1e-12
+        assert abs(
+            pdf["v|v_lag__cid_ce__w=12s"].iloc[i] - np.sqrt((d**2).sum())
+        ) < 1e-12
+        exp_x = int(((pa > 0) != (pb > 0)).sum())
+        assert pdf["v|v_lag__x0__w=12s"].iloc[i] == exp_x
+
+
+def test_two_level_new_natives_parity(spark):
+    """argmax/argmin/variation_coefficient + mean_diff/cid_ce/crossings
+    decompose through the bucketed two-level rewrite identically to the
+    one-level plan (decimal inputs → exact partial sums; argmax partial
+    structs replay the one-level ordering)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from tsflex_spark import FeatureCollection, FeatureDescriptor, FuncWrapper
+    from tsflex_spark.utils.distributed import with_global_shift
+
+    rng = np.random.default_rng(17)
+    ts = pd.date_range("2024-01-01", periods=600, freq="1s")
+    pdf = pd.DataFrame({"ts": ts, "v": rng.integers(-5, 6, 600).astype(float)})
+    sdf = spark.createDataFrame(pdf).withColumn(
+        "v", F.col("v").cast("decimal(10,2)")
+    )
+    sdf = with_global_shift(sdf, "v", "ts", "v_lag", offset=-1)
+    descs = [
+        FeatureDescriptor("argmax", "v", "64s", "64s"),
+        FeatureDescriptor("argmin", "v", "64s", "64s"),
+        FeatureDescriptor("variation_coefficient", "v", "64s", "64s"),
+        FeatureDescriptor("mean_diff", ("v", "v_lag"), "64s", "64s"),
+        FeatureDescriptor("cid_ce", ("v", "v_lag"), "64s", "64s"),
+        FeatureDescriptor(
+            FuncWrapper("crossings", output_names="x", t=0.5),
+            ("v", "v_lag"), "64s", "64s",
+        ),
+    ]
+    fc = FeatureCollection(descs)
+    try:
+        FeatureCollection.TWO_LEVEL_FANOUT_THRESHOLD = 10**9
+        one = fc.calculate(sdf, ts_col="ts", approve_sparsity=True).toPandas()
+        FeatureCollection.TWO_LEVEL_FANOUT_THRESHOLD = 1
+        two = fc.calculate(sdf, ts_col="ts", approve_sparsity=True).toPandas()
+    finally:
+        FeatureCollection.TWO_LEVEL_FANOUT_THRESHOLD = 8
+    one = one.sort_values("ts").reset_index(drop=True)
+    two = two.sort_values("ts").reset_index(drop=True)
+    assert len(one) >= 8 and list(one.columns) == list(two.columns)
+    for c in one.columns:
+        if c == "ts":
+            assert one[c].equals(two[c])
+            continue
+        a, b = one[c].to_numpy(dtype=float), two[c].to_numpy(dtype=float)
+        if c == "v__variation_coefficient__w=1m4s":
+            # one-level Welford stddev_pop vs two-level textbook sums:
+            # equal to float ulps, not bit-identical (same as std/var)
+            both = ~(np.isnan(a) | np.isnan(b))
+            assert (np.isnan(a) == np.isnan(b)).all()
+            assert np.allclose(a[both], b[both], rtol=1e-9, atol=1e-9), c
+        else:
+            assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), c

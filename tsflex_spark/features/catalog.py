@@ -184,6 +184,39 @@ _reg("slope", lambda v, tsn, kw: F.regr_slope(v, tsn / F.lit(1_000_000.0)))
 _reg("intercept", lambda v, tsn, kw: F.regr_intercept(v, tsn / F.lit(1_000_000.0)))
 
 
+# index of the FIRST occurrence of the segment max/min — pandas
+# idxmax/idxmin semantics (tsfresh first_location_of_maximum, up to
+# units: the value is in TSN units — unix MICROS for TIME, the raw index
+# for SEQUENCE). Numeric series only (the tie-break struct negates the
+# value). One codegen aggregate: min over (−v, tsn) structs orders by
+# largest value first, then earliest index.
+def _argmax_build(v: Column, tsn: Column, kw: dict) -> Column:
+    ordered = F.when(v.isNotNull(), F.struct((-v).alias("nv"), tsn.alias("t")))
+    return F.min(ordered)["t"]
+
+
+def _argmin_build(v: Column, tsn: Column, kw: dict) -> Column:
+    ordered = F.when(v.isNotNull(), F.struct(v.alias("pv"), tsn.alias("t")))
+    return F.min(ordered)["t"]
+
+
+_reg("argmax", _argmax_build)
+_reg("argmin", _argmin_build)
+
+
+# tsfresh variation_coefficient: std/mean (population std by default, the
+# numpy ddof=0 convention used throughout); NULL when mean == 0
+def _cv_build(v: Column, tsn: Column, kw: dict) -> Column:
+    sd = F.stddev_samp(v) if kw.get("ddof", 0) == 1 else F.stddev_pop(v)
+    return F.try_divide(sd, F.avg(v))
+
+
+_reg("variation_coefficient", _cv_build, kwargs_allowed=["ddof"])
+# tsfresh ratio_value_number_to_time_series_length: |distinct| / n —
+# holistic (exact distinct), no two-level decomposition
+_reg("unique_ratio", lambda v, tsn, kw: F.try_divide(F.count_distinct(v), F.count(v)))
+
+
 # --- two-series (tuple series_name) native aggregates ------------------------
 # The reference passes each series' own segment slice to the function
 # (ragged allowed, feature.py:100-104); these natives use SQL pairwise
@@ -194,8 +227,19 @@ _reg("intercept", lambda v, tsn, kw: F.regr_intercept(v, tsn / F.lit(1_000_000.0
 _REGISTRY2: dict[str, NativeSpec] = {}
 
 
-def _reg2(name: str, build: Callable[..., Column], empty: Optional[float] = None) -> None:
-    _REGISTRY2[name] = NativeSpec(name, build, empty, arity=2)
+def _reg2(
+    name: str,
+    build: Callable[..., Column],
+    empty: Optional[float] = None,
+    kwargs_allowed: Optional[Sequence[str]] = None,
+) -> None:
+    _REGISTRY2[name] = NativeSpec(
+        name,
+        build,
+        empty,
+        arity=2,
+        kwargs_allowed=frozenset(kwargs_allowed) if kwargs_allowed else frozenset(),
+    )
 
 
 def _pair_sums(a: Column, b: Column) -> tuple:
@@ -253,6 +297,34 @@ def _rmse_build(a: Column, b: Column, tsn: Column, kw: dict) -> Column:
     return F.when(F.count(d2) > 0, F.sqrt(F.sum(d2).cast("double") / F.count(d2)))
 
 
+def _mean_diff_build(a: Column, b: Column, tsn: Column, kw: dict) -> Column:
+    """mean(a - b), pairwise-non-null. With b = lag-1 shift of a
+    (``utils.distributed.with_global_shift``) this is tsfresh's
+    ``mean_change`` over the window; exact decimal sum, one final double
+    division."""
+    both = a.isNotNull() & b.isNotNull()
+    d = F.when(both, a - b)
+    return F.when(F.count(d) > 0, F.sum(d).cast("double") / F.count(d))
+
+
+def _cid_ce_build(a: Column, b: Column, tsn: Column, kw: dict) -> Column:
+    """sqrt(Σ(a-b)²), pairwise-non-null — with b = lag-1 shift this is
+    tsfresh ``cid_ce(normalize=False)`` (complexity-invariant distance).
+    The normalize=True variant needs the window's own std — compose with
+    the ``std`` native instead of hiding a second pass here."""
+    both = a.isNotNull() & b.isNotNull()
+    d2 = F.when(both, (a - b) * (a - b))
+    return F.when(F.count(d2) > 0, F.sqrt(F.sum(d2).cast("double")))
+
+
+def _crossings_build(a: Column, b: Column, tsn: Column, kw: dict) -> Column:
+    """count of threshold crossings: rows where (a > t) != (b > t) —
+    with b = lag-1 shift this is tsfresh ``number_crossing_m`` (t = m)."""
+    t = F.lit(float(kw.get("t", 0.0)))
+    both = a.isNotNull() & b.isNotNull()
+    return F.count(F.when(both & ((a > t) != (b > t)), a))
+
+
 _reg2("corr", _corr_build)
 _reg2("covar_pop", _covar_pop_build)
 _reg2("covar_samp", _covar_samp_build)
@@ -260,6 +332,9 @@ _reg2("dot", lambda a, b, tsn, kw: F.sum(a * b), empty=0.0)
 _reg2("mean_ratio", lambda a, b, tsn, kw: F.avg(F.try_divide(a, b)))
 _reg2("mean_abs_diff", _mean_abs_diff_build)
 _reg2("rmse", _rmse_build)
+_reg2("mean_diff", _mean_diff_build)
+_reg2("cid_ce", _cid_ce_build)
+_reg2("crossings", _crossings_build, empty=0.0, kwargs_allowed=["t"])
 
 
 # --- callable → registry-name recognition (by identity) ---------------------
@@ -313,9 +388,10 @@ def lookup_native2(func: Any, kwargs: dict) -> Optional[NativeSpec]:
     callable with matching pairwise semantics to key on)."""
     if not isinstance(func, str) or func not in _REGISTRY2:
         return None
-    if kwargs:
+    spec = _REGISTRY2[func]
+    if any(k not in spec.kwargs_allowed for k in kwargs):
         return None
-    return _REGISTRY2[func]
+    return spec
 
 
 def native_names() -> list[str]:
@@ -344,6 +420,14 @@ _PARTIAL_BUILDERS: dict[str, Callable[[Column, Column], Column]] = {
     "mintsn": lambda v, tsn: F.min(tsn),
     "lastv": lambda v, tsn: F.max_by(v, tsn),
     "maxtsn": lambda v, tsn: F.max(tsn),
+    # argmax/argmin partials: per-bucket (−max_v, earliest tsn) ordering
+    # struct — min over buckets replays the exact one-level ordering
+    "amaxs": lambda v, tsn: F.min(
+        F.when(v.isNotNull(), F.struct((-v).alias("nv"), tsn.alias("t")))
+    ),
+    "amins": lambda v, tsn: F.min(
+        F.when(v.isNotNull(), F.struct(v.alias("pv"), tsn.alias("t")))
+    ),
 }
 
 def _sqrt_nonneg(v: Column) -> Column:
@@ -395,6 +479,15 @@ _DECOMPOSABLE: dict[str, tuple] = {
     "nanvar": (("sum", "sumsq", "cnt"), _var_pop_final),
     "std": (("sum", "sumsq", "cnt"), lambda p: _sqrt_nonneg(_var_pop_final(p))),
     "nanstd": (("sum", "sumsq", "cnt"), lambda p: _sqrt_nonneg(_var_pop_final(p))),
+    "variation_coefficient": (
+        ("sum", "sumsq", "cnt"),
+        lambda p: F.try_divide(
+            _sqrt_nonneg(_var_pop_final(p)),
+            F.sum(p["sum"]).cast("double") / F.sum(p["cnt"]),
+        ),
+    ),
+    "argmax": (("amaxs",), lambda p: F.min(p["amaxs"])["t"]),
+    "argmin": (("amins",), lambda p: F.min(p["amins"])["t"]),
 }
 
 _DECOMPOSABLE_DDOF1: dict[str, tuple] = {
@@ -402,6 +495,13 @@ _DECOMPOSABLE_DDOF1: dict[str, tuple] = {
     "nanvar": (("sum", "sumsq", "cnt"), _var_samp_final),
     "std": (("sum", "sumsq", "cnt"), lambda p: _sqrt_nonneg(_var_samp_final(p))),
     "nanstd": (("sum", "sumsq", "cnt"), lambda p: _sqrt_nonneg(_var_samp_final(p))),
+    "variation_coefficient": (
+        ("sum", "sumsq", "cnt"),
+        lambda p: F.try_divide(
+            _sqrt_nonneg(_var_samp_final(p)),
+            F.sum(p["sum"]).cast("double") / F.sum(p["cnt"]),
+        ),
+    ),
 }
 
 
@@ -467,6 +567,7 @@ _PAIR_PARTIAL_BUILDERS: dict[str, Callable[[Column, Column], Column]] = {
     "psdd": lambda a, b: F.sum(
         F.when(a.isNotNull() & b.isNotNull(), (a - b) * (a - b))
     ),
+    "psd": lambda a, b: F.sum(F.when(a.isNotNull() & b.isNotNull(), a - b)),
 }
 
 
@@ -517,13 +618,40 @@ _DECOMPOSABLE2: dict[str, tuple] = {
             F.sqrt(F.sum(p["psdd"]).cast("double") / F.sum(p["pcnt"])),
         ),
     ),
+    "mean_diff": (
+        ("pcnt", "psd"),
+        lambda p: F.when(
+            F.sum(p["pcnt"]) > 0, F.sum(p["psd"]).cast("double") / F.sum(p["pcnt"])
+        ),
+    ),
+    "cid_ce": (
+        ("pcnt", "psdd"),
+        lambda p: F.when(
+            F.sum(p["pcnt"]) > 0, F.sqrt(F.sum(p["psdd"]).cast("double"))
+        ),
+    ),
 }
 
 
-def decomposition2(name: str):
-    """Two-series decomposition (pairwise partial sums), else None."""
+def decomposition2(name: str, kwargs: Optional[dict] = None):
+    """Two-series decomposition (pairwise partial sums), else None.
+
+    ``crossings`` is parameterized like the arity-1 threshold counts: the
+    threshold is baked into the partial-kind key so distinct thresholds
+    get distinct bucket columns and ``pair_partial_builder`` re-derives
+    the predicate from the key alone.
+    """
+    kw = kwargs or {}
+    if name == "crossings":
+        k = f"pxgt={float(kw.get('t', 0.0))!r}"
+        return ((k,), lambda p, _k=k: F.sum(p[_k]))
     return _DECOMPOSABLE2.get(name)
 
 
 def pair_partial_builder(kind: str) -> Callable[[Column, Column], Column]:
+    if kind.startswith("pxgt="):
+        t = F.lit(float(kind[len("pxgt="):]))
+        return lambda a, b: F.count(
+            F.when(a.isNotNull() & b.isNotNull() & ((a > t) != (b > t)), a)
+        )
     return _PAIR_PARTIAL_BUILDERS[kind]

@@ -302,7 +302,7 @@ class FeatureCollection:
             decomposable = not udf and bool(native)
             for series_tuple, win_str, fd, spec in native:
                 if getattr(spec, "arity", 1) == 2:
-                    d = decomposition2(spec.name)
+                    d = decomposition2(spec.name, fd.function.kwargs)
                 else:
                     d = decomposition(spec.name, fd.function.kwargs)
                 if d is None:
@@ -1020,7 +1020,7 @@ class FeatureCollection:
         decos = []
         for series_tuple, win_str, fd, spec in native:
             if getattr(spec, "arity", 1) == 2:
-                d = decomposition2(spec.name)
+                d = decomposition2(spec.name, fd.function.kwargs)
             else:
                 d = decomposition(spec.name, fd.function.kwargs)
             if d is None:
