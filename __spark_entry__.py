@@ -114,6 +114,9 @@ def q_rolling_pop_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             FeatureDescriptor("count", "valued", "2h", "1h"),
             FeatureDescriptor("sum", "value2", "2h", "1h"),
             FeatureDescriptor("median", "value", "2h", "1h"),
+            # argmax native: first-max timestamp — integer micros, tie-broken
+            # by (value desc, ts asc): hash-exact with no float accumulation
+            FeatureDescriptor("argmax", "value", "2h", "1h"),
         ]
     )
     out = fc.calculate(ev, ts_col="ts")
@@ -129,7 +132,11 @@ def q_rolling_pop_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.sqrt(var).alias("std_val"),
         var.alias("var_val"),
+        # variation coefficient from the SAME exact sums (std/mean);
+        # try_divide -> NULL on a zero mean, matching the oracle CASE
+        F.try_divide(F.sqrt(var), mean).alias("cv_val"),
         F.col("value__median__w=2h").alias("median_val"),
+        F.col("value__argmax__w=2h").cast("bigint").alias("argmax_us"),
     )
 
 
@@ -147,21 +154,35 @@ agg AS (SELECT s_start,
                sum(CAST(e.value AS DECIMAL(18,2)))               AS s1,
                sum(CAST(e.value * e.value AS DECIMAL(28,4)))     AS s2,
                count(e.value)                                    AS n,
-               median(e.value)                                   AS med
+               median(e.value)                                   AS med,
+               max(e.value)                                      AS vmax
         FROM seg LEFT JOIN events e
           ON epoch_us(e.ts) >= s_start AND epoch_us(e.ts) < s_start + {w}
         GROUP BY s_start),
+-- first-max timestamp (argmax): join the window max back to its rows and
+-- take the earliest ts — exact double equality on the same parquet values,
+-- tie-break identical to the engine's (value desc, ts asc) ordering struct
+am AS (SELECT a.s_start, min(epoch_us(e.ts)) AS amax_us
+       FROM agg a JOIN events e
+         ON epoch_us(e.ts) >= a.s_start AND epoch_us(e.ts) < a.s_start + {w}
+        AND e.value = a.vmax
+       GROUP BY a.s_start),
 der AS (SELECT s_start, n, med,
                CASE WHEN n = 0 THEN NULL
                     ELSE greatest(CAST(s2 AS DOUBLE) / n
                                   - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
-                                  0.0) END AS var_raw
+                                  0.0) END AS var_raw,
+               CASE WHEN n = 0 THEN NULL
+                    ELSE CAST(s1 AS DOUBLE) / n END AS mean_raw
         FROM agg)
-SELECT make_timestamp(s_start + {w}) AS ts,
-       sqrt(var_raw) AS std_val,
-       var_raw       AS var_val,
-       med           AS median_val
-FROM der ORDER BY ts
+SELECT make_timestamp(d.s_start + {w}) AS ts,
+       sqrt(d.var_raw) AS std_val,
+       d.var_raw       AS var_val,
+       CASE WHEN d.mean_raw IS NULL OR d.mean_raw = 0 THEN NULL
+            ELSE sqrt(d.var_raw) / d.mean_raw END AS cv_val,
+       d.med           AS median_val,
+       am.amax_us      AS argmax_us
+FROM der d LEFT JOIN am ON am.s_start = d.s_start ORDER BY ts
 """
 
 
@@ -2253,18 +2274,40 @@ def q_intersample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tsflex_spark/utils/distributed.py), then gaps feed the normal
     strided-rolling path — all integer micros, hash-exact."""
     _utc(spark)
+    from tsflex_spark import FuncWrapper
     from tsflex_spark.utils.distributed import with_global_shift
 
-    ev = _events(spark, sf_dir).select("ts").withColumn("__tsn", ts_micros("ts"))
-    ev = with_global_shift(ev, "__tsn", "__tsn", "__prev", offset=-1)
+    ev = (
+        _events(spark, sf_dir)
+        .select("ts", F.col("value").cast("decimal(18,2)").alias("vd"))
+        .withColumn("__tsn", ts_micros("ts"))
+    )
+    # ONE global shift carries both lag columns (struct payload): prev ts
+    # for the gap series + prev value for the change-feature natives
+    ev = ev.withColumn("__pair", F.struct(F.col("__tsn").alias("t"), F.col("vd").alias("v")))
+    ev = with_global_shift(ev, "__pair", "__tsn", "__prev", offset=-1)
     ev = ev.select(
-        "ts", (F.col("__tsn") - F.col("__prev")).alias("gap")  # null for first row
+        "ts",
+        (F.col("__tsn") - F.col("__prev")["t"]).alias("gap"),  # null for first row
+        "vd",
+        F.col("__prev")["v"].alias("vd_lag"),
     )
     fc = FeatureCollection(
         [
             FeatureDescriptor("sum", "gap", "6h", "6h"),
             FeatureDescriptor("count", "gap", "6h", "6h"),
             FeatureDescriptor("max", "gap", "6h", "6h"),
+            # change-feature natives via the shift recipe (tsfresh
+            # mean_change / cid_ce / number_crossing_m /
+            # absolute_sum_of_changes): exact decimal pair sums, one
+            # final double formula — token-identical to the oracle
+            FeatureDescriptor("mean_diff", ("vd", "vd_lag"), "6h", "6h"),
+            FeatureDescriptor("cid_ce", ("vd", "vd_lag"), "6h", "6h"),
+            FeatureDescriptor(
+                FuncWrapper("crossings", output_names="x35", t=35.0),
+                ("vd", "vd_lag"), "6h", "6h",
+            ),
+            FeatureDescriptor("sum_abs_diff", ("vd", "vd_lag"), "6h", "6h"),
         ]
     )
     out = fc.calculate(ev, ts_col="ts")
@@ -2274,6 +2317,10 @@ def q_intersample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_divide(F.col("gap__sum__w=6h").cast("double"), n).alias("mean_gap_us"),
         F.col("gap__max__w=6h").cast("bigint").alias("max_gap_us"),
         n.alias("cnt_val"),
+        F.col("vd|vd_lag__mean_diff__w=6h").alias("mean_change"),
+        F.col("vd|vd_lag__cid_ce__w=6h").alias("cid_ce"),
+        F.col("vd|vd_lag__x35__w=6h").cast("bigint").alias("n_cross_35"),
+        F.col("vd|vd_lag__sum_abs_diff__w=6h").alias("abs_change_sum"),
     )
 
 
@@ -2281,7 +2328,9 @@ def _oracle_intersample_stats() -> str:
     w = 6 * H1
     return f"""
 WITH d AS (SELECT ts,
-                  epoch_us(ts) - lag(epoch_us(ts)) OVER (ORDER BY ts) AS gap
+                  epoch_us(ts) - lag(epoch_us(ts)) OVER (ORDER BY ts) AS gap,
+                  CAST(value AS DECIMAL(18,2)) AS vd,
+                  lag(CAST(value AS DECIMAL(18,2))) OVER (ORDER BY ts) AS vd_lag
            FROM events),
 -- the gap series starts at its first non-null sample (the 2nd event):
 -- series bounds come from the series' own index, not the raw table
@@ -2294,14 +2343,29 @@ seg AS (SELECT t0 + kk * {w} AS s_start
         FROM k CROSS JOIN generate_series(0, 100000) AS g(kk)
         WHERE kk < nb),
 agg AS (SELECT s_start,
-               sum(d.gap) AS sum_gap, count(d.gap) AS n, max(d.gap) AS max_gap
+               sum(d.gap) AS sum_gap, count(d.gap) AS n, max(d.gap) AS max_gap,
+               count(CASE WHEN d.vd IS NOT NULL AND d.vd_lag IS NOT NULL
+                          THEN 1 END)                                    AS pn,
+               sum(CASE WHEN d.vd IS NOT NULL AND d.vd_lag IS NOT NULL
+                        THEN d.vd - d.vd_lag END)                        AS psd,
+               sum(CASE WHEN d.vd IS NOT NULL AND d.vd_lag IS NOT NULL
+                        THEN (d.vd - d.vd_lag) * (d.vd - d.vd_lag) END)  AS psdd,
+               sum(CASE WHEN d.vd IS NOT NULL AND d.vd_lag IS NOT NULL
+                        THEN abs(d.vd - d.vd_lag) END)                   AS psad,
+               count(CASE WHEN d.vd IS NOT NULL AND d.vd_lag IS NOT NULL
+                          AND ((d.vd > 35.0) <> (d.vd_lag > 35.0))
+                          THEN 1 END)                                    AS nx
         FROM seg LEFT JOIN d
           ON epoch_us(d.ts) >= s_start AND epoch_us(d.ts) < s_start + {w}
         GROUP BY s_start)
 SELECT make_timestamp(s_start + {w}) AS ts,
        CAST(sum_gap AS DOUBLE) / n AS mean_gap_us,
        max_gap AS max_gap_us,
-       n AS cnt_val
+       n AS cnt_val,
+       CASE WHEN pn > 0 THEN CAST(psd AS DOUBLE) / pn END  AS mean_change,
+       CASE WHEN pn > 0 THEN sqrt(CAST(psdd AS DOUBLE)) END AS cid_ce,
+       nx AS n_cross_35,
+       coalesce(CAST(psad AS DOUBLE), 0.0) AS abs_change_sum
 FROM agg ORDER BY ts
 """
 

@@ -13,6 +13,7 @@ import numpy as np
 sys.path.insert(0, ".")
 
 from tsflex_spark import FeatureCollection, FeatureDescriptor, FuncWrapper
+from tsflex_spark.features.spectral import spectral_stats
 from tsflex_spark.session import get_spark
 from tsflex_spark.sources.io import read_events
 
@@ -33,6 +34,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
                             output_names="ptp"),
                 "value", "5m", "1m",
             ),
+            # vectorized UDF tier: one batched FFT over the stacked
+            # (n_segments, window) Arrow bucket
+            FeatureDescriptor(spectral_stats(fs=1.0), "value", "5m", "1m"),
         ]
     )
     feats = fc.calculate(

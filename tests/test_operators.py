@@ -2825,12 +2825,17 @@ def test_windowed_features_stream_batch_parity(spark, tmp_path):
     )
     spark.createDataFrame(sentinel).coalesce(1).write.parquet(src, mode="append")
 
+    from tsflex_spark.features.spectral import spectral_stats
+
     fc = FeatureCollection(
         [
             FeatureDescriptor(iqr, "v", "1h", "1h"),
             FeatureDescriptor(
                 FuncWrapper(lambda x: float(x.sum()), output_names="mysum"), "v", "1h", "1h"
             ),
+            # vectorized wrapper: batch side runs the (nb, window) batched
+            # FFT, stream side the per-window (1, n) fallback — same math
+            FeatureDescriptor(spectral_stats(fs=1.0 / 60.0), "v", "1h", "1h"),
         ]
     )
     stream = (

@@ -1036,6 +1036,7 @@ def test_argmax_argmin_cv_unique_ratio_natives(spark):
                 "v", "20s", "20s",
             ),
             FeatureDescriptor("unique_ratio", "v", "20s", "20s"),
+            FeatureDescriptor("abs_max", "v", "20s", "20s"),
         ]
     )
     out = fc.calculate(df, ts_col="ts", approve_sparsity=True)
@@ -1061,6 +1062,7 @@ def test_argmax_argmin_cv_unique_ratio_natives(spark):
             pdf["v__unique_ratio__w=20s"].iloc[i]
             - len(np.unique(seg)) / len(seg)
         ) < 1e-12
+        assert pdf["v__abs_max__w=20s"].iloc[i] == np.abs(seg).max()
 
 
 def test_native_change_features_shift_recipe(spark):
@@ -1087,6 +1089,7 @@ def test_native_change_features_shift_recipe(spark):
                 FuncWrapper("crossings", output_names="x0", t=0.0),
                 ("v", "v_lag"), "12s", "12s",
             ),
+            FeatureDescriptor("sum_abs_diff", ("v", "v_lag"), "12s", "12s"),
         ]
     )
     out = fc.calculate(df, ts_col="ts", approve_sparsity=True)
@@ -1104,6 +1107,9 @@ def test_native_change_features_shift_recipe(spark):
         ) < 1e-12
         exp_x = int(((pa > 0) != (pb > 0)).sum())
         assert pdf["v|v_lag__x0__w=12s"].iloc[i] == exp_x
+        assert abs(
+            pdf["v|v_lag__sum_abs_diff__w=12s"].iloc[i] - np.abs(d).sum()
+        ) < 1e-12
 
 
 def test_two_level_new_natives_parity(spark):
@@ -1135,6 +1141,8 @@ def test_two_level_new_natives_parity(spark):
             FuncWrapper("crossings", output_names="x", t=0.5),
             ("v", "v_lag"), "64s", "64s",
         ),
+        FeatureDescriptor("sum_abs_diff", ("v", "v_lag"), "64s", "64s"),
+        FeatureDescriptor("abs_max", "v", "64s", "64s"),
     ]
     fc = FeatureCollection(descs)
     try:

@@ -1,0 +1,108 @@
+"""Spectral feature factories (features/spectral.py): FFT features through
+the UDF tier's vectorized (nb × window) batch path, vs a per-window numpy
+reference."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tsflex_spark import FeatureCollection, FeatureDescriptor
+from tsflex_spark.features.spectral import (
+    band_power,
+    fft_coefficient,
+    spectral_rolloff,
+    spectral_stats,
+)
+
+
+def _ref_spectral(seg: np.ndarray, fs: float):
+    mag = np.abs(np.fft.rfft(seg))
+    power = mag * mag
+    freqs = np.fft.rfftfreq(len(seg), d=1.0 / fs)
+    total = power.sum()
+    centroid = (power * freqs).sum() / total
+    p = power / total
+    entropy = -(p[p > 0] * np.log(p[p > 0])).sum()
+    dom = freqs[np.argmax(power[1:]) + 1]
+    return centroid, entropy, dom
+
+
+def test_spectral_features_parity(spark):
+    """120 samples @ 10 Hz, 4 s tumbling windows: spectral_stats /
+    fft_coefficient / band_power / rolloff match the per-window numpy
+    reference; a 2 Hz + 0.5 Hz mix puts deterministic structure in-band."""
+    fs = 10.0
+    n = 120
+    t = np.arange(n) / fs
+    v = np.sin(2 * np.pi * 2.0 * t) + 0.5 * np.sin(2 * np.pi * 0.5 * t) + 3.0
+    ts = pd.date_range("2024-01-01", periods=n, freq=pd.Timedelta(seconds=1 / fs))
+    df = spark.createDataFrame(pd.DataFrame({"ts": ts, "v": v}))
+
+    fc = FeatureCollection(
+        [
+            FeatureDescriptor(spectral_stats(fs=fs), "v", "4s", "4s"),
+            FeatureDescriptor(fft_coefficient(8, "abs"), "v", "4s", "4s"),
+            FeatureDescriptor(band_power(1.5, 2.5, fs=fs), "v", "4s", "4s"),
+            FeatureDescriptor(spectral_rolloff(0.85, fs=fs), "v", "4s", "4s"),
+        ]
+    )
+    out = (
+        fc.calculate(df, ts_col="ts", approve_sparsity=True)
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    # inner bounds [t0, t0+12s): two full 4s windows → rows at 4s, 8s
+    assert len(out) == 2
+    win = int(4 * fs)
+    for i in range(2):
+        seg = v[i * win : (i + 1) * win]
+        centroid, entropy, dom = _ref_spectral(seg, fs)
+        assert out["v__spec_centroid__w=4s"].iloc[i] == pytest.approx(centroid, rel=1e-12)
+        assert out["v__spec_entropy__w=4s"].iloc[i] == pytest.approx(entropy, rel=1e-9)
+        assert out["v__dom_freq__w=4s"].iloc[i] == pytest.approx(dom)
+        # 2 Hz bin at k=8 for a 40-sample window @10 Hz carries the main tone
+        assert out["v__fft_abs_8__w=4s"].iloc[i] == pytest.approx(
+            np.abs(np.fft.rfft(seg)[8]), rel=1e-12
+        )
+        power = np.abs(np.fft.rfft(seg)) ** 2
+        freqs = np.fft.rfftfreq(win, d=1.0 / fs)
+        band = power[(freqs >= 1.5) & (freqs < 2.5)].sum() / power.sum()
+        assert out["v__band_rel_1.5_2.5__w=4s"].iloc[i] == pytest.approx(band, rel=1e-12)
+        csum = np.cumsum(power)
+        roll = freqs[np.argmax(csum >= 0.85 * power.sum())]
+        assert out["v__rolloff_0.85__w=4s"].iloc[i] == pytest.approx(roll)
+        # the dominant tone is 2 Hz — sanity on the physics
+        assert abs(out["v__dom_freq__w=4s"].iloc[i] - 2.0) < 1e-9
+
+
+def test_spectral_ragged_and_constant_windows(spark):
+    """Ragged windows (gap in the middle) use the per-segment fallback —
+    same values as the batch path; a constant-zero window yields NULLs."""
+    fs = 1.0
+    ts_a = pd.date_range("2024-01-01 00:00:00", periods=16, freq="1s")
+    # one trailing sample at 32s so the second window [16s, 32s) is a
+    # complete grid window (its 6 zero samples sit at 26..31s)
+    ts_b = pd.date_range("2024-01-01 00:00:26", periods=7, freq="1s")
+    v_a = np.sin(2 * np.pi * 0.25 * np.arange(16))
+    v_b = np.zeros(7)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"ts": ts_a.append(ts_b), "v": np.concatenate([v_a, v_b])}
+        )
+    )
+    fc = FeatureCollection([FeatureDescriptor(spectral_stats(fs=fs), "v", "16s", "16s")])
+    out = (
+        fc.calculate(df, ts_col="ts", approve_sparsity=True)
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 2
+    # window 1: full 16-sample 0.25 Hz tone
+    c, e, d = _ref_spectral(v_a, fs)
+    assert out["v__spec_centroid__w=16s"].iloc[0] == pytest.approx(c, rel=1e-12)
+    assert out["v__dom_freq__w=16s"].iloc[0] == pytest.approx(d)
+    # window 2: ragged (6 of 16 samples), all zero → zero power → NULL
+    assert pd.isna(out["v__spec_centroid__w=16s"].iloc[1])
+    assert pd.isna(out["v__dom_freq__w=16s"].iloc[1])

@@ -215,6 +215,8 @@ _reg("variation_coefficient", _cv_build, kwargs_allowed=["ddof"])
 # tsfresh ratio_value_number_to_time_series_length: |distinct| / n —
 # holistic (exact distinct), no two-level decomposition
 _reg("unique_ratio", lambda v, tsn, kw: F.try_divide(F.count_distinct(v), F.count(v)))
+# tsfresh absolute_maximum
+_reg("abs_max", lambda v, tsn, kw: F.max(F.abs(v)))
 
 
 # --- two-series (tuple series_name) native aggregates ------------------------
@@ -335,6 +337,15 @@ _reg2("rmse", _rmse_build)
 _reg2("mean_diff", _mean_diff_build)
 _reg2("cid_ce", _cid_ce_build)
 _reg2("crossings", _crossings_build, empty=0.0, kwargs_allowed=["t"])
+# tsfresh absolute_sum_of_changes with b = lag-1 shift
+_reg2(
+    "sum_abs_diff",
+    lambda a, b, tsn, kw: F.coalesce(
+        F.sum(F.when(a.isNotNull() & b.isNotNull(), F.abs(a - b))).cast("double"),
+        F.lit(0.0),
+    ),
+    empty=0.0,
+)
 
 
 # --- callable → registry-name recognition (by identity) ---------------------
@@ -428,6 +439,7 @@ _PARTIAL_BUILDERS: dict[str, Callable[[Column, Column], Column]] = {
     "amins": lambda v, tsn: F.min(
         F.when(v.isNotNull(), F.struct(v.alias("pv"), tsn.alias("t")))
     ),
+    "maxabs": lambda v, tsn: F.max(F.abs(v)),
 }
 
 def _sqrt_nonneg(v: Column) -> Column:
@@ -488,6 +500,7 @@ _DECOMPOSABLE: dict[str, tuple] = {
     ),
     "argmax": (("amaxs",), lambda p: F.min(p["amaxs"])["t"]),
     "argmin": (("amins",), lambda p: F.min(p["amins"])["t"]),
+    "abs_max": (("maxabs",), lambda p: F.max(p["maxabs"])),
 }
 
 _DECOMPOSABLE_DDOF1: dict[str, tuple] = {
@@ -629,6 +642,10 @@ _DECOMPOSABLE2: dict[str, tuple] = {
         lambda p: F.when(
             F.sum(p["pcnt"]) > 0, F.sqrt(F.sum(p["psdd"]).cast("double"))
         ),
+    ),
+    "sum_abs_diff": (
+        ("psad",),
+        lambda p: F.coalesce(F.sum(p["psad"]).cast("double"), F.lit(0.0)),
     ),
 }
 

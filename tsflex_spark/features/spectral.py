@@ -1,0 +1,149 @@
+"""Spectral (frequency-domain) feature functions for the UDF tier.
+
+tsfresh/tsfel-class FFT features (``fft_coefficient``, spectral centroid /
+entropy / rolloff, band power) have no Catalyst-native form — they are the
+canonical use case for the UDF tier's **vectorized (nb × window) batch
+path** (reference strided_rolling.py:379-453): within an Arrow bucket all
+equal-length segments are stacked into one 2-D array and ``np.fft.rfft``
+runs ONCE over ``axis=-1``, amortizing the Python-call and FFT-plan cost
+across segments. Ragged segments transparently fall back to per-segment
+``(1, n)`` calls — same math, same results.
+
+Every factory returns a :class:`FuncWrapper` with ``vectorized=True``;
+use it like any other feature function::
+
+    fc = FeatureCollection([
+        FeatureDescriptor(spectral_stats(fs=100.0), "acc_x", "2s", "1s"),
+        FeatureDescriptor(fft_coefficient(3, "abs"), "acc_x", "2s", "1s"),
+        FeatureDescriptor(band_power(8.0, 12.0, fs=100.0), "eeg", "2s", "1s"),
+    ])
+
+Scale shape: the FFT runs inside the existing bucketed ``applyInPandas``
+— no extra shuffle, no driver hop; per-task memory is
+O(bucket_rows × window).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tsflex_spark.features.function_wrapper import FuncWrapper
+
+__all__ = [
+    "fft_coefficient",
+    "spectral_stats",
+    "band_power",
+    "spectral_rolloff",
+]
+
+
+def _power(x: np.ndarray) -> np.ndarray:
+    """Power spectrum of a (nb, n) batch along axis=-1 (rfft bins)."""
+    mag = np.abs(np.fft.rfft(x, axis=-1))
+    return mag * mag
+
+
+def fft_coefficient(k: int, attr: str = "abs") -> FuncWrapper:
+    """The ``k``-th rfft coefficient's ``abs``/``real``/``imag``/``angle``
+    (tsfresh ``fft_coefficient``). Windows too short to have bin ``k``
+    yield NaN (→ NULL)."""
+    assert attr in ("abs", "real", "imag", "angle"), attr
+    assert k >= 0, k
+
+    def _fc(x: np.ndarray) -> np.ndarray:
+        x = np.asarray(x, dtype=np.float64)
+        n = x.shape[-1]
+        if k >= n // 2 + 1:
+            return np.full(x.shape[0], np.nan)
+        c = np.fft.rfft(x, axis=-1)[..., k]
+        if attr == "abs":
+            return np.abs(c)
+        if attr == "real":
+            return np.real(c)
+        if attr == "imag":
+            return np.imag(c)
+        return np.angle(c)
+
+    _fc.__name__ = f"fft_{attr}_{k}"
+    return FuncWrapper(_fc, output_names=f"fft_{attr}_{k}", vectorized=True)
+
+
+def spectral_stats(fs: float = 1.0) -> FuncWrapper:
+    """Three batch-FFT summary features per window:
+
+    - ``spec_centroid``: power-weighted mean frequency (Hz at ``fs``),
+    - ``spec_entropy``: Shannon entropy of the normalized power spectrum
+      (nats) — low for pure tones, ~log(n_bins) for white noise,
+    - ``dom_freq``: frequency of the strongest non-DC bin.
+
+    Zero-power windows (constant 0 signal) yield NaN → NULL.
+    """
+
+    def _spectral(x: np.ndarray):
+        x = np.asarray(x, dtype=np.float64)
+        n = x.shape[-1]
+        power = _power(x)
+        freqs = np.fft.rfftfreq(n, d=1.0 / fs)
+        total = power.sum(axis=-1)
+        ok = total > 0
+        safe_total = np.where(ok, total, 1.0)
+        centroid = np.where(ok, (power * freqs).sum(axis=-1) / safe_total, np.nan)
+        p = power / safe_total[..., None]
+        plogp = np.zeros_like(p)
+        np.log(p, out=plogp, where=p > 0)
+        entropy = np.where(ok, -(p * plogp).sum(axis=-1), np.nan)
+        if power.shape[-1] > 1:
+            ac = power[..., 1:]
+            dom = np.where(ac.max(axis=-1) > 0, freqs[np.argmax(ac, axis=-1) + 1], np.nan)
+        else:
+            dom = np.full(power.shape[0], np.nan)
+        return centroid, entropy, dom
+
+    _spectral.__name__ = "spectral_stats"
+    return FuncWrapper(
+        _spectral,
+        output_names=["spec_centroid", "spec_entropy", "dom_freq"],
+        vectorized=True,
+    )
+
+
+def band_power(lo: float, hi: float, fs: float = 1.0, relative: bool = True) -> FuncWrapper:
+    """Power in the frequency band ``[lo, hi)`` Hz; ``relative=True``
+    divides by total power (NaN for zero-power windows)."""
+    assert hi > lo >= 0.0, (lo, hi)
+
+    def _bp(x: np.ndarray) -> np.ndarray:
+        x = np.asarray(x, dtype=np.float64)
+        n = x.shape[-1]
+        power = _power(x)
+        freqs = np.fft.rfftfreq(n, d=1.0 / fs)
+        mask = (freqs >= lo) & (freqs < hi)
+        band = power[..., mask].sum(axis=-1)
+        if not relative:
+            return band
+        total = power.sum(axis=-1)
+        return np.where(total > 0, band / np.where(total > 0, total, 1.0), np.nan)
+
+    kind = "rel" if relative else "abs"
+    _bp.__name__ = f"band_power_{kind}_{lo:g}_{hi:g}"
+    return FuncWrapper(_bp, output_names=f"band_{kind}_{lo:g}_{hi:g}", vectorized=True)
+
+
+def spectral_rolloff(q: float = 0.85, fs: float = 1.0) -> FuncWrapper:
+    """Frequency below which ``q`` of the total spectral power lies
+    (librosa-style rolloff). NaN for zero-power windows."""
+    assert 0.0 < q <= 1.0, q
+
+    def _ro(x: np.ndarray) -> np.ndarray:
+        x = np.asarray(x, dtype=np.float64)
+        n = x.shape[-1]
+        power = _power(x)
+        freqs = np.fft.rfftfreq(n, d=1.0 / fs)
+        total = power.sum(axis=-1)
+        csum = np.cumsum(power, axis=-1)
+        # first bin where cumulative power >= q * total
+        idx = np.argmax(csum >= (q * total)[..., None], axis=-1)
+        return np.where(total > 0, freqs[idx], np.nan)
+
+    _ro.__name__ = f"rolloff_{q:g}"
+    return FuncWrapper(_ro, output_names=f"rolloff_{q:g}", vectorized=True)
