@@ -114,3 +114,84 @@ def test_bm25_tf_counting_trick(spark, digits, probe):
         _term_freq(_tokens_col(F.col("t")), f"w{probe}").alias("tf")
     ).collect()[0]["tf"]
     assert tf == float(digits.count(probe))
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.floats(min_value=-100.0, max_value=100.0, allow_nan=False, width=32),
+        min_size=12,
+        max_size=48,
+    ),
+    st.floats(min_value=-50.0, max_value=50.0, allow_nan=False),
+)
+def test_change_and_location_natives_property(spark, vals, t):
+    """argmax/argmin/abs_max/variation_coefficient + the lag-recipe
+    natives (mean_diff/cid_ce/crossings/sum_abs_diff) match a pandas
+    reference on arbitrary float series with ties (values rounded to one
+    decimal to force them), on SEQUENCE tumbling windows."""
+    from tsflex_spark import FeatureCollection, FeatureDescriptor, FuncWrapper
+    from tsflex_spark.utils.distributed import with_global_shift
+
+    v = np.round(np.asarray(vals, dtype=np.float64), 1)
+    n = len(v)
+    pdf = pd.DataFrame({"ts": np.arange(n, dtype=np.int64), "v": v})
+    sdf = spark.createDataFrame(pdf)
+    sdf = with_global_shift(sdf, "v", "ts", "v_lag", offset=-1)
+    w, s = 8, 8
+    fc = FeatureCollection(
+        [
+            FeatureDescriptor("argmax", "v", w, s),
+            FeatureDescriptor("argmin", "v", w, s),
+            FeatureDescriptor("abs_max", "v", w, s),
+            FeatureDescriptor("variation_coefficient", "v", w, s),
+            FeatureDescriptor("mean_diff", ("v", "v_lag"), w, s),
+            FeatureDescriptor("cid_ce", ("v", "v_lag"), w, s),
+            FeatureDescriptor(
+                FuncWrapper("crossings", output_names="x", t=float(t)),
+                ("v", "v_lag"), w, s,
+            ),
+            FeatureDescriptor("sum_abs_diff", ("v", "v_lag"), w, s),
+        ]
+    )
+    out = (
+        fc.calculate(sdf, ts_col="ts", approve_sparsity=True)
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    # inner bounds: v_lag starts at ts=1 → grid t0=1; half-open windows
+    t0, t1 = 1, n - 1
+    nb = max((t1 - t0 - w) // s + 1, 0)
+    assert len(out) == nb
+    for i in range(nb):
+        lo = t0 + i * s
+        seg = v[lo : lo + w]
+        lagged = v[lo - 1 : lo + w - 1]
+        d = seg - lagged
+        row = out.iloc[i]
+        assert row[f"v__argmax__w={w}"] == lo + int(np.argmax(seg))
+        assert row[f"v__argmin__w={w}"] == lo + int(np.argmin(seg))
+        assert row[f"v__abs_max__w={w}"] == np.abs(seg).max()
+        cv_ref = (
+            np.nan if seg.mean() == 0 else seg.std() / seg.mean()
+        )
+        got_cv = row[f"v__variation_coefficient__w={w}"]
+        if np.isnan(cv_ref):
+            assert pd.isna(got_cv)
+        else:
+            assert got_cv == pytest.approx(cv_ref, rel=1e-9, abs=1e-9)
+        assert row[f"v|v_lag__mean_diff__w={w}"] == pytest.approx(
+            d.mean(), rel=1e-9, abs=1e-9
+        )
+        assert row[f"v|v_lag__cid_ce__w={w}"] == pytest.approx(
+            np.sqrt((d**2).sum()), rel=1e-9, abs=1e-9
+        )
+        assert row[f"v|v_lag__x__w={w}"] == ((seg > t) != (lagged > t)).sum()
+        assert row[f"v|v_lag__sum_abs_diff__w={w}"] == pytest.approx(
+            np.abs(d).sum(), rel=1e-9, abs=1e-9
+        )
