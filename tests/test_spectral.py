@@ -8,6 +8,7 @@ import pytest
 
 from tsflex_spark import FeatureCollection, FeatureDescriptor
 from tsflex_spark.features.spectral import (
+    autocorr_sweep,
     band_power,
     fft_coefficient,
     spectral_rolloff,
@@ -106,3 +107,46 @@ def test_spectral_ragged_and_constant_windows(spark):
     # window 2: ragged (6 of 16 samples), all zero → zero power → NULL
     assert pd.isna(out["v__spec_centroid__w=16s"].iloc[1])
     assert pd.isna(out["v__dom_freq__w=16s"].iloc[1])
+
+
+def test_autocorr_sweep_parity(spark):
+    """autocorr_sweep: FFT-computed acf at lags 1..5 equals the direct
+    tsfresh formula per window; lags >= n and zero-variance windows are
+    NULL."""
+    rng = np.random.default_rng(23)
+    fs_n = 96
+    v = np.cumsum(rng.normal(0, 1, fs_n)).round(3)  # correlated series
+    ts = pd.date_range("2024-01-01", periods=fs_n, freq="1s")
+    df = spark.createDataFrame(pd.DataFrame({"ts": ts, "v": v}))
+    fc = FeatureCollection(
+        [FeatureDescriptor(spectral_stats(fs=1.0), "v", "32s", "32s"),
+         FeatureDescriptor(autocorr_sweep(5), "v", "32s", "32s")]
+    )
+    out = (
+        fc.calculate(df, ts_col="ts", approve_sparsity=True)
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 2
+    n = 32
+    for i in range(2):
+        seg = v[i * n : (i + 1) * n]
+        xc = seg - seg.mean()
+        var = (xc * xc).sum() / n
+        for k in range(1, 6):
+            ref = (xc[:-k] * xc[k:]).sum() / ((n - k) * var)
+            got = out[f"v__acf_{k}__w=32s"].iloc[i]
+            assert got == pytest.approx(ref, rel=1e-9, abs=1e-12), (i, k)
+
+
+def test_autocorr_sweep_degenerate(spark):
+    """Constant windows (zero variance) and lags beyond the window length
+    yield NULLs."""
+    ts = pd.date_range("2024-01-01", periods=8, freq="1s")
+    df = spark.createDataFrame(pd.DataFrame({"ts": ts, "v": np.ones(8)}))
+    fc = FeatureCollection([FeatureDescriptor(autocorr_sweep(6), "v", "4s", "4s")])
+    out = fc.calculate(df, ts_col="ts", approve_sparsity=True).toPandas()
+    assert len(out) == 1
+    for k in range(1, 7):
+        assert pd.isna(out[f"v__acf_{k}__w=4s"].iloc[0])

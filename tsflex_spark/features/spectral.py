@@ -34,6 +34,7 @@ __all__ = [
     "spectral_stats",
     "band_power",
     "spectral_rolloff",
+    "autocorr_sweep",
 ]
 
 
@@ -147,3 +148,46 @@ def spectral_rolloff(q: float = 0.85, fs: float = 1.0) -> FuncWrapper:
 
     _ro.__name__ = f"rolloff_{q:g}"
     return FuncWrapper(_ro, output_names=f"rolloff_{q:g}", vectorized=True)
+
+
+def autocorr_sweep(max_lag: int) -> FuncWrapper:
+    """Autocorrelation at every lag 1..``max_lag`` in ONE batched FFT
+    (Wiener–Khinchin: acov = irfft(|rfft(x - x̄, 2n)|²)/n), tsfresh
+    ``autocorrelation(lag=k)`` semantics::
+
+        acf_k = Σ_{t}(x_t - x̄)(x_{t+k} - x̄) / ((n - k) · var_pop(x))
+
+    Outputs ``acf_1 … acf_{max_lag}``; lags ≥ window length and
+    zero-variance windows yield NaN → NULL. For a single lag over huge
+    data prefer the all-codegen shift recipe (``with_global_shift`` +
+    the ``corr`` native); this sweep amortizes MANY lags per window.
+    """
+    assert max_lag >= 1, max_lag
+
+    def _acf(x: np.ndarray):
+        x = np.asarray(x, dtype=np.float64)
+        nb, n = x.shape
+        xc = x - x.mean(axis=-1, keepdims=True)
+        var = (xc * xc).sum(axis=-1) / n  # population variance
+        # zero-pad to >= 2n so the circular correlation is linear
+        m = 1 << int(np.ceil(np.log2(2 * n)))
+        f = np.fft.rfft(xc, n=m, axis=-1)
+        acov = np.fft.irfft(f * np.conj(f), n=m, axis=-1)[:, : max_lag + 1]
+        out = []
+        ok = var > 0
+        safe_var = np.where(ok, var, 1.0)
+        for k in range(1, max_lag + 1):
+            if k >= n:
+                out.append(np.full(nb, np.nan))
+            else:
+                out.append(
+                    np.where(ok, acov[:, k] / ((n - k) * safe_var), np.nan)
+                )
+        return tuple(out)
+
+    _acf.__name__ = f"autocorr_sweep_{max_lag}"
+    return FuncWrapper(
+        _acf,
+        output_names=[f"acf_{k}" for k in range(1, max_lag + 1)],
+        vectorized=True,
+    )
