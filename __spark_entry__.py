@@ -2284,13 +2284,14 @@ def q_intersample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # ONE global shift carries both lag columns (struct payload): prev ts
     # for the gap series + prev value for the change-feature natives
-    ev = ev.withColumn("__pair", F.struct(F.col("__tsn").alias("t"), F.col("vd").alias("v")))
-    ev = with_global_shift(ev, "__pair", "__tsn", "__prev", offset=-1)
+    ev = with_global_shift(
+        ev, ["__tsn", "vd"], "__tsn", ["__prev", "vd_lag"], offset=-1
+    )
     ev = ev.select(
         "ts",
-        (F.col("__tsn") - F.col("__prev")["t"]).alias("gap"),  # null for first row
+        (F.col("__tsn") - F.col("__prev")).alias("gap"),  # null for first row
         "vd",
-        F.col("__prev")["v"].alias("vd_lag"),
+        "vd_lag",
     )
     fc = FeatureCollection(
         [

@@ -242,3 +242,36 @@ def test_exact_quantiles_plan_no_global_sort(spark):
     assert len(spans) > 1
     for a, b in zip(spans, spans[1:]):
         assert a["mx"] < b["mn"]
+
+
+def test_multi_column_global_shift(spark):
+    """Sequence col/out_col: every column shifts through ONE struct
+    payload (one range exchange); values match per-column shifts."""
+    import numpy as np
+    import pandas as pd
+
+    from tsflex_spark.utils.distributed import with_global_shift
+
+    rng = np.random.default_rng(5)
+    n = 500
+    pdf = pd.DataFrame(
+        {"o": np.arange(n), "a": rng.normal(size=n), "b": rng.integers(0, 9, n)}
+    )
+    df = spark.createDataFrame(pdf).repartition(8)
+    out = (
+        with_global_shift(df, ["a", "b"], "o", ["a_lag", "b_lag"], offset=-1)
+        .toPandas()
+        .sort_values("o")
+        .reset_index(drop=True)
+    )
+    assert out["a_lag"].iloc[0] is None or pd.isna(out["a_lag"].iloc[0])
+    assert np.allclose(out["a_lag"].iloc[1:].to_numpy(), pdf["a"].iloc[:-1].to_numpy())
+    assert (out["b_lag"].iloc[1:].to_numpy() == pdf["b"].iloc[:-1].to_numpy()).all()
+    # lead direction: the same single struct payload (the 3 checkpoint
+    # scans in the plan are the rows/edges/boundary consumers of ONE
+    # materialized range exchange — the multi-col form adds none)
+    sdf = with_global_shift(df, ["a", "b"], "o", ["a_lag", "b_lag"], offset=1)
+    plan = sdf._jdf.queryExecution().executedPlan().toString().lower()
+    assert plan.count("__shift_pack") >= 1 and "rangepartitioning" not in plan
+    got = sdf.toPandas().sort_values("o").reset_index(drop=True)
+    assert np.allclose(got["a_lag"].iloc[:-1].to_numpy(), pdf["a"].iloc[1:].to_numpy())

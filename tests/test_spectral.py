@@ -150,3 +150,73 @@ def test_autocorr_sweep_degenerate(spark):
     assert len(out) == 1
     for k in range(1, 7):
         assert pd.isna(out[f"v__acf_{k}__w=4s"].iloc[0])
+
+
+def test_cross_corr_sweep(spark):
+    """Two-series vectorized factory: ccf over tuple series. b delayed
+    into a by 2 samples → the sweep peaks at ccf_p2; values match the
+    direct formula; ragged (unequal-count) windows are NULL."""
+    from tsflex_spark.features.spectral import cross_corr_sweep
+
+    rng = np.random.default_rng(31)
+    n = 65  # one trailing sample so window [32s, 64s) is a complete grid window
+    b = rng.normal(size=n)
+    a = np.empty(n)
+    a[2:] = b[:-2]
+    a[:2] = rng.normal(size=2)
+    ts = pd.date_range("2024-01-01", periods=n, freq="1s")
+    df = spark.createDataFrame(pd.DataFrame({"ts": ts, "a": a, "b": b}))
+    fc = FeatureCollection(
+        [FeatureDescriptor(cross_corr_sweep(3), ("a", "b"), "32s", "32s")]
+    )
+    out = (
+        fc.calculate(df, ts_col="ts", approve_sparsity=True)
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 2
+
+    def ref(aa, bb, k):
+        m = len(aa)
+        ac, bc = aa - aa.mean(), bb - bb.mean()
+        s = (ac[k:] * bc[: m - k]).sum() if k >= 0 else (ac[: m + k] * bc[-k:]).sum()
+        return s / ((m - abs(k)) * ac.std() * bc.std())
+
+    for i in range(2):
+        sa, sb = a[i * 32 : (i + 1) * 32], b[i * 32 : (i + 1) * 32]
+        for k in range(-3, 4):
+            nm = f"ccf_p{k}" if k > 0 else (f"ccf_m{-k}" if k < 0 else "ccf_0")
+            assert out[f"a|b__{nm}__w=32s"].iloc[i] == pytest.approx(
+                ref(sa, sb, k), rel=1e-9, abs=1e-12
+            ), (i, k)
+        assert out["a|b__ccf_p2__w=32s"].iloc[i] > 0.9  # the injected delay
+
+
+def test_cross_corr_sweep_ragged_null(spark):
+    """Unequal per-series sample counts in a window (one NULL in b) →
+    every ccf output NULL for that window, others unaffected."""
+    from pyspark.sql import functions as F
+
+    from tsflex_spark.features.spectral import cross_corr_sweep
+
+    rng = np.random.default_rng(33)
+    n = 33  # trailing sample completes window [16s, 32s)
+    ts = pd.date_range("2024-01-01", periods=n, freq="1s")
+    pdf = pd.DataFrame(
+        {"ts": ts, "a": rng.normal(size=n), "b": rng.normal(size=n)}
+    )
+    pdf.loc[3, "b"] = None  # window 1 ragged
+    df = spark.createDataFrame(pdf)
+    fc = FeatureCollection(
+        [FeatureDescriptor(cross_corr_sweep(2), ("a", "b"), "16s", "16s")]
+    )
+    out = (
+        fc.calculate(df, ts_col="ts", approve_sparsity=True)
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 2
+    assert pd.isna(out["a|b__ccf_0__w=16s"].iloc[0])
+    assert not pd.isna(out["a|b__ccf_0__w=16s"].iloc[1])

@@ -35,6 +35,7 @@ __all__ = [
     "band_power",
     "spectral_rolloff",
     "autocorr_sweep",
+    "cross_corr_sweep",
 ]
 
 
@@ -191,3 +192,58 @@ def autocorr_sweep(max_lag: int) -> FuncWrapper:
         output_names=[f"acf_{k}" for k in range(1, max_lag + 1)],
         vectorized=True,
     )
+
+
+def cross_corr_sweep(max_lag: int) -> FuncWrapper:
+    """Two-series cross-correlation at lags −L..L in one batched FFT —
+    use with a tuple series name, e.g.
+    ``FeatureDescriptor(cross_corr_sweep(3), ("a", "b"), "2s", "1s")``.
+
+    ``ccf_p{k}`` correlates ``a_{t+k}`` with ``b_t`` — it peaks when A is
+    a k-sample DELAYED copy of B (B leads A by k); ``ccf_m{k}`` is the
+    mirror (A leads B), ``ccf_0`` the plain Pearson correlation — each
+    normalized by ``(n−|k|)·σa·σb`` (population stds over the whole
+    window). Windows where the two series have unequal sample counts
+    (ragged nulls) or zero variance yield NaN → NULL.
+    """
+    assert max_lag >= 1, max_lag
+
+    def _names() -> list:
+        return (
+            [f"ccf_m{k}" for k in range(max_lag, 0, -1)]
+            + ["ccf_0"]
+            + [f"ccf_p{k}" for k in range(1, max_lag + 1)]
+        )
+
+    def _ccf(a: np.ndarray, b: np.ndarray):
+        a = np.asarray(a, dtype=np.float64)
+        b = np.asarray(b, dtype=np.float64)
+        nb, n = a.shape
+        n_out = 2 * max_lag + 1
+        if b.shape != a.shape:
+            return tuple(np.full(nb, np.nan) for _ in range(n_out))
+        ac = a - a.mean(axis=-1, keepdims=True)
+        bc = b - b.mean(axis=-1, keepdims=True)
+        sa = np.sqrt((ac * ac).sum(axis=-1) / n)
+        sb = np.sqrt((bc * bc).sum(axis=-1) / n)
+        ok = (sa > 0) & (sb > 0)
+        denom_s = np.where(ok, sa * sb, 1.0)
+        m = 1 << int(np.ceil(np.log2(2 * n)))
+        cc = np.fft.irfft(
+            np.fft.rfft(ac, n=m, axis=-1) * np.conj(np.fft.rfft(bc, n=m, axis=-1)),
+            n=m,
+            axis=-1,
+        )
+        out = []
+        for k in range(-max_lag, max_lag + 1):
+            if abs(k) >= n:
+                out.append(np.full(nb, np.nan))
+                continue
+            # negative k wraps to index m+k — exactly the linear Σ a_{j+k}·b_j
+            # term thanks to the 2n zero padding
+            val = cc[:, k] / ((n - abs(k)) * denom_s)
+            out.append(np.where(ok, val, np.nan))
+        return tuple(out)
+
+    _ccf.__name__ = f"cross_corr_sweep_{max_lag}"
+    return FuncWrapper(_ccf, output_names=_names(), vectorized=True)

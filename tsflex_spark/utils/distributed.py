@@ -27,7 +27,7 @@ rows — and every executor stays busy.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Callable, Optional, Sequence, Union
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
@@ -141,9 +141,9 @@ def with_global_row_number(
 
 def with_global_shift(
     df: DataFrame,
-    col: str,
+    col: Union[str, Sequence[str]],
     order_col: str,
-    out_col: str,
+    out_col: Union[str, Sequence[str]],
     *,
     offset: int = -1,
     key_cols: Sequence[str] = (),
@@ -152,9 +152,27 @@ def with_global_shift(
     ordered by ``order_col``. Partition-local shift + a boundary value
     carried over from the neighbouring partition (broadcast). Assumes
     ``col`` is non-null (true for the engine's internal numeric index /
-    cleaned group keys); only |offset| = 1 is supported."""
+    cleaned group keys); only |offset| = 1 is supported.
+
+    ``col``/``out_col`` may be matching sequences: every column shifts
+    through ONE struct payload — one range exchange regardless of how
+    many lag features ride it (the tsfresh shift-recipe frames want
+    several)."""
     assert offset in (-1, 1), "only single-step shifts are supported"
     key_cols = list(key_cols)
+    if not isinstance(col, str):
+        cols, outs = list(col), list(out_col)
+        assert len(cols) == len(outs) and cols, (cols, outs)
+        pack = "__shift_pack"
+        d = df.withColumn(
+            pack, F.struct(*[F.col(c).alias(f"f{i}") for i, c in enumerate(cols)])
+        )
+        d = with_global_shift(
+            d, pack, order_col, "__shift_prev", offset=offset, key_cols=key_cols
+        )
+        for i, o in enumerate(outs):
+            d = d.withColumn(o, F.col("__shift_prev")[f"f{i}"])
+        return d.drop(pack, "__shift_prev")
     if key_cols:
         w = W.partitionBy(*key_cols).orderBy(order_col)
         fn = F.lag if offset == -1 else F.lead
