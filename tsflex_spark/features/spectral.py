@@ -36,6 +36,7 @@ __all__ = [
     "spectral_rolloff",
     "autocorr_sweep",
     "cross_corr_sweep",
+    "pacf_sweep",
 ]
 
 
@@ -247,3 +248,52 @@ def cross_corr_sweep(max_lag: int) -> FuncWrapper:
 
     _ccf.__name__ = f"cross_corr_sweep_{max_lag}"
     return FuncWrapper(_ccf, output_names=_names(), vectorized=True)
+
+
+def pacf_sweep(max_lag: int) -> FuncWrapper:
+    """Partial autocorrelation at lags 1..``max_lag`` (tsfresh
+    ``partial_autocorrelation``): Levinson–Durbin on the biased sample
+    acf (denominator n — the statsmodels ``adjusted=False`` convention),
+    vectorized across the whole (nb × window) Arrow batch. ``pacf_k`` is
+    the AR(k) coefficient of lag k — the correlation at lag k after
+    removing the shorter-lag structure. Lags ≥ window length and
+    zero-variance windows yield NaN → NULL.
+    """
+    assert max_lag >= 1, max_lag
+
+    def _pacf(x: np.ndarray):
+        x = np.asarray(x, dtype=np.float64)
+        nb, n = x.shape
+        L = max_lag
+        xc = x - x.mean(axis=-1, keepdims=True)
+        m = 1 << int(np.ceil(np.log2(2 * n)))
+        f = np.fft.rfft(xc, n=m, axis=-1)
+        acov = np.fft.irfft(f * np.conj(f), n=m, axis=-1)[:, : min(L, n - 1) + 1] / n
+        ok = acov[:, 0] > 0
+        r = acov / np.where(ok, acov[:, 0], 1.0)[:, None]  # r[0]=1, biased acf
+        kmax = r.shape[1] - 1  # largest computable lag
+        out = [np.full(nb, np.nan) for _ in range(L)]
+        if kmax >= 1:
+            # Levinson–Durbin, vectorized over the batch
+            phi = np.zeros((nb, kmax + 1))
+            prev = np.zeros((nb, kmax + 1))
+            sig = 1.0 - r[:, 1] ** 2
+            phi[:, 1] = r[:, 1]
+            out[0] = np.where(ok, r[:, 1], np.nan)
+            for k in range(2, kmax + 1):
+                prev[:, : k] = phi[:, : k]
+                num = r[:, k] - (prev[:, 1:k] * r[:, k - 1 : 0 : -1]).sum(axis=-1)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    rk = np.where(sig > 0, num / np.where(sig > 0, sig, 1.0), np.nan)
+                phi[:, k] = rk
+                phi[:, 1:k] = prev[:, 1:k] - rk[:, None] * prev[:, k - 1 : 0 : -1]
+                sig = sig * (1.0 - rk**2)
+                out[k - 1] = np.where(ok, rk, np.nan)
+        return tuple(out)
+
+    _pacf.__name__ = f"pacf_sweep_{max_lag}"
+    return FuncWrapper(
+        _pacf,
+        output_names=[f"pacf_{k}" for k in range(1, max_lag + 1)],
+        vectorized=True,
+    )
