@@ -1,0 +1,96 @@
+"""Shape feature factories (features/shape.py) vs direct per-window
+references (tsfresh feature-calculator semantics)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tsflex_spark import FeatureCollection, FeatureDescriptor
+from tsflex_spark.features.shape import (
+    c3,
+    energy_ratio_chunks,
+    index_mass_quantile,
+    longest_strike_above_mean,
+    longest_strike_below_mean,
+    number_peaks,
+    time_reversal_asymmetry,
+)
+
+
+def _ref_peaks(x, n):
+    cnt = 0
+    for i in range(n, len(x) - n):
+        if all(x[i] > x[i - d] and x[i] > x[i + d] for d in range(1, n + 1)):
+            cnt += 1
+    return cnt
+
+
+def _ref_strike(mask):
+    best = cur = 0
+    for b in mask:
+        cur = cur + 1 if b else 0
+        best = max(best, cur)
+    return best
+
+
+def test_shape_features_vs_reference(spark):
+    rng = np.random.default_rng(47)
+    n = 97  # trailing sample completes [0,32), [32,64), [64,96)
+    v = rng.normal(0, 1, n).round(2)
+    ts = pd.date_range("2024-01-01", periods=n, freq="1s")
+    df = spark.createDataFrame(pd.DataFrame({"ts": ts, "v": v}))
+    fc = FeatureCollection(
+        [
+            FeatureDescriptor(number_peaks(2), "v", "32s", "32s"),
+            FeatureDescriptor(longest_strike_above_mean(), "v", "32s", "32s"),
+            FeatureDescriptor(longest_strike_below_mean(), "v", "32s", "32s"),
+            FeatureDescriptor(index_mass_quantile(0.6), "v", "32s", "32s"),
+            FeatureDescriptor(energy_ratio_chunks(10, 0), "v", "32s", "32s"),
+            FeatureDescriptor(c3(2), "v", "32s", "32s"),
+            FeatureDescriptor(time_reversal_asymmetry(1), "v", "32s", "32s"),
+        ]
+    )
+    out = (
+        fc.calculate(df, ts_col="ts", approve_sparsity=True)
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 3
+    for i in range(3):
+        seg = v[i * 32 : (i + 1) * 32]
+        assert out["v__n_peaks_2__w=32s"].iloc[i] == _ref_peaks(seg, 2)
+        assert out["v__strike_above__w=32s"].iloc[i] == _ref_strike(seg > seg.mean())
+        assert out["v__strike_below__w=32s"].iloc[i] == _ref_strike(seg < seg.mean())
+        absx = np.abs(seg)
+        idx = int(np.argmax(np.cumsum(absx) >= 0.6 * absx.sum()))
+        assert out["v__imq_0.6__w=32s"].iloc[i] == pytest.approx((idx + 1) / 32)
+        chunks = np.array_split(seg, 10)
+        er = (chunks[0] ** 2).sum() / (seg**2).sum()
+        assert out["v__er_0_10__w=32s"].iloc[i] == pytest.approx(er, rel=1e-12)
+        m = 32 - 4
+        c3_ref = (seg[:m] * seg[2 : 2 + m] * seg[4:]).mean()
+        assert out["v__c3_2__w=32s"].iloc[i] == pytest.approx(c3_ref, rel=1e-12)
+        m = 32 - 2
+        tra_ref = (seg[2:] ** 2 * seg[1 : 1 + m] - seg[1 : 1 + m] * seg[:m] ** 2).mean()
+        assert out["v__tra_1__w=32s"].iloc[i] == pytest.approx(tra_ref, rel=1e-12)
+
+
+def test_shape_degenerate_windows(spark):
+    """Short windows (2·lag >= n) and zero-mass windows yield the
+    documented NaN/zero results through the per-segment fallback."""
+    ts = pd.date_range("2024-01-01", periods=9, freq="1s")
+    v = np.zeros(9)
+    df = spark.createDataFrame(pd.DataFrame({"ts": ts, "v": v}))
+    fc = FeatureCollection(
+        [
+            FeatureDescriptor(c3(4), "v", "4s", "4s"),
+            FeatureDescriptor(index_mass_quantile(0.5), "v", "4s", "4s"),
+            FeatureDescriptor(longest_strike_above_mean(), "v", "4s", "4s"),
+        ]
+    )
+    out = fc.calculate(df, ts_col="ts", approve_sparsity=True).toPandas()
+    assert len(out) == 2
+    assert out["v__c3_4__w=4s"].isna().all()  # 2*lag=8 >= 4 samples
+    assert out["v__imq_0.5__w=4s"].isna().all()  # zero mass
+    assert (out["v__strike_above__w=4s"] == 0).all()  # nothing above mean

@@ -1,0 +1,167 @@
+"""Time-domain shape features for the vectorized UDF tier.
+
+The remaining commonly-used tsfresh features whose semantics need the
+whole window at once (run lengths, peak neighborhoods, cumulative mass,
+triple products). Like ``features/spectral.py`` every factory returns a
+``vectorized=True`` :class:`FuncWrapper`: equal-length segments in an
+Arrow bucket are processed as ONE (nb × window) numpy batch; ragged
+segments fall back to per-segment ``(1, n)`` calls with identical math.
+
+All reference semantics follow the tsfresh feature-calculator
+definitions (public docs/source), computed batch-vectorized:
+
+- ``number_peaks(n)``  — peaks strictly greater than their n neighbors
+  on both sides (interior points only).
+- ``longest_strike_above_mean`` / ``below`` — longest run of samples
+  strictly above/below the window mean.
+- ``index_mass_quantile(q)`` — relative index where the cumulative
+  |x| mass first reaches q of the total (NaN when total mass is 0).
+- ``energy_ratio_chunks(num_segments, focus)`` — Σx² of chunk ``focus``
+  over the whole window's Σx² (chunks by ``np.array_split`` semantics).
+- ``c3(lag)`` — E[x_t · x_{t+lag} · x_{t+2lag}] (nonlinearity proxy).
+- ``time_reversal_asymmetry(lag)`` — E[x_{t+2l}²·x_{t+l} − x_{t+l}·x_t²].
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tsflex_spark.features.function_wrapper import FuncWrapper
+
+__all__ = [
+    "number_peaks",
+    "longest_strike_above_mean",
+    "longest_strike_below_mean",
+    "index_mass_quantile",
+    "energy_ratio_chunks",
+    "c3",
+    "time_reversal_asymmetry",
+]
+
+
+def _longest_run(mask: np.ndarray) -> np.ndarray:
+    """Longest run of True per row of a (nb, n) boolean batch — one
+    vectorized pass: positions reset the running count at False via a
+    cumulative 'last False index' trick."""
+    nb, n = mask.shape
+    idx = np.arange(n)
+    # last index of a False at-or-before t (or -1): running maximum
+    last_false = np.maximum.accumulate(np.where(~mask, idx, -1), axis=-1)
+    run = np.where(mask, idx - last_false, 0)
+    return run.max(axis=-1)
+
+
+def number_peaks(n_support: int) -> FuncWrapper:
+    """tsfresh ``number_peaks(n)``: count of samples strictly greater
+    than ALL of their ``n_support`` neighbors on each side."""
+    assert n_support >= 1, n_support
+
+    def _np_(x: np.ndarray) -> np.ndarray:
+        x = np.asarray(x, dtype=np.float64)
+        nb, n = x.shape
+        if n <= 2 * n_support:
+            return np.zeros(nb)
+        core = x[:, n_support : n - n_support]
+        is_peak = np.ones(core.shape, dtype=bool)
+        for d in range(1, n_support + 1):
+            is_peak &= core > x[:, n_support - d : n - n_support - d]
+            is_peak &= core > x[:, n_support + d : n - n_support + d]
+        return is_peak.sum(axis=-1).astype(np.float64)
+
+    _np_.__name__ = f"number_peaks_{n_support}"
+    return FuncWrapper(_np_, output_names=f"n_peaks_{n_support}", vectorized=True)
+
+
+def longest_strike_above_mean() -> FuncWrapper:
+    def _ls(x: np.ndarray) -> np.ndarray:
+        x = np.asarray(x, dtype=np.float64)
+        return _longest_run(x > x.mean(axis=-1, keepdims=True)).astype(np.float64)
+
+    _ls.__name__ = "longest_strike_above_mean"
+    return FuncWrapper(_ls, output_names="strike_above", vectorized=True)
+
+
+def longest_strike_below_mean() -> FuncWrapper:
+    def _ls(x: np.ndarray) -> np.ndarray:
+        x = np.asarray(x, dtype=np.float64)
+        return _longest_run(x < x.mean(axis=-1, keepdims=True)).astype(np.float64)
+
+    _ls.__name__ = "longest_strike_below_mean"
+    return FuncWrapper(_ls, output_names="strike_below", vectorized=True)
+
+
+def index_mass_quantile(q: float = 0.5) -> FuncWrapper:
+    """Relative index (fraction of the window, 1-based like tsfresh)
+    where cumulative |x| first reaches ``q`` of the total mass."""
+    assert 0.0 < q <= 1.0, q
+
+    def _imq(x: np.ndarray) -> np.ndarray:
+        x = np.abs(np.asarray(x, dtype=np.float64))
+        nb, n = x.shape
+        total = x.sum(axis=-1)
+        csum = np.cumsum(x, axis=-1)
+        idx = np.argmax(csum >= (q * total)[..., None], axis=-1)
+        return np.where(total > 0, (idx + 1) / n, np.nan)
+
+    _imq.__name__ = f"index_mass_quantile_{q:g}"
+    return FuncWrapper(_imq, output_names=f"imq_{q:g}", vectorized=True)
+
+
+def energy_ratio_chunks(num_segments: int = 10, focus: int = 0) -> FuncWrapper:
+    """tsfresh ``energy_ratio_by_chunks``: Σx² of chunk ``focus`` (of
+    ``num_segments`` near-equal chunks, np.array_split sizing) divided
+    by the window's total Σx² (NaN for zero-energy windows)."""
+    assert 0 <= focus < num_segments, (focus, num_segments)
+
+    def _erc(x: np.ndarray) -> np.ndarray:
+        x = np.asarray(x, dtype=np.float64)
+        nb, n = x.shape
+        p = x * x
+        total = p.sum(axis=-1)
+        # np.array_split boundaries for n into num_segments chunks
+        base, extra = divmod(n, num_segments)
+        sizes = [base + 1 if i < extra else base for i in range(num_segments)]
+        starts = np.cumsum([0] + sizes[:-1])
+        lo, hi = starts[focus], starts[focus] + sizes[focus]
+        band = p[:, lo:hi].sum(axis=-1)
+        return np.where(total > 0, band / np.where(total > 0, total, 1.0), np.nan)
+
+    _erc.__name__ = f"energy_ratio_{focus}_{num_segments}"
+    return FuncWrapper(
+        _erc, output_names=f"er_{focus}_{num_segments}", vectorized=True
+    )
+
+
+def c3(lag: int = 1) -> FuncWrapper:
+    """tsfresh ``c3(lag)``: mean of x_t · x_{t+lag} · x_{t+2·lag} over
+    t = 0..n−2·lag−1 (a nonlinearity measure); NaN when 2·lag ≥ n."""
+    assert lag >= 1, lag
+
+    def _c3(x: np.ndarray) -> np.ndarray:
+        x = np.asarray(x, dtype=np.float64)
+        nb, n = x.shape
+        if 2 * lag >= n:
+            return np.full(nb, np.nan)
+        m = n - 2 * lag
+        return (x[:, :m] * x[:, lag : lag + m] * x[:, 2 * lag :]).mean(axis=-1)
+
+    _c3.__name__ = f"c3_{lag}"
+    return FuncWrapper(_c3, output_names=f"c3_{lag}", vectorized=True)
+
+
+def time_reversal_asymmetry(lag: int = 1) -> FuncWrapper:
+    """tsfresh ``time_reversal_asymmetry_statistic(lag)``:
+    mean(x_{t+2l}²·x_{t+l} − x_{t+l}·x_t²); NaN when 2·lag ≥ n."""
+    assert lag >= 1, lag
+
+    def _tra(x: np.ndarray) -> np.ndarray:
+        x = np.asarray(x, dtype=np.float64)
+        nb, n = x.shape
+        if 2 * lag >= n:
+            return np.full(nb, np.nan)
+        m = n - 2 * lag
+        a, b, c = x[:, :m], x[:, lag : lag + m], x[:, 2 * lag :]
+        return (c * c * b - b * a * a).mean(axis=-1)
+
+    _tra.__name__ = f"time_reversal_asymmetry_{lag}"
+    return FuncWrapper(_tra, output_names=f"tra_{lag}", vectorized=True)
