@@ -94,3 +94,69 @@ def test_shape_degenerate_windows(spark):
     assert out["v__c3_4__w=4s"].isna().all()  # 2*lag=8 >= 4 samples
     assert out["v__imq_0.5__w=4s"].isna().all()  # zero mass
     assert (out["v__strike_above__w=4s"] == 0).all()  # nothing above mean
+
+
+def test_entropy_features(spark):
+    """binned/sample/permutation entropy through the engine vs direct
+    per-window references (np.histogram, naive Richman-Moorman, naive
+    Bandt-Pompe)."""
+    import math
+
+    from tsflex_spark.features.shape import (
+        binned_entropy,
+        permutation_entropy,
+        sample_entropy,
+    )
+
+    rng = np.random.default_rng(53)
+    n = 97
+    v = rng.normal(0, 1, n)  # continuous: no histogram edge collisions
+    ts = pd.date_range("2024-01-01", periods=n, freq="1s")
+    df = spark.createDataFrame(pd.DataFrame({"ts": ts, "v": v}))
+    fc = FeatureCollection(
+        [
+            FeatureDescriptor(binned_entropy(8), "v", "32s", "32s"),
+            FeatureDescriptor(sample_entropy(2, 0.2), "v", "32s", "32s"),
+            FeatureDescriptor(permutation_entropy(3, 1), "v", "32s", "32s"),
+        ]
+    )
+    out = (
+        fc.calculate(df, ts_col="ts", approve_sparsity=True)
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 3
+    for i in range(3):
+        seg = v[i * 32 : (i + 1) * 32]
+        h, _ = np.histogram(seg, bins=8)
+        p = h[h > 0] / 32
+        assert out["v__bin_ent_8__w=32s"].iloc[i] == pytest.approx(
+            -(p * np.log(p)).sum(), rel=1e-12
+        )
+        # naive sample entropy
+        tol = 0.2 * seg.std()
+
+        def phi(mm):
+            tmpl = np.array([seg[j : j + mm] for j in range(len(seg) - mm + 1)])
+            c = 0
+            for x_i in range(len(tmpl)):
+                for x_j in range(len(tmpl)):
+                    if x_i != x_j and np.max(np.abs(tmpl[x_i] - tmpl[x_j])) <= tol:
+                        c += 1
+            return c
+
+        b_cnt, a_cnt = phi(2), phi(3)
+        if b_cnt and a_cnt:
+            assert out["v__sampen_2_0.2__w=32s"].iloc[i] == pytest.approx(
+                -np.log(a_cnt / b_cnt), rel=1e-12
+            )
+        # naive permutation entropy
+        k = 32 - 2
+        pats = {}
+        for j in range(k):
+            key = tuple(np.argsort(seg[j : j + 3], kind="stable"))
+            pats[key] = pats.get(key, 0) + 1
+        pp = np.array(list(pats.values())) / k
+        ref_pe = -(pp * np.log(pp)).sum() / np.log(math.factorial(3))
+        assert out["v__perm_ent_3_1__w=32s"].iloc[i] == pytest.approx(ref_pe, rel=1e-12)

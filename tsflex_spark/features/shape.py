@@ -36,6 +36,9 @@ __all__ = [
     "energy_ratio_chunks",
     "c3",
     "time_reversal_asymmetry",
+    "binned_entropy",
+    "sample_entropy",
+    "permutation_entropy",
 ]
 
 
@@ -165,3 +168,108 @@ def time_reversal_asymmetry(lag: int = 1) -> FuncWrapper:
 
     _tra.__name__ = f"time_reversal_asymmetry_{lag}"
     return FuncWrapper(_tra, output_names=f"tra_{lag}", vectorized=True)
+
+
+def binned_entropy(max_bins: int = 10) -> FuncWrapper:
+    """tsfresh ``binned_entropy``: Shannon entropy (nats) of the window
+    histogram over ``max_bins`` equal-width bins spanning [min, max]
+    (numpy ``histogram`` semantics: rightmost bin closed). Constant
+    windows land in one bin → entropy 0. Batch-vectorized via a
+    scatter-add bincount — no per-segment histogram calls."""
+    assert max_bins >= 1, max_bins
+
+    def _be(x: np.ndarray) -> np.ndarray:
+        x = np.asarray(x, dtype=np.float64)
+        nb, n = x.shape
+        lo = x.min(axis=-1, keepdims=True)
+        hi = x.max(axis=-1, keepdims=True)
+        span = hi - lo
+        with np.errstate(invalid="ignore", divide="ignore"):
+            idx = np.floor((x - lo) / np.where(span > 0, span, 1.0) * max_bins)
+        idx = np.clip(idx.astype(np.int64), 0, max_bins - 1)  # right-closed top bin
+        counts = np.zeros((nb, max_bins))
+        np.add.at(counts, (np.arange(nb)[:, None], idx), 1.0)
+        p = counts / n
+        plogp = np.zeros_like(p)
+        np.log(p, out=plogp, where=p > 0)
+        return -(p * plogp).sum(axis=-1)
+
+    _be.__name__ = f"binned_entropy_{max_bins}"
+    return FuncWrapper(_be, output_names=f"bin_ent_{max_bins}", vectorized=True)
+
+
+def sample_entropy(m: int = 2, r: float = 0.2) -> FuncWrapper:
+    """Sample entropy (Richman–Moorman, the tsfresh/antropy definition):
+    −ln(A/B) with B = #pairs of m-length templates within Chebyshev
+    distance ``r·std_pop(x)`` (self-matches excluded) and A the same at
+    length m+1. Infinite (no m+1 matches) or undefined windows → NaN.
+    O(n²) per window — sized for feature windows (hundreds of samples),
+    each window's distance matrix fully vectorized."""
+    assert m >= 1 and r > 0, (m, r)
+
+    def _one(x: np.ndarray) -> float:
+        n = x.size
+        if n <= m + 1:
+            return np.nan
+        tol = r * x.std()
+        if tol == 0:
+            return np.nan
+        # Chebyshev template matches via running AND over offsets
+        d0 = np.abs(x[:, None] - x[None, :]) <= tol  # (n, n) sample pairs
+        def count(mm: int) -> int:
+            k = n - mm + 1
+            match = d0[:k, :k].copy()
+            for off in range(1, mm):
+                match &= d0[off : off + k, off : off + k]
+            np.fill_diagonal(match, False)
+            return int(match.sum())  # ordered pairs; ratio cancels the 2
+        b = count(m)
+        a = count(m + 1)
+        if b == 0 or a == 0:
+            return np.nan
+        return float(-np.log(a / b))
+
+    def _se(x: np.ndarray) -> np.ndarray:
+        x = np.asarray(x, dtype=np.float64)
+        return np.array([_one(row) for row in x])
+
+    _se.__name__ = f"sample_entropy_{m}_{r:g}"
+    return FuncWrapper(_se, output_names=f"sampen_{m}_{r:g}", vectorized=True)
+
+
+def permutation_entropy(order: int = 3, delay: int = 1, normalize: bool = True) -> FuncWrapper:
+    """Bandt–Pompe permutation entropy (the antropy definition): Shannon
+    entropy of the distribution of ordinal patterns of ``order``
+    consecutive samples (``delay``-strided), ties broken by position
+    (stable argsort). ``normalize=True`` divides by log(order!) → [0, 1].
+    Batch-vectorized: one argsort over all windows' patterns."""
+    assert order >= 2 and delay >= 1, (order, delay)
+
+    def _pe(x: np.ndarray) -> np.ndarray:
+        x = np.asarray(x, dtype=np.float64)
+        nb, n = x.shape
+        k = n - (order - 1) * delay
+        if k < 1:
+            return np.full(nb, np.nan)
+        # (nb, k, order) ordinal windows
+        emb = np.stack([x[:, i * delay : i * delay + k] for i in range(order)], axis=-1)
+        pat = np.argsort(emb, axis=-1, kind="stable")
+        # encode each pattern as an integer (mixed radix suffices)
+        code = np.zeros((nb, k), dtype=np.int64)
+        for i in range(order):
+            code = code * order + pat[..., i]
+        ent = np.empty(nb)
+        for row in range(nb):  # bincount per row over <= k codes
+            _, counts = np.unique(code[row], return_counts=True)
+            p = counts / k
+            ent[row] = -(p * np.log(p)).sum()
+        if normalize:
+            import math
+
+            ent = ent / np.log(float(math.factorial(order)))
+        return ent
+
+    _pe.__name__ = f"perm_entropy_{order}_{delay}"
+    return FuncWrapper(
+        _pe, output_names=f"perm_ent_{order}_{delay}", vectorized=True
+    )
