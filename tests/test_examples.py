@@ -38,3 +38,10 @@ def test_hybrid_retrieval_example(spark):
     import hybrid_retrieval
 
     hybrid_retrieval.main("/root/testdata/sf0.001")
+
+
+def test_signal_features_example(spark):
+    sys.path.insert(0, "examples")
+    import signal_features
+
+    signal_features.main("/root/testdata/sf0.001")
