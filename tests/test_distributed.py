@@ -275,3 +275,49 @@ def test_multi_column_global_shift(spark):
     assert plan.count("__shift_pack") >= 1 and "rangepartitioning" not in plan
     got = sdf.toPandas().sort_values("o").reset_index(drop=True)
     assert np.allclose(got["a_lag"].iloc[:-1].to_numpy(), pdf["a"].iloc[1:].to_numpy())
+
+
+def test_lag_k_global_shift(spark):
+    """|offset| = k > 1 in ONE pass: parity with pandas shift(k) in both
+    directions, across partition boundaries, including k larger than a
+    partition's row count and k >= total rows (all-NULL)."""
+    import numpy as np
+    import pandas as pd
+
+    from tsflex_spark.utils.distributed import with_global_shift
+
+    rng = np.random.default_rng(61)
+    n = 203
+    pdf = pd.DataFrame({"o": np.arange(n), "a": rng.normal(size=n).round(3)})
+    # many tiny range partitions → k=5 spans several partition boundaries
+    df = spark.createDataFrame(pdf).repartition(16)
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    for k in (2, 5, 40):
+        lag = (
+            with_global_shift(df, "a", "o", "p", offset=-k)
+            .toPandas().sort_values("o").reset_index(drop=True)
+        )
+        exp = pdf["a"].shift(k)
+        assert lag["p"].isna().equals(exp.isna()), k
+        both = ~exp.isna()
+        assert np.allclose(lag["p"][both], exp[both]), k
+        lead = (
+            with_global_shift(df, "a", "o", "nx", offset=k)
+            .toPandas().sort_values("o").reset_index(drop=True)
+        )
+        exp = pdf["a"].shift(-k)
+        assert lead["nx"].isna().equals(exp.isna()), k
+        both = ~exp.isna()
+        assert np.allclose(lead["nx"][both], exp[both]), k
+    # k >= n: everything NULL
+    allnull = with_global_shift(df, "a", "o", "p", offset=-(n + 3)).toPandas()
+    assert allnull["p"].isna().all()
+    # multi-column + k composes through the struct path
+    df2 = spark.createDataFrame(pdf.assign(b=np.arange(n) * 2.0))
+    got = (
+        with_global_shift(df2, ["a", "b"], "o", ["a3", "b3"], offset=-3)
+        .toPandas().sort_values("o").reset_index(drop=True)
+    )
+    expb = pdf.assign(b=np.arange(n) * 2.0)["b"].shift(3)
+    both = ~expb.isna()
+    assert np.allclose(got["b3"][both], expb[both])

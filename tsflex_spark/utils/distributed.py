@@ -157,8 +157,15 @@ def with_global_shift(
     ``col``/``out_col`` may be matching sequences: every column shifts
     through ONE struct payload — one range exchange regardless of how
     many lag features ride it (the tsfresh shift-recipe frames want
-    several)."""
-    assert offset in (-1, 1), "only single-step shifts are supported"
+    several).
+
+    Any ``|offset| = k`` is supported in one pass: the k boundary rows
+    each partition needs from its global neighbours travel as a tiny
+    per-partition array (≤ k·P rows aggregated, broadcast back) — lag-k
+    costs the same single range exchange as lag-1, never k composed
+    shuffles. ``order_col`` is assumed strictly increasing (ties make
+    any global shift ambiguous)."""
+    assert isinstance(offset, int) and offset != 0, offset
     key_cols = list(key_cols)
     if not isinstance(col, str):
         cols, outs = list(col), list(out_col)
@@ -175,8 +182,11 @@ def with_global_shift(
         return d.drop(pack, "__shift_prev")
     if key_cols:
         w = W.partitionBy(*key_cols).orderBy(order_col)
-        fn = F.lag if offset == -1 else F.lead
-        return df.withColumn(out_col, fn(F.col(col)).over(w))
+        fn = F.lag if offset < 0 else F.lead
+        return df.withColumn(out_col, fn(F.col(col), abs(offset)).over(w))
+
+    if abs(offset) > 1:
+        return _shift_k(df, col, order_col, out_col, offset)
 
     d = _ranged(df, order_col)
     wloc = W.partitionBy(PID).orderBy(order_col)
@@ -197,6 +207,73 @@ def with_global_shift(
         out_col, F.when(at_edge, F.col("__bnd")).otherwise(local)
     )
     return out.drop(PID, "__bnd")
+
+
+def _shift_k(
+    df: DataFrame, col: str, order_col: str, out_col: str, offset: int
+) -> DataFrame:
+    """|offset| = k > 1 global shift: partition-local ``lag(k)``/``lead(k)``
+    plus, for each partition's first/last k rows, the value plucked from a
+    per-partition array of the k nearest GLOBAL neighbour values.
+
+    The neighbour arrays come from a tiny side computation: each
+    partition's k edge rows (≤ k·P rows total) ranked across partitions,
+    aggregated to one ascending-order array per target partition and
+    broadcast back — the data itself shuffles exactly once (the range
+    partition), same as lag-1."""
+    k = abs(offset)
+    lagging = offset < 0
+    d = _ranged(df, order_col)
+    o = F.col(order_col)
+    wloc = W.partitionBy(PID).orderBy(o)
+    wloc_desc = W.partitionBy(PID).orderBy(o.desc())
+
+    # per-partition edge rows: the k rows a NEIGHBOUR partition might need
+    eo = F.col("__eo")
+    edge_rank = F.row_number().over(
+        W.partitionBy(PID).orderBy(eo.desc() if lagging else eo.asc())
+    )
+    edges = (
+        d.select(PID, o.alias("__eo"), F.col(col).alias("__ev"))
+        .withColumn("__er", edge_rank)
+        .where(F.col("__er") <= k)
+        .drop("__er")
+    )
+    # for each target partition p: the k globally-nearest rows on the
+    # needed side (pid' < p for lag, > p for lead), as ONE ascending array
+    pids = d.groupBy(PID).agg(F.count(F.lit(1)).alias("__n")).select(PID)
+    e = edges.select(
+        F.col(PID).alias("__ep"), F.col("__eo"), F.col("__ev")
+    )
+    side = F.col("__ep") < F.col(PID) if lagging else F.col("__ep") > F.col(PID)
+    rank_o = F.col("__eo").desc() if lagging else F.col("__eo").asc()
+    cand = (
+        pids.join(F.broadcast(e), side, "inner")
+        .withColumn("__rk", F.row_number().over(W.partitionBy(PID).orderBy(rank_o)))
+        .where(F.col("__rk") <= k)
+    )
+    pred = cand.groupBy(PID).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("__eo"), F.col("__ev")))),
+            lambda s: s["__ev"],
+        ).alias("__nbr")
+    )
+
+    out = d.join(F.broadcast(pred), on=PID, how="left")
+    m = F.size(F.coalesce(F.col("__nbr"), F.array()))
+    if lagging:
+        rn = F.row_number().over(wloc)
+        local = F.lag(F.col(col), k).over(wloc)
+        # row rn needs the (k - rn + 1)-th newest predecessor: ascending
+        # array index m - (k - rn + 1); F.get -> NULL when out of range
+        fallback = F.get(F.col("__nbr"), m - (F.lit(k) - rn + 1))
+    else:
+        rn = F.row_number().over(wloc_desc)
+        local = F.lead(F.col(col), k).over(wloc)
+        # (k - rn + 1)-th nearest successor: ascending array index k - rn
+        fallback = F.get(F.col("__nbr"), F.lit(k) - rn)
+    out = out.withColumn(out_col, F.when(rn > k, local).otherwise(fallback))
+    return out.drop(PID, "__nbr")
 
 
 def with_global_islands(
