@@ -51,18 +51,23 @@ def main() -> None:
     # best-of-N per query: first encounters pay codegen/JIT/GC that
     # steady-state runs don't (±10s swings observed on doc-heavy
     # queries) — the min is the throughput signal, so a regression in
-    # BENCH_r{N} is a plan change, not scheduler noise
+    # BENCH_r{N} is a plan change, not scheduler noise.
+    # Rounds are INTERLEAVED (every query once, then every query again):
+    # a multi-second host-noise burst then lands on different queries in
+    # different rounds instead of poisoning both runs of one query —
+    # measured on this shared host, external loadavg spikes with ~95%
+    # idle guest CPU inflate whatever happens to be running by 1.3-2x.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
-    for name, fn in queries.items():
-        best = None
-        for _ in range(max(1, runs)):
+    for _round in range(max(1, runs)):
+        for name, fn in queries.items():
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             # noop sink executes the full plan without driver collect cost
             df.write.format("noop").mode("overwrite").save()
             el = time.perf_counter() - t0
-            best = el if best is None else min(best, el)
+            if name not in timings or el < timings[name]:
+                timings[name] = el
             # isolate queries: drop caches + nudge the ContextCleaner so
             # one query's broadcasts don't GC-thrash the next
             spark.catalog.clearCache()
@@ -70,7 +75,7 @@ def main() -> None:
                 spark.sparkContext._jvm.System.gc()
             except Exception:
                 pass
-        timings[name] = round(best, 4)
+    timings = {k: round(v, 4) for k, v in timings.items()}
 
     total = round(sum(timings.values()), 4)
     print(
