@@ -854,9 +854,11 @@ class FeatureCollection:
                 _store(row, spec_idx, fw, list(vals))
 
         def run_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            # ONE bucket-wide ts sort; groupby preserves within-group order,
+            # so per-group sorts (thousands of tiny ones) are unnecessary
+            pdf = pdf.sort_values(TSN)
             groups = [
-                g.sort_values(TSN)
-                for _, g in pdf.groupby(list(group_cols), sort=False, dropna=False)
+                g for _, g in pdf.groupby(list(group_cols), sort=False, dropna=False)
             ]
             rows: List[Dict[str, Any]] = [
                 {c: g[c].iloc[0] for c in group_cols} for g in groups
