@@ -857,12 +857,16 @@ class FeatureCollection:
             # ONE bucket-wide ts sort; groupby preserves within-group order,
             # so per-group sorts (thousands of tiny ones) are unnecessary
             pdf = pdf.sort_values(TSN)
-            groups = [
-                g for _, g in pdf.groupby(list(group_cols), sort=False, dropna=False)
-            ]
-            rows: List[Dict[str, Any]] = [
-                {c: g[c].iloc[0] for c in group_cols} for g in groups
-            ]
+            groups: List[pd.DataFrame] = []
+            rows: List[Dict[str, Any]] = []
+            # group keys come from the groupby iterator — per-group scalar
+            # .iloc[0] lookups cost more than the feature math at thousands
+            # of small segments per bucket
+            for key, g in pdf.groupby(list(group_cols), sort=False, dropna=False):
+                groups.append(g)
+                if not isinstance(key, tuple):
+                    key = (key,)
+                rows.append(dict(zip(group_cols, key)))
             for spec_idx, is_vec in enumerate(vec_flags):
                 if is_vec:
                     _fill_vectorized(rows, groups, spec_idx)
