@@ -321,3 +321,36 @@ def test_lag_k_global_shift(spark):
     expb = pdf.assign(b=np.arange(n) * 2.0)["b"].shift(3)
     both = ~expb.isna()
     assert np.allclose(got["b3"][both], expb[both])
+
+
+def test_multi_column_keyed_lag_k(spark):
+    """key_cols + column lists + |offset| > 1 compose: per-key pandas
+    shift(k) parity through the keyed window path."""
+    import numpy as np
+    import pandas as pd
+
+    from tsflex_spark.utils.distributed import with_global_shift
+
+    rng = np.random.default_rng(67)
+    n = 400
+    pdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, n),
+            "o": np.arange(n),
+            "a": rng.normal(size=n).round(3),
+            "b": rng.integers(0, 99, n),
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(9)
+    out = (
+        with_global_shift(df, ["a", "b"], "o", ["a2", "b2"], offset=-2, key_cols=["k"])
+        .toPandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    ref = pdf.sort_values(["k", "o"]).reset_index(drop=True)
+    for src, dst in (("a", "a2"), ("b", "b2")):
+        exp = ref.groupby("k")[src].shift(2)
+        assert out[dst].isna().equals(exp.isna()), dst
+        both = ~exp.isna()
+        assert np.allclose(out[dst][both].astype(float), exp[both].astype(float)), dst
