@@ -290,8 +290,8 @@ def test_lag_k_global_shift(spark):
     n = 203
     pdf = pd.DataFrame({"o": np.arange(n), "a": rng.normal(size=n).round(3)})
     # many tiny range partitions → k=5 spans several partition boundaries
+    # (the session's 32 shuffle partitions on 203 rows give ~7-row ranges)
     df = spark.createDataFrame(pdf).repartition(16)
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
     for k in (2, 5, 40):
         lag = (
             with_global_shift(df, "a", "o", "p", offset=-k)

@@ -242,8 +242,12 @@ def permutation_entropy(order: int = 3, delay: int = 1, normalize: bool = True) 
     entropy of the distribution of ordinal patterns of ``order``
     consecutive samples (``delay``-strided), ties broken by position
     (stable argsort). ``normalize=True`` divides by log(order!) → [0, 1].
-    Batch-vectorized: one argsort over all windows' patterns."""
+    Batch-vectorized: one argsort over all windows' patterns and ONE
+    flattened histogram (row-offset codes) for every window at once."""
     assert order >= 2 and delay >= 1, (order, delay)
+    import math
+
+    log_norm = np.log(float(math.factorial(order)))
 
     def _pe(x: np.ndarray) -> np.ndarray:
         x = np.asarray(x, dtype=np.float64)
@@ -258,15 +262,22 @@ def permutation_entropy(order: int = 3, delay: int = 1, normalize: bool = True) 
         code = np.zeros((nb, k), dtype=np.int64)
         for i in range(order):
             code = code * order + pat[..., i]
-        ent = np.empty(nb)
-        for row in range(nb):  # bincount per row over <= k codes
-            _, counts = np.unique(code[row], return_counts=True)
-            p = counts / k
-            ent[row] = -(p * np.log(p)).sum()
+        # one histogram for ALL rows: offset codes by row id, count runs
+        n_codes = order**order
+        flat = np.sort(
+            (np.arange(nb, dtype=np.int64)[:, None] * n_codes + code).ravel()
+        )
+        boundaries = np.flatnonzero(np.diff(flat)) + 1
+        starts = np.concatenate(([0], boundaries))
+        ends = np.concatenate((boundaries, [flat.size]))
+        counts = ends - starts
+        rows = flat[starts] // n_codes
+        p = counts / k
+        contrib = -(p * np.log(p))
+        ent = np.zeros(nb)
+        np.add.at(ent, rows, contrib)
         if normalize:
-            import math
-
-            ent = ent / np.log(float(math.factorial(order)))
+            ent = ent / log_norm
         return ent
 
     _pe.__name__ = f"perm_entropy_{order}_{delay}"

@@ -152,7 +152,7 @@ def with_global_shift(
     ordered by ``order_col``. Partition-local shift + a boundary value
     carried over from the neighbouring partition (broadcast). Assumes
     ``col`` is non-null (true for the engine's internal numeric index /
-    cleaned group keys); only |offset| = 1 is supported.
+    cleaned group keys).
 
     ``col``/``out_col`` may be matching sequences: every column shifts
     through ONE struct payload — one range exchange regardless of how
@@ -168,6 +168,9 @@ def with_global_shift(
     assert isinstance(offset, int) and offset != 0, offset
     key_cols = list(key_cols)
     if not isinstance(col, str):
+        assert not isinstance(out_col, str), (
+            "col is a sequence — out_col must be a matching sequence, not a string"
+        )
         cols, outs = list(col), list(out_col)
         assert len(cols) == len(outs) and cols, (cols, outs)
         pack = "__shift_pack"
@@ -241,7 +244,7 @@ def _shift_k(
     )
     # for each target partition p: the k globally-nearest rows on the
     # needed side (pid' < p for lag, > p for lead), as ONE ascending array
-    pids = d.groupBy(PID).agg(F.count(F.lit(1)).alias("__n")).select(PID)
+    pids = d.select(PID).distinct()
     e = edges.select(
         F.col(PID).alias("__ep"), F.col("__eo"), F.col("__ev")
     )
