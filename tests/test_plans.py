@@ -555,3 +555,43 @@ def test_leakage_safe_split_and_kn_no_hazards(spark):
     assert "CartesianProduct" not in p and "BatchEvalPython" not in p
     # broadcast_model hints every model join
     assert "BroadcastHashJoin" in p
+
+
+def test_vectorized_tier_single_bucket_exchange(spark):
+    """A pure vectorized-UDF config (spectral + DTW + shape over one
+    series) compiles to ONE bucket-hash exchange feeding ONE Arrow
+    FlatMapGroupsInPandas — no per-feature stages, no extra shuffles,
+    no BroadcastNestedLoop."""
+    import numpy as np
+    import pandas as pd
+
+    from tsflex_spark import FeatureCollection, FeatureDescriptor
+    from tsflex_spark.features.dtw import dtw_to_template
+    from tsflex_spark.features.shape import number_peaks
+    from tsflex_spark.features.spectral import spectral_stats
+
+    ts = pd.date_range("2024-01-01", periods=256, freq="1s")
+    df = spark.createDataFrame(
+        pd.DataFrame({"ts": ts, "v": np.sin(np.arange(256) * 0.1)})
+    )
+    fc = FeatureCollection(
+        [
+            FeatureDescriptor(spectral_stats(fs=1.0), "v", "32s", "16s"),
+            FeatureDescriptor(dtw_to_template(np.sin(np.linspace(0, 6, 16))), "v", "32s", "16s"),
+            FeatureDescriptor(number_peaks(2), "v", "32s", "16s"),
+        ]
+    )
+    out = fc.calculate(df, ts_col="ts", approve_sparsity=True)
+    plan = plan_of(out, "simple")
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
+    # the only nested-loop join allowed is the benign ONE-ROW bounds
+    # broadcast (__start/__end attach) — anything else is a hazard
+    for ln in plan.splitlines():
+        if "BroadcastNestedLoop" in ln:
+            assert "Cross" in ln or "BuildRight" in ln, ln
+    assert "__start" in plan and "__end" in plan
+    # exchanges: one for the bucket groupBy; the segment spine join adds
+    # broadcast-style small-side plumbing but must not reshuffle the data
+    # side more than once per side
+    assert plan.count("hashpartitioning(__ubkt") == 1, plan
+    assert out.count() > 0
