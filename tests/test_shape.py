@@ -160,3 +160,44 @@ def test_entropy_features(spark):
         pp = np.array(list(pats.values())) / k
         ref_pe = -(pp * np.log(pp)).sum() / np.log(math.factorial(3))
         assert out["v__perm_ent_3_1__w=32s"].iloc[i] == pytest.approx(ref_pe, rel=1e-12)
+
+
+def test_lempel_ziv_complexity(spark):
+    """LZ76 phrase count / n through the engine: periodic windows score
+    lower complexity than noise; values match an independent scan."""
+    from tsflex_spark.features.shape import lempel_ziv_complexity
+
+    rng = np.random.default_rng(59)
+    n = 65
+    v = np.concatenate([np.tile([1.0, 5.0], 16), rng.normal(size=33)])
+    ts = pd.date_range("2024-01-01", periods=n, freq="1s")
+    df = spark.createDataFrame(pd.DataFrame({"ts": ts, "v": v}))
+    fc = FeatureCollection([FeatureDescriptor(lempel_ziv_complexity(10), "v", "32s", "32s")])
+    out = (
+        fc.calculate(df, ts_col="ts", approve_sparsity=True)
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 2
+
+    def ref(x, bins=10):
+        lo, hi = x.min(), x.max()
+        span = (hi - lo) or 1.0
+        sym = np.clip(np.floor((x - lo) / span * bins), 0, bins - 1).astype(int)
+        subs, ind, inc = set(), 0, 1
+        while ind + inc <= len(sym):
+            t = tuple(sym[ind : ind + inc])
+            if t in subs:
+                inc += 1
+            else:
+                subs.add(t)
+                ind += inc
+                inc = 1
+        return len(subs) / len(sym)
+
+    for i in range(2):
+        seg = v[i * 32 : (i + 1) * 32]
+        assert out["v__lz_10__w=32s"].iloc[i] == pytest.approx(ref(seg))
+    # the periodic window is simpler than the noise window
+    assert out["v__lz_10__w=32s"].iloc[0] < out["v__lz_10__w=32s"].iloc[1]

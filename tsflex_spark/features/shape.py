@@ -39,6 +39,7 @@ __all__ = [
     "binned_entropy",
     "sample_entropy",
     "permutation_entropy",
+    "lempel_ziv_complexity",
 ]
 
 
@@ -284,3 +285,42 @@ def permutation_entropy(order: int = 3, delay: int = 1, normalize: bool = True) 
     return FuncWrapper(
         _pe, output_names=f"perm_ent_{order}_{delay}", vectorized=True
     )
+
+
+def lempel_ziv_complexity(bins: int = 10) -> FuncWrapper:
+    """tsfresh ``lempel_ziv_complexity``: quantize the window into
+    ``bins`` equal-width bins (numpy ``histogram`` edges over
+    [min, max]), count the LZ76 dictionary phrases of the resulting
+    symbol sequence, and normalize by the window length. Constant
+    windows collapse to one symbol → minimal complexity. The per-window
+    phrase scan is inherently sequential (O(n) with substring set
+    lookups); binning is batch-vectorized."""
+    assert bins >= 2, bins
+
+    def _one(sym: np.ndarray) -> float:
+        n = sym.size
+        sub_strings = set()
+        ind, inc = 0, 1
+        while ind + inc <= n:
+            sub = sym[ind : ind + inc].tobytes()
+            if sub in sub_strings:
+                inc += 1
+            else:
+                sub_strings.add(sub)
+                ind += inc
+                inc = 1
+        return len(sub_strings) / n
+
+    def _lz(x: np.ndarray) -> np.ndarray:
+        x = np.asarray(x, dtype=np.float64)
+        nb, n = x.shape
+        lo = x.min(axis=-1, keepdims=True)
+        hi = x.max(axis=-1, keepdims=True)
+        span = hi - lo
+        with np.errstate(invalid="ignore", divide="ignore"):
+            idx = np.floor((x - lo) / np.where(span > 0, span, 1.0) * bins)
+        sym = np.clip(idx, 0, bins - 1).astype(np.int8)
+        return np.array([_one(row) for row in sym])
+
+    _lz.__name__ = f"lempel_ziv_{bins}"
+    return FuncWrapper(_lz, output_names=f"lz_{bins}", vectorized=True)
