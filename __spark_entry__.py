@@ -1118,10 +1118,10 @@ sc AS (
   LEFT JOIN pairs p ON p.w1 = bgf.w1 AND p.w2 = bgf.w2
   LEFT JOIN ctx x ON x.w1 = bgf.w1
   CROSS JOIN voc),
-per AS (SELECT doc_id, count(*) AS n_bigrams, sum(lp) AS sum_logp_e6 FROM sc GROUP BY doc_id)
+per AS (SELECT doc_id, count(*) AS n_bigrams, CAST(sum(lp) AS BIGINT) AS sum_logp_e6 FROM sc GROUP BY doc_id)
 SELECT s.doc_id, s.n_chars, s.n_tokens, s.n_bpe_tokens,
        coalesce(per.n_bigrams, 0) AS n_bigrams,
-       coalesce(per.sum_logp_e6, 0) AS sum_logp_e6,
+       CAST(coalesce(per.sum_logp_e6, 0) AS BIGINT) AS sum_logp_e6,
        round(exp(-(CAST(per.sum_logp_e6 AS DOUBLE) / 1e6) / per.n_bigrams), 6) AS ppl,
        c.p05_chars, c.p95_chars,
        CAST(s.n_chars >= c.p05_chars AND s.n_chars <= c.p95_chars AS INT) AS in_band
@@ -1370,39 +1370,23 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     no global sort."""
     _utc(spark)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    from tsflex_spark.datapipe.similarity import _norm
-
-    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_vec"))
-    joined = emb.where(F.col("vec_id") != 0).join(F.broadcast(q))
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("embedding"), F.col("q_vec"), lambda a, b: a.cast("double") * b.cast("double")
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cos = dot / (_norm(F.col("embedding")) * _norm(F.col("q_vec")))
-    brute = (
-        joined.select(F.col("vec_id"), cos.alias("cosine"))
-        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
-        .limit(10)
-    )
     from pyspark.sql import Window
 
-    brute = brute.select(
-        F.lit("brute").alias("method"),
-        F.lit(0).cast("long").alias("q_id"),
-        "vec_id",
-        "cosine",
-        F.row_number()
-        .over(Window.orderBy(F.col("cosine").desc(), F.col("vec_id")))
-        .alias("rank"),
+    from tsflex_spark.datapipe.similarity import knn_join
+
+    # brute leg rides the same knn_join BLAS kernel as the batch leg
+    # (one Arrow matmul per corpus partition + per-partition partial
+    # top-k) — no interpreted zip_with/aggregate lambda anywhere in the
+    # gate's plan (the HOF path measured ~20x slower per element)
+    q1 = emb.where(F.col("vec_id") == 0).select(
+        F.lit(0).cast("long").alias("q_id"), "embedding"
+    )
+    brute = knn_join(emb.where(F.col("vec_id") != 0), q1, k=10).select(
+        F.lit("brute").alias("method"), "q_id", "vec_id", "cosine", "rank"
     )
     # exact KNN JOIN: top-5 corpus neighbors for EVERY query in a 5-query
     # table at once (map-only corpus scan + BLAS partial top-k per
     # partition) — the batch retrieval-set builder
-    from tsflex_spark.datapipe.similarity import knn_join
-
     qs = emb.where(F.col("vec_id") <= 4).select(
         F.col("vec_id").alias("q_id"), F.col("embedding")
     )
@@ -1420,26 +1404,23 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = len(emb.select("embedding").first()["embedding"])
     model = pca_train(emb, k=dim)
     proj = pca_transform(emb, model, out_col="p")
-    qp = proj.where(F.col("vec_id") == 0).select(F.col("p").alias("q_p"))
-    pj = proj.where(F.col("vec_id") != 0).join(F.broadcast(qp))
-    d2 = F.aggregate(
-        F.zip_with(F.col("p"), F.col("q_p"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # euclidean knn_join in PCA coordinates: same BLAS kernel, expanded
+    # ||q||² − 2·Q·Cᵀ + ||c||² form; ranks (not distances) are gated, so
+    # rotation/expansion float dust is immaterial
+    qp1 = proj.where(F.col("vec_id") == 0).select(
+        F.lit(0).cast("long").alias("q_id"), F.col("p").alias("embedding")
     )
-    pca_top = (
-        pj.select(F.col("vec_id"), d2.alias("d2"))
-        .orderBy(F.col("d2").asc(), F.col("vec_id"))
-        .limit(10)
-        .select(
-            F.lit("pca64").alias("method"),
-            F.lit(0).cast("long").alias("q_id"),
-            "vec_id",
-            F.lit(None).cast("double").alias("cosine"),
-            F.row_number()
-            .over(Window.orderBy(F.col("d2").asc(), F.col("vec_id")))
-            .alias("rank"),
-        )
+    pca_top = knn_join(
+        proj.where(F.col("vec_id") != 0).select("vec_id", F.col("p").alias("embedding")),
+        qp1,
+        k=10,
+        metric="euclidean",
+    ).select(
+        F.lit("pca64").alias("method"),
+        "q_id",
+        "vec_id",
+        F.lit(None).cast("double").alias("cosine"),
+        "rank",
     )
     # BM25 leg: lexical retrieval over documents (datapipe/retrieval).
     # idf literals come from python libm log on exact integer (N, df) —

@@ -792,6 +792,18 @@ def test_knn_join_matches_bruteforce(spark):
     ok = knn_join(corpus, queries, k=4, max_queries=3).toPandas()
     assert len(ok) == 12
 
+    # euclidean metric: same BLAS kernel, ascending squared distance
+    out_e = knn_join(corpus, queries, k=4, metric="euclidean").toPandas()
+    assert list(out_e.columns) == ["q_id", "vec_id", "d2", "rank"]
+    for qi in range(3):
+        d2 = ((C - vecs[qi]) ** 2).sum(axis=1)
+        expect = list(10 + _np.argsort(d2, kind="stable")[:4])
+        got_rows = out_e[out_e["q_id"] == qi].sort_values("rank")
+        assert list(got_rows["vec_id"]) == expect, (qi, list(got_rows["vec_id"]), expect)
+        assert _np.allclose(_np.sort(got_rows["d2"]), _np.sort(d2)[:4])
+    with pytest.raises(ValueError, match="metric"):
+        knn_join(corpus, queries, k=4, metric="manhattan")
+
 
 def test_clean_corpus_pipeline(spark):
     from tsflex_spark.datapipe.pipeline import clean_corpus

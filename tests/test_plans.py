@@ -51,11 +51,19 @@ def test_small_dims_broadcast(spark):
 
 def test_topk_never_global_sorts(spark):
     """cosine_topk compiles to TakeOrderedAndProject (per-partition heap +
-    driver merge), not Sort + Limit over the whole corpus."""
+    driver merge), not Sort + Limit over the whole corpus — and carries NO
+    interpreted higher-order-function lambda (the brute/pca legs ride the
+    knn_join BLAS kernel; HOF zip_with/aggregate measured ~20x slower)."""
     import __spark_entry__ as E
 
-    plan = plan_of(E.queries()["cosine_topk"](spark, SF_DIR), "simple")
+    from tsflex_spark.utils.plans import scale_report
+
+    df = E.queries()["cosine_topk"](spark, SF_DIR)
+    plan = plan_of(df, "simple")
     assert "TakeOrderedAndProject" in plan
+    rep = scale_report(df)
+    assert not any("higher-order" in w for w in rep["warnings"]), rep["warnings"]
+    assert rep["findings"] == [], rep["findings"]
 
 
 def test_global_order_ops_range_partition(spark):

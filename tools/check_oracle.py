@@ -38,6 +38,29 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
+def dtype_kind(s: pd.Series) -> str:
+    """Coarse dtype KIND, mirroring how the driver's value-hash sees a
+    column: an int64 and a float64 holding equal values hash differently,
+    so the local gate must treat a kind mismatch as a failure (this is
+    exactly how the r4/r5 ``text_stats`` HUGEINT->decimal/float vs bigint
+    mismatch stayed invisible locally for two rounds)."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if s.dtype == object:
+        import decimal
+
+        nn = s.dropna()
+        if len(nn) and isinstance(nn.iloc[0], decimal.Decimal):
+            return "float"  # decimal-kind hashes like a non-integer
+    return "str"
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("oracle_check")
@@ -74,6 +97,17 @@ def main() -> int:
             continue
         if len(g) != len(x):
             print(f"FAIL {name}: rows {len(g)} != {len(x)}")
+            failures += 1
+            continue
+        kind_bad = [
+            (c, str(got[c].dtype), str(exp[c].dtype), dtype_kind(g[c]), dtype_kind(x[c]))
+            for c in g.columns
+            if dtype_kind(g[c]) != dtype_kind(x[c])
+        ]
+        if kind_bad:
+            print(f"FAIL {name}: dtype-KIND mismatch (driver hash would differ):")
+            for c, sd, dd, sk, dk in kind_bad:
+                print(f"       {c}: spark={sd} ({sk}) vs oracle={dd} ({dk})")
             failures += 1
             continue
         bad = []

@@ -197,9 +197,13 @@ def knn_join(
     id_col: str = "vec_id",
     q_id_col: str = "q_id",
     max_queries: int = 100_000,
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Exact cosine k-nearest-neighbor JOIN: for every query vector, the
-    ``k`` most similar corpus vectors — ``(q_id, vec_id, cosine, rank)``.
+    """Exact k-nearest-neighbor JOIN: for every query vector, the ``k``
+    most similar corpus vectors — ``(q_id, vec_id, cosine, rank)`` for
+    ``metric='cosine'`` (descending similarity) or
+    ``(q_id, vec_id, d2, rank)`` for ``metric='euclidean'`` (ascending
+    squared distance; one BLAS ``||q||² − 2·Q·Cᵀ + ||c||²`` per block).
 
     This is the retrieval-dataset builder (mine hard negatives / build
     eval sets for a whole query table at once), not the single-vector
@@ -231,38 +235,54 @@ def knn_join(
             f"use lsh_bucket_topk / ivf_search_parquet (bucketed ANN "
             f"joins), or raise max_queries if the driver can hold it."
         )
+    if metric not in ("cosine", "euclidean"):
+        raise ValueError(f"metric must be 'cosine' or 'euclidean', got {metric!r}")
     qp = queries.select(F.col(q_id_col), F.col(vec_col)).toPandas()
     Q = np.asarray(qp[vec_col].tolist(), dtype="float64")
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    if metric == "cosine":
+        Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     qids = qp[q_id_col].to_numpy()
     kk = int(k)
+    score_col = "cosine" if metric == "cosine" else "d2"
 
     def part(batches):
         for pdf in batches:
             if pdf.empty:
                 continue
             C = np.asarray(pdf[vec_col].tolist(), dtype="float64")
-            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-            S = Qn @ Cn.T  # (nq, nc)
+            if metric == "cosine":
+                Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+                S = -(Q @ Cn.T)  # negate: partial top-k always takes smallest
+            else:
+                # ||q-c||² expanded so the heavy term is ONE BLAS matmul
+                S = (
+                    (Q * Q).sum(axis=1, keepdims=True)
+                    - 2.0 * (Q @ C.T)
+                    + (C * C).sum(axis=1)
+                )
             top = min(kk, S.shape[1])
-            idx = np.argpartition(-S, top - 1, axis=1)[:, :top]
+            idx = np.argpartition(S, top - 1, axis=1)[:, :top]
             ids = pdf[id_col].to_numpy()
+            vals = np.take_along_axis(S, idx, axis=1).ravel()
             yield pd.DataFrame(
                 {
                     q_id_col: np.repeat(qids, top),
                     id_col: ids[idx].ravel(),
-                    "cosine": np.take_along_axis(S, idx, axis=1).ravel(),
+                    score_col: -vals if metric == "cosine" else vals,
                 }
             )
 
     partial = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        part, f"{q_id_col} long, {id_col} long, cosine double"
+        part, f"{q_id_col} long, {id_col} long, {score_col} double"
     )
-    w = Window.partitionBy(q_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    order = (
+        F.col(score_col).desc() if metric == "cosine" else F.col(score_col).asc()
+    )
+    w = Window.partitionBy(q_id_col).orderBy(order, F.col(id_col))
     return (
         partial.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= kk)
-        .select(q_id_col, id_col, "cosine", "rank")
+        .select(q_id_col, id_col, score_col, "rank")
     )
 
 
