@@ -1745,22 +1745,25 @@ def q_sketch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     from tsflex_spark.datapipe.dedup import (
         minhash_lsh_candidates,
-        minhash_signatures,
         ngram_jaccard,
         shingle_rows,
-        simhash,
         simhash_pairs,
+        sketch_signatures,
     )
 
     # all stages consume the same (id, shingle-hash) table — shingle
-    # once, lazily checkpoint, share
+    # once, lazily checkpoint, share. Both sketches come from ONE fused
+    # groupBy(doc_id) aggregate over that table (sketch_signatures): one
+    # scan + one doc-keyed exchange instead of two of each, and the tiny
+    # (1 row/doc) fused result is the checkpoint both band branches read.
     sh = shingle_rows(docs, "text", "doc_id").localCheckpoint(eager=False)
-    sig = minhash_signatures(docs, "text", "doc_id", num_hashes=128, shingles=sh)
-    mh_pre = minhash_lsh_candidates(sig, "doc_id", num_bands=16)
-    fps = simhash(docs, "text", id_col="doc_id", shingles=sh)
-    sh_cand = simhash_pairs(fps, id_col="doc_id", max_hamming=8).select(
-        "id_a", "id_b"
-    )
+    sk = sketch_signatures(
+        docs, "text", "doc_id", num_hashes=128, shingles=sh
+    ).localCheckpoint(eager=False)
+    mh_pre = minhash_lsh_candidates(sk.select("doc_id", "minhash"), "doc_id", num_bands=16)
+    sh_cand = simhash_pairs(
+        sk.select("doc_id", "simhash"), id_col="doc_id", max_hamming=8
+    ).select("id_a", "id_b")
     # per-method provenance rides the candidate union as two booleans and
     # ONE pair-keyed aggregate replaces union->distinct; the shared exact
     # verify then runs once and each method's survivors come back by

@@ -24,6 +24,22 @@ from tsflex_spark.session import get_spark
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # the shared host has documented phantom-load windows (loadavg 5-9 at
+    # ~95% guest idle) that inflate wall times 1.3-2x; stamp loadavg into
+    # the artifact so a noisy BENCH_r{N} is identifiable as noise, and if
+    # the host is visibly busy at start, wait once for a quieter window.
+    def loadavg() -> float:
+        try:
+            return round(os.getloadavg()[0], 2)
+        except OSError:
+            return -1.0
+
+    load_start = loadavg()
+    if load_start > 1.5:
+        time.sleep(float(os.environ.get("SPARK_GRAFT_BENCH_BUSY_WAIT", "60")))
+        load_start = loadavg()
+
     spark = get_spark("bench")
 
     queries = entry_mod.queries()
@@ -58,7 +74,7 @@ def main() -> None:
     # measured on this shared host, external loadavg spikes with ~95%
     # idle guest CPU inflate whatever happens to be running by 1.3-2x.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for _round in range(max(1, runs)):
         for name, fn in queries.items():
             t0 = time.perf_counter()
@@ -66,8 +82,7 @@ def main() -> None:
             # noop sink executes the full plan without driver collect cost
             df.write.format("noop").mode("overwrite").save()
             el = time.perf_counter() - t0
-            if name not in timings or el < timings[name]:
-                timings[name] = el
+            samples.setdefault(name, []).append(el)
             # isolate queries: drop caches + nudge the ContextCleaner so
             # one query's broadcasts don't GC-thrash the next
             spark.catalog.clearCache()
@@ -75,7 +90,11 @@ def main() -> None:
                 spark.sparkContext._jvm.System.gc()
             except Exception:
                 pass
-    timings = {k: round(v, 4) for k, v in timings.items()}
+    # min is the headline (throughput signal — a regression is a plan
+    # change, not scheduler noise); the mean rides alongside so the gap
+    # between them measures how noisy the window was.
+    timings = {k: round(min(v), 4) for k, v in samples.items()}
+    means = {k: round(sum(v) / len(v), 4) for k, v in samples.items()}
 
     total = round(sum(timings.values()), 4)
     print(
@@ -85,6 +104,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_mean": means,
+                "mean_total_sec": round(sum(means.values()), 4),
+                "loadavg_start": load_start,
+                "loadavg_end": loadavg(),
+                "rounds": max(1, runs),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -123,6 +123,36 @@ def test_oph_short_disjoint_docs_share_no_bands(spark):
     assert len(cands2) == 1
 
 
+def test_sketch_signatures_fused_parity(spark):
+    """The fused one-pass sketch aggregate must emit EXACTLY the same
+    minhash signatures and simhash fingerprints as the two standalone
+    aggregates — fusion is a pure shuffle/scan optimization."""
+    from tsflex_spark.datapipe.dedup import (
+        minhash_signatures,
+        simhash,
+        sketch_signatures,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog " * 6,
+        "the quick brown fox jumps over the lazy cat " * 6,
+        "completely different text about numbers 123 456 789 " * 4,
+        "short doc",  # empty-OPH-bin densification path
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(len(texts))), "text": texts})
+    )
+    fused = sketch_signatures(df, "text", "doc_id", num_hashes=64).toPandas()
+    mh = minhash_signatures(df, "text", "doc_id", num_hashes=64).toPandas()
+    sh = simhash(df, "text", "doc_id").toPandas()
+    f = fused.set_index("doc_id").sort_index()
+    m = mh.set_index("doc_id").sort_index()
+    s = sh.set_index("doc_id").sort_index()
+    for i in f.index:
+        assert list(f.loc[i, "minhash"]) == list(m.loc[i, "minhash"]), i
+        assert f.loc[i, "simhash"] == s.loc[i, "simhash"], i
+
+
 def test_simhash_similar_docs_close(spark):
     base = "the quick brown fox jumps over the lazy dog " * 10
     near = base.replace("dog", "cat")

@@ -167,25 +167,31 @@ def minhash_signatures(
             F.array(*[F.col(f"__m{j}") for j in range(num_hashes)]).alias("minhash"),
         )
     k = int(num_hashes)
-    # ONE hash-aggregate with k conditional mins — map-side combine
-    # collapses each doc to a single k-wide buffer before the shuffle
-    # (the earlier two-level groupBy(id, bin) + collect_list shape
-    # shuffled ~k rows per doc and then densified through an INTERPRETED
-    # higher-order lambda — 64 evals/doc; this form is all codegen)
-    b = F.pmod(F.col("__h"), F.lit(k)).cast("int")
-    g = ex.withColumn("__b", b).groupBy(id_col).agg(
-        *[
-            F.min(F.when(F.col("__b") == j, F.col("__h"))).alias(f"__m{j}")
-            for j in range(k)
-        ],
-        F.min("__h").alias("__dm"),
-    )
-    # empty-bin densification: circular borrow from the next two bins, then
-    # a PER-DOC fill xxhash64(doc_min_hash, j) — never a global sentinel
-    # (a shared constant would make all short docs collide on densified
-    # band hashes → O(n²) false candidates among short docs at scale).
-    # Equal shingle sets still densify identically (same doc_min_hash).
-    sig = F.array(
+    aggs = _oph_aggs(F.col("__h"), k)
+    g = ex.groupBy(id_col).agg(*aggs)
+    return g.select(F.col(id_col), _oph_signature(k).alias("minhash"))
+
+
+def _oph_aggs(h: Column, k: int) -> List[Column]:
+    """ONE hash-aggregate with k conditional mins — map-side combine
+    collapses each doc to a single k-wide buffer before the shuffle
+    (the earlier two-level groupBy(id, bin) + collect_list shape
+    shuffled ~k rows per doc and then densified through an INTERPRETED
+    higher-order lambda — 64 evals/doc; this form is all codegen)."""
+    b = F.pmod(h, F.lit(k)).cast("int")
+    return [
+        F.min(F.when(b == j, h)).alias(f"__m{j}") for j in range(k)
+    ] + [F.min(h).alias("__dm")]
+
+
+def _oph_signature(k: int) -> Column:
+    """Empty-bin densification: circular borrow from the next two bins,
+    then a PER-DOC fill xxhash64(doc_min_hash, j) — never a global
+    sentinel (a shared constant would make all short docs collide on
+    densified band hashes → O(n²) false candidates among short docs at
+    scale). Equal shingle sets still densify identically (same
+    doc_min_hash)."""
+    return F.array(
         *[
             F.coalesce(
                 F.col(f"__m{j}"),
@@ -196,7 +202,6 @@ def minhash_signatures(
             for j in range(k)
         ]
     )
-    return g.select(F.col(id_col), sig.alias("minhash"))
 
 
 def minhash_lsh_candidates(
@@ -430,7 +435,12 @@ def simhash(
     # so only the raw bit is summed and the rescale happens per GROUP.
     sh = shingles if shingles is not None else shingle_rows(df, text_col, id_col, shingle_k)
     ex = sh.select(id_col, F.xxhash64("__s").alias("__h"))
-    h = F.col("__h")
+    g = ex.groupBy(id_col).agg(*_simhash_aggs(F.col("__h")))
+    return g.select(F.col(id_col), _simhash_fingerprint().alias("simhash"))
+
+
+def _simhash_aggs(h: Column) -> List[Column]:
+    """16 lane-packed popcount sums + the shingle count (see ``simhash``)."""
     aggs = []
     for lane in range(16):  # lanes pack bits b, b+16, b+32, b+48
         packed = F.lit(0).cast("long")
@@ -441,7 +451,11 @@ def simhash(
             )
         aggs.append(F.sum(packed).alias(f"__p{lane}"))
     aggs.append(F.count(F.lit(1)).alias("__n"))
-    g = ex.groupBy(id_col).agg(*aggs)
+    return aggs
+
+
+def _simhash_fingerprint() -> Column:
+    """Reassemble the 64-bit fingerprint from the 16 lane sums."""
     fingerprint = F.lit(0).cast("long")
     for b in range(64):
         lane, slot = b % 16, b // 16
@@ -450,7 +464,41 @@ def simhash(
         fingerprint = fingerprint.bitwiseOR(
             F.when(popc * 2 > F.col("__n"), mask).otherwise(F.lit(0).cast("long"))
         )
-    return g.select(F.col(id_col), fingerprint.alias("simhash"))
+    return fingerprint
+
+
+def sketch_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+    seed: int = 42,
+    shingles: Optional[DataFrame] = None,
+) -> DataFrame:
+    """(id, minhash array<long>, simhash long) in ONE pass: both sketches
+    are groupBy(id) aggregates over the same shingle table, so computing
+    them separately scans + shuffles the shingle rows twice. The fused
+    aggregate carries the OPH conditional-mins AND the SimHash lane sums
+    in one buffer — one scan, one doc-keyed exchange, identical outputs
+    to ``minhash_signatures``/``simhash`` (property-tested). This is the
+    shape a 100 TB dedup run wants: the shingle table is the big thing,
+    touch it once per sketch FAMILY, not per sketch."""
+    sh = shingles if shingles is not None else shingle_rows(df, text_col, id_col, shingle_k)
+    k = int(num_hashes)
+    ex = sh.select(
+        id_col,
+        F.xxhash64("__s", F.lit(seed)).alias("__hm"),
+        F.xxhash64("__s").alias("__hs"),
+    )
+    g = ex.groupBy(id_col).agg(
+        *_oph_aggs(F.col("__hm"), k), *_simhash_aggs(F.col("__hs"))
+    )
+    return g.select(
+        F.col(id_col),
+        _oph_signature(k).alias("minhash"),
+        _simhash_fingerprint().alias("simhash"),
+    )
 
 
 def remove_duplicate_lines(

@@ -224,20 +224,24 @@ def knn_join(
 
     from pyspark.sql import Window
 
+    if metric not in ("cosine", "euclidean"):
+        raise ValueError(f"metric must be 'cosine' or 'euclidean', got {metric!r}")
     # the shape's load-bearing assumption is a BOUNDED query table (it
     # rides the driver + every task closure) — guard it instead of
-    # letting a million-row query side become a silent driver OOM
-    probe = queries.limit(int(max_queries) + 1).count()
-    if probe > int(max_queries):
+    # letting a million-row query side become a silent driver OOM. The
+    # guard SHARES the collect job: fetch max+1 rows, error if over.
+    qp = (
+        queries.select(F.col(q_id_col), F.col(vec_col))
+        .limit(int(max_queries) + 1)
+        .toPandas()
+    )
+    if len(qp) > int(max_queries):
         raise ValueError(
             f"knn_join collects the query table to the driver; it has more "
             f"than max_queries={max_queries} rows. For large query tables "
             f"use lsh_bucket_topk / ivf_search_parquet (bucketed ANN "
             f"joins), or raise max_queries if the driver can hold it."
         )
-    if metric not in ("cosine", "euclidean"):
-        raise ValueError(f"metric must be 'cosine' or 'euclidean', got {metric!r}")
-    qp = queries.select(F.col(q_id_col), F.col(vec_col)).toPandas()
     Q = np.asarray(qp[vec_col].tolist(), dtype="float64")
     if metric == "cosine":
         Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)

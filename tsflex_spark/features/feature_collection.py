@@ -150,31 +150,29 @@ def _infer_output_dtypes(
 
 def _grouping_columns(gd: Any) -> List[str]:
     """Grouping column names of a ``GroupedData`` (plain-column groupings
-    only). PySpark exposes no public accessor, so this is BEST-EFFORT
-    over private internals (the JVM toString), version-tolerant: any
-    parse failure raises with the documented stable alternatives —
-    ``calculate((df, keys))`` or ``calculate(df, group_by_all=keys)`` —
-    rather than silently miscomputing."""
-    import re as _re
-
+    only), recovered through PUBLIC API: ``gd.agg(...)`` returns a
+    DataFrame whose leading columns are exactly the grouping columns —
+    analysis only, nothing executes. Any failure raises with the
+    documented stable alternatives — ``calculate((df, keys))`` or
+    ``calculate(df, group_by_all=keys)`` — rather than silently
+    miscomputing."""
     try:
-        s = gd._jgd.toString()
-        m = _re.search(r"grouping expressions: \[(.*?)\], value:", s)
-        cols = [c.strip() for c in m.group(1).split(",") if c.strip()]
+        probe = gd.agg(F.count(F.lit(1)).alias("__tsflex_probe__"))
+        cols = [c for c in probe.columns if c != "__tsflex_probe__"]
         assert cols
         df_cols = gd._df.columns
     except Exception as e:
         raise TypeError(
-            "cannot determine the grouping columns of this GroupedData "
-            "(private-API layout changed?). Pass the stable forms instead: "
-            "fc.calculate((df, keys), ...) or "
-            "fc.calculate(df, group_by_all=keys, ...)"
+            "cannot determine the grouping columns of this GroupedData. "
+            "Pass the stable forms instead: fc.calculate((df, keys), ...) "
+            "or fc.calculate(df, group_by_all=keys, ...)"
         ) from e
     missing = [c for c in cols if c not in df_cols]
-    assert not missing, (
-        f"pre-grouped input must group by plain columns; {missing} not in "
-        f"{df_cols}"
-    )
+    if missing:
+        raise TypeError(
+            f"pre-grouped input must group by plain columns; {missing} not "
+            f"in {df_cols}. Pass fc.calculate((df, keys), ...) instead."
+        )
     return cols
 
 
