@@ -11,6 +11,10 @@ import pytest
 
 from tsflex_spark import FeatureCollection, FeatureDescriptor
 
+# opt-in lane: `pytest -m real_libs` / tools/integration_lane.sh; the
+# importorskips keep the default run green without the libraries
+pytestmark = pytest.mark.real_libs
+
 
 def _series_df(spark, n=200, freq="1s"):
     rng = np.random.default_rng(42)

@@ -1168,3 +1168,119 @@ def test_two_level_new_natives_parity(spark):
             assert np.allclose(a[both], b[both], rtol=1e-9, atol=1e-9), c
         else:
             assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), c
+
+
+# --------------------------------------------------------------- fuzz
+# Hypothesis fuzz of the segmenter against a ~30-line pandas/numpy
+# searchsorted reference (reference strided_rolling.py:241-332 rules),
+# generalizing the hand-picked boundary table: random IRREGULAR
+# timestamps x window x strides x include_final_window x window_idx,
+# plus manual (explicit) segments.
+
+
+def _searchsorted_oracle(ts, vals, starts, ends):
+    """Per-segment [start, end) sums + empty flags over sorted ts."""
+    lo = np.searchsorted(ts, starts, side="left")
+    hi = np.searchsorted(ts, ends, side="left")
+    return [float(vals[l:h].sum()) if h > l else 0.0 for l, h in zip(lo, hi)]
+
+
+def test_segmenter_fuzz_irregular_ts(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from tests.conftest import ref_segment_starts
+    from tsflex_spark import FeatureCollection, FeatureDescriptor
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        ts_set=st.sets(st.integers(0, 200), min_size=4, max_size=36),
+        window=st.integers(1, 25),
+        strides=st.lists(st.integers(1, 11), min_size=1, max_size=2, unique=True),
+        final=st.booleans(),
+        widx=st.sampled_from(["begin", "middle", "end"]),
+    )
+    def prop(ts_set, window, strides, final, widx):
+        ts = np.array(sorted(ts_set), dtype=np.int64)
+        vals = (ts * 3 + 1).astype(float)  # deterministic, ts-derived
+        df = spark.createDataFrame(pd.DataFrame({"ts": ts, "val": vals}))
+        fc = FeatureCollection(
+            FeatureDescriptor("sum", "val", window, [float(s) for s in strides])
+        )
+        out = (
+            fc.calculate(
+                df, ts_col="ts", window_idx=widx,
+                include_final_window=final, approve_sparsity=True,
+            )
+            .toPandas()
+            .sort_values("ts")
+        )
+        starts = ref_segment_starts(int(ts[0]), int(ts[-1]), window, strides, final)
+        shift = {"begin": 0.0, "middle": window / 2.0, "end": float(window)}[widx]
+        exp_idx = starts + shift
+        got_idx = out["ts"].to_numpy(dtype=float)
+        assert len(got_idx) == len(exp_idx), (got_idx, exp_idx)
+        assert np.allclose(got_idx, exp_idx), (got_idx, exp_idx)
+        exp_vals = _searchsorted_oracle(ts, vals, starts, starts + window)
+        got_vals = out[f"val__sum__w={window}"].to_numpy(dtype=float)
+        assert np.allclose(got_vals, exp_vals), (starts, got_vals, exp_vals)
+
+    prop()
+
+
+def test_segmenter_fuzz_manual_segments(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from tsflex_spark import FeatureCollection, FeatureDescriptor
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        ts_set=st.sets(st.integers(0, 150), min_size=5, max_size=30),
+        seg=st.lists(
+            st.tuples(st.integers(0, 140), st.integers(1, 30)),
+            min_size=1,
+            max_size=6,
+        ),
+    )
+    def prop(ts_set, seg):
+        ts = np.array(sorted(ts_set), dtype=np.int64)
+        vals = (ts * 2 + 5).astype(float)
+        lo, hi = int(ts[0]), int(ts[-1])
+        # keep explicit segments inside the data range (out-of-range is a
+        # separate warn contract, tested in
+        # test_manual_segments_out_of_range_warns)
+        starts = sorted({min(max(s, lo), hi) for s, _ in seg})
+        ends = [min(s + ln, hi) for s, (_, ln) in zip(starts, seg)]
+        keep = [(s, e) for s, e in zip(starts, ends) if e > s]
+        if not keep:
+            return
+        starts = [s for s, _ in keep]
+        ends = [e for _, e in keep]
+        df = spark.createDataFrame(pd.DataFrame({"ts": ts, "val": vals}))
+        fc = FeatureCollection(FeatureDescriptor("sum", "val", None, None))
+        out = (
+            fc.calculate(
+                df, ts_col="ts", segment_start_idxs=starts,
+                segment_end_idxs=ends, window_idx="begin",
+                approve_sparsity=True,
+            )
+            .toPandas()
+            .sort_values("ts")
+        )
+        exp = _searchsorted_oracle(
+            ts, vals, np.asarray(starts, dtype=float), np.asarray(ends, dtype=float)
+        )
+        assert list(out["ts"]) == starts, (list(out["ts"]), starts)
+        got = out["val__sum__w=manual"].to_numpy(dtype=float)
+        assert np.allclose(got, exp), (starts, ends, got, exp)
+
+    prop()

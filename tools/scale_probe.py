@@ -1,11 +1,31 @@
-"""Scale-linearity probe: replicate the sf0.1 events table Nx (shifted in
-time and key space so semantics stay honest) and time the core rolling
-paths at 1x and Nx. The question the probe answers is the 100 TB one —
-does wall time grow linearly with data, or is something quadratic /
-spine-bound hiding at test scale?
+"""Scale-linearity probe: replicate the sf0.1 tables Nx (shifted in key /
+time / content space so semantics stay honest) and time queries at 1x and
+Nx. The question the probe answers is the 100 TB one — does wall time grow
+linearly with data, or is something quadratic / spine-bound hiding at test
+scale?
 
-Usage: python tools/scale_probe.py [factor=10] [sf_dir=/root/testdata/sf0.1]
-Prints one JSON line: {"rows_1x": ..., "rows_Nx": ..., "timings": {...}}
+Usage:
+  python tools/scale_probe.py [factor=10] [sf_dir=/root/testdata/sf0.1]
+      — the original fast events-path probe (tumbling + fine-stride).
+  python tools/scale_probe.py --gates [factor] [sf_dir] [gate ...]
+      — EVERY __spark_entry__ gate at 1x and Nx over a fully replicated
+        dataset; prints one JSON line with per-gate {t1, tN, exponent}
+        and an alerts list for anything empirically super-linear
+        (exponent > 1.25 — O(n log n) lands ≈1.08 at factor 10 — with
+        tN > 1s so fixed overhead can't fake an exponent).
+
+Replication keeps per-gate semantics honest at Nx:
+- events: ts +k days, user_id/event_id shifted — window/session structure
+  per key is preserved, key count scales.
+- documents: doc_id shifted by an EVEN span (parity-pair gates keep their
+  pair density per replica) and text letter-rotated per replica — intra-
+  replica near-dup structure preserved, NO cross-replica near-dups (else
+  every replica group becomes a quadratic candidate clique — a data
+  artifact, not an algorithm property).
+- embeddings: vec_id shifted, vector circular-rotated per replica (norm
+  preserved, cross-replica cosine destroyed — same reason).
+- orders/lineitem: orderkey shifted consistently (joins scale linearly).
+- dims (region..part): copied — the broadcast side does not grow at 100 TB.
 
 Findings recorded from the 2026-08 run (local[32], factor 10, 100k -> 1M
 events, 1.5k -> 15k users):
@@ -19,6 +39,8 @@ events, 1.5k -> 15k users):
 from __future__ import annotations
 
 import json
+import math
+import os
 import sys
 import time
 
@@ -29,6 +51,117 @@ from pyspark.sql import functions as F
 from tsflex_spark import FeatureCollection, FeatureDescriptor
 from tsflex_spark.session import get_spark
 from tsflex_spark.sources.io import read_events
+
+_DIMS = ["region", "nation", "customer", "supplier", "part"]
+_LETTERS = "etaoinshrd"
+
+
+def _replicate(spark, sf_dir: str, out_dir: str, factor: int) -> None:
+    """Write a factor-x copy of every table under out_dir (parquet dirs)."""
+    for t in _DIMS:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{out_dir}/{t}.parquet"
+        )
+
+    def rep(df, transform):
+        parts = [transform(df, 0)]
+        for k in range(1, factor):
+            parts.append(transform(df, k))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rep(
+        ev,
+        lambda d, k: d.withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {k} DAYS"))
+        .withColumn("user_id", F.col("user_id") + F.lit(k * 1_000_000))
+        .withColumn("event_id", F.col("event_id") + F.lit(k * 1_000_000_000)),
+    ).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def doc_t(d, k):
+        rot = _LETTERS[k % 10:] + _LETTERS[: k % 10]
+        return d.withColumn("doc_id", F.col("doc_id") + F.lit(k * 1_000_000)).withColumn(
+            "text", F.translate(F.col("text"), _LETTERS, rot)
+        )
+
+    rep(docs, doc_t).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def emb_t(d, k):
+        if k == 0:
+            return d
+        r = k % 63 + 1  # 1..63 — never identity for k>0 at dim 64
+        rot = F.concat(
+            F.slice(F.col("embedding"), r + 1, 10_000), F.slice(F.col("embedding"), 1, r)
+        )
+        return d.withColumn("vec_id", F.col("vec_id") + F.lit(k * 1_000_000)).withColumn(
+            "embedding", rot
+        )
+
+    rep(emb, emb_t).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+
+    for t, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        rep(
+            df, lambda d, k, key=key: d.withColumn(key, F.col(key) + F.lit(k * 10_000_000))
+        ).write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+
+
+def gates_main() -> None:
+    args = [a for a in sys.argv[2:]]
+    factor = int(args[0]) if args and args[0].isdigit() else 10
+    rest = args[1:] if args and args[0].isdigit() else args
+    sf_dir = rest[0] if rest and os.path.isdir(rest[0]) else "/root/testdata/sf0.1"
+    only = set(rest[1:] if rest and os.path.isdir(rest[0]) else rest)
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("scale_probe_gates")
+    base = os.environ.get("SPARK_GRAFT_PROBE_DIR", "/tmp/scale_probe")
+    d1, dn = f"{base}/1x", f"{base}/{factor}x"
+    _replicate(spark, sf_dir, d1, 1)
+    _replicate(spark, sf_dir, dn, factor)
+
+    queries = entry_mod.queries()
+    if only:
+        queries = {k: v for k, v in queries.items() if k in only}
+
+    # warm the tiers once so first-encounter codegen/Arrow-worker startup
+    # doesn't land inside a measured 1x number
+    for w in list(queries)[:1] + [
+        q for q in ("udf_features", "sketch_dedup", "processing_diff") if q in queries
+    ]:
+        queries[w](spark, d1).write.format("noop").mode("overwrite").save()
+
+    results: dict[str, dict] = {}
+    alerts: list[str] = []
+    for name, fn in queries.items():
+        row: dict = {}
+        for tag, d in (("t1", d1), ("tN", dn)):
+            t0 = time.perf_counter()
+            try:
+                fn(spark, d).write.format("noop").mode("overwrite").save()
+                row[tag] = round(time.perf_counter() - t0, 2)
+            except Exception as e:
+                row[tag] = None
+                row["err"] = str(e)[:200]
+            spark.catalog.clearCache()
+        if row.get("t1") and row.get("tN"):
+            row["exponent"] = round(
+                math.log(max(row["tN"], 1e-3) / max(row["t1"], 1e-3)) / math.log(factor), 3
+            )
+            if row["exponent"] > 1.25 and row["tN"] > 1.0:
+                alerts.append(f"{name}: x{factor} exponent {row['exponent']}")
+        results[name] = row
+        print(f"# {name}: 1x={row.get('t1')}s {factor}x={row.get('tN')}s "
+              f"exp={row.get('exponent')}", file=sys.stderr)
+    print(json.dumps({"factor": factor, "gates": results, "alerts": alerts}))
+    spark.stop()
 
 
 def main() -> None:
@@ -73,4 +206,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--gates":
+        gates_main()
+    else:
+        main()
