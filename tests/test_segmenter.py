@@ -1284,3 +1284,58 @@ def test_segmenter_fuzz_manual_segments(spark):
         assert np.allclose(got, exp), (starts, ends, got, exp)
 
     prop()
+
+
+def test_segmenter_fuzz_time_domain(spark):
+    """TIME-domain twin of the irregular-ts fuzz: random irregular
+    SECOND-grain timestamps, string window/stride args, same searchsorted
+    oracle in integer-microsecond space (the engine's exact arithmetic)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from tests.conftest import ref_segment_starts
+    from tsflex_spark import FeatureCollection, FeatureDescriptor
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        sec_set=st.sets(st.integers(0, 400), min_size=4, max_size=30),
+        window_s=st.integers(1, 60),
+        stride_s=st.integers(1, 30),
+        final=st.booleans(),
+    )
+    def prop(sec_set, window_s, stride_s, final):
+        secs = np.array(sorted(sec_set), dtype=np.int64)
+        ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(secs, unit="s")
+        vals = (secs % 7 + 1).astype(float)
+        df = spark.createDataFrame(pd.DataFrame({"ts": ts, "val": vals}))
+        fc = FeatureCollection(
+            FeatureDescriptor("sum", "val", f"{window_s}s", f"{stride_s}s")
+        )
+        out = (
+            fc.calculate(
+                df, ts_col="ts", window_idx="begin",
+                include_final_window=final, approve_sparsity=True,
+            )
+            .toPandas()
+            .sort_values("ts")
+        )
+        us = secs * 1_000_000
+        w_us, s_us = window_s * 1_000_000, stride_s * 1_000_000
+        starts = ref_segment_starts(int(us[0]), int(us[-1]), w_us, [s_us], final)
+        got_idx = (
+            pd.to_datetime(out["ts"]).astype("int64") // 1000
+            - pd.Timestamp("2024-01-01").value // 1000
+        ).to_numpy()
+        assert list(got_idx) == list(starts), (got_idx, starts)
+        exp_vals = _searchsorted_oracle(us, vals, starts, starts + w_us)
+        from tsflex_spark.utils.time_args import timedelta_to_str
+
+        wname = timedelta_to_str(pd.Timedelta(seconds=window_s))
+        got_vals = out[f"val__sum__w={wname}"].to_numpy(dtype=float)
+        assert np.allclose(got_vals, exp_vals), (starts, got_vals, exp_vals)
+
+    prop()

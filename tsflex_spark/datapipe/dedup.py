@@ -167,18 +167,21 @@ def minhash_signatures(
             F.array(*[F.col(f"__m{j}") for j in range(num_hashes)]).alias("minhash"),
         )
     k = int(num_hashes)
-    aggs = _oph_aggs(F.col("__h"), k)
-    g = ex.groupBy(id_col).agg(*aggs)
+    ex = ex.withColumn("__b", F.pmod(F.col("__h"), F.lit(k)).cast("int"))
+    g = ex.groupBy(id_col).agg(*_oph_aggs(F.col("__h"), k, "__b"))
     return g.select(F.col(id_col), _oph_signature(k).alias("minhash"))
 
 
-def _oph_aggs(h: Column, k: int) -> List[Column]:
+def _oph_aggs(h: Column, k: int, bin_col: str) -> List[Column]:
     """ONE hash-aggregate with k conditional mins — map-side combine
     collapses each doc to a single k-wide buffer before the shuffle
     (the earlier two-level groupBy(id, bin) + collect_list shape
     shuffled ~k rows per doc and then densified through an INTERPRETED
-    higher-order lambda — 64 evals/doc; this form is all codegen)."""
-    b = F.pmod(h, F.lit(k)).cast("int")
+    higher-order lambda — 64 evals/doc; this form is all codegen).
+    ``bin_col`` must hold ``pmod(h, k)`` precomputed ONCE per row —
+    inlining the pmod into each of the k conditions would evaluate it
+    k times per row."""
+    b = F.col(bin_col)
     return [
         F.min(F.when(b == j, h)).alias(f"__m{j}") for j in range(k)
     ] + [F.min(h).alias("__dm")]
@@ -490,9 +493,9 @@ def sketch_signatures(
         id_col,
         F.xxhash64("__s", F.lit(seed)).alias("__hm"),
         F.xxhash64("__s").alias("__hs"),
-    )
+    ).withColumn("__b", F.pmod(F.col("__hm"), F.lit(k)).cast("int"))
     g = ex.groupBy(id_col).agg(
-        *_oph_aggs(F.col("__hm"), k), *_simhash_aggs(F.col("__hs"))
+        *_oph_aggs(F.col("__hm"), k, "__b"), *_simhash_aggs(F.col("__hs"))
     )
     return g.select(
         F.col(id_col),
