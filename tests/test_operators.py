@@ -3012,3 +3012,74 @@ def test_windowed_features_stream_sliding(spark, tmp_path):
     assert m >= 7
     assert np.allclose(got[col].to_numpy()[:m], exp[col].to_numpy()[:m], atol=1e-12)
     assert got["ts"].iloc[:m].equals(exp["ts"].iloc[:m])
+
+
+def test_point_in_time_join_merge_asof_parity(spark):
+    """point_in_time_join (feature-store training-set assembly) must match
+    pandas merge_asof per feature table: latest at-or-before value per
+    entity, NULL past tolerance, strictly-before under strict=True."""
+    from tsflex_spark.relational import point_in_time_join
+
+    rng = np.random.default_rng(3)
+    base = pd.Timestamp("2024-03-01")
+
+    def rand_tbl(n, col):
+        return pd.DataFrame(
+            {
+                "user_id": rng.integers(0, 5, n),
+                "ts": base + pd.to_timedelta(rng.choice(86400, n, replace=False), unit="s"),
+                col: rng.normal(size=n).round(3),
+            }
+        ).sort_values("ts")
+
+    labels = rand_tbl(60, "y")
+    f_a = rand_tbl(40, "bal")
+    f_b = rand_tbl(25, "score")
+
+    out = point_in_time_join(
+        spark.createDataFrame(labels),
+        {"acct": spark.createDataFrame(f_a), "risk": spark.createDataFrame(f_b)},
+        on="ts",
+        by=["user_id"],
+        tolerance={"risk": "2h"},
+    ).toPandas().sort_values(["user_id", "ts"]).reset_index(drop=True)
+
+    exp = labels.sort_values("ts")
+    exp = pd.merge_asof(
+        exp, f_a.rename(columns={"bal": "acct__bal"}).sort_values("ts"),
+        on="ts", by="user_id", direction="backward",
+    )
+    exp = pd.merge_asof(
+        exp, f_b.rename(columns={"score": "risk__score"}).sort_values("ts"),
+        on="ts", by="user_id", direction="backward",
+        tolerance=pd.Timedelta("2h"),
+    )
+    exp = exp.sort_values(["user_id", "ts"]).reset_index(drop=True)
+    for c in ("y", "acct__bal", "risk__score"):
+        a, b = out[c].to_numpy(dtype=float), exp[c].to_numpy(dtype=float)
+        assert np.allclose(a, b, equal_nan=True), (c, a[:5], b[:5])
+
+    # per-table matched-timestamp (feature freshness) survives multi-table
+    # assembly without colliding
+    assert "acct__ts_matched" in out.columns and "risk__ts_matched" in out.columns
+
+    # strict mode: a feature stamped exactly at the label instant is
+    # excluded (leakage-conservative, merge_asof allow_exact_matches=False
+    # semantics). ONE label per user so the same-instant feature is the
+    # only candidate.
+    eq_ts = labels.drop_duplicates("user_id").copy()
+    feat = eq_ts[["user_id", "ts"]].copy()
+    feat["v"] = 1.0
+    s_out = point_in_time_join(
+        spark.createDataFrame(eq_ts),
+        {"f": spark.createDataFrame(feat)},
+        on="ts", by=["user_id"], strict=True,
+    ).toPandas()
+    assert s_out["f__v"].isna().all()
+    assert "__pit_ts" not in s_out.columns
+    loose = point_in_time_join(
+        spark.createDataFrame(eq_ts),
+        {"f": spark.createDataFrame(feat)},
+        on="ts", by=["user_id"],
+    ).toPandas()
+    assert (loose["f__v"] == 1.0).all()

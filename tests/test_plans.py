@@ -603,3 +603,20 @@ def test_vectorized_tier_single_bucket_exchange(spark):
     # side more than once per side
     assert plan.count("hashpartitioning(__ubkt") == 1, plan
     assert out.count() > 0
+
+
+def test_point_in_time_join_plan_shape(spark):
+    """K-table PIT assembly must stay K keyed window passes — no
+    BroadcastNestedLoop/cartesian, no single-partition exchange."""
+    import pandas as pd
+
+    from tsflex_spark.relational import point_in_time_join
+    from tsflex_spark.utils.plans import scale_report
+
+    ts = pd.date_range("2024-01-01", periods=50, freq="1min")
+    lab = spark.createDataFrame(pd.DataFrame({"k": [1, 2] * 25, "ts": ts, "y": 1.0}))
+    f1 = spark.createDataFrame(pd.DataFrame({"k": [1, 2] * 10, "ts": ts[:20], "a": 2.0}))
+    f2 = spark.createDataFrame(pd.DataFrame({"k": [1, 2] * 5, "ts": ts[:10], "b": 3.0}))
+    out = point_in_time_join(lab, {"f1": f1, "f2": f2}, on="ts", by=["k"], strict=True)
+    rep = scale_report(out)
+    assert rep["findings"] == [], rep["findings"]

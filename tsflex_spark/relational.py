@@ -15,7 +15,7 @@ AT t is visible to a left row AT t — same as DuckDB/pandas
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Union
+from typing import Mapping, Optional, Sequence, Union
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -266,3 +266,72 @@ def interval_join(
         .drop(*[r_b[c] for c in by])
     )
     return out.drop("__b", "__ls", "__le", "__rs", "__re")
+
+
+def point_in_time_join(
+    labels: DataFrame,
+    features: "Mapping[str, DataFrame]",
+    *,
+    on: str = "ts",
+    by: Sequence[str] = (),
+    tolerance: Optional[Union[str, pd.Timedelta, int, float, dict]] = None,
+    strict: bool = False,
+) -> DataFrame:
+    """Point-in-time-correct training-set assembly (the feature-store
+    join): for every label row, attach each feature table's latest row
+    at-or-before (``strict=False``) / strictly-before (``strict=True``)
+    the label timestamp, per ``by`` entity — the op that builds a
+    leakage-free supervised dataset from event-time feature tables.
+
+    ``features`` maps a table name to its DataFrame; every non-key,
+    non-timestamp column comes back prefixed ``{name}__`` so sources
+    never collide. ``tolerance`` is global, or a per-table dict
+    (``{"txn": "7d"}``) — a feature older than the tolerance at label
+    time stays NULL (treat stale features as missing, don't leak a
+    months-old value into training).
+
+    ``strict=True`` excludes features stamped exactly AT the label
+    instant — the conservative convention when feature rows aggregate a
+    window ENDING at their timestamp (an exact-time row already contains
+    the label instant). Implemented by shifting the label's join key one
+    microsecond (TIME) / one ULP-scale epsilon is NOT used for SEQUENCE —
+    sequence domains pass ``strict`` via an integer shift of 1, so use
+    integer sequence indexes with strict mode.
+
+    Scale shape: one ``asof_join`` per feature table — each is a
+    union-and-carry window pass (single keyed exchange per side, no
+    range join, no BroadcastNestedLoop); K feature tables = K keyed
+    window passes over labels+features, never a fan-out join.
+    """
+    from pyspark.sql import types as T
+
+    out = labels
+    is_time = isinstance(labels.schema[on].dataType, (T.TimestampType, T.TimestampNTZType))
+    if strict:
+        shift = F.expr(f"`{on}` - INTERVAL 1 MICROSECOND") if is_time else F.col(on) - F.lit(1)
+        out = out.withColumn("__pit_ts", shift)
+    join_on = "__pit_ts" if strict else on
+    for name, fdf in features.items():
+        val_cols = [c for c in fdf.columns if c != on and c not in by]
+        renamed = fdf.select(
+            *by,
+            F.col(on).alias(join_on),
+            *[F.col(c).alias(f"{name}__{c}") for c in val_cols],
+        )
+        tol = tolerance.get(name) if isinstance(tolerance, dict) else tolerance
+        out = asof_join(
+            out,
+            renamed,
+            on=join_on,
+            by=by,
+            value_cols=[f"{name}__{c}" for c in val_cols],
+            direction="backward",
+            tolerance=tol,
+        )
+        # asof_join emits the matched right timestamp as {join_on}_r —
+        # per-table feature freshness; rename before the next table's
+        # join overwrites it
+        out = out.withColumnRenamed(f"{join_on}_r", f"{name}__{on}_matched")
+    if strict:
+        out = out.drop("__pit_ts")
+    return out
