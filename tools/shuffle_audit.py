@@ -35,6 +35,13 @@ shingle-join verify over ~75% of the docs). Write scales linearly with
 corpus size (no quadratic pair blow-up: candidates stay ~2k of 12.5M
 possible pairs), so the constant is fine at cluster scale. Next:
 processing_resample 27.2, dup_clusters 13.4, quality_score 13.2.
+
+Round-6 re-run after the sketch fusion + BLAS cosine legs: sketch_dedup
+shuffle unchanged at 38.0 MB (the fused aggregate carries both sketch
+buffers through ONE doc-keyed exchange — bytes ≈ the former two
+exchanges combined; the 11.7→7.1 s win is the removed second shingle
+scan + aggregate pass, not shuffle volume). cosine_topk shuffle is now
+~0 MB (map-only BLAS partials; the HOF-lambda plan's exchange is gone).
 """
 
 from __future__ import annotations

@@ -1351,6 +1351,11 @@ class FeatureCollection:
         result = parts[0]
         for p in parts[1:]:
             result = result.join(p, on=group_cols, how="full")
+        # the per-island frame (1 row per run) feeds BOTH sides of the
+        # island+1 self-join below — checkpoint it so the islands pass
+        # (range partition + boundary patch) and the aggregates execute
+        # once, not once per join side
+        result = result.localCheckpoint(eager=False)
 
         # end = next run's start; last run end = last index +1day/+1.
         # island ids are consecutive integers per key, so "next run" is a
