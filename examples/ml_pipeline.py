@@ -45,17 +45,31 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     ).localCheckpoint(eager=False)
     feat_cols = [c for c in feats.columns if "__" in c]
 
-    # label: "active window" = count above this corpus's median count
-    med = feats.agg(F.median(f"value__count__w=6h").alias("m")).first()["m"]
-    labeled = feats.withColumn(
-        "label", (F.col("value__count__w=6h") > F.lit(float(med))).cast("double")
-    ).na.drop(subset=feat_cols)
+    # label events: is this event's value in the corpus's top half?
+    med_v = ev.agg(F.median("value").alias("m")).first()["m"]
+    labels = ev.select(
+        "user_id",
+        "ts",
+        (F.col("value") > F.lit(float(med_v))).cast("double").alias("label"),
+    )
 
-    scores = feature_relevance(labeled, "label", feat_cols)
+    # LEAKAGE-FREE training-set assembly: each label event gets the
+    # user's latest feature window strictly BEFORE the event instant
+    # (feature-store point-in-time join); features staler than a day
+    # stay NULL rather than leaking months-old state into training
+    from tsflex_spark.relational import point_in_time_join
+
+    pit_cols = [f"roll__{c}" for c in feat_cols]
+    labeled = point_in_time_join(
+        labels, {"roll": feats}, on="ts", by=["user_id"],
+        tolerance="1d", strict=True,
+    ).na.drop(subset=pit_cols)
+
+    scores = feature_relevance(labeled, "label", pit_cols)
     print("top features:", [(s["feature"], round(s["p"], 4)) for s in scores[:3]])
-    selected = select_features(labeled, "label", feat_cols, keep_cols=["user_id", "ts"])
-    kept = [c for c in selected.columns if "__" in c]
-    print(f"BH kept {len(kept)}/{len(feat_cols)} features")
+    selected = select_features(labeled, "label", pit_cols, keep_cols=["user_id", "ts"])
+    kept = [c for c in selected.columns if c in pit_cols]
+    print(f"BH kept {len(kept)}/{len(pit_cols)} features")
 
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.evaluation import BinaryClassificationEvaluator
