@@ -1339,3 +1339,57 @@ def test_segmenter_fuzz_time_domain(spark):
         assert np.allclose(got_vals, exp_vals), (starts, got_vals, exp_vals)
 
     prop()
+
+
+def test_two_level_rewrite_fuzz(spark):
+    """Hypothesis twin of the two-level equivalence test: RANDOM window /
+    stride / function subsets / irregular integer timestamps must produce
+    bit-identical results with the pre-aggregation rewrite forced ON vs
+    OFF (exact ops on integer data — no float tolerance needed)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from tsflex_spark import FeatureCollection, FeatureDescriptor
+
+    FUNCS = ["sum", "count", "min", "max", "first", "last"]
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        ts_set=st.sets(st.integers(0, 500), min_size=8, max_size=60),
+        window=st.integers(4, 60),
+        strides=st.lists(st.integers(1, 6), min_size=1, max_size=2, unique=True),
+        funcs=st.sets(st.sampled_from(FUNCS), min_size=1, max_size=4),
+        final=st.booleans(),
+    )
+    def prop(ts_set, window, strides, funcs, final):
+        ts = np.array(sorted(ts_set), dtype=np.int64)
+        vals = (ts * 13 % 97).astype(np.int64)
+        df = spark.createDataFrame(pd.DataFrame({"ts": ts, "v": vals}))
+        fc = FeatureCollection(
+            [FeatureDescriptor(f, "v", window, [float(s) for s in strides])
+             for f in sorted(funcs)]
+        )
+        kw = dict(
+            ts_col="ts", include_final_window=final, approve_sparsity=True
+        )
+        try:
+            FeatureCollection.TWO_LEVEL_FANOUT_THRESHOLD = 10**9  # force OFF
+            one = fc.calculate(df, **kw).toPandas()
+            FeatureCollection.TWO_LEVEL_FANOUT_THRESHOLD = 1  # force ON
+            two = fc.calculate(df, **kw).toPandas()
+        finally:
+            FeatureCollection.TWO_LEVEL_FANOUT_THRESHOLD = 8
+        one = one.sort_values("ts").reset_index(drop=True)
+        two = two.sort_values("ts").reset_index(drop=True)
+        assert list(one.columns) == list(two.columns)
+        assert len(one) == len(two), (len(one), len(two))
+        for c in one.columns:
+            a, b = one[c], two[c]
+            same = (a == b) | (a.isna() & b.isna())
+            assert same.all(), (c, window, strides, one[~same].head(), two[~same].head())
+
+    prop()
