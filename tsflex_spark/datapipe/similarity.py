@@ -242,12 +242,18 @@ def knn_join(
             f"use lsh_bucket_topk / ivf_search_parquet (bucketed ANN "
             f"joins), or raise max_queries if the driver can hold it."
         )
+    score_col = "cosine" if metric == "cosine" else "d2"
+    if len(qp) == 0:
+        # empty query table: empty result, right schema, no corpus scan
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [], f"{q_id_col} long, {id_col} long, {score_col} double, rank int"
+        )
     Q = np.asarray(qp[vec_col].tolist(), dtype="float64")
     if metric == "cosine":
         Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     qids = qp[q_id_col].to_numpy()
     kk = int(k)
-    score_col = "cosine" if metric == "cosine" else "d2"
 
     def part(batches):
         for pdf in batches:
