@@ -92,3 +92,54 @@ def test_processing_degenerate(spark, frames):
     assert resample_interpolate(empty, ts_col="ts", value_col="v", period="1s").count() == 0
     assert chunk_data(empty, ts_col="ts", max_gap="10s").count() == 0
     assert chunk_data(one, ts_col="ts", max_gap="10s").count() == 1
+
+
+def test_text_lm_curation_degenerate(spark):
+    from tsflex_spark.datapipe.curation import corpus_stats, deterministic_split
+    from tsflex_spark.datapipe.decontam import decontaminate
+    from tsflex_spark.datapipe.lm import score_perplexity, train_ngram_lm
+    from tsflex_spark.datapipe.pipeline import clean_corpus
+    from tsflex_spark.datapipe.text import (
+        chunk_documents,
+        language_id,
+        quality_score,
+        repetition_stats,
+    )
+
+    edocs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    one = spark.createDataFrame(
+        [(1, "hello world this is a doc", "en", "web", 25)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    for fn in (quality_score, language_id, repetition_stats):
+        assert fn(edocs, "text", id_col="doc_id").count() == 0
+    assert chunk_documents(edocs, "text", id_col="doc_id", max_tokens=10).count() == 0
+    assert train_ngram_lm(edocs, "text", id_col="doc_id") is not None
+    lm = train_ngram_lm(one, "text", id_col="doc_id")
+    assert score_perplexity(one, lm, "text", id_col="doc_id").count() == 1
+    assert deterministic_split(edocs, "doc_id", [0.8, 0.2], names=("train", "val")).count() == 0
+    assert corpus_stats(edocs, text_col="text", source_col="source").count() == 0
+    assert decontaminate(edocs, one, text_col="text", id_col="doc_id").count() == 0
+    assert decontaminate(one, edocs, text_col="text", id_col="doc_id").count() == 1
+    assert clean_corpus(edocs, text_col="text", id_col="doc_id").count() == 0
+
+
+def test_loud_guards_on_unusable_inputs(spark):
+    """Ops whose result would be meaningless on empty input raise CLEAR
+    errors instead of silently returning nothing."""
+    from tsflex_spark.datapipe.embedding import kmeans_fit, pca_train
+    from tsflex_spark.datapipe.retrieval import bm25_score
+
+    edocs = spark.createDataFrame([], "doc_id long, text string")
+    one = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    eemb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty corpus"):
+        bm25_score(edocs, "hello", text_col="text", id_col="doc_id")
+    with pytest.raises(ValueError, match="no tokens"):
+        bm25_score(one, "", text_col="text", id_col="doc_id")
+    with pytest.raises(ValueError, match="non-null vectors"):
+        pca_train(eemb, k=2)
+    with pytest.raises(ValueError, match="non-null vectors"):
+        kmeans_fit(eemb, k=2)
