@@ -1393,3 +1393,50 @@ def test_two_level_rewrite_fuzz(spark):
             assert same.all(), (c, window, strides, one[~same].head(), two[~same].head())
 
     prop()
+
+
+def test_count_based_rolling_fuzz(spark):
+    """Count-based (sample-position) rolling on IRREGULAR timestamps:
+    positions, not durations, define segments; output index is the
+    timestamp AT the begin/end sample position. Oracle = direct numpy
+    position slicing."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from tsflex_spark import FeatureCollection, FeatureDescriptor
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        sec_set=st.sets(st.integers(0, 3000), min_size=6, max_size=40),
+        window=st.integers(1, 12),
+        stride=st.integers(1, 9),
+        widx=st.sampled_from(["begin", "end"]),
+    )
+    def prop(sec_set, window, stride, widx):
+        secs = np.array(sorted(sec_set), dtype=np.int64)
+        n = len(secs)
+        if window > n - 1:
+            return
+        ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(secs, unit="s")
+        vals = (secs % 11 + 1).astype(float)
+        df = spark.createDataFrame(pd.DataFrame({"ts": ts, "v": vals}))
+        fc = FeatureCollection(FeatureDescriptor("sum", "v", window, stride))
+        out = (
+            fc.calculate(df, ts_col="ts", window_idx=widx, approve_sparsity=True)
+            .toPandas()
+            .sort_values("ts")
+        )
+        nb = max((n - 1 - window) // stride + 1, 0)
+        starts = np.arange(nb) * stride
+        pos_idx = starts if widx == "begin" else starts + window
+        exp_idx = ts[pos_idx]
+        exp_vals = [float(vals[s: s + window].sum()) for s in starts]
+        assert list(pd.to_datetime(out["ts"])) == list(exp_idx), (widx, out["ts"].tolist(), list(exp_idx))
+        got = out[f"v__sum__w={window}"].to_numpy(dtype=float)
+        assert np.allclose(got, exp_vals), (starts, got, exp_vals)
+
+    prop()
