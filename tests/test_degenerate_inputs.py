@@ -143,3 +143,15 @@ def test_loud_guards_on_unusable_inputs(spark):
         pca_train(eemb, k=2)
     with pytest.raises(ValueError, match="non-null vectors"):
         kmeans_fit(eemb, k=2)
+
+
+def test_distributed_helpers_degenerate(spark):
+    from tsflex_spark.processing.anomaly import anomaly_zscore
+    from tsflex_spark.processing.downsample import lttb
+    from tsflex_spark.utils.distributed import exact_quantiles, with_global_shift
+
+    empty = spark.createDataFrame([], "ts timestamp, value double, k long")
+    assert with_global_shift(empty, ["value"], "ts", ["value_lag"]).count() == 0
+    assert exact_quantiles(empty.select("value"), "value", [0.5]).count() == 1
+    assert anomaly_zscore(empty, "ts", "value", "60s", ["k"]).count() == 0
+    assert lttb(empty, ts_col="ts", value_col="value", n_out=10).count() == 0
