@@ -3083,3 +3083,72 @@ def test_point_in_time_join_merge_asof_parity(spark):
         on="ts", by=["user_id"],
     ).toPandas()
     assert (loose["f__v"] == 1.0).all()
+
+
+def test_asof_join_fuzz_merge_asof_parity(spark):
+    """Hypothesis fuzz: asof_join vs pandas merge_asof over random keyed
+    irregular timestamps, both directions, with and without tolerance.
+    Right-side timestamps may COLLIDE with left ones (inclusive ties are
+    the subtle case)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from tsflex_spark.relational import asof_join
+
+    base = pd.Timestamp("2024-05-01")
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        lsec=st.sets(st.integers(0, 400), min_size=2, max_size=25),
+        rsec=st.sets(st.integers(0, 400), min_size=1, max_size=25),
+        nkeys=st.integers(1, 3),
+        direction=st.sampled_from(["backward", "forward"]),
+        tol=st.sampled_from([None, "30s", "5s"]),
+    )
+    def prop(lsec, rsec, nkeys, direction, tol):
+        lts = np.array(sorted(lsec))
+        rts = np.array(sorted(rsec))
+        lpdf = pd.DataFrame(
+            {
+                "k": (lts % nkeys).astype("int64"),
+                "ts": base + pd.to_timedelta(lts, unit="s"),
+                "lid": np.arange(len(lts)),
+            }
+        )
+        rpdf = pd.DataFrame(
+            {
+                "k": ((rts * 7) % nkeys).astype("int64"),
+                "ts": base + pd.to_timedelta(rts, unit="s"),
+                "rv": (rts * 1.5),
+            }
+        )
+        out = (
+            asof_join(
+                spark.createDataFrame(lpdf),
+                spark.createDataFrame(rpdf),
+                on="ts",
+                by=["k"],
+                value_cols=["rv"],
+                direction=direction,
+                tolerance=tol,
+            )
+            .orderBy("lid")
+            .toPandas()
+        )
+        exp = pd.merge_asof(
+            lpdf.sort_values("ts"),
+            rpdf.sort_values("ts"),
+            on="ts",
+            by="k",
+            direction=direction,
+            tolerance=pd.Timedelta(tol) if tol else None,
+        ).sort_values("lid")
+        a = out["rv"].to_numpy(dtype=float)
+        b = exp["rv"].to_numpy(dtype=float)
+        assert np.allclose(a, b, equal_nan=True), (direction, tol, a, b)
+
+    prop()
