@@ -559,3 +559,59 @@ def test_column_tier_pipeline_runs_on_stream(spark, tmp_path):
     assert list(got.columns) == list(exp.columns)
     for c in exp.columns:
         assert got[c].equals(exp[c]), c
+
+
+def test_resample_interpolate_fuzz(spark):
+    """Hypothesis fuzz: resample_interpolate vs numpy.interp over random
+    irregular keyed integer timelines and periods — grid [t0..t1] step
+    period (origin-aligned when given), exact at samples, linear between."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from tsflex_spark.processing.resample import resample_interpolate
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        t_set=st.sets(st.integers(0, 300), min_size=2, max_size=25),
+        period=st.integers(1, 17),
+        nkeys=st.integers(1, 3),
+        origin=st.sampled_from([None, 0, 7]),
+    )
+    def prop(t_set, period, nkeys, origin):
+        ts = np.array(sorted(t_set), dtype=np.int64)
+        rows = []
+        for k in range(nkeys):
+            vals = ((ts * (k + 3)) % 13).astype(float)
+            rows.append(pd.DataFrame({"k": k, "ts": ts, "v": vals}))
+        pdf = pd.concat(rows, ignore_index=True)
+        out = (
+            resample_interpolate(
+                spark.createDataFrame(pdf),
+                ts_col="ts",
+                value_col="v",
+                period=period,
+                key_cols=["k"],
+                origin=origin,
+            )
+            .toPandas()
+            .sort_values(["k", "ts"])
+            .reset_index(drop=True)
+        )
+        for k in range(nkeys):
+            t0, t1 = ts[0], ts[-1]
+            if origin is not None:
+                start = origin + int(np.ceil((t0 - origin) / period)) * period
+            else:
+                start = t0
+            grid = np.arange(start, t1 + 1, period)
+            vals = ((ts * (k + 3)) % 13).astype(float)
+            exp = np.interp(grid, ts, vals)
+            got = out[out["k"] == k]
+            assert list(got["ts"]) == list(grid), (k, list(got["ts"]), list(grid))
+            assert np.allclose(got["v"].to_numpy(), exp), (k, got["v"].tolist(), exp)
+
+    prop()
