@@ -293,10 +293,9 @@ def point_in_time_join(
     ``strict=True`` excludes features stamped exactly AT the label
     instant — the conservative convention when feature rows aggregate a
     window ENDING at their timestamp (an exact-time row already contains
-    the label instant). Implemented by shifting the label's join key one
-    microsecond (TIME) / one ULP-scale epsilon is NOT used for SEQUENCE —
-    sequence domains pass ``strict`` via an integer shift of 1, so use
-    integer sequence indexes with strict mode.
+    the label instant). Implemented by shifting the label's join key back
+    one microsecond (TIME domain) or one unit (SEQUENCE domain) — so with
+    strict mode a SEQUENCE index should be integer-grained.
 
     Scale shape: one ``asof_join`` per feature table — each is a
     union-and-carry window pass (single keyed exchange per side, no
