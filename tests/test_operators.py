@@ -3152,3 +3152,46 @@ def test_asof_join_fuzz_merge_asof_parity(spark):
         assert np.allclose(a, b, equal_nan=True), (direction, tol, a, b)
 
     prop()
+
+
+def test_latest_snapshot(spark):
+    """latest_snapshot: one row per key, latest at-or-before the cutoff;
+    pandas groupby-idxmax oracle."""
+    from tsflex_spark.relational import latest_snapshot
+
+    rng = np.random.default_rng(9)
+    n = 80
+    pdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 6, n),
+            "ts": pd.Timestamp("2024-06-01")
+            + pd.to_timedelta(rng.choice(10_000, n, replace=False), unit="s"),
+            "v": rng.normal(size=n).round(3),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    cut = pd.Timestamp("2024-06-01") + pd.Timedelta(seconds=5000)
+
+    out = latest_snapshot(df, on="ts", by=["k"], at=cut).toPandas().set_index("k")
+    sub = pdf[pdf.ts <= cut]
+    exp = sub.loc[sub.groupby("k")["ts"].idxmax()].set_index("k")
+    assert sorted(out.index) == sorted(exp.index)
+    for k in exp.index:
+        assert out.loc[k, "ts"] == exp.loc[k, "ts"]
+        assert out.loc[k, "v"] == exp.loc[k, "v"]
+
+    # no cutoff: overall latest; unkeyed: single global row
+    full = latest_snapshot(df, on="ts", by=["k"]).toPandas()
+    assert len(full) == pdf["k"].nunique()
+    g = latest_snapshot(df, on="ts").toPandas()
+    assert len(g) == 1 and g["ts"].iloc[0] == pdf["ts"].max()
+
+    # snapshot plan: ONE keyed exchange with map-side partial_max_by and
+    # no Window (max_by(struct) compiles to SortAggregate — the Sorts are
+    # per-partition local, the combine is still map-side)
+    from tests.test_plans import plan_of
+
+    plan = plan_of(latest_snapshot(df, on="ts", by=["k"]), "simple")
+    assert "Window" not in plan
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_max_by" in plan, plan

@@ -334,3 +334,34 @@ def point_in_time_join(
     if strict:
         out = out.drop("__pit_ts")
     return out
+
+
+def latest_snapshot(
+    features: DataFrame,
+    *,
+    on: str = "ts",
+    by: Sequence[str] = (),
+    at: Optional[Union[str, pd.Timestamp, int, float]] = None,
+) -> DataFrame:
+    """One row per entity: the feature table's latest row at-or-before
+    ``at`` (or the overall latest when ``at`` is None) — the ONLINE
+    companion to ``point_in_time_join``: compact an event-time feature
+    table into a serving snapshot, then broadcast-join it to a stream or
+    request batch (stream-static equality joins are supported by
+    Structured Streaming; per-event-time as-of against a static table is
+    not, so the snapshot is the streaming-safe shape).
+
+    Scale shape: one map-side-combinable ``max_by(struct(...), ts)``
+    aggregate — a single keyed exchange carrying one buffered row per
+    key per partition; no window, no sort.
+    """
+    by = list(by)
+    out_cols = [c for c in features.columns if c not in by]
+    d = features
+    if at is not None:
+        is_time = str(features.schema[on].dataType).startswith("Timestamp")
+        cut = F.lit(pd.Timestamp(at)) if is_time else F.lit(at)
+        d = d.where(F.col(on) <= cut)
+    picked = F.max_by(F.struct(*[F.col(c) for c in out_cols]), F.col(on)).alias("__r")
+    agg = d.groupBy(*by).agg(picked) if by else d.agg(picked)
+    return agg.select(*by, *[F.col(f"__r.{c}").alias(c) for c in out_cols])
