@@ -3195,3 +3195,52 @@ def test_latest_snapshot(spark):
     assert "Window" not in plan
     assert plan.count("Exchange") == 1, plan
     assert "partial_max_by" in plan, plan
+
+
+def test_sketch_signatures_fuzz_parity(spark):
+    """Hypothesis twin of the fused-sketch parity test: RANDOM doc sets
+    (unicode, whitespace runs, very short docs — the OPH densification
+    path) must produce bit-identical minhash + simhash from the fused
+    aggregate and the standalone ones."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from tsflex_spark.datapipe.dedup import (
+        minhash_signatures,
+        simhash,
+        sketch_signatures,
+    )
+
+    text_st = st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+        min_size=1,
+        max_size=120,
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        texts=st.lists(text_st, min_size=1, max_size=6),
+        num_hashes=st.sampled_from([16, 64]),
+    )
+    def prop(texts, num_hashes):
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": list(range(len(texts))), "text": texts})
+        )
+        fused = (
+            sketch_signatures(df, "text", "doc_id", num_hashes=num_hashes)
+            .toPandas().set_index("doc_id").sort_index()
+        )
+        mh = (
+            minhash_signatures(df, "text", "doc_id", num_hashes=num_hashes)
+            .toPandas().set_index("doc_id").sort_index()
+        )
+        sh = simhash(df, "text", "doc_id").toPandas().set_index("doc_id").sort_index()
+        for i in fused.index:
+            assert list(fused.loc[i, "minhash"]) == list(mh.loc[i, "minhash"]), i
+            assert fused.loc[i, "simhash"] == sh.loc[i, "simhash"], i
+
+    prop()
