@@ -3244,3 +3244,102 @@ def test_sketch_signatures_fuzz_parity(spark):
             assert fused.loc[i, "simhash"] == sh.loc[i, "simhash"], i
 
     prop()
+
+
+def test_connected_components_fuzz_distributed_vs_driver(spark):
+    """Random edge lists: the distributed large-star/small-star loop
+    (driver_threshold=0) must label every node identically to the driver
+    union-find fast path AND to a python reference."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from tsflex_spark.datapipe.dedup import connected_components
+
+    def py_cc(edges):
+        parent = {}
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 30), st.integers(0, 30)),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def prop(edges):
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            return
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        exp = py_cc(edges)
+        dist = connected_components(df, driver_threshold=0).toPandas()
+        fast = connected_components(df).toPandas()
+        for out, tag in ((dist, "distributed"), (fast, "driver")):
+            got = dict(zip(out["node"], out["component"]))
+            assert got == exp, (tag, got, exp)
+
+    prop()
+
+
+def test_remove_duplicate_lines_fuzz(spark):
+    """Random multi-line docs: corpus-level keep-first line dedup vs a
+    python reference (global (id, pos) order; short lines always kept)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from tsflex_spark.datapipe.dedup import remove_duplicate_lines
+
+    line_st = st.sampled_from(
+        ["", "nav", "cookie banner", "real content here", "x", "more body text",
+         "footer", "unique A", "unique B"]
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        docs=st.lists(st.lists(line_st, min_size=1, max_size=8), min_size=1, max_size=6),
+        min_chars=st.sampled_from([0, 2]),
+    )
+    def prop(docs, min_chars):
+        texts = ["\n".join(d) for d in docs]
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": list(range(len(texts))), "text": texts})
+        )
+        out = (
+            remove_duplicate_lines(
+                df, "text", "doc_id", min_line_chars=min_chars
+            )
+            .toPandas().set_index("doc_id")["text"]
+        )
+        seen = set()
+        exp = {}
+        for i, d in enumerate(docs):
+            kept = []
+            for ln in d:
+                if len(ln) < min_chars:
+                    kept.append(ln)
+                elif ln not in seen:
+                    seen.add(ln)
+                    kept.append(ln)
+            exp[i] = "\n".join(kept)
+        for i in exp:
+            assert out.loc[i] == exp[i], (i, min_chars, repr(out.loc[i]), repr(exp[i]))
+
+    prop()
