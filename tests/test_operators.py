@@ -3343,3 +3343,67 @@ def test_remove_duplicate_lines_fuzz(spark):
             assert out.loc[i] == exp[i], (i, min_chars, repr(out.loc[i]), repr(exp[i]))
 
     prop()
+
+
+def test_pack_and_chunk_fuzz_invariants(spark):
+    """Random sizes/documents: pack_sequences bins never exceed the budget
+    (except single oversized rows, alone in their bin) and every row packs
+    exactly once; chunk_documents chunks reassemble to the exact original
+    token sequence under overlap accounting."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from tsflex_spark.datapipe.text import chunk_documents, pack_sequences
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        sizes=st.lists(st.integers(1, 40), min_size=1, max_size=30),
+        budget=st.integers(8, 30),
+    )
+    def prop_pack(sizes, budget):
+        df = spark.createDataFrame(
+            pd.DataFrame({"rid": list(range(len(sizes))), "n": sizes})
+        )
+        out = pack_sequences(df, "n", budget).toPandas()
+        assert sorted(out["rid"]) == list(range(len(sizes)))  # exactly once
+        fills = out.groupby("bin_id")["n"].sum()
+        members = out.groupby("bin_id")["rid"].count()
+        for b in fills.index:
+            assert fills[b] <= budget or members[b] == 1, (b, fills[b], members[b])
+
+    prop_pack()
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        n_tok=st.integers(1, 60),
+        max_tokens=st.integers(2, 20),
+        overlap_frac=st.sampled_from([0.0, 0.25, 0.5]),
+    )
+    def prop_chunk(n_tok, max_tokens, overlap_frac):
+        overlap = int(max_tokens * overlap_frac)
+        toks = [f"t{i}" for i in range(n_tok)]
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [0], "text": [" ".join(toks)]})
+        )
+        out = (
+            chunk_documents(df, "text", "doc_id", max_tokens=max_tokens, overlap=overlap)
+            .toPandas().sort_values("chunk_id")
+        )
+        stride = max_tokens - overlap
+        rebuilt = []
+        for k, row in zip(out["chunk_id"], out["chunk_text"]):
+            ctoks = row.split(" ")
+            assert ctoks == toks[k * stride : k * stride + max_tokens], (k, ctoks)
+            assert len(ctoks) <= max_tokens
+            rebuilt.extend(ctoks if k == 0 else ctoks[overlap:])
+        assert rebuilt == toks, (max_tokens, overlap, rebuilt)
+
+    prop_chunk()
