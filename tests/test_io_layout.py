@@ -167,3 +167,27 @@ def test_write_zorder_null_and_skew(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 20_000
     assert back.where(F.col("y").isNull()).count() == 200
+
+
+def test_write_jsonl_roundtrip(spark, tmp_path):
+    """write_jsonl -> read_json round-trips content; gzip parts on disk;
+    num_files controls shard count."""
+    import glob
+    import pandas as pd
+
+    from tsflex_spark.sources.io import read_json, write_jsonl
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(20), "text": [f"doc {i} body" for i in range(20)]}
+    )
+    path = str(tmp_path / "corpus_jsonl")
+    write_jsonl(spark.createDataFrame(pdf), path, num_files=3)
+    parts = glob.glob(f"{path}/part-*.json.gz")
+    assert len(parts) == 3, parts
+    back = read_json(spark, path, schema="doc_id long, text string").toPandas()
+    back = back.sort_values("doc_id").reset_index(drop=True)
+    assert back.equals(pdf)
+
+    plain = str(tmp_path / "corpus_plain")
+    write_jsonl(spark.createDataFrame(pdf), plain, compression="none")
+    assert glob.glob(f"{plain}/part-*.json")

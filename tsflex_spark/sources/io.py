@@ -333,3 +333,26 @@ def write_zorder(
     if partition_by:
         w = w.partitionBy(*list(partition_by))
     w.parquet(path)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    *,
+    compression: Optional[str] = "gzip",
+    num_files: Optional[int] = None,
+    mode: str = "overwrite",
+) -> None:
+    """JSON-lines sink — the LLM-corpus interchange format (one JSON
+    object per line; ``compression`` in {gzip, zstd (codec availability
+    permitting), none}). ``num_files`` shards the output (repartition by
+    round-robin — a pure write-layout choice, no key semantics); leave it
+    None to keep the upstream partitioning and avoid the extra exchange.
+    """
+    out = df
+    if num_files is not None:
+        out = out.repartition(int(num_files))
+    w = out.write.mode(mode)
+    if compression and compression != "none":
+        w = w.option("compression", compression)
+    w.json(path)
