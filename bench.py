@@ -73,7 +73,13 @@ def main() -> None:
     # different rounds instead of poisoning both runs of one query —
     # measured on this shared host, external loadavg spikes with ~95%
     # idle guest CPU inflate whatever happens to be running by 1.3-2x.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # 3 interleaved rounds: the shared host's phantom-load bursts inflate
+    # whole MINUTES of wall time regardless of loadavg at start (three
+    # same-code runs measured 100.2 / 104.2 / 118.9 s totals); with
+    # min-of-3 a burst must span all three visits to a query to poison
+    # its number. Costs ~2 min of bench wall — worth it for a trustworthy
+    # artifact.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     samples: dict[str, list[float]] = {}
     for _round in range(max(1, runs)):
         for name, fn in queries.items():
