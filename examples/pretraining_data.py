@@ -79,6 +79,12 @@ def main(sf_dir: str = "/root/testdata/sf0.001", out_dir: str | None = None) -> 
     )
 
     out = out_dir or tempfile.mkdtemp(prefix="pretraining_shards_")
+    # token sequences ship as parquet (arrays of ints); the cleaned TEXT
+    # corpus also exports as gzip JSONL — the interchange format most
+    # downstream training stacks ingest
+    from tsflex_spark.sources.io import write_jsonl
+
+    write_jsonl(mixed.select("doc_id", "source", "text"), f"{out}_text_jsonl", num_files=2)
     shuffle_corpus(seqs, "bin_id", seed=0, num_files=4).write.mode(
         "overwrite"
     ).parquet(out)
