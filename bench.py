@@ -1,7 +1,9 @@
 """Benchmark harness: runs every headline query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+compact JSON line {"metric": ..., "value": total_sec, "unit": "sec",
+"mean_total_sec": ..., "sf": ...} as the LAST stdout line (the driver
+captures only the final ~2000 chars). Per-query min/mean detail is
+written to BENCH_FULL.json next to this script.
 
 Each query is timed end-to-end (plan build + execution + result fetch via
 a count-style action).  A warm-up pass on the first query absorbs JVM/
@@ -103,22 +105,44 @@ def main() -> None:
     means = {k: round(sum(v) / len(v), 4) for k, v in samples.items()}
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_mean": means,
-                "mean_total_sec": round(sum(means.values()), 4),
-                "loadavg_start": load_start,
-                "loadavg_end": loadavg(),
-                "rounds": max(1, runs),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = {
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_mean": means,
+        "mean_total_sec": round(sum(means.values()), 4),
+        "loadavg_start": load_start,
+        "loadavg_end": loadavg(),
+        "rounds": max(1, runs),
+        "sf": sf_val,
+    }
+    # Full per-query detail goes to a side file: the driver captures only
+    # the LAST ~2000 chars of stdout, and 50 queries x (min + mean) is a
+    # >4000-char line that truncated BENCH_r06 into parsed:null. The file
+    # keeps everything; stdout ends with one compact (<500 char) summary
+    # line so the tail capture always contains parseable JSON.
+    side = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    try:
+        with open(side, "w") as fh:
+            json.dump(full, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass
+    compact = {
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "mean_total_sec": full["mean_total_sec"],
+        "loadavg_start": load_start,
+        "loadavg_end": full["loadavg_end"],
+        "rounds": max(1, runs),
+        "n_queries": len(timings),
+        "detail_file": "BENCH_FULL.json",
+        "sf": sf_val,
+    }
+    print(json.dumps(compact))
     spark.stop()
 
 

@@ -835,6 +835,34 @@ def test_knn_join_matches_bruteforce(spark):
         knn_join(corpus, queries, k=4, metric="manhattan")
 
 
+def test_knn_join_typed_ids_and_d2_clamp(spark):
+    """String/int32 id columns keep their types end-to-end, and the
+    expanded euclidean form never emits negative d2 for identical
+    vectors (float cancellation clamp)."""
+    from tsflex_spark.datapipe.similarity import knn_join
+
+    v = [0.1234567891234567, -0.7654321987654321, 0.3333333333333333]
+    corpus = spark.createDataFrame(
+        [("doc-a", v), ("doc-b", [x * 1.0000000000000002 for x in v])],
+        "doc string, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(7, v)], "qid int, embedding array<double>"
+    )
+    out = knn_join(
+        corpus, queries, k=2, id_col="doc", q_id_col="qid", metric="euclidean"
+    )
+    assert [f.dataType.simpleString() for f in out.schema[:2]] == ["int", "string"]
+    pdf = out.toPandas().sort_values("rank")
+    assert list(pdf["doc"]) == ["doc-a", "doc-b"]
+    assert (pdf["d2"] >= 0).all()
+    # empty-query early return carries the same typed schema
+    eq = spark.createDataFrame([], "qid int, embedding array<double>")
+    empty = knn_join(corpus, eq, k=2, id_col="doc", q_id_col="qid")
+    assert empty.count() == 0
+    assert [f.dataType.simpleString() for f in empty.schema[:2]] == ["int", "string"]
+
+
 def test_clean_corpus_pipeline(spark):
     from tsflex_spark.datapipe.pipeline import clean_corpus
 
@@ -3083,6 +3111,24 @@ def test_point_in_time_join_merge_asof_parity(spark):
         on="ts", by=["user_id"],
     ).toPandas()
     assert (loose["f__v"] == 1.0).all()
+
+    # non-dict Mapping tolerances (e.g. MappingProxyType) dispatch
+    # per-table exactly like a plain dict — the annotation is Mapping
+    from types import MappingProxyType
+
+    out_mp = point_in_time_join(
+        spark.createDataFrame(labels),
+        {"acct": spark.createDataFrame(f_a), "risk": spark.createDataFrame(f_b)},
+        on="ts",
+        by=["user_id"],
+        tolerance=MappingProxyType({"risk": "2h"}),
+    ).toPandas().sort_values(["user_id", "ts"]).reset_index(drop=True)
+    for c in ("acct__bal", "risk__score"):
+        assert np.allclose(
+            out_mp[c].to_numpy(dtype=float),
+            out[c].to_numpy(dtype=float),
+            equal_nan=True,
+        ), c
 
 
 def test_asof_join_fuzz_merge_asof_parity(spark):

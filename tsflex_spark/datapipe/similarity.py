@@ -243,12 +243,15 @@ def knn_join(
             f"joins), or raise max_queries if the driver can hold it."
         )
     score_col = "cosine" if metric == "cosine" else "d2"
+    # id columns keep their source types (string/int32/long all valid) —
+    # hardcoding `long` here silently mistyped non-long ids
+    q_id_t = queries.schema[q_id_col].dataType.simpleString()
+    id_t = df.schema[id_col].dataType.simpleString()
+    pair_schema = f"`{q_id_col}` {q_id_t}, `{id_col}` {id_t}, {score_col} double"
     if len(qp) == 0:
         # empty query table: empty result, right schema, no corpus scan
         spark = df.sparkSession
-        return spark.createDataFrame(
-            [], f"{q_id_col} long, {id_col} long, {score_col} double, rank int"
-        )
+        return spark.createDataFrame([], pair_schema + ", rank int")
     Q = np.asarray(qp[vec_col].tolist(), dtype="float64")
     if metric == "cosine":
         Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
@@ -270,6 +273,9 @@ def knn_join(
                     - 2.0 * (Q @ C.T)
                     + (C * C).sum(axis=1)
                 )
+                # float cancellation can push near-identical vectors
+                # slightly negative; clamp so d2 >= 0 holds downstream
+                np.maximum(S, 0.0, out=S)
             top = min(kk, S.shape[1])
             idx = np.argpartition(S, top - 1, axis=1)[:, :top]
             ids = pdf[id_col].to_numpy()
@@ -283,7 +289,7 @@ def knn_join(
             )
 
     partial = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        part, f"{q_id_col} long, {id_col} long, {score_col} double"
+        part, pair_schema
     )
     order = (
         F.col(score_col).desc() if metric == "cosine" else F.col(score_col).asc()

@@ -15,6 +15,7 @@ AT t is visible to a left row AT t — same as DuckDB/pandas
 
 from __future__ import annotations
 
+from collections.abc import Mapping as _AbcMapping
 from typing import Mapping, Optional, Sequence, Union
 
 import pandas as pd
@@ -317,7 +318,7 @@ def point_in_time_join(
             F.col(on).alias(join_on),
             *[F.col(c).alias(f"{name}__{c}") for c in val_cols],
         )
-        tol = tolerance.get(name) if isinstance(tolerance, dict) else tolerance
+        tol = tolerance.get(name) if isinstance(tolerance, _AbcMapping) else tolerance
         out = asof_join(
             out,
             renamed,
