@@ -15,5 +15,5 @@ VENV="${INTEGRATION_VENV:-/tmp/tsflex_spark_integration_venv}"
 if [ ! -x "$VENV/bin/python" ]; then
     python -m venv --system-site-packages "$VENV"
 fi
-"$VENV/bin/pip" install --quiet seglearn tsfresh tsfel pycatch22
-exec "$VENV/bin/python" -m pytest tests/test_integrations_optional.py -m real_libs -v "$@"
+"$VENV/bin/pip" install --quiet seglearn tsfresh tsfel pycatch22 pillow soundfile
+exec "$VENV/bin/python" -m pytest tests/test_integrations_optional.py tests/test_multimodal_optional.py -m real_libs -v "$@"

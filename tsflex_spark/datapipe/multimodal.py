@@ -2,8 +2,12 @@
 
 The decode step is STUBBED (image/audio libs are not in this container —
 ``decode_fn=None`` uses a deterministic fake so the Spark-side plumbing is
-fully testable). The real structure — schema contracts, Arrow batch shape,
-``mapInPandas`` signatures, partition sizing — is production-shaped:
+fully testable). ``decode_fn="auto"`` upgrades to a real codec when the
+library is importable (Pillow for images, soundfile for audio) and falls
+back to the fake otherwise; ``decode_fn=None`` is ALWAYS the fake (the
+oracle-stable default). The real structure — schema contracts, Arrow
+batch shape, ``mapInPandas`` signatures, partition sizing — is
+production-shaped:
 
 - media rows are ``(id, media binary, meta struct)``;
 - decode/feature-extract run as ``mapInPandas`` (arrow batches, streaming
@@ -16,7 +20,7 @@ fully testable). The real structure — schema contracts, Arrow batch shape,
 
 from __future__ import annotations
 
-from typing import Callable, Iterator, Optional
+from typing import Callable, Iterator, Optional, Union
 
 import numpy as np
 import pandas as pd
@@ -42,11 +46,77 @@ def _fake_decode(blob: bytes) -> np.ndarray:
     return (arr.reshape(8, 8) / 255.0).astype(np.float32)
 
 
+# --------------------------------------------- optional real-codec tier
+def pil_image_decoder() -> Optional[Callable[[bytes], np.ndarray]]:
+    """A real Pillow-backed decoder (bytes → float32 grayscale in [0, 1])
+    when Pillow is importable, else None. The import happens HERE (driver
+    side, once) — the returned closure imports lazily per executor so it
+    cloudpickles cleanly."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError:
+        return None
+
+    def decode(blob: bytes) -> np.ndarray:
+        import io
+
+        from PIL import Image
+
+        if blob is None or len(blob) == 0:
+            return np.zeros((8, 8), dtype=np.float32)
+        img = Image.open(io.BytesIO(blob)).convert("L")
+        return (np.asarray(img, dtype=np.float32) / 255.0).astype(np.float32)
+
+    return decode
+
+
+def soundfile_audio_decoder() -> Optional[Callable[[bytes], np.ndarray]]:
+    """A real soundfile-backed decoder (bytes → float32 mono waveform in
+    [-1, 1]) when soundfile is importable, else None."""
+    try:
+        import soundfile  # noqa: F401
+    except ImportError:
+        return None
+
+    def decode(blob: bytes) -> np.ndarray:
+        import io
+
+        import soundfile as sf
+
+        if blob is None or len(blob) == 0:
+            return np.zeros(16, dtype=np.float32)
+        data, _rate = sf.read(io.BytesIO(blob), dtype="float32", always_2d=True)
+        return data.mean(axis=1).astype(np.float32)  # downmix to mono
+
+    return decode
+
+
+def _resolve_decoder(decode_fn, real_factory, fake):
+    """Decoder dispatch shared by every multimodal op:
+
+    - a callable is used as-is (production: pass your own codec);
+    - ``"auto"`` upgrades to the real library decoder when the lib is
+      importable and falls back to the deterministic fake otherwise;
+    - ``None`` is ALWAYS the deterministic fake — the oracle-stable
+      default, identical output in every environment (the driver's
+      DuckDB gate replays the fake's byte math; a lib-dependent default
+      would silently change gate results between environments).
+    """
+    if callable(decode_fn):
+        return decode_fn
+    if decode_fn == "auto":
+        real = real_factory()
+        return real if real is not None else fake
+    if decode_fn is None:
+        return fake
+    raise ValueError(f"decode_fn must be a callable, 'auto', or None; got {decode_fn!r}")
+
+
 def decode_image_features(
     df: DataFrame,
     media_col: str = "media",
     id_col: str = "id",
-    decode_fn: Optional[Callable[[bytes], "np.ndarray"]] = None,
+    decode_fn: Union[Callable[[bytes], "np.ndarray"], str, None] = None,
     batch_size_hint: int = 64,
 ) -> DataFrame:
     """binary blobs → per-image feature vector (mean/std/histogram-ish).
@@ -54,7 +124,7 @@ def decode_image_features(
     ``decode_fn``: bytes → 2-D ndarray. None uses the deterministic fake
     (container has no image libs); pass a real decoder in production.
     """
-    decode = decode_fn or _fake_decode
+    decode = _resolve_decoder(decode_fn, pil_image_decoder, _fake_decode)
 
     schema = T.StructType(
         [
@@ -101,7 +171,7 @@ def audio_features(
     media_col: str = "media",
     id_col: str = "id",
     frame_len: int = 32,
-    decode_fn: Optional[Callable[[bytes], "np.ndarray"]] = None,
+    decode_fn: Union[Callable[[bytes], "np.ndarray"], str, None] = None,
 ) -> DataFrame:
     """Audio blobs → per-clip waveform features: RMS, zero-crossing rate,
     and per-frame RMS envelope (fixed ``frame_len`` sample frames).
@@ -111,7 +181,7 @@ def audio_features(
     blobs). The decode is the deterministic fake (no audio libs in this
     container); pass ``decode_fn`` for a real codec.
     """
-    decode = decode_fn or _fake_decode_audio
+    decode = _resolve_decoder(decode_fn, soundfile_audio_decoder, _fake_decode_audio)
     schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -155,7 +225,7 @@ def resize_images(
     id_col: str = "id",
     height: int = 4,
     width: int = 4,
-    decode_fn: Optional[Callable[[bytes], "np.ndarray"]] = None,
+    decode_fn: Union[Callable[[bytes], "np.ndarray"], str, None] = None,
 ) -> DataFrame:
     """Resize to ``(height, width)`` via nearest-neighbor index sampling —
     pure numpy (deterministic, no image libs), the standard preprocessing
@@ -163,7 +233,7 @@ def resize_images(
     flattened float array plus the new typed metadata, never a re-encoded
     blob (downstream stays columnar).
     """
-    decode = decode_fn or _fake_decode
+    decode = _resolve_decoder(decode_fn, pil_image_decoder, _fake_decode)
     schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -198,14 +268,17 @@ def frame_sample(
     media_col: str = "media",
     id_col: str = "id",
     every_nth: int = 10,
-    decode_fn: Optional[Callable[[bytes], "np.ndarray"]] = None,
+    decode_fn: Union[Callable[[bytes], "np.ndarray"], str, None] = None,
 ) -> DataFrame:
     """Video frame sampling stub: emits one row per sampled frame
     ``(id, frame_idx, frame_vec)`` — a 1→N ``mapInPandas`` (UDTF shape).
 
     The fake treats every 64-byte window of the blob as one "frame".
+    No public pure-python video codec exists, so ``"auto"`` stays the
+    fake here — a real pipeline passes its own per-frame ``decode_fn``
+    (e.g. an av/ffmpeg wrapper yielding frame arrays).
     """
-    decode = decode_fn or _fake_decode
+    decode = _resolve_decoder(decode_fn, lambda: None, _fake_decode)
     schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -238,7 +311,7 @@ def phash_images(
     df: DataFrame,
     media_col: str = "media",
     id_col: str = "id",
-    decode_fn: Optional[Callable[[bytes], "np.ndarray"]] = None,
+    decode_fn: Union[Callable[[bytes], "np.ndarray"], str, None] = None,
 ) -> DataFrame:
     """64-bit perceptual hashes per image: aHash (pixel vs mean) and
     dHash (horizontal gradient sign) over an 8×(8|9) nearest-neighbor
@@ -247,7 +320,7 @@ def phash_images(
     moves them). Decode is the container fake unless ``decode_fn`` is a
     real decoder; the hash math is the production algorithm.
     """
-    decode = decode_fn or _fake_decode
+    decode = _resolve_decoder(decode_fn, pil_image_decoder, _fake_decode)
     schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -353,7 +426,7 @@ def audio_fingerprints(
     df: DataFrame,
     media_col: str = "media",
     id_col: str = "id",
-    decode_fn: Optional[Callable[[bytes], "np.ndarray"]] = None,
+    decode_fn: Union[Callable[[bytes], "np.ndarray"], str, None] = None,
 ) -> DataFrame:
     """64-bit audio fingerprint: the clip resamples (by frame-mean) to a
     64-point RMS energy contour; bit b = 1 iff energy rises from point
@@ -363,7 +436,7 @@ def audio_fingerprints(
     ``image_neardup_pairs(hashes, hash_col="afp")`` — the hamming-band
     machinery is modality-agnostic.
     """
-    decode = decode_fn or _fake_decode_audio
+    decode = _resolve_decoder(decode_fn, soundfile_audio_decoder, _fake_decode_audio)
     schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
