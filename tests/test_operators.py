@@ -499,6 +499,18 @@ def test_ivf_topk_matches_bruteforce_on_probed_cells(spark):
     brute = cosine_topk(df, q, k=5).toPandas()
     assert list(ivf_all["vec_id"]) == list(brute["vec_id"])
 
+    # a pre-trained quantizer can be reused across queries (train once,
+    # probe many) — same result as train-per-call with the same seed
+    from tsflex_spark.datapipe.similarity import ivf_train
+
+    idx = ivf_train(df, 4, seed=7)
+    reused = ivf_topk(df, q, k=5, nlist=4, nprobe=4, index=idx).toPandas()
+    assert list(reused["vec_id"]) == list(ivf_all["vec_id"])
+    q2 = pdf["embedding"].iloc[1]
+    reused2 = ivf_topk(df, q2, k=5, nlist=4, nprobe=4, index=idx).toPandas()
+    brute2 = cosine_topk(df, q2, k=5).toPandas()
+    assert list(reused2["vec_id"]) == list(brute2["vec_id"])
+
 
 def test_stateful_running_stats_stream(spark, tmp_path):
     """applyInPandasWithState running moments: final emitted row per key

@@ -152,6 +152,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 7,
+    index: Optional["IVFIndex"] = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN top-k: a k-means coarse quantizer partitions
     the corpus into ``nlist`` cells; only the ``nprobe`` cells whose
@@ -170,6 +171,8 @@ def ivf_topk(
     TakeOrderedAndProject heap as ``cosine_topk`` but over a bounded
     candidate subset.
     """
+    # Training: pass ``index`` (an IVFIndex from ``ivf_train``) to reuse a
+    # quantizer across many queries — train once, probe many. Without it,
     # train-per-call is the test-scale compromise; the persistable path
     # (train once / ivf_write partitioned-by-cell / partition-pruned
     # search) is IVFIndex + ivf_search_parquet below.
@@ -180,7 +183,8 @@ def ivf_topk(
     # compilation of the giant expression dominates); matmul is the same
     # kernel FAISS uses for assignment. numpy argmin ties on the lowest
     # cell id (deterministic).
-    index = ivf_train(df, nlist, vec_col=vec_col, id_col=id_col, seed=seed)
+    if index is None:
+        index = ivf_train(df, nlist, vec_col=vec_col, id_col=id_col, seed=seed)
     probe = probe_cells(index, query_vec, nprobe)
     cand = ivf_assign(df, index).where(F.col("__cell").isin(probe))
     scored = cand.select(
