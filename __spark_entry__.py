@@ -743,8 +743,10 @@ GROUP BY event_type ORDER BY event_type
 
 def q_group_by_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """group_by_consecutive (SURVEY §2.6 gaps-and-islands): runs of equal
-    consecutive event_type values become segments with __start/__end
-    (last run end = last ts + 1 day, reference exclusive-bound fix)."""
+    consecutive event_type values become segments with __start/__end,
+    where __end is the run's LAST MEMBER ts — the reference's reported
+    value (feature_collection.py:713-714), verified by running the
+    reference directly in tests/test_reference_parity.py."""
     _utc(spark)
     fc = FeatureCollection(
         [
@@ -782,8 +784,7 @@ g AS (SELECT isl, any_value(event_type) AS event_type,
              CAST(sum(v) AS DOUBLE) AS sum_val, count(v) AS cnt_val
       FROM i GROUP BY isl)
 SELECT run_start AS ts, event_type, run_start,
-       coalesce(lead(run_start) OVER (ORDER BY run_start),
-                last_ts + INTERVAL 1 DAY) AS run_end,
+       last_ts AS run_end,
        sum_val, cnt_val
 FROM g ORDER BY run_start
 """

@@ -75,11 +75,13 @@ def test_group_by_all_fuzz_pandas_parity(spark, keys, data):
         assert out.loc[k, "v__count__w=manual"] == exp.loc[k, "count"], k
 
 
-def _islands_oracle(g, v, bump):
+def _islands_oracle(g, v):
     """Pure-python gaps-and-islands over (ts=0..n-1, g, v): consecutive
     runs of equal non-null g (null keys removed first, order kept).
-    Returns [(start, g, end, sum, count)] with end = next run's start or
-    last index + bump."""
+    Returns [(start, g, end, sum, count)] with end = the run's LAST
+    MEMBER index — the reference's reported __end (reference
+    feature_collection.py:713-714; the +1 exclusive bump only feeds its
+    internal slicing)."""
     rows = [(i, gi, vi) for i, (gi, vi) in enumerate(zip(g, v)) if gi is not None]
     runs = []
     for ts, gi, vi in rows:
@@ -88,11 +90,10 @@ def _islands_oracle(g, v, bump):
             runs[-1]["vals"].append(vi)
         else:
             runs.append({"g": gi, "idx": [ts], "vals": [vi]})
-    out = []
-    for i, r in enumerate(runs):
-        end = runs[i + 1]["idx"][0] if i + 1 < len(runs) else r["idx"][-1] + bump
-        out.append((r["idx"][0], r["g"], end, float(np.sum(r["vals"])), len(r["vals"])))
-    return out
+    return [
+        (r["idx"][0], r["g"], r["idx"][-1], float(np.sum(r["vals"])), len(r["vals"]))
+        for r in runs
+    ]
 
 
 @settings(
@@ -106,9 +107,9 @@ def _islands_oracle(g, v, bump):
 )
 def test_group_by_consecutive_fuzz_islands_parity(spark, g, data):
     """group_by_consecutive (SEQUENCE domain) must reproduce a pure-
-    python islands scan: run starts, exclusive ends (next start / last+1),
-    per-run sum+count — under random key runs with nulls breaking and
-    re-forming islands."""
+    python islands scan: run starts, last-member ends (the reference's
+    reported __end), per-run sum+count — under random key runs with
+    nulls breaking and re-forming islands."""
     n = len(g)
     vals = data.draw(
         st.lists(
@@ -136,7 +137,7 @@ def test_group_by_consecutive_fuzz_islands_parity(spark, g, data):
         .sort_values("ts")
         .reset_index(drop=True)
     )
-    exp = _islands_oracle(g, [float(x) for x in vals], bump=1)
+    exp = _islands_oracle(g, [float(x) for x in vals])
     assert len(out) == len(exp), (len(out), len(exp))
     for i, (start, gi, end, s, c) in enumerate(exp):
         row = out.iloc[i]
@@ -158,11 +159,14 @@ def test_group_by_consecutive_fuzz_islands_parity(spark, g, data):
     data=st.data(),
 )
 def test_make_robust_fuzz_numpy_parity(spark, nan_mask, min_nb, passthrough, data):
-    """make_robust under random NaN masks: for every manual segment the
-    output is error_val when the (optionally NaN-stripped) slice has
-    fewer than min_nb_samples values, else func applied to that slice —
-    both passthrough_nans modes, checked against a direct numpy oracle
-    through the real Spark UDF tier."""
+    """make_robust under random NaN masks through the real Spark UDF
+    tier on manual segments. Under the engine's wide-format data model
+    NULL/NaN = NO SAMPLE (README "Native layout"), so a segment's
+    effective series is its non-NaN values: the expected output is
+    error_val when fewer than min_nb_samples non-NaN values fall in
+    [start, end), else sum of those values — for BOTH passthrough modes
+    (no NaN ever reaches the wrapped func, so the two modes must agree;
+    drawing both still exercises both wrapper code paths)."""
     from tsflex_spark.features.function_wrapper import make_robust
 
     n = len(nan_mask)
@@ -205,12 +209,10 @@ def test_make_robust_fuzz_numpy_parity(spark, nan_mask, min_nb, passthrough, dat
     (col,) = [c for c in out.columns if "rsum" in c]
     for s, e in zip(starts, ends):
         seg = v[s:e]
-        stripped = seg if passthrough else seg[~np.isnan(seg)]
-        if len(stripped) < min_nb:
+        samples = seg[~np.isnan(seg)]  # NaN = no sample in the wide format
+        if len(samples) < min_nb:
             exp = error_val
-        elif passthrough:
-            exp = float(np.nansum(seg))
         else:
-            exp = float(np.sum(stripped))
+            exp = float(np.sum(samples))
         got = out.loc[s, col]
         assert np.isclose(got, exp, equal_nan=True), (s, e, got, exp)

@@ -815,11 +815,13 @@ def test_include_empty_windows_false_count_based(spark):
 
 
 def test_group_by_consecutive_null_keys_reference_parity(spark):
-    """NULL group keys: the reference DROPS NaN rows first, so equal
-    keys separated only by NaNs merge into one consecutive group
-    (tsflex feature_collection.py:604-634); segment ends are the NEXT
-    group's start, and the LAST datetime segment's end is bumped by
-    +1 DAY (sic — feature_collection.py:684-688)."""
+    """NULL group keys: the reference DROPS NaN rows first (inplace, so
+    the feature computation also never sees them), so equal keys
+    separated only by NaNs merge into one consecutive group (tsflex
+    feature_collection.py:604-634); the REPORTED __end is the run's
+    last member index (:713-714 — the +1day bump at :684-688 only feeds
+    internal slicing). Verified against the actual reference run in
+    tests/test_reference_parity.py."""
     ev = pd.DataFrame(
         {
             "ts": pd.date_range("2024-01-01", periods=10, freq="1s"),
@@ -841,9 +843,9 @@ def test_group_by_consecutive_null_keys_reference_parity(spark):
     )
     assert list(out["g"]) == ["x", "y", "x"]
     assert list(out["v__sum__w=manual"]) == [2.0, 2.0, 3.0]  # x merges 6,8,9
-    assert str(out.loc[0, "__end"]) == "2024-01-01 00:00:04"  # next start
-    assert str(out.loc[1, "__end"]) == "2024-01-01 00:00:06"
-    assert str(out.loc[2, "__end"]) == "2024-01-02 00:00:09"  # +1 day bump
+    assert str(out.loc[0, "__end"]) == "2024-01-01 00:00:01"  # last member
+    assert str(out.loc[1, "__end"]) == "2024-01-01 00:00:05"
+    assert str(out.loc[2, "__end"]) == "2024-01-01 00:00:09"
 
 
 def test_threshold_count_natives(spark):

@@ -1310,11 +1310,15 @@ class FeatureCollection:
         self, data: DataFrame, gcol: str, ts_col: str, key_cols: Sequence[str] = ()
     ) -> DataFrame:
         """Gaps-and-islands grouping (reference feature_collection.py:568-724):
-        runs of equal consecutive ``gcol`` values become segments
-        ``[run_start, next_run_start)``; the last run's end is +1 day (TIME)
-        or +1 (SEQUENCE) past its last index (exclusive-bound fix,
-        reference :678-688). Output: ``ts`` (= run start), ``gcol``,
-        ``__start``, ``__end`` + feature columns labeled ``w=manual``.
+        runs of equal consecutive ``gcol`` values become feature segments;
+        internally the reference computes on half-open
+        ``[run_start, next_run_start)`` slices (last end bumped +1 day /
+        +1, reference :678-688) but REPORTS ``__end`` as the run's LAST
+        MEMBER index (``:713-714`` — ``consecutive_grouped_by_df["end"]``
+        = groupby last), verified by running the reference directly
+        (tests/test_reference_parity.py). Output: ``ts`` (= run start),
+        ``gcol``, ``__start``, ``__end`` (last member index) + feature
+        columns labeled ``w=manual``.
 
         Scale note: island numbering needs a running sum ordered by ts —
         per ``key_cols`` partition when keys are given; a single global
@@ -1322,7 +1326,6 @@ class FeatureCollection:
         key_cols for distributed runs).
         """
         domain = determine_type(data, ts_col)
-        is_time = domain == DataType.TIME
         key_cols = list(key_cols)
         data_n = seg.numeric_index(data, ts_col, domain)
         clean = data_n.where(F.col(gcol).isNotNull())
@@ -1351,26 +1354,11 @@ class FeatureCollection:
         result = parts[0]
         for p in parts[1:]:
             result = result.join(p, on=group_cols, how="full")
-        # the per-island frame (1 row per run) feeds BOTH sides of the
-        # island+1 self-join below — checkpoint it so the islands pass
-        # (range partition + boundary patch) and the aggregates execute
-        # once, not once per join side
-        result = result.localCheckpoint(eager=False)
-
-        # end = next run's start; last run end = last index +1day/+1.
-        # island ids are consecutive integers per key, so "next run" is a
-        # hash equi-join on island+1 — no second ordered shuffle needed
-        bump = 86_400_000_000 if is_time else 1  # +1 day in micros / +1
-        nxt = result.select(
-            *key_cols,
-            (F.col("__island") - 1).alias("__island"),
-            F.col("__start_n").alias("__next_start"),
-        )
-        result = result.join(nxt, on=[*key_cols, "__island"], how="left")
-        result = result.withColumn(
-            "__end_n",
-            F.coalesce(F.col("__next_start"), F.col("__last_n") + F.lit(bump)),
-        ).drop("__next_start")
+        # reported __end = the run's last member index (reference :713-714;
+        # the +1day/+1 exclusive bump only feeds the reference's INTERNAL
+        # slicing, which island membership already encodes here — so no
+        # island+1 self-join is needed at all)
+        result = result.withColumn("__end_n", F.col("__last_n"))
         result = (
             result.withColumn(ts_col, seg.output_index(F.col("__start_n"), domain))
             .withColumn("__start", seg.output_index(F.col("__start_n"), domain))
