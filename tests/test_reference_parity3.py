@@ -87,6 +87,65 @@ def test_rolling_grid_fuzz_vs_reference(spark):
     prop()
 
 
+def test_sequence_and_count_fuzz_vs_reference(spark):
+    """Second reference-as-oracle fuzz: SEQUENCE-domain rolling (numeric
+    index) and COUNT-BASED windows (int window over a DatetimeIndex —
+    the TimeIndexSampleStridedRolling dispatch) under random irregular
+    grids."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from tsflex.features import FeatureCollection, FeatureDescriptor
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        idxs=st.sets(st.integers(0, 500), min_size=4, max_size=60),
+        window=st.sampled_from([9, 30, 80]),
+        stride=st.sampled_from([4, 15]),
+        count_based=st.booleans(),
+        final=st.booleans(),
+        data=st.data(),
+    )
+    def prop(idxs, window, stride, count_based, final, data):
+        idxs = sorted(idxs)
+        vals = data.draw(
+            st.lists(
+                st.floats(min_value=-20, max_value=20, allow_nan=False, width=16),
+                min_size=len(idxs),
+                max_size=len(idxs),
+            )
+        )
+        if count_based:
+            # int window over a time index → sample-position segmentation.
+            # include_final_window is pinned False here because the
+            # REFERENCE ITSELF raises IndexError on count-based + final
+            # (TimeIndexSampleStridedRolling reads index[n] when the
+            # final window starts past the last sample — reproduced on
+            # 4 samples / window 2 / stride 1); the engine handles that
+            # edge (tests/test_segmenter.py include_final_window cases).
+            index = pd.Timestamp("2024-09-02") + pd.to_timedelta(idxs, unit="s")
+            w, st_ = max(2, window // 10), max(1, stride // 3)
+            final = False
+        else:
+            index = np.asarray(idxs, dtype="int64")
+            w, st_ = window, stride
+        s = pd.Series([float(x) for x in vals], index=index, name="v")
+        rfc = FeatureCollection(FeatureDescriptor(np.sum, "v", w, st_))
+        r = _ref_calc(rfc, [s], include_final_window=final, approve_sparsity=True)
+        pdf = pd.DataFrame({"ts": index, "v": s.to_numpy()})
+        sfc = SparkFC([SparkFD("sum", "v", w, st_)])
+        g = _spark_calc(
+            spark, sfc, pdf, include_final_window=final, approve_sparsity=True
+        )
+        _compare(r, g)
+
+    prop()
+
+
 def test_bound_method_outer_parity(spark):
     """bound_method='outer' with two different-span series: the grid
     anchors at the UNION bounds (reference _determine_bounds)."""
