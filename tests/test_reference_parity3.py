@@ -108,9 +108,10 @@ def test_sequence_and_count_fuzz_vs_reference(spark):
         stride=st.sampled_from([4, 15]),
         count_based=st.booleans(),
         final=st.booleans(),
+        widx=st.sampled_from(["begin", "middle", "end"]),
         data=st.data(),
     )
-    def prop(idxs, window, stride, count_based, final, data):
+    def prop(idxs, window, stride, count_based, final, widx, data):
         idxs = sorted(idxs)
         vals = data.draw(
             st.lists(
@@ -121,25 +122,35 @@ def test_sequence_and_count_fuzz_vs_reference(spark):
         )
         if count_based:
             # int window over a time index → sample-position segmentation.
-            # include_final_window is pinned False here because the
-            # REFERENCE ITSELF raises IndexError on count-based + final
-            # (TimeIndexSampleStridedRolling reads index[n] when the
-            # final window starts past the last sample — reproduced on
-            # 4 samples / window 2 / stride 1); the engine handles that
-            # edge (tests/test_segmenter.py include_final_window cases).
+            # Two REFERENCE-SIDE crashes are pinned away here (engine
+            # handles both edges; reproduced directly, see NOTES_DEV
+            # "Direct reference-execution parity lane"):
+            # - include_final_window=True raises IndexError when the
+            #   final window starts past the last sample (index[n] read;
+            #   4 samples / window 2 / stride 1 reproduces);
+            # - window_idx="middle" raises IndexError("arrays used as
+            #   indices must be of integer or boolean type") — the
+            #   half-sample middle positions are floats in
+            #   TimeIndexSampleStridedRolling (strided_rolling.py:686).
             index = pd.Timestamp("2024-09-02") + pd.to_timedelta(idxs, unit="s")
             w, st_ = max(2, window // 10), max(1, stride // 3)
             final = False
+            if widx == "middle":
+                widx = "begin"
         else:
             index = np.asarray(idxs, dtype="int64")
             w, st_ = window, stride
         s = pd.Series([float(x) for x in vals], index=index, name="v")
         rfc = FeatureCollection(FeatureDescriptor(np.sum, "v", w, st_))
-        r = _ref_calc(rfc, [s], include_final_window=final, approve_sparsity=True)
+        r = _ref_calc(
+            rfc, [s], include_final_window=final, window_idx=widx,
+            approve_sparsity=True,
+        )
         pdf = pd.DataFrame({"ts": index, "v": s.to_numpy()})
         sfc = SparkFC([SparkFD("sum", "v", w, st_)])
         g = _spark_calc(
-            spark, sfc, pdf, include_final_window=final, approve_sparsity=True
+            spark, sfc, pdf, include_final_window=final, window_idx=widx,
+            approve_sparsity=True,
         )
         _compare(r, g)
 
