@@ -303,6 +303,50 @@ def test_series_processor_multi_series_and_dataframe_func_parity(spark):
         assert np.allclose(merged[f"{c}_ref"], merged[f"{c}_spark"], rtol=1e-12), c
 
 
+def test_unsorted_duplicate_segment_idxs_parity(spark):
+    """The reference preserves USER ORDER of explicit segment idxs,
+    including duplicates (its tests pin res.index == the given list);
+    a distributed engine returns sorted output instead, so parity here
+    is the row MULTISET: same segments, same values, duplicates kept."""
+    from tsflex.features import FeatureCollection, FeatureDescriptor
+
+    s = pd.Series(np.arange(20, dtype="float64"), name="dummy")
+    starts, ends = [0, 5, 3, 3], [5, 10, 8, 5]
+    rfc = FeatureCollection(
+        [
+            FeatureDescriptor(np.min, "dummy", 100),
+            FeatureDescriptor(len, "dummy"),
+        ]
+    )
+    r = rfc.calculate(
+        s, segment_start_idxs=starts, segment_end_idxs=ends,
+        return_df=True, window_idx="begin", n_jobs=1,
+    )
+    r = r.reset_index().rename(columns={"index": "ts"})
+
+    pdf = pd.DataFrame({"ts": range(20), "dummy": np.arange(20, dtype="float64")})
+    sfc = SparkFC(
+        [SparkFD("min", "dummy", 100), SparkFD("count", "dummy")]
+    )
+    g = (
+        sfc.calculate(
+            spark.createDataFrame(pdf), ts_col="ts",
+            segment_start_idxs=starts, segment_end_idxs=ends,
+            window_idx="begin",
+        )
+        .toPandas()
+        .rename(columns={"dummy__count__w=manual": "dummy__len__w=manual"})
+    )
+    key = ["ts", "dummy__len__w=manual"]
+    r = r.sort_values(key).reset_index(drop=True)
+    g = g.sort_values(key).reset_index(drop=True)
+    assert len(r) == len(g) == 4
+    for c in ("ts", "dummy__min__w=manual", "dummy__len__w=manual"):
+        assert np.allclose(
+            r[c].to_numpy(dtype=float), g[c].to_numpy(dtype=float)
+        ), c
+
+
 def test_window_longer_than_span_parity(spark):
     """Degenerate edges: window longer than the data span, and a
     single-sample series — the reference's window-count formula decides
