@@ -45,3 +45,10 @@ def test_signal_features_example(spark):
     import signal_features
 
     signal_features.main("/root/testdata/sf0.001")
+
+
+def test_migrate_from_tsflex_example(spark):
+    sys.path.insert(0, "examples")
+    import migrate_from_tsflex
+
+    migrate_from_tsflex.main("/root/testdata/sf0.001")

@@ -20,6 +20,7 @@ from tsflex_spark.features.function_wrapper import FuncWrapper, make_robust
 from tsflex_spark.processing.series_pipeline import SeriesPipeline
 from tsflex_spark.processing.series_processor import SeriesProcessor, dataframe_func
 from tsflex_spark.relational import asof_join, interval_join, range_join
+from tsflex_spark.compat import from_tsflex
 
 __all__ = [
     "FeatureDescriptor",
@@ -34,4 +35,5 @@ __all__ = [
     "asof_join",
     "interval_join",
     "range_join",
+    "from_tsflex",
 ]
