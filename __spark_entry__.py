@@ -672,12 +672,14 @@ FROM events GROUP BY 1 ORDER BY 1
 
 
 def q_processing_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """pandas-tier SeriesProcessor (SURVEY §2.8): an order-dependent
-    whole-series transform (first difference) via Arrow UDF — the path
-    for interpolate/filter/resample-style functions. Runs DISTRIBUTED
-    via the overlap-stitch halo path (halo_rows=(1, 0): diff's
-    dependence radius is one row back), so the unkeyed series no longer
-    funnels through a single Arrow group."""
+    """Both pandas-tier SeriesProcessor lanes in one gate (driver caps
+    queries() at 50; same event grain). ``value_diff``: the UNKEYED
+    order-dependent whole-series transform (first difference) running
+    DISTRIBUTED via the overlap-stitch halo path (halo_rows=(1, 0) —
+    diff's dependence radius is one row back), so the series does not
+    funnel through a single Arrow group. ``value_diff_user``: the KEYED
+    lane — the same transform per user via bucketed Arrow groups (one
+    Arrow call per hash bucket of keys)."""
     _utc(spark)
     import pandas as pd
 
@@ -692,13 +694,31 @@ def q_processing_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = pipe.process(
         _events(spark, sf_dir).select("ts", "event_id", "value"), ts_col="ts"
     )
-    return out.select("event_id", "value", "value_diff").orderBy("event_id")
+
+    def diff_series_user(v: pd.Series) -> pd.Series:
+        return pd.Series(v.to_numpy(), index=v.index, name="value_diff_user").diff()
+
+    pipe_u = SeriesPipeline(
+        [SeriesProcessor(diff_series_user, "value", input_type="pandas")]
+    )
+    out_u = pipe_u.process(
+        _events(spark, sf_dir).select("ts", "event_id", "user_id", "value"),
+        ts_col="ts",
+        key_cols=["user_id"],
+    ).select("event_id", "user_id", "value_diff_user")
+    return (
+        out.select("event_id", "value", "value_diff")
+        .join(out_u, "event_id")
+        .select("event_id", "user_id", "value", "value_diff", "value_diff_user")
+        .orderBy("event_id")
+    )
 
 
 def _oracle_processing_diff() -> str:
     return """
-SELECT event_id, value,
-       value - lag(value) OVER (ORDER BY ts) AS value_diff
+SELECT event_id, user_id, value,
+       value - lag(value) OVER (ORDER BY ts) AS value_diff,
+       value - lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS value_diff_user
 FROM events ORDER BY event_id
 """
 
@@ -876,11 +896,33 @@ FROM events ORDER BY event_id
 
 
 def q_chunk_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """chunk_data (SURVEY §2.11): gap-aware chunk detection, max_gap=10m."""
+    """Both chunk_data lanes in one gate (driver caps queries() at 50;
+    same operator, same output shape). mode='global': unkeyed gap-aware
+    chunk detection over the value-bearing series, max_gap=10m (SURVEY
+    §2.11). mode='session': per-user sessionization — 30m inactivity gap
+    keyed by user_id (session_window semantics in batch, SURVEY §2.9).
+    Same gaps-and-islands core, unkeyed vs keyed partitioning."""
     _utc(spark)
     from tsflex_spark.chunking import chunk_data
 
-    return chunk_data(_events(spark, sf_dir), ts_col="ts", value_col="value", max_gap="10m")
+    ev = _events(spark, sf_dir)
+    glob = chunk_data(ev, ts_col="ts", value_col="value", max_gap="10m").select(
+        F.lit("global").alias("mode"),
+        F.lit(-1).cast("long").alias("user_id"),
+        "chunk_id",
+        "chunk_start",
+        "chunk_end",
+        "n_samples",
+    )
+    sess = chunk_data(ev, ts_col="ts", key_cols=["user_id"], max_gap="30m").select(
+        F.lit("session").alias("mode"),
+        F.col("user_id").cast("long").alias("user_id"),
+        "chunk_id",
+        "chunk_start",
+        "chunk_end",
+        "n_samples",
+    )
+    return glob.unionByName(sess).orderBy("mode", "user_id", "chunk_id")
 
 
 def _oracle_chunk_islands() -> str:
@@ -892,49 +934,28 @@ WITH d AS (SELECT ts,
            FROM events WHERE value IS NOT NULL),
 i AS (SELECT ts, sum(chg) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) AS isl FROM d),
 g AS (SELECT isl, min(ts) AS chunk_start, max(ts) AS chunk_end, count(*) AS n_samples
-      FROM i GROUP BY isl)
-SELECT CAST(row_number() OVER (ORDER BY chunk_start) - 1 AS INT) AS chunk_id,
-       chunk_start, chunk_end, n_samples
-FROM g ORDER BY chunk_id
-"""
-
-
-def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user sessionization (session_window semantics in batch —
-    SURVEY §2.9): 30m inactivity gap, keyed by user_id. Same gaps-and-islands
-    core as chunk_data, partitioned per key → fully distributed."""
-    _utc(spark)
-    from tsflex_spark.chunking import chunk_data
-
-    out = chunk_data(
-        _events(spark, sf_dir), ts_col="ts", key_cols=["user_id"], max_gap="30m"
-    )
-    return out.select(
-        "user_id",
-        F.col("chunk_id").alias("session_id"),
-        F.col("chunk_start").alias("session_start"),
-        F.col("chunk_end").alias("session_end"),
-        F.col("n_samples").alias("n_events"),
-    )
-
-
-def _oracle_sessionization() -> str:
-    return """
-WITH d AS (SELECT user_id, ts,
-                  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                         OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
-                       THEN 1 ELSE 0 END AS chg
-           FROM events),
-i AS (SELECT user_id, ts,
-             sum(chg) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS isl
-      FROM d),
-g AS (SELECT user_id, isl, min(ts) AS session_start, max(ts) AS session_end,
-             count(*) AS n_events
-      FROM i GROUP BY user_id, isl)
-SELECT user_id,
-       CAST(row_number() OVER (PARTITION BY user_id ORDER BY session_start) - 1 AS INT) AS session_id,
-       session_start, session_end, n_events
-FROM g ORDER BY user_id, session_id
+      FROM i GROUP BY isl),
+gl AS (SELECT 'global' AS mode, CAST(-1 AS BIGINT) AS user_id,
+              CAST(row_number() OVER (ORDER BY chunk_start) - 1 AS INT) AS chunk_id,
+              chunk_start, chunk_end, n_samples
+       FROM g),
+sd AS (SELECT user_id, ts,
+              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+                   THEN 1 ELSE 0 END AS chg
+       FROM events),
+si AS (SELECT user_id, ts,
+              sum(chg) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS isl
+       FROM sd),
+sg AS (SELECT user_id, isl, min(ts) AS chunk_start, max(ts) AS chunk_end,
+              count(*) AS n_samples
+       FROM si GROUP BY user_id, isl),
+se AS (SELECT 'session' AS mode, user_id,
+              CAST(row_number() OVER (PARTITION BY user_id ORDER BY chunk_start) - 1 AS INT) AS chunk_id,
+              chunk_start, chunk_end, n_samples
+       FROM sg)
+SELECT * FROM gl UNION ALL SELECT * FROM se
+ORDER BY mode, user_id, chunk_id
 """
 
 
@@ -2128,32 +2149,64 @@ ORDER BY method, id_a, id_b
 
 
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join (SURVEY §2.3 — absent in the reference, added as a
-    first-class op): for every click, the most recent view value of the
-    same user at-or-before the click. Union-and-carry plan: one per-user
-    window pass, no BroadcastNestedLoop."""
+    """As-of join + point-in-time feature-store join in one gate (driver
+    caps queries() at 50; same click grain). Columns 3-4: plain asof_join
+    (SURVEY §2.3) — for every click, the most recent view value of the
+    same user at-or-before the click; union-and-carry plan, one per-user
+    window pass, no BroadcastNestedLoop. Columns 5-8: point_in_time_join
+    (relational.py:272) over TWO feature tables with a per-table dict
+    tolerance — the leakage-free training-set assembly op; views carry a
+    2h staleness tolerance (stale match -> NULL), purchases none. K
+    feature tables = K keyed window passes, never a fan-out join."""
     _utc(spark)
-    from tsflex_spark.relational import asof_join
+    from tsflex_spark.relational import asof_join, point_in_time_join
 
     ev = _events(spark, sf_dir)
     clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
     views = ev.where(F.col("event_type") == "view").select("user_id", "ts", "value")
-    out = asof_join(clicks, views, on="ts", by=["user_id"], value_cols=["value"])
-    return out.select(
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    plain = asof_join(clicks, views, on="ts", by=["user_id"], value_cols=["value"])
+    pit = point_in_time_join(
+        clicks,
+        {"view": views, "purch": purchases},
+        on="ts",
+        by=["user_id"],
+        tolerance={"view": "2h"},
+    ).select(
         "event_id",
-        "user_id",
-        F.col("value").alias("view_value"),
-        F.col("ts_r").alias("view_ts"),
-    ).orderBy("event_id")
+        F.col("view__value").alias("pit_view_value"),
+        F.col("view__ts_matched").alias("pit_view_ts"),
+        F.col("purch__value").alias("purch_value"),
+        F.col("purch__ts_matched").alias("purch_ts"),
+    )
+    return (
+        plain.select(
+            "event_id",
+            "user_id",
+            F.col("value").alias("view_value"),
+            F.col("ts_r").alias("view_ts"),
+        )
+        .join(pit, "event_id")
+        .orderBy("event_id")
+    )
 
 
 def _oracle_asof_join() -> str:
     return """
-SELECT c.event_id, c.user_id, v.value AS view_value, v.ts AS view_ts
-FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
-ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
-  ON c.user_id = v.user_id AND v.ts <= c.ts
-ORDER BY c.event_id
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+v AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view'),
+p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+j1 AS (SELECT c.event_id, c.user_id, c.ts, v.value AS vv, v.ts AS vt
+       FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts),
+j2 AS (SELECT j1.*, p.value AS pv, p.ts AS pt
+       FROM j1 ASOF LEFT JOIN p ON j1.user_id = p.user_id AND p.ts <= j1.ts)
+SELECT event_id, user_id, vv AS view_value, vt AS view_ts,
+       CASE WHEN ts - vt <= INTERVAL 2 HOUR THEN vv END AS pit_view_value,
+       CASE WHEN ts - vt <= INTERVAL 2 HOUR THEN vt END AS pit_view_ts,
+       pv AS purch_value, pt AS purch_ts
+FROM j2 ORDER BY event_id
 """
 
 
@@ -3096,33 +3149,134 @@ GROUP BY s_start ORDER BY ts
 """
 
 
-def q_processing_per_user_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keyed pandas-tier SeriesPipeline (SURVEY §2.8): the same arbitrary
-    whole-series function as processing_diff, but per user — one Arrow
-    group per key, fully distributed (the keyed counterpart of the
-    single-series path)."""
+def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving/dashboard gate fusing two bounded-output ops (driver caps
+    queries() at 50): M4 visual downsampling (processing/downsample.py —
+    per (user, bin) first/last points + min/max values over 16 equal-width
+    time bins, ONE codegen groupBy shuffling 8 scalars per bin) LEFT-joined
+    with latest_snapshot (relational.py — latest view row per user
+    at-or-before a mid-range cutoff; one map-side-combinable max_by
+    aggregate, a single keyed exchange carrying one buffered row per key).
+    M4's min_ts/max_ts anchors are excluded from the gate: duplicate
+    2-decimal values within a bin make the argmin tie engine-specific
+    (covered by pytest instead)."""
     _utc(spark)
-    import pandas as pd
+    from tsflex_spark.processing.downsample import m4
+    from tsflex_spark.relational import latest_snapshot
 
-    from tsflex_spark import SeriesPipeline, SeriesProcessor
-
-    def diff_series(v: pd.Series) -> pd.Series:
-        return pd.Series(v.to_numpy(), index=v.index, name="value_diff").diff()
-
-    pipe = SeriesPipeline([SeriesProcessor(diff_series, "value", input_type="pandas")])
-    out = pipe.process(
-        _events(spark, sf_dir).select("user_id", "ts", "event_id", "value"),
-        ts_col="ts",
-        key_cols=["user_id"],
+    views = (
+        _events(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select("user_id", "ts", "value")
     )
-    return out.select("event_id", "user_id", "value", "value_diff").orderBy("event_id")
+    shape = m4(views, ts_col="ts", value_col="value", n_out=16, key_cols=["user_id"])
+    snap = latest_snapshot(
+        views, on="ts", by=["user_id"], at="2024-01-15 00:00:00"
+    ).select(
+        "user_id", F.col("ts").alias("snap_ts"), F.col("value").alias("snap_value")
+    )
+    out = shape.join(F.broadcast(snap), "user_id", "left")
+    return out.select(
+        "user_id",
+        F.col("bin").cast("long").alias("bin"),
+        "first_ts",
+        "first_val",
+        "last_ts",
+        "last_val",
+        "min_val",
+        "max_val",
+        "snap_ts",
+        "snap_value",
+    ).orderBy("user_id", "bin")
 
 
-def _oracle_processing_per_user_diff() -> str:
+def _oracle_m4_downsample() -> str:
     return """
-SELECT event_id, user_id, value,
-       value - lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS value_diff
-FROM events ORDER BY event_id
+WITH v AS (SELECT user_id, ts, value, epoch_us(ts) AS tsn
+           FROM events WHERE event_type = 'view'),
+b AS (SELECT user_id, min(tsn) AS lo, max(tsn) AS hi FROM v GROUP BY user_id),
+d AS (SELECT v.*, CASE WHEN b.hi = b.lo THEN 0
+                       ELSE least(CAST(floor((v.tsn - b.lo)::DOUBLE
+                                 / (b.hi - b.lo)::DOUBLE * 16.0) AS BIGINT), 15)
+                  END AS bin
+      FROM v JOIN b ON v.user_id = b.user_id),
+m AS (SELECT user_id, bin,
+             arg_min(ts, tsn)    AS first_ts,
+             arg_min(value, tsn) AS first_val,
+             arg_max(ts, tsn)    AS last_ts,
+             arg_max(value, tsn) AS last_val,
+             min(value)          AS min_val,
+             max(value)          AS max_val
+      FROM d GROUP BY user_id, bin),
+s AS (SELECT user_id, arg_max(ts, ts) AS snap_ts, arg_max(value, ts) AS snap_value
+      FROM v WHERE ts <= TIMESTAMP '2024-01-15 00:00:00' GROUP BY user_id)
+SELECT m.*, s.snap_ts, s.snap_value
+FROM m LEFT JOIN s ON m.user_id = s.user_id
+ORDER BY m.user_id, m.bin
+"""
+
+
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing z-score anomaly detection (SURVEY §2.8 companion,
+    processing/anomaly.py): per-user 1h trailing window excluding the
+    current row, NULL below min_points or at zero variance — three
+    window aggregates materialized once, pure codegen, one keyed
+    exchange."""
+    _utc(spark)
+    from tsflex_spark.processing.anomaly import anomaly_zscore
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    out = anomaly_zscore(
+        ev,
+        ts_col="ts",
+        value_col="value",
+        window="1h",
+        key_cols=["user_id"],
+        min_points=5,
+        threshold=2.0,
+        ddof=0,
+    )
+    # is_anomaly is a NULLABLE bool (NULL = not enough evidence); project
+    # it as 0/1 for the hash gate (pandas null-bool object columns encode
+    # None vs NaN differently across engines) — the NULL policy itself is
+    # verified through mean_w/std_w/zscore
+    return out.select(
+        "event_id",
+        "user_id",
+        "mean_w",
+        "std_w",
+        "zscore",
+        F.when(F.col("is_anomaly"), 1).otherwise(0).cast("long").alias("anom"),
+    ).orderBy("event_id")
+
+
+def _oracle_anomaly_zscore() -> str:
+    # identical derivation from the same three window sums (count, Σx,
+    # Σx²) so both engines round identical doubles; frame = microsecond
+    # range (-3600e6, -1], matching anomaly_zscore's rangeBetween
+    return f"""
+WITH w AS (
+  SELECT event_id, user_id, value,
+         count(value) OVER win AS n,
+         sum(value)  OVER win AS s1,
+         sum(value * value) OVER win AS s2
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN {H1} PRECEDING AND 1 PRECEDING)
+),
+d AS (
+  SELECT event_id, user_id, value, n, s1, s2,
+         s1 / n AS mean,
+         sqrt(greatest((s2 - s1 * s1 / n) / n, 0.0)) AS std
+  FROM w
+)
+SELECT event_id, user_id,
+       CASE WHEN n > 0 THEN mean END AS mean_w,
+       CASE WHEN n > 0 THEN std END AS std_w,
+       CASE WHEN n >= 5 AND std > 0 THEN (value - mean) / std END AS zscore,
+       CASE WHEN n >= 5 AND std > 0 AND abs((value - mean) / std) > 2.0
+            THEN 1 ELSE 0 END AS anom
+FROM d ORDER BY event_id
 """
 
 
@@ -3150,7 +3304,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "processing_diff": q_processing_diff,
         "streaming_window": q_streaming_window,
         "chunk_islands": q_chunk_islands,
-        "sessionization": q_sessionization,
         "tpch_q1": q_tpch_q1,
         "tpch_q6": q_tpch_q6,
         "tpch_q3": q_tpch_q3,
@@ -3183,7 +3336,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wide_long_roundtrip": q_wide_long_roundtrip,
         "time_weighted_mean": q_time_weighted_mean,
         "integration_features": q_integration_features,
-        "processing_per_user_diff": q_processing_per_user_diff,
+        "m4_downsample": q_m4_downsample,
+        "anomaly_zscore": q_anomaly_zscore,
     }
 
 
@@ -3205,7 +3359,6 @@ def oracle_sql() -> dict[str, str]:
         "processing_diff": _oracle_processing_diff(),
         "streaming_window": _oracle_streaming_window(),
         "chunk_islands": _oracle_chunk_islands(),
-        "sessionization": _oracle_sessionization(),
         "tpch_q1": _oracle_tpch_q1(),
         "tpch_q6": _oracle_tpch_q6(),
         "tpch_q3": _oracle_tpch_q3(),
@@ -3235,11 +3388,12 @@ def oracle_sql() -> dict[str, str]:
         "wide_long_roundtrip": _oracle_wide_long_roundtrip(),
         "time_weighted_mean": _oracle_time_weighted_mean(),
         "integration_features": _oracle_integration_features(),
-        "processing_per_user_diff": _oracle_processing_per_user_diff(),
         "dup_clusters": _oracle_dup_clusters(),
         # both former rows-only gates now check verifiable invariants:
         # the LSH algorithm replayed in SQL + the IVF partition-
         # completeness property; the sketch candidate-superset contract
         "ann_methods": _oracle_ann_methods(),
         "sketch_dedup": _oracle_sketch_dedup(),
+        "m4_downsample": _oracle_m4_downsample(),
+        "anomaly_zscore": _oracle_anomaly_zscore(),
     }
