@@ -264,3 +264,81 @@ def test_convert_output_dtypes_override(spark):
     col = [c for c in r.columns if c != "ts"][0]
     assert list(r[col]) == list(g[col])
     assert g[col].dtype == object
+
+
+def test_convert_fuzz_vs_reference(spark):
+    """Hypothesis fuzz of the conversion path itself: random sparse
+    series, window/stride, function mix (native numpy + custom callable),
+    window_idx — the reference-built FC, converted by from_tsflex, must
+    reproduce the reference's own output exactly on every drawn config."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from tsflex.features import FeatureCollection, FeatureDescriptor
+
+    def absmean(x):
+        return float(np.mean(np.abs(x)))
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        secs=st.sets(st.integers(0, 400), min_size=4, max_size=60),
+        window=st.sampled_from([9, 30, 75]),
+        stride=st.sampled_from([5, 16]),
+        widx=st.sampled_from(["begin", "end"]),
+        func_native=st.booleans(),
+        data=st.data(),
+    )
+    def prop(secs, window, stride, widx, func_native, data):
+        secs = sorted(secs)
+        vals = data.draw(
+            st.lists(
+                st.floats(min_value=-20, max_value=20, allow_nan=False, width=16),
+                min_size=len(secs),
+                max_size=len(secs),
+            )
+        )
+        ts = pd.Timestamp("2024-10-01") + pd.to_timedelta(secs, unit="s")
+        s = pd.Series([float(x) for x in vals], index=ts, name="v")
+        func = np.sum if func_native else absmean
+        fc = FeatureCollection(
+            FeatureDescriptor(func, "v", f"{window}s", f"{stride}s")
+        )
+        conv = from_tsflex(fc)
+        r = fc.calculate(
+            s, return_df=True, n_jobs=1, window_idx=widx, approve_sparsity=True
+        )
+        r = r.reset_index().rename(columns={"index": "ts"})
+        r = r.sort_values("ts").reset_index(drop=True)
+        pdf = pd.DataFrame({"ts": ts, "v": s.to_numpy()})
+        g = (
+            conv.calculate(
+                spark.createDataFrame(pdf), ts_col="ts", window_idx=widx,
+                approve_sparsity=True,
+            )
+            .toPandas()
+            .sort_values("ts")
+            .reset_index(drop=True)
+        )
+        _compare(r, g)
+
+    prop()
+
+
+def test_convert_list_of_descriptors():
+    """A bare list mixing FDs and MFDs converts element-wise, flattening
+    MFD expansions, and feeds the Spark FC constructor directly."""
+    from tsflex.features import FeatureDescriptor, MultipleFeatureDescriptors
+
+    mixed = [
+        FeatureDescriptor(np.mean, "v", "30s", "30s"),
+        MultipleFeatureDescriptors([np.min, np.max], "v", ["60s"], "30s"),
+    ]
+    conv = from_tsflex(mixed)
+    assert isinstance(conv, list) and len(conv) == 3
+    assert all(isinstance(x, SparkFD) for x in conv)
+    fc = SparkFC(conv)
+    assert isinstance(fc, SparkFC)

@@ -128,6 +128,14 @@ def from_tsflex(
     """
     if isinstance(obj, _SPARK_TYPES):
         return obj
+    if isinstance(obj, (list, tuple)):
+        # a user-held list of descriptors / MFDs / processors: convert
+        # each element, flattening MultipleFeatureDescriptors expansions
+        out: List[Any] = []
+        for item in obj:
+            conv = from_tsflex(item, output_dtypes)
+            out.extend(conv) if isinstance(conv, list) else out.append(conv)
+        return out
     # FeatureCollection: the dict holds every descriptor post-product
     if hasattr(obj, "_feature_desc_dict"):
         fds = [
