@@ -685,21 +685,25 @@ def q_processing_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from tsflex_spark import SeriesPipeline, SeriesProcessor
 
-    def diff_series(v: pd.Series) -> pd.Series:
-        return pd.Series(v.to_numpy(), index=v.index, name="value_diff").diff()
+    def make_diff(name: str):
+        def diff_series(v: pd.Series) -> pd.Series:
+            return pd.Series(v.to_numpy(), index=v.index, name=name).diff()
+
+        return diff_series
 
     pipe = SeriesPipeline(
-        [SeriesProcessor(diff_series, "value", input_type="pandas", halo_rows=(1, 0))]
+        [
+            SeriesProcessor(
+                make_diff("value_diff"), "value", input_type="pandas", halo_rows=(1, 0)
+            )
+        ]
     )
     out = pipe.process(
         _events(spark, sf_dir).select("ts", "event_id", "value"), ts_col="ts"
     )
 
-    def diff_series_user(v: pd.Series) -> pd.Series:
-        return pd.Series(v.to_numpy(), index=v.index, name="value_diff_user").diff()
-
     pipe_u = SeriesPipeline(
-        [SeriesProcessor(diff_series_user, "value", input_type="pandas")]
+        [SeriesProcessor(make_diff("value_diff_user"), "value", input_type="pandas")]
     )
     out_u = pipe_u.process(
         _events(spark, sf_dir).select("ts", "event_id", "user_id", "value"),

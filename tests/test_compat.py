@@ -342,3 +342,54 @@ def test_convert_list_of_descriptors():
     assert all(isinstance(x, SparkFD) for x in conv)
     fc = SparkFC(conv)
     assert isinstance(fc, SparkFC)
+
+
+def test_convert_dataframe_func_row_dropping(spark):
+    """A converted reference @dataframe_func processor that DROPS rows
+    (dropna) must keep the surviving values intact; dropped samples show
+    as NULL in the wide frame (wide-format no-sample encoding) where the
+    reference's series-dict model shrinks the series instead — the
+    documented data-model boundary."""
+    from tsflex.processing import SeriesPipeline, SeriesProcessor
+
+    # same shape the reference's @dataframe_func decorator produces
+    # (*series -> merged frame -> row-dropping result), defined LOCALLY so
+    # cloudpickle ships it by value — a closure from the tsflex module
+    # itself would pin the module in its globals, and Spark python
+    # workers cannot import the shimmed reference checkout
+    def drop_bad(*series):
+        return pd.concat(series, axis=1).dropna(axis=0)
+
+    pipe = SeriesPipeline([SeriesProcessor(drop_bad, "v")])
+    ts = pd.date_range("2024-04-01", periods=10, freq="s")
+    vals = np.arange(10, dtype="float64")
+    vals[3] = np.nan
+    s = pd.Series(vals, index=ts, name="v")
+
+    r = pipe.process([s], return_df=True)
+    assert len(r) == 9  # reference truly drops the row
+
+    conv = from_tsflex(pipe)
+    pdf = pd.DataFrame({"ts": ts, "v": vals})
+    g = (
+        conv.process(spark.createDataFrame(pdf), ts_col="ts")
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    assert len(g) == 10
+    surv = g[g["ts"] != ts[3]]["v"].to_numpy()
+    assert np.allclose(surv, r["v"].to_numpy())
+    assert np.isnan(g.loc[g["ts"] == ts[3], "v"]).all()
+
+
+def test_convert_bare_callable_output_dtypes():
+    """output_dtypes reaches bare callables (not just FuncWrappers):
+    the single output is named after the function."""
+
+    def label(x):
+        return "hi" if np.sum(x) > 0 else "lo"
+
+    fw = from_tsflex(label, output_dtypes={"label": "string"})
+    assert isinstance(fw, SparkFW)
+    assert fw.output_dtypes == ["string"]

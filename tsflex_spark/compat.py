@@ -67,8 +67,16 @@ def _convert_funcwrapper(
     if isinstance(fw, FuncWrapper):
         return fw
     if callable(fw) and not hasattr(fw, "output_names"):
-        # a bare callable: the reference wraps lazily (feature.py:155-157)
-        return FuncWrapper(fw)
+        # a bare callable: the reference wraps lazily (feature.py:155-157);
+        # its single output is named after the function, so the dtype map
+        # keys on that name
+        w = FuncWrapper(fw)
+        dt = (output_dtypes or {}).get(w.output_names[0])
+        if dt is None:
+            return w
+        return FuncWrapper(
+            fw, output_names=list(w.output_names), output_dtypes=[dt]
+        )
     names = list(fw.output_names)
     dts = [(output_dtypes or {}).get(n) for n in names]
     return FuncWrapper(
@@ -155,7 +163,7 @@ def from_tsflex(
     if hasattr(obj, "output_names") and hasattr(obj, "func"):  # FuncWrapper
         return _convert_funcwrapper(obj, output_dtypes)
     if callable(obj):
-        return FuncWrapper(obj)
+        return _convert_funcwrapper(obj, output_dtypes)
     raise TypeError(
         f"cannot convert {type(obj).__module__}.{type(obj).__name__}; expected a "
         "tsflex FeatureCollection/FeatureDescriptor/MultipleFeatureDescriptors/"

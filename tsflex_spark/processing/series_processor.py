@@ -159,7 +159,20 @@ class SeriesProcessor:
         series_names, input_type, pname = self.series_names, self.input_type, self.name
 
         def handle_output(pdf: pd.DataFrame, out: Any, tup: Tuple[str, ...]) -> pd.DataFrame:
-            # reference output-merge rules (series_processor.py:277-370)
+            # reference output-merge rules (series_processor.py:277-370).
+            # Length-mismatched Series/DataFrame outputs (a function that
+            # DROPS samples, e.g. a dataframe_func dropna) align on the TS
+            # index — both tiers hand the function ts-indexed series, so
+            # the output's index labels are timestamps; dropped samples
+            # become NULL in the wide frame (the wide-format no-sample
+            # encoding — the reference's series dict instead shrinks that
+            # series and outer-merges at the end, the documented
+            # data-model boundary).
+            def aligned(s: pd.Series) -> Any:
+                if len(s) == len(pdf):
+                    return s.to_numpy()
+                return s.reindex(pd.Index(pdf[ts_col])).to_numpy()
+
             if isinstance(out, np.ndarray):
                 assert len(tup) == 1, "ndarray output requires a single input series"
                 assert len(out) == len(pdf), "ndarray output must have same length"
@@ -167,14 +180,14 @@ class SeriesProcessor:
             elif isinstance(out, pd.Series):
                 name = out.name if out.name is not None else (tup[0] if len(tup) == 1 else None)
                 assert name is not None, "unnamed Series output requires single input series"
-                pdf[name] = out.to_numpy() if len(out) == len(pdf) else out.reindex(pdf.index)
+                pdf[name] = aligned(out)
             elif isinstance(out, pd.DataFrame):
                 for c in out.columns:
-                    pdf[c] = out[c].to_numpy() if len(out) == len(pdf) else out[c].reindex(pdf.index)
+                    pdf[c] = aligned(out[c])
             elif isinstance(out, list) and all(isinstance(s, pd.Series) for s in out):
                 for s_out in out:
                     assert s_out.name is not None, "list output Series must be named"
-                    pdf[s_out.name] = s_out.to_numpy() if len(s_out) == len(pdf) else s_out.reindex(pdf.index)
+                    pdf[s_out.name] = aligned(s_out)
             else:
                 raise TypeError(f"unsupported processor output type {type(out)}")
             return pdf
