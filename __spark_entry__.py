@@ -1012,15 +1012,25 @@ FROM agg ORDER BY l_returnflag, l_linestatus
 """
 
 
+_SAMPLE_FRACTIONS = {f"src{i}": (0.3 if i % 2 == 0 else 0.7) for i in range(20)}
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on documents.text (hash-groupBy — SURVEY north-star),
     fused with corpus-level LINE dedup (RefinedWeb/CCNet boilerplate
-    removal, ``dedup.remove_duplicate_lines`` keep-first mode): each
-    representative doc also reports its char count after cross-corpus
-    duplicate lines are removed — the decision exchange carries
-    (hash, id, pos) only, never line text."""
+    removal, ``dedup.remove_duplicate_lines`` keep-first mode) and — new
+    round 7 — the hash-deterministic curation memberships
+    (``curation.deterministic_split`` 80/10/10 and ``stratified_sample``
+    per-source fractions): each representative doc reports its
+    line-deduped char count, its split, and its sample flag. The oracle
+    replays Spark's ``xxhash64`` (long+int specializations) bit-for-bit
+    in DuckDB SQL — membership is a pure function of (id, seed), provably
+    engine-independent, which is the whole reproducibility contract of
+    hash-based curation at 100 TB. All assignment columns are codegen,
+    no extra shuffle (broadcast joins onto the dedup output)."""
     _utc(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from tsflex_spark.datapipe.curation import deterministic_split, stratified_sample
     from tsflex_spark.datapipe.dedup import dedup_exact_stats, remove_duplicate_lines
 
     exact = dedup_exact_stats(docs, "text", id_col="doc_id")
@@ -1030,11 +1040,107 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("keep_id"),
         F.length("__clean").alias("n_chars_line_deduped"),
     )
-    return exact.join(ld, "keep_id").orderBy("keep_id")
+    splits = deterministic_split(
+        docs.select("doc_id"), "doc_id", [0.8, 0.1, 0.1], seed=42
+    ).select(F.col("doc_id").alias("keep_id"), "split")
+    samp = stratified_sample(
+        docs.select("doc_id", "source"), "source", _SAMPLE_FRACTIONS, "doc_id", seed=7
+    ).select(F.col("doc_id").alias("keep_id"), F.lit(1).cast("long").alias("sampled"))
+    return (
+        exact.join(ld, "keep_id")
+        .join(F.broadcast(splits), "keep_id")
+        .join(F.broadcast(samp), "keep_id", "left")
+        .withColumn("sampled", F.coalesce("sampled", F.lit(0)))
+        .orderBy("keep_id")
+    )
+
+
+def _xxh64_pmod_steps(prefix: str, id_col: str, seed: int, out_col: str) -> list:
+    """(name, expr) steps computing ``pmod(xxhash64(id_col, lit(seed)),
+    10^6)`` in DuckDB SQL, bit-for-bit equal to Catalyst: ``hash_long``
+    over the 8-byte id (running seed 42), then ``hash_int`` over the
+    4-byte int literal — the exact fold Spark applies to
+    ``xxhash64(col, lit(py_int))``. u64 wraparound multiplication is
+    expressed as a 32-bit-split product so INT128 never overflows; each
+    step lands in its own CTE column (inlining would duplicate
+    subexpressions exponentially)."""
+    M = "18446744073709551616::HUGEINT"
+    M32 = "4294967296::HUGEINT"
+    P = {
+        "P1": 0x9E3779B185EBCA87,
+        "P2": 0xC2B2AE3D27D4EB4F,
+        "P3": 0x165667B19E3779F9,
+        "P4": 0x85EBCA77C2B2AE63,
+        "P5": 0x27D4EB2F165667C5,
+    }
+
+    def mulm(a: str, p: int) -> str:
+        bh, bl = p >> 32, p & 0xFFFFFFFF
+        return (
+            f"(({a}) * {bl}::HUGEINT % {M} + "
+            f"((({a}) * {bh}::HUGEINT % {M32}) << 32)) % {M}"
+        )
+
+    def rotl(x: str, r: int) -> str:
+        return f"((({x}) << {r}) % {M} + (({x}) >> {64 - r}))"
+
+    p = prefix
+    steps = [
+        # hash_long(id, 42): xxh.py:40-49
+        (f"{p}_v", f"(({id_col})::HUGEINT + {M}) % {M}"),
+        (f"{p}_k1", mulm(rotl(mulm(f"{p}_v", P["P2"]), 31), P["P1"])),
+        (f"{p}_h1", f"xor((42::HUGEINT + {P['P5']}::HUGEINT + 8) % {M}, {p}_k1)"),
+        (
+            f"{p}_h2",
+            f"(({mulm(rotl(f'{p}_h1', 27), P['P1'])}) + {P['P4']}::HUGEINT) % {M}",
+        ),
+        (f"{p}_f1", mulm(f"xor({p}_h2, {p}_h2 >> 33)", P["P2"])),
+        (f"{p}_f2", mulm(f"xor({p}_f1, {p}_f1 >> 29)", P["P3"])),
+        (f"{p}_f3", f"xor({p}_f2, {p}_f2 >> 32)"),
+        # hash_int(seed, h): xxh.py:52-58 — the int literal is the VALUE,
+        # the running hash is the SEED
+        (
+            f"{p}_g1",
+            f"xor(({p}_f3 + {P['P5']}::HUGEINT + 4) % {M}, "
+            f"{mulm(f'{seed}::HUGEINT', P['P1'])})",
+        ),
+        (
+            f"{p}_g2",
+            f"(({mulm(rotl(f'{p}_g1', 23), P['P2'])}) + {P['P3']}::HUGEINT) % {M}",
+        ),
+        (f"{p}_e1", mulm(f"xor({p}_g2, {p}_g2 >> 33)", P["P2"])),
+        (f"{p}_e2", mulm(f"xor({p}_e1, {p}_e1 >> 29)", P["P3"])),
+        (f"{p}_e3", f"xor({p}_e2, {p}_e2 >> 32)"),
+        (
+            out_col,
+            f"((CASE WHEN {p}_e3 >= 9223372036854775808::HUGEINT "
+            f"THEN {p}_e3 - {M} ELSE {p}_e3 END % 1000000 + 1000000) "
+            f"% 1000000)::BIGINT",
+        ),
+    ]
+    return steps
+
+
+def _xxh64_cte_chain(base_cte: str, steps: list, tag: str) -> str:
+    """Chain each step into its own CTE over ``base_cte``; returns the
+    CTE fragment text, final CTE named ``{tag}_fin``."""
+    frags = []
+    prev = base_cte
+    for i, (name, expr) in enumerate(steps):
+        cur = f"{tag}_fin" if i == len(steps) - 1 else f"{tag}{i}"
+        frags.append(f"{cur} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = cur
+    return ",\n".join(frags)
 
 
 def _oracle_dedup_exact() -> str:
-    return """
+    split_chain = _xxh64_cte_chain(
+        "base", _xxh64_pmod_steps("sp", "keep_id", 42, "b_split"), "xs"
+    )
+    samp_chain = _xxh64_cte_chain(
+        "xs_fin", _xxh64_pmod_steps("sa", "keep_id", 7, "b_samp"), "xa"
+    )
+    return f"""
 WITH ex AS (
   SELECT min(doc_id) AS keep_id, count(*) AS n_copies
   FROM documents GROUP BY text),
@@ -1049,11 +1155,22 @@ kept AS (
   FROM ln),
 rebuilt AS (
   SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean
-  FROM kept WHERE rn = 1 GROUP BY doc_id)
-SELECT ex.keep_id, ex.n_copies,
-       length(coalesce(r.clean, '')) AS n_chars_line_deduped
-FROM ex LEFT JOIN rebuilt r ON r.doc_id = ex.keep_id
-ORDER BY ex.keep_id
+  FROM kept WHERE rn = 1 GROUP BY doc_id),
+base AS (
+  SELECT ex.keep_id, ex.n_copies,
+         length(coalesce(r.clean, '')) AS n_chars_line_deduped,
+         CAST(substr(d.source, 4) AS INT) % 2 AS src_parity
+  FROM ex LEFT JOIN rebuilt r ON r.doc_id = ex.keep_id
+  JOIN documents d ON d.doc_id = ex.keep_id),
+{split_chain},
+{samp_chain}
+SELECT keep_id, n_copies, n_chars_line_deduped,
+       CASE WHEN b_split < 800000 THEN 'train'
+            WHEN b_split < 900000 THEN 'val' ELSE 'test' END AS split,
+       CASE WHEN src_parity = 0 AND b_samp < 300000 THEN 1
+            WHEN src_parity = 1 AND b_samp < 700000 THEN 1
+            ELSE 0 END AS sampled
+FROM xa_fin ORDER BY keep_id
 """
 
 
