@@ -1815,7 +1815,7 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = ngram_jaccard(
         docs, pairs, "text", id_col="doc_id", shingles=sh, prune_checkpoint=False
     )
-    edges = sim.where(F.col("jaccard") >= 0.2)
+    edges = sim.where(F.col("jaccard") >= 0.2).localCheckpoint(eager=False)
     cc = connected_components(edges, "id_a", "id_b")
     labeled = docs.select("doc_id").join(
         cc, docs["doc_id"] == cc["node"], "left"
@@ -1823,16 +1823,74 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id"),
         F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
     )
+    # round 7: per-cluster graph stats promote datapipe/graph.py from
+    # pytest-only to oracle-verified — PageRank mass (10 fixed power
+    # iterations, damping 0.85, dangling-mass redistribution) and total
+    # degree over the SAME candidate edge graph; the DuckDB oracle
+    # unrolls the identical iterations as a generated CTE chain
+    from tsflex_spark.datapipe.graph import degrees, pagerank
+
+    pr = pagerank(edges, "id_a", "id_b", damping=0.85, iters=10)
+    dg = degrees(edges, "id_a", "id_b").select(
+        "node", (F.col("out_degree") + F.col("in_degree")).alias("dtot")
+    )
+    stats = labeled.join(
+        pr.join(dg, "node"), labeled.doc_id == F.col("node"), "left"
+    )
     return (
-        labeled.groupBy("cluster_id")
-        .agg(F.count(F.lit(1)).alias("n_members"))
+        stats.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.coalesce("rank", F.lit(0.0))).alias("rank_mass"),
+            F.sum(F.coalesce("dtot", F.lit(0))).alias("degree_sum"),
+        )
         .orderBy("cluster_id")
     )
 
 
+def _pagerank_cte_chain(iters: int, damping: float) -> str:
+    """CTE fragment replaying datapipe/graph.pagerank's power iteration
+    (graph.py:71-93) over the directed edge CTE ``de``: per round, the
+    dangling mass (od-NULL nodes) redistributes uniformly and each node
+    receives damping * sum(rank/od) from its in-neighbors. Fixed-count
+    unroll — each iteration is three CTEs, generated like the xxh64
+    chain so no subexpression duplicates."""
+    d = float(damping)
+    # every CTE is MATERIALIZED: pr{k-1} is referenced twice per round,
+    # so default inlining would expand the chain exponentially (observed
+    # as a planner blowup exhausting file handles on the parquet scans)
+    frags = [
+        "pn AS MATERIALIZED (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM de UNION ALL SELECT dst AS node FROM de))",
+        "pod AS MATERIALIZED (SELECT src AS node, count(*) AS od FROM de GROUP BY src)",
+        "pbase AS MATERIALIZED (SELECT pn.node, pod.od FROM pn LEFT JOIN pod USING (node))",
+        "pcnt AS MATERIALIZED (SELECT count(*) AS n FROM pn)",
+        "pr0 AS MATERIALIZED (SELECT node, od, 1.0 / (SELECT n FROM pcnt) AS rank FROM pbase)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"pr{k - 1}"
+        frags.append(
+            f"pd{k} AS MATERIALIZED (SELECT coalesce(sum(rank), 0.0) AS dang "
+            f"FROM {p} WHERE od IS NULL)"
+        )
+        frags.append(
+            f"pc{k} AS MATERIALIZED (SELECT de.dst AS node, sum(r.rank / r.od) AS c "
+            f"FROM de JOIN {p} r ON r.node = de.src GROUP BY de.dst)"
+        )
+        frags.append(
+            f"pr{k} AS MATERIALIZED (SELECT b.node, b.od, "
+            f"{1.0 - d} / (SELECT n FROM pcnt) "
+            f"+ {d} * (SELECT dang FROM pd{k}) / (SELECT n FROM pcnt) "
+            f"+ {d} * coalesce(c.c, 0.0) AS rank "
+            f"FROM pbase b LEFT JOIN pc{k} c USING (node))"
+        )
+    return ",\n".join(frags)
+
+
 def _oracle_dup_clusters() -> str:
     # transitive closure via recursive CTE (min reachable label == the
-    # engine's min-of-component label)
+    # engine's min-of-component label); PageRank mass + degree replayed
+    # over the same directed edge list by a fixed-iteration CTE unroll
     return r"""
 WITH RECURSIVE sh AS (
   SELECT doc_id,
@@ -1848,8 +1906,9 @@ jac AS (
          CAST(len(list_distinct(list_intersect(sa.s, sb.s))) AS DOUBLE)
            / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS j
   FROM p JOIN sh sa ON sa.doc_id = p.id_a JOIN sh sb ON sb.doc_id = p.id_b),
-e AS (SELECT id_a AS u, id_b AS v FROM jac WHERE j >= 0.2
-      UNION SELECT id_b AS u, id_a AS v FROM jac WHERE j >= 0.2),
+de AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM jac WHERE j >= 0.2),
+e AS (SELECT src AS u, dst AS v FROM de
+      UNION SELECT dst AS u, src AS v FROM de),
 reach(a, b) AS (
   SELECT u, v FROM e
   UNION
@@ -1858,9 +1917,18 @@ lbl AS (
   SELECT d.doc_id,
          least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
   FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
-  GROUP BY d.doc_id)
-SELECT cluster_id, count(*) AS n_members
-FROM lbl GROUP BY cluster_id ORDER BY cluster_id
+  GROUP BY d.doc_id),
+""" + _pagerank_cte_chain(10, 0.85) + r""",
+pdeg AS (SELECT node, count(*) AS dtot FROM
+         (SELECT src AS node FROM de UNION ALL SELECT dst AS node FROM de)
+         GROUP BY node)
+SELECT lbl.cluster_id, count(*) AS n_members,
+       sum(coalesce(pr10.rank, 0.0)) AS rank_mass,
+       CAST(sum(coalesce(pdeg.dtot, 0)) AS BIGINT) AS degree_sum
+FROM lbl
+LEFT JOIN pr10 ON pr10.node = lbl.doc_id
+LEFT JOIN pdeg ON pdeg.node = lbl.doc_id
+GROUP BY lbl.cluster_id ORDER BY lbl.cluster_id
 """
 
 
