@@ -1824,13 +1824,13 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
     )
     # round 7: per-cluster graph stats promote datapipe/graph.py from
-    # pytest-only to oracle-verified — PageRank mass (10 fixed power
+    # pytest-only to oracle-verified — PageRank mass (6 fixed power
     # iterations, damping 0.85, dangling-mass redistribution) and total
     # degree over the SAME candidate edge graph; the DuckDB oracle
     # unrolls the identical iterations as a generated CTE chain
     from tsflex_spark.datapipe.graph import degrees, pagerank
 
-    pr = pagerank(edges, "id_a", "id_b", damping=0.85, iters=10)
+    pr = pagerank(edges, "id_a", "id_b", damping=0.85, iters=6)
     dg = degrees(edges, "id_a", "id_b").select(
         "node", (F.col("out_degree") + F.col("in_degree")).alias("dtot")
     )
@@ -1918,15 +1918,15 @@ lbl AS (
          least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
   FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
   GROUP BY d.doc_id),
-""" + _pagerank_cte_chain(10, 0.85) + r""",
+""" + _pagerank_cte_chain(6, 0.85) + r""",
 pdeg AS (SELECT node, count(*) AS dtot FROM
          (SELECT src AS node FROM de UNION ALL SELECT dst AS node FROM de)
          GROUP BY node)
 SELECT lbl.cluster_id, count(*) AS n_members,
-       sum(coalesce(pr10.rank, 0.0)) AS rank_mass,
+       sum(coalesce(pr6.rank, 0.0)) AS rank_mass,
        CAST(sum(coalesce(pdeg.dtot, 0)) AS BIGINT) AS degree_sum
 FROM lbl
-LEFT JOIN pr10 ON pr10.node = lbl.doc_id
+LEFT JOIN pr6 ON pr6.node = lbl.doc_id
 LEFT JOIN pdeg ON pdeg.node = lbl.doc_id
 GROUP BY lbl.cluster_id ORDER BY lbl.cluster_id
 """
