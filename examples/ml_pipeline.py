@@ -77,6 +77,12 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
 
     # drop the label-defining feature so the model learns from the rest
     model_feats = [c for c in kept if "count" not in c] or kept
+    # materialize the assembled training set ONCE before iterative
+    # fitting: LBFGS re-evaluates its input every iteration, so without
+    # this the whole feature/PIT lineage (including the sparsity
+    # observation node, which Spark cannot serialize into ML tasks)
+    # would recompute per iteration
+    selected = selected.localCheckpoint(eager=True)
     train, test = selected.randomSplit([0.8, 0.2], seed=7)
     asm = VectorAssembler(inputCols=model_feats, outputCol="features")
     lr = LogisticRegression(featuresCol="features", labelCol="label", maxIter=20)
