@@ -1101,8 +1101,11 @@ def _xxh64_pmod_steps(prefix: str, id_col: str, seed: int, out_col: str) -> list
         # the running hash is the SEED
         (
             f"{p}_g1",
+            # hash_int reads the literal as its unsigned 4-byte pattern
+            # (xxh.py:54 `value &= 0xFFFFFFFF`) — mask at build time so
+            # negative int32 seeds emit the same bits Catalyst hashes
             f"xor(({p}_f3 + {P['P5']}::HUGEINT + 4) % {M}, "
-            f"{mulm(f'{seed}::HUGEINT', P['P1'])})",
+            f"{mulm(f'{seed & 0xFFFFFFFF}::HUGEINT', P['P1'])})",
         ),
         (
             f"{p}_g2",

@@ -1,0 +1,108 @@
+"""The entry file's oracle-replication helpers are verification assets:
+`_xxh64_pmod_steps` reimplements Spark's xxhash64 in DuckDB SQL and
+`_pagerank_cte_chain` unrolls graph.pagerank's power iteration. The
+gates exercise them on one fixed corpus; these fuzzes pin them over
+random inputs — ids across the full int64 range (sign handling, high
+bits) and random digraphs (dangling nodes, self-structure, multi-edges).
+"""
+
+import sys
+
+import duckdb
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry_mod
+from tsflex_spark.utils.xxh import hash_int, hash_long
+
+
+def _pmod_py(doc_id: int, seed: int) -> int:
+    h = hash_int(seed, hash_long(doc_id, 42))
+    signed = h - (1 << 64) if h >= (1 << 63) else h
+    return ((signed % 1_000_000) + 1_000_000) % 1_000_000
+
+
+def test_xxh64_sql_chain_fuzz():
+    """DuckDB chain == python xxh (itself Catalyst-parity-tested in
+    test_xxh.py) over random int64 ids and int32 seeds, plus edges."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    con = duckdb.connect()
+
+    def check(ids, seed):
+        steps = entry_mod._xxh64_pmod_steps("t", "doc_id", seed, "b")
+        chain = entry_mod._xxh64_cte_chain("b0", steps, "x")
+        vals = ", ".join(str(i) for i in ids)
+        sql = (
+            f"WITH b0 AS (SELECT unnest([{vals}]::BIGINT[]) AS doc_id), "
+            f"{chain} SELECT doc_id, b FROM x_fin"
+        )
+        for doc_id, got in con.execute(sql).fetchall():
+            assert got == _pmod_py(doc_id, seed), (doc_id, seed)
+
+    # deterministic edge battery: extremes, sign boundary, small values
+    check(
+        [0, 1, -1, 2**63 - 1, -(2**63), 2**32, -(2**32), 42, -42],
+        7,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        ids=st.lists(
+            st.integers(-(2**63), 2**63 - 1), min_size=1, max_size=8
+        ),
+        seed=st.integers(-(2**31), 2**31 - 1),
+    )
+    def prop(ids, seed):
+        check(ids, seed)
+
+    prop()
+
+
+def test_pagerank_sql_chain_fuzz(spark):
+    """DuckDB unrolled chain == datapipe.graph.pagerank on random
+    digraphs (dangling nodes arise whenever a dst never appears as src;
+    duplicate edges count as parallel links in both)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from tsflex_spark.datapipe.graph import pagerank
+
+    con = duckdb.connect()
+    ITERS, D = 5, 0.85
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 12), st.integers(0, 12)),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def prop(edges):
+        sdf = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank(sdf, "src", "dst", damping=D, iters=ITERS).collect()
+        }
+        rows = ", ".join(f"({s}, {d})" for s, d in edges)
+        sql = (
+            f"WITH de AS MATERIALIZED (SELECT * FROM (VALUES {rows}) t(src, dst)), "
+            + entry_mod._pagerank_cte_chain(ITERS, D)
+            + f" SELECT node, rank FROM pr{ITERS}"
+        )
+        exp = dict(con.execute(sql).fetchall())
+        assert set(got) == set(exp)
+        for n in got:
+            assert abs(got[n] - exp[n]) < 1e-9, (n, got[n], exp[n])
+        # Σrank == 1 (mass conservation incl. dangling redistribution)
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    prop()
