@@ -1040,16 +1040,16 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("keep_id"),
         F.length("__clean").alias("n_chars_line_deduped"),
     )
-    splits = deterministic_split(
-        docs.select("doc_id"), "doc_id", [0.8, 0.1, 0.1], seed=42
-    ).select(F.col("doc_id").alias("keep_id"), "split")
     samp = stratified_sample(
         docs.select("doc_id", "source"), "source", _SAMPLE_FRACTIONS, "doc_id", seed=7
     ).select(F.col("doc_id").alias("keep_id"), F.lit(1).cast("long").alias("sampled"))
+    out = exact.join(ld, "keep_id")
+    # the split is a pure column function of the id — tag the joined
+    # frame directly instead of building and broadcasting a corpus-sized
+    # (id, split) frame (the sample join genuinely needs `source`)
+    out = deterministic_split(out, "keep_id", [0.8, 0.1, 0.1], seed=42)
     return (
-        exact.join(ld, "keep_id")
-        .join(F.broadcast(splits), "keep_id")
-        .join(F.broadcast(samp), "keep_id", "left")
+        out.join(F.broadcast(samp), "keep_id", "left")
         .withColumn("sampled", F.coalesce("sampled", F.lit(0)))
         .orderBy("keep_id")
     )
@@ -1063,7 +1063,12 @@ def _xxh64_pmod_steps(prefix: str, id_col: str, seed: int, out_col: str) -> list
     ``xxhash64(col, lit(py_int))``. u64 wraparound multiplication is
     expressed as a 32-bit-split product so INT128 never overflows; each
     step lands in its own CTE column (inlining would duplicate
-    subexpressions exponentially)."""
+    subexpressions exponentially).
+
+    ``seed`` must fit int32: a Python int literal outside int32 becomes
+    a LongType lit, which Catalyst folds with hash_long instead — a
+    caller passing one would get a silently divergent oracle."""
+    assert -(2**31) <= seed < 2**31, f"seed {seed} not an int32 literal"
     M = "18446744073709551616::HUGEINT"
     M32 = "4294967296::HUGEINT"
     P = {

@@ -615,3 +615,62 @@ def test_resample_interpolate_fuzz(spark):
             assert np.allclose(got["v"].to_numpy(), exp), (k, got["v"].tolist(), exp)
 
     prop()
+
+
+def test_short_output_alignment_by_tier(spark):
+    """Length-mismatched processor outputs align by the right index per
+    tier: numpy-tier Series carry a positional RangeIndex (first n-1
+    positions fill, the tail is NULL); pandas-tier ts-labeled outputs
+    align on timestamps (the DROPPED row's slot is NULL); duplicate ts
+    labels surviving a row-dropper keep the first value instead of
+    raising inside the Arrow worker."""
+    ts = pd.date_range("2024-05-01", periods=6, freq="s")
+    pdf = pd.DataFrame({"ts": ts, "v": np.arange(6, dtype="float64")})
+
+    def head_np(v):  # numpy tier: bare array in, RangeIndex Series out
+        return pd.Series(v[:-1], name="v_head")
+
+    out = (
+        SeriesPipeline([SeriesProcessor(head_np, "v", input_type="numpy")])
+        .process(spark.createDataFrame(pdf), ts_col="ts")
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    assert np.allclose(out["v_head"][:5], np.arange(5.0))
+    assert np.isnan(out["v_head"].iloc[5])
+
+    def drop_third(v):  # pandas tier: ts-labeled, drops ts[2]
+        return v.drop(v.index[2]).rename("v_kept")
+
+    out2 = (
+        SeriesPipeline([SeriesProcessor(drop_third, "v", input_type="pandas")])
+        .process(spark.createDataFrame(pdf), ts_col="ts")
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    assert np.isnan(out2["v_kept"].iloc[2])
+    kept = out2["v_kept"].drop(index=2)
+    assert np.allclose(kept, [0.0, 1.0, 3.0, 4.0, 5.0])
+
+    # duplicate input timestamps + a row-dropper: keep-first, no raise
+    ts3 = pd.to_datetime(
+        ["2024-05-01 00:00:00", "2024-05-01 00:00:00", "2024-05-01 00:00:02"]
+    )
+    pdf3 = pd.DataFrame({"ts": ts3, "v": [1.0, 2.0, 3.0]})
+
+    def drop_last(v):
+        return v.iloc[:-1].rename("v_dup")
+
+    out3 = (
+        SeriesPipeline([SeriesProcessor(drop_last, "v", input_type="pandas")])
+        .process(spark.createDataFrame(pdf3), ts_col="ts")
+        .toPandas()
+        .sort_values(["ts", "v"])
+        .reset_index(drop=True)
+    )
+    assert len(out3) == 3
+    # both rows at the duplicate instant take the FIRST value kept there
+    assert list(out3["v_dup"][:2]) == [1.0, 1.0]
+    assert np.isnan(out3["v_dup"].iloc[2])

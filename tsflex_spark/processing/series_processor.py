@@ -171,6 +171,18 @@ class SeriesProcessor:
             def aligned(s: pd.Series) -> Any:
                 if len(s) == len(pdf):
                     return s.to_numpy()
+                if isinstance(s.index, pd.RangeIndex):
+                    # numpy-tier functions see bare arrays, so their
+                    # Series outputs carry a positional RangeIndex — ts
+                    # labels don't exist to align on; keep positional
+                    # alignment against the frame's RangeIndex
+                    return s.reindex(pdf.index).to_numpy()
+                if s.index.has_duplicates:
+                    # duplicate ts labels in the output (duplicate input
+                    # timestamps surviving a row-dropper): reindex would
+                    # raise on duplicate SOURCE labels — keep the first
+                    # value per label, matching keep-first merge rules
+                    s = s[~s.index.duplicated(keep="first")]
                 return s.reindex(pd.Index(pdf[ts_col])).to_numpy()
 
             if isinstance(out, np.ndarray):
