@@ -72,8 +72,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print(f"BH kept {len(kept)}/{len(pit_cols)} features")
 
     from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.evaluation import BinaryClassificationEvaluator
     from pyspark.ml.feature import VectorAssembler
+
+    from tsflex_spark.utils.ml_metrics import binary_auc
 
     # drop the label-defining feature so the model learns from the rest
     model_feats = [c for c in kept if "count" not in c] or kept
@@ -87,9 +88,21 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     asm = VectorAssembler(inputCols=model_feats, outputCol="features")
     lr = LogisticRegression(featuresCol="features", labelCol="label", maxIter=20)
     model = lr.fit(asm.transform(train))
-    auc = BinaryClassificationEvaluator(labelCol="label").evaluate(
-        model.transform(asm.transform(test))
+    # Score + evaluate WITHOUT MLlib on the serving path — the pattern
+    # datapipe/classifier.py ships for production: the trained model is
+    # (weights, intercept), so scoring is a codegen expression, and AUC
+    # is the DataFrame-native Mann-Whitney (utils/ml_metrics). MLlib's
+    # transform-UDF and RDD evaluator both fail to serialize in any
+    # session that ever registered a DataFrame.observe Observation
+    # (Spark 4 ObservationManager bug), and model.transform drags the
+    # training summary -> session into its closure.
+    margin = F.lit(float(model.intercept))
+    for w, c in zip(model.coefficients.toArray(), model_feats):
+        margin = margin + F.lit(float(w)) * F.col(c)
+    pred = test.select(
+        "label", (F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))).alias("score")
     )
+    auc = binary_auc(pred, "label", "score")
     print(f"AUC on held-out windows: {auc:.3f}")
 
 

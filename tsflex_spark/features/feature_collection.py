@@ -633,6 +633,16 @@ class FeatureCollection:
         the data side (restored by the spine join) count as 0 via the
         coalesce, so gaps vs. empty windows are detected like the
         reference's per-window counts.
+
+        Known Spark 4 (classic) interaction: once ANY Observation has
+        been registered in a session — pending or resolved — MLlib's
+        RDD-based closures (``BinaryClassificationEvaluator.evaluate``,
+        ``model.transform``'s prediction UDF) fail with
+        ``NotSerializableException: ObservationManager``. Pass
+        ``approve_sparsity=True`` in sessions that must run those, or
+        evaluate with ``utils.ml_metrics.binary_auc`` and score with
+        codegen expressions (the ``datapipe/classifier.py`` pattern),
+        which stay on the DataFrame API.
         """
         import threading
 
