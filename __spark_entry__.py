@@ -1427,7 +1427,20 @@ def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_win = wf.select(F.explode("fps").alias("f")).agg(
         F.count_distinct("f").alias("n_winnow")
     )
-    return agg.crossJoin(n_win)
+    # utils/ml_metrics.binary_auc verified against the same Mann-Whitney
+    # rank computation in SQL (label = doc_id parity, score = n_chars —
+    # the VALUE checks the tie-handling rank math, not a model)
+    from tsflex_spark.utils.ml_metrics import binary_auc
+
+    auc = binary_auc(
+        docs.select(
+            (F.col("doc_id") % 2).cast("double").alias("label"),
+            F.col("n_chars").cast("double").alias("score"),
+        ),
+        "label",
+        "score",
+    )
+    return agg.crossJoin(n_win).withColumn("auc_parity", F.lit(float(auc)))
 
 
 def _oracle_fingerprint_dedup() -> str:
@@ -1459,11 +1472,29 @@ wnw AS (
               THEN list_transform(range(1, len(hs) - {w} + 2), i -> least({mins}))
               ELSE [] END AS fps
   FROM h),
-u AS (SELECT DISTINCT unnest(fps) AS f FROM wnw)
+u AS (SELECT DISTINCT unnest(fps) AS f FROM wnw),
+-- Mann-Whitney AUC with average tie ranks: per distinct score, rows
+-- strictly below + (n+1)/2 (identical derivation to utils/ml_metrics)
+auc_ps AS (
+  SELECT CAST(n_chars AS DOUBLE) AS s,
+         count(*) AS n,
+         sum(CAST(doc_id % 2 AS DOUBLE)) AS np
+  FROM documents GROUP BY 1),
+auc_rk AS (
+  SELECT s, n, np,
+         CAST(coalesce(sum(n) OVER (ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+           + (n + 1) / 2.0 AS r
+  FROM auc_ps),
+auc_v AS (
+  SELECT (sum(np * r) - sum(np) * (sum(np) + 1) / 2.0)
+           / (sum(np) * sum(n - np)) AS auc
+  FROM auc_rk)
 SELECT (SELECT count(*) FROM documents) AS n_docs,
        (SELECT count(DISTINCT lower(regexp_replace(text, '\s+', ' ', 'g')))
         FROM documents) AS n_unique,
-       (SELECT count(*) FROM u) AS n_winnow
+       (SELECT count(*) FROM u) AS n_winnow,
+       (SELECT auc FROM auc_v) AS auc_parity
 """
 
 
