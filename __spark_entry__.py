@@ -2409,6 +2409,22 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("purch__value").alias("purch_value"),
         F.col("purch__ts_matched").alias("purch_ts"),
     )
+    # third §2.3 leg: range_join (event-to-interval, granule-bucketed
+    # equi-join — no BNLJ) assigns every click to its containing 30m
+    # session; sessions are inclusive of their last event, so the
+    # half-open interval gets a +1µs end
+    from tsflex_spark.chunking import chunk_data
+    from tsflex_spark.relational import range_join
+
+    sess = chunk_data(ev, ts_col="ts", key_cols=["user_id"], max_gap="30m").select(
+        "user_id",
+        F.col("chunk_start").alias("start"),
+        (F.col("chunk_end") + F.expr("INTERVAL 1 MICROSECOND")).alias("end"),
+        F.col("n_samples").alias("sess_n"),
+    )
+    rj = range_join(clicks, sess, left_on="ts", by=["user_id"]).select(
+        "event_id", F.col("start").alias("sess_start"), "sess_n"
+    )
     return (
         plain.select(
             "event_id",
@@ -2417,6 +2433,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts_r").alias("view_ts"),
         )
         .join(pit, "event_id")
+        .join(rj, "event_id")
         .orderBy("event_id")
     )
 
@@ -2429,12 +2446,26 @@ p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
 j1 AS (SELECT c.event_id, c.user_id, c.ts, v.value AS vv, v.ts AS vt
        FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts),
 j2 AS (SELECT j1.*, p.value AS pv, p.ts AS pt
-       FROM j1 ASOF LEFT JOIN p ON j1.user_id = p.user_id AND p.ts <= j1.ts)
-SELECT event_id, user_id, vv AS view_value, vt AS view_ts,
-       CASE WHEN ts - vt <= INTERVAL 2 HOUR THEN vv END AS pit_view_value,
-       CASE WHEN ts - vt <= INTERVAL 2 HOUR THEN vt END AS pit_view_ts,
-       pv AS purch_value, pt AS purch_ts
-FROM j2 ORDER BY event_id
+       FROM j1 ASOF LEFT JOIN p ON j1.user_id = p.user_id AND p.ts <= j1.ts),
+sd AS (SELECT user_id, ts,
+              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+                   THEN 1 ELSE 0 END AS chg
+       FROM events),
+si AS (SELECT user_id, ts,
+              sum(chg) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS isl
+       FROM sd),
+sg AS (SELECT user_id, min(ts) AS sess_start, max(ts) AS sess_end,
+              count(*) AS sess_n
+       FROM si GROUP BY user_id, isl)
+SELECT j2.event_id, j2.user_id, vv AS view_value, vt AS view_ts,
+       CASE WHEN j2.ts - vt <= INTERVAL 2 HOUR THEN vv END AS pit_view_value,
+       CASE WHEN j2.ts - vt <= INTERVAL 2 HOUR THEN vt END AS pit_view_ts,
+       pv AS purch_value, pt AS purch_ts,
+       sg.sess_start, sg.sess_n
+FROM j2 JOIN sg ON sg.user_id = j2.user_id
+                AND j2.ts BETWEEN sg.sess_start AND sg.sess_end
+ORDER BY j2.event_id
 """
 
 
