@@ -1765,18 +1765,144 @@ def q_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = ivf_topk(base, qv, k=10, nlist=16, nprobe=16)
     w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
     lsh = lsh.select(
-        F.lit("lsh").alias("method"), "vec_id", "cosine",
+        F.lit("lsh").alias("method"), "vec_id",
+        F.col("cosine").alias("metric"),
         F.row_number().over(w).alias("rank"),
     )
     ivf = ivf.select(
-        F.lit("ivf_all").alias("method"), "vec_id", "cosine",
+        F.lit("ivf_all").alias("method"), "vec_id",
+        F.col("cosine").alias("metric"),
         F.row_number().over(w).alias("rank"),
     )
-    return lsh.unionByName(ivf).orderBy("method", "rank")
+    # third leg (round 7): distributed Lloyd k-means, oracle-verified by
+    # replaying the SAME 5 fixed iterations in SQL. Deterministic init =
+    # the k smallest vec_ids (init_centroids skips the RNG-based D²
+    # seeding, which SQL cannot replay); per-cluster squared centroid
+    # norm + fresh-assignment count, plus a corpus inertia row — exact
+    # verification of the iterative update, empty-cell keep-old rule,
+    # and argmin tie-break (first index).
+    import numpy as np
+    import pandas as pd
+
+    from tsflex_spark.datapipe.embedding import kmeans_fit
+
+    init_pd = (
+        base.select("vec_id", "embedding").orderBy("vec_id").limit(_KM_K).toPandas()
+    )
+    C0 = np.asarray(init_pd["embedding"].tolist(), dtype="float64")
+    C, _ = kmeans_fit(
+        base, _KM_K, "embedding", iters=_KM_ITERS, tol=0.0, init_centroids=C0
+    )
+
+    def assign(batches):
+        norms = (C**2).sum(1)
+        cnt = np.zeros(len(C), dtype="int64")
+        sse = 0.0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.asarray(pdf["embedding"].tolist(), dtype="float64")
+            d2 = -2.0 * (X @ C.T) + norms[None, :]
+            a = d2.argmin(1)
+            cnt_local = np.bincount(a, minlength=len(C))
+            cnt += cnt_local
+            sse += float((d2[np.arange(len(X)), a] + (X * X).sum(1)).sum())
+        yield pd.DataFrame(
+            {
+                "cid": np.arange(len(C)),
+                "cnt": cnt,
+                "sse": [sse] + [0.0] * (len(C) - 1),
+            }
+        )
+
+    parts = (
+        base.select("embedding")
+        .mapInPandas(assign, "cid int, cnt long, sse double")
+        .groupBy("cid")
+        .agg(F.sum("cnt").alias("cnt"), F.sum("sse").alias("sse"))
+        .collect()
+    )
+    counts = {int(r["cid"]): int(r["cnt"]) for r in parts}
+    inertia = float(sum(r["sse"] for r in parts))
+    rows = [
+        ("kmeans", j, float((C[j] ** 2).sum()), counts.get(j, 0))
+        for j in range(_KM_K)
+    ]
+    rows.append(("kmeans_inertia", -1, inertia, sum(counts.values())))
+    km = spark.createDataFrame(
+        rows, "method string, vec_id long, metric double, rank int"
+    )
+    return lsh.unionByName(ivf).unionByName(km).orderBy("method", "rank", "vec_id")
 
 
 _ANN_PLANES = 8
 _ANN_DIM = 64  # embeddings.parquet dim at every driver SF
+_KM_K = 4
+_KM_ITERS = 5
+
+
+def _kmeans_cte_chain() -> str:
+    """CTE fragment replaying datapipe/embedding.kmeans_fit's Lloyd loop
+    (fixed ``_KM_ITERS`` iterations, k = ``_KM_K``, init = the k
+    smallest vec_ids) over ``embeddings`` rows with vec_id != 0.
+    Identical derivations to the engine: assignment by
+    ``argmin(-2·x·c + ||c||²)`` with first-index tie-break, centroid
+    update = per-dimension mean of assigned points, empty cells keep
+    their previous centroid. MATERIALIZED throughout — each iteration
+    references the previous centroids twice."""
+    k, iters = _KM_K, _KM_ITERS
+    frags = [
+        "ke AS MATERIALIZED (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, "
+        "list_inner_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE))) AS xx "
+        "FROM embeddings WHERE vec_id <> 0)",
+        f"kc0 AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 "
+        f"AS INT) AS cid, v AS c FROM (SELECT vec_id, v FROM ke "
+        f"ORDER BY vec_id LIMIT {k}))",
+    ]
+    for i in range(1, iters + 1):
+        p = f"kc{i - 1}"
+        frags.append(
+            f"ka{i} AS MATERIALIZED (SELECT vec_id, v, xx, cid, d2 FROM ("
+            f"SELECT e.vec_id, e.v, e.xx, c.cid, "
+            f"-2 * list_inner_product(e.v, c.c) + list_inner_product(c.c, c.c) AS d2, "
+            f"row_number() OVER (PARTITION BY e.vec_id ORDER BY "
+            f"-2 * list_inner_product(e.v, c.c) + list_inner_product(c.c, c.c), c.cid"
+            f") AS rn FROM ke e CROSS JOIN {p} c) WHERE rn = 1)"
+        )
+        frags.append(
+            f"kc{i} AS MATERIALIZED (SELECT p.cid, coalesce(nw.c, p.c) AS c "
+            f"FROM {p} p LEFT JOIN ("
+            f"SELECT cid, list(sx / n ORDER BY di) AS c FROM ("
+            f"SELECT cid, di, sum(vx) AS sx, count(*) AS n FROM ("
+            f"SELECT cid, unnest(v) AS vx, generate_subscripts(v, 1) AS di "
+            f"FROM ka{i}) GROUP BY cid, di) GROUP BY cid) nw USING (cid))"
+        )
+    # fresh final assignment over the returned centroids (same pass the
+    # gate runs engine-side for counts + inertia)
+    frags.append(
+        f"kaf AS MATERIALIZED (SELECT vec_id, xx, cid, d2 FROM ("
+        f"SELECT e.vec_id, e.xx, c.cid, "
+        f"-2 * list_inner_product(e.v, c.c) + list_inner_product(c.c, c.c) AS d2, "
+        f"row_number() OVER (PARTITION BY e.vec_id ORDER BY "
+        f"-2 * list_inner_product(e.v, c.c) + list_inner_product(c.c, c.c), c.cid"
+        f") AS rn FROM ke e CROSS JOIN kc{iters} c) WHERE rn = 1)"
+    )
+    frags.append(
+        "kcnt AS MATERIALIZED (SELECT cid, count(*) AS n, sum(d2 + xx) AS sse "
+        "FROM kaf GROUP BY cid)"
+    )
+    frags.append(
+        f"km AS (SELECT 'kmeans' AS method, CAST(c.cid AS BIGINT) AS vec_id, "
+        f"list_inner_product(c.c, c.c) AS metric, "
+        f"CAST(coalesce(f.n, 0) AS INT) AS \"rank\" "
+        f"FROM kc{iters} c LEFT JOIN kcnt f USING (cid) "
+        f"UNION ALL SELECT 'kmeans_inertia', -1, "
+        f"(SELECT sum(sse) FROM kcnt), "
+        f"CAST((SELECT sum(n) FROM kcnt) AS INT))"
+    )
+    return ",\n".join(frags)
 
 
 def _oracle_ann_methods() -> str:
@@ -1812,16 +1938,17 @@ scored AS (
   FROM embeddings e CROSS JOIN q
   WHERE e.vec_id <> 0),
 lsh AS (
-  SELECT 'lsh' AS method, vec_id, cosine,
+  SELECT 'lsh' AS method, vec_id, cosine AS metric,
          CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS "rank"
   FROM (SELECT vec_id, cosine FROM scored WHERE ham <= 2
         ORDER BY cosine DESC, vec_id LIMIT 10)),
 ivf AS (
-  SELECT 'ivf_all' AS method, vec_id, cosine,
+  SELECT 'ivf_all' AS method, vec_id, cosine AS metric,
          CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS "rank"
-  FROM (SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10))
-SELECT * FROM lsh UNION ALL SELECT * FROM ivf
-ORDER BY method, "rank"
+  FROM (SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10)),
+{_kmeans_cte_chain()}
+SELECT * FROM lsh UNION ALL SELECT * FROM ivf UNION ALL SELECT * FROM km
+ORDER BY method, "rank", vec_id
 """
 
 

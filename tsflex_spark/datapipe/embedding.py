@@ -392,6 +392,7 @@ def kmeans_fit(
     init_sample: int = 4096,
     tol: float = 1e-6,
     sample_fraction: Optional[float] = None,
+    init_centroids: Optional[np.ndarray] = None,
 ):
     """Distributed Lloyd k-means over the FULL corpus (the scale-correct
     refinement of ``similarity.ivf_train``'s bounded-sample trainer).
@@ -414,29 +415,38 @@ def kmeans_fit(
     Returns ``(centroids ndarray (k, d), inertia float)`` — wrap in
     ``similarity.IVFIndex(centroids)`` to reuse the IVF write/search
     machinery on the refined cells.
+
+    ``init_centroids`` (a (k, d) array) skips the sampling + D² seeding
+    entirely — warm restarts from a previous fit, or an externally
+    chosen deterministic init (e.g. for cross-engine verification).
     """
-    seed_src = df.select(vec_col).where(F.col(vec_col).isNotNull())
-    if sample_fraction is not None:
-        # the fraction IS the budget: a limit() on top would re-bias
-        init = seed_src.sample(False, float(sample_fraction), seed).toPandas()
+    if init_centroids is not None:
+        C = np.asarray(init_centroids, dtype="float64").copy()
+        assert C.shape[0] == k, f"init_centroids has {C.shape[0]} rows, k={k}"
     else:
-        init = seed_src.limit(init_sample).toPandas()
-    X0 = np.asarray(init[vec_col].tolist(), dtype="float64")
-    if len(X0) < k:
-        raise ValueError(f"fewer non-null vectors ({len(X0)}) than k={k}")
-    # k-means++ D² seeding on the sample (Arthur & Vassilvitskii 2007):
-    # plain random init routinely drops a well-separated cluster
-    rng = np.random.default_rng(seed)
-    xx = (X0 * X0).sum(1)
-    C = X0[rng.integers(len(X0))][None, :].copy()
-    best_d2 = np.full(len(X0), np.inf)
-    for _ in range(1, k):
-        new = C[-1]
-        d2 = np.maximum(xx - 2.0 * (X0 @ new) + (new * new).sum(), 0.0)
-        best_d2 = np.minimum(best_d2, d2)
-        tot = best_d2.sum()
-        probs = best_d2 / tot if tot > 0 else np.full(len(X0), 1.0 / len(X0))
-        C = np.vstack([C, X0[rng.choice(len(X0), p=probs)]])
+        seed_src = df.select(vec_col).where(F.col(vec_col).isNotNull())
+        if sample_fraction is not None:
+            # the fraction IS the budget: a limit() on top would re-bias
+            init = seed_src.sample(False, float(sample_fraction), seed).toPandas()
+        else:
+            init = seed_src.limit(init_sample).toPandas()
+        X0 = np.asarray(init[vec_col].tolist(), dtype="float64")
+        if len(X0) < k:
+            raise ValueError(f"fewer non-null vectors ({len(X0)}) than k={k}")
+        # k-means++ D² seeding on the sample (Arthur & Vassilvitskii
+        # 2007): plain random init routinely drops a well-separated
+        # cluster
+        rng = np.random.default_rng(seed)
+        xx = (X0 * X0).sum(1)
+        C = X0[rng.integers(len(X0))][None, :].copy()
+        best_d2 = np.full(len(X0), np.inf)
+        for _ in range(1, k):
+            new = C[-1]
+            d2 = np.maximum(xx - 2.0 * (X0 @ new) + (new * new).sum(), 0.0)
+            best_d2 = np.minimum(best_d2, d2)
+            tot = best_d2.sum()
+            probs = best_d2 / tot if tot > 0 else np.full(len(X0), 1.0 / len(X0))
+            C = np.vstack([C, X0[rng.choice(len(X0), p=probs)]])
 
     src = df.select(vec_col).where(F.col(vec_col).isNotNull())
     inertia = float("nan")
