@@ -1732,9 +1732,10 @@ bm25 AS (
 
 
 def q_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both ANN scale paths in one gate (driver caps queries() at 50),
-    now FULLY oracle-checked by gating verifiable invariants instead of
-    a rows-only count:
+    """The embedding-model family in one gate (driver caps queries() at
+    50) — both ANN scale paths plus distributed k-means, FULLY
+    oracle-checked by gating verifiable invariants instead of a
+    rows-only count:
 
     - ``lsh``: top-10 via random-hyperplane LSH buckets with multi-probe
       (hamming <= 2). The hyperplanes depend only on the seed, so the
