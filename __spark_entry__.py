@@ -1842,7 +1842,7 @@ _KM_K = 4
 _KM_ITERS = 5
 
 
-def _kmeans_cte_chain() -> str:
+def _kmeans_cte_chain(k: int = None, iters: int = None) -> str:
     """CTE fragment replaying datapipe/embedding.kmeans_fit's Lloyd loop
     (fixed ``_KM_ITERS`` iterations, k = ``_KM_K``, init = the k
     smallest vec_ids) over ``embeddings`` rows with vec_id != 0.
@@ -1850,8 +1850,11 @@ def _kmeans_cte_chain() -> str:
     ``argmin(-2·x·c + ||c||²)`` with first-index tie-break, centroid
     update = per-dimension mean of assigned points, empty cells keep
     their previous centroid. MATERIALIZED throughout — each iteration
-    references the previous centroids twice."""
-    k, iters = _KM_K, _KM_ITERS
+    references the previous centroids twice. ``k``/``iters`` default to
+    the gate constants; the fuzz suite passes its own (with a DuckDB
+    view named ``embeddings`` over random vectors)."""
+    k = _KM_K if k is None else int(k)
+    iters = _KM_ITERS if iters is None else int(iters)
     frags = [
         "ke AS MATERIALIZED (SELECT vec_id, "
         "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, "

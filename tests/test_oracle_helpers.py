@@ -106,3 +106,68 @@ def test_pagerank_sql_chain_fuzz(spark):
         assert abs(sum(got.values()) - 1.0) < 1e-9
 
     prop()
+
+
+def test_kmeans_sql_chain_fuzz(spark):
+    """DuckDB unrolled Lloyd chain == embedding.kmeans_fit(init_centroids=)
+    on random low-dim vector sets — pins the assignment argmin tie-break,
+    per-dimension mean update, empty-cell keep-old rule, and the fresh
+    final counts/inertia pass."""
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from tsflex_spark.datapipe.embedding import kmeans_fit
+
+    K, ITERS, DIM = 3, 3, 4
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        vals=st.lists(
+            st.lists(
+                st.floats(min_value=-5, max_value=5, allow_nan=False, width=16),
+                min_size=DIM,
+                max_size=DIM,
+            ),
+            min_size=K + 1,
+            max_size=25,
+        )
+    )
+    def prop(vals):
+        X = np.asarray([[float(x) for x in v] for v in vals], dtype="float64")
+        pdf = pd.DataFrame(
+            {"vec_id": np.arange(1, len(X) + 1), "embedding": [list(v) for v in X]}
+        )
+        sdf = spark.createDataFrame(pdf)
+        C0 = X[:K].copy()  # k smallest vec_ids = first k rows
+        C, _ = kmeans_fit(
+            sdf, K, "embedding", iters=ITERS, tol=0.0, init_centroids=C0
+        )
+        # fresh assignment (the gate's pass)
+        norms = (C**2).sum(1)
+        d2 = -2.0 * (X @ C.T) + norms[None, :]
+        a = d2.argmin(1)
+        cnt = np.bincount(a, minlength=K)
+        inertia = float((d2[np.arange(len(X)), a] + (X * X).sum(1)).sum())
+
+        con = duckdb.connect()
+        con.register("embeddings", pdf)
+        sql = (
+            "WITH "
+            + entry_mod._kmeans_cte_chain(k=K, iters=ITERS)
+            + " SELECT * FROM km ORDER BY vec_id"
+        )
+        rows = con.execute(sql).fetchall()
+        got = {r[1]: (r[2], r[3]) for r in rows}
+        assert got[-1][1] == len(X)
+        assert abs(got[-1][0] - inertia) < 1e-7 * max(1.0, abs(inertia))
+        for j in range(K):
+            norm_j, n_j = got[j]
+            assert n_j == cnt[j], (j, n_j, cnt[j])
+            assert abs(norm_j - float((C[j] ** 2).sum())) < 1e-9, j
+
+    prop()
