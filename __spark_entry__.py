@@ -964,7 +964,11 @@ ORDER BY mode, user_id, chunk_id
 
 
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Relational substrate check: TPC-H Q1-style pricing summary."""
+    """Relational substrate check: TPC-H Q1-style pricing summary, fused
+    with the Q6 forecasting-revenue scalar (pure filter + aggregate whose
+    predicates push down to the parquet scan) — two relational probes,
+    one gate (50-entry board cap; the Q6 1-row frame broadcast-crosses
+    onto Q1's 4 groups, no extra exchange)."""
     _utc(spark)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     out = (
@@ -981,7 +985,7 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
-    return out.select(
+    q1 = out.select(
         "l_returnflag",
         "l_linestatus",
         F.col("_sq").cast("double").alias("sum_qty"),
@@ -989,7 +993,11 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_sdp").cast("double").alias("sum_disc_price"),
         (F.col("_sq").cast("double") / F.col("count_order")).alias("avg_qty"),
         "count_order",
-    ).orderBy("l_returnflag", "l_linestatus")
+    )
+    q6 = q_tpch_q6(spark, sf_dir).select(
+        F.col("revenue").alias("q6_revenue"), F.col("n_rows").alias("q6_rows")
+    )
+    return q1.join(F.broadcast(q6)).orderBy("l_returnflag", "l_linestatus")
 
 
 def _oracle_tpch_q1() -> str:
@@ -1007,8 +1015,15 @@ SELECT l_returnflag, l_linestatus,
        CAST(sbp AS DOUBLE) AS sum_base_price,
        CAST(sdp AS DOUBLE) AS sum_disc_price,
        CAST(sq AS DOUBLE) / count_order AS avg_qty,
-       count_order
-FROM agg ORDER BY l_returnflag, l_linestatus
+       count_order,
+       q6.q6_revenue, q6.q6_rows
+FROM agg CROSS JOIN (
+  SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,4))) AS DOUBLE) AS q6_revenue,
+         count(*) AS q6_rows
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+    AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24) q6
+ORDER BY l_returnflag, l_linestatus
 """
 
 
@@ -1027,7 +1042,17 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     in DuckDB SQL — membership is a pure function of (id, seed), provably
     engine-independent, which is the whole reproducibility contract of
     hash-based curation at 100 TB. All assignment columns are codegen,
-    no extra shuffle (broadcast joins onto the dedup output)."""
+    no extra shuffle (broadcast joins onto the dedup output).
+
+    Round-7 fourth leg: ``curation.temperature_mix`` membership
+    (``tmix_kept``) at alpha=0 — the uniform-target rebalance. The oracle
+    replays the whole ``_keep_by_weights`` chain: per-source counts, the
+    max-retention corpus size T = min_s(c_s/w_s), keep fraction
+    ``least(T*w_s/c_s, 1)``, threshold truncation, and the xxh64(id, 11)
+    membership hash. alpha=0 keeps the verified path pow-free (JVM
+    ``Math.pow`` vs DuckDB libm differ in ulps for fractional exponents;
+    fractional-alpha behavior is pytest-verified against numpy instead —
+    the engine-independence claim is about the membership MECHANICS)."""
     _utc(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     from tsflex_spark.datapipe.curation import deterministic_split, stratified_sample
@@ -1043,6 +1068,11 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     samp = stratified_sample(
         docs.select("doc_id", "source"), "source", _SAMPLE_FRACTIONS, "doc_id", seed=7
     ).select(F.col("doc_id").alias("keep_id"), F.lit(1).cast("long").alias("sampled"))
+    from tsflex_spark.datapipe.curation import temperature_mix
+
+    tmix = temperature_mix(
+        docs.select("doc_id", "source"), "source", "doc_id", alpha=0.0, seed=11
+    ).select(F.col("doc_id").alias("keep_id"), F.lit(1).cast("long").alias("tmix_kept"))
     out = exact.join(ld, "keep_id")
     # the split is a pure column function of the id — tag the joined
     # frame directly instead of building and broadcasting a corpus-sized
@@ -1051,6 +1081,8 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         out.join(F.broadcast(samp), "keep_id", "left")
         .withColumn("sampled", F.coalesce("sampled", F.lit(0)))
+        .join(F.broadcast(tmix), "keep_id", "left")
+        .withColumn("tmix_kept", F.coalesce("tmix_kept", F.lit(0)))
         .orderBy("keep_id")
     )
 
@@ -1148,6 +1180,9 @@ def _oracle_dedup_exact() -> str:
     samp_chain = _xxh64_cte_chain(
         "xs_fin", _xxh64_pmod_steps("sa", "keep_id", 7, "b_samp"), "xa"
     )
+    tmix_chain = _xxh64_cte_chain(
+        "xa_fin", _xxh64_pmod_steps("tm", "keep_id", 11, "b_tmix"), "xt"
+    )
     return f"""
 WITH ex AS (
   SELECT min(doc_id) AS keep_id, count(*) AS n_copies
@@ -1167,18 +1202,29 @@ rebuilt AS (
 base AS (
   SELECT ex.keep_id, ex.n_copies,
          length(coalesce(r.clean, '')) AS n_chars_line_deduped,
-         CAST(substr(d.source, 4) AS INT) % 2 AS src_parity
+         CAST(substr(d.source, 4) AS INT) % 2 AS src_parity,
+         d.source AS src
   FROM ex LEFT JOIN rebuilt r ON r.doc_id = ex.keep_id
   JOIN documents d ON d.doc_id = ex.keep_id),
 {split_chain},
-{samp_chain}
+{samp_chain},
+{tmix_chain},
+-- temperature_mix alpha=0 replay: w_s = pow(c_s, 0) = 1, max-retention
+-- T = min(c_s/w_s), keep_s = least(T*w_s/c_s, 1); Spark's double->long
+-- cast TRUNCATES, so the threshold is trunc(), never round()
+tm_c AS (SELECT source, CAST(count(*) AS DOUBLE) AS c FROM documents GROUP BY source),
+tm_t AS (SELECT min(c / pow(c, 0.0)) AS t FROM tm_c),
+tm_k AS (SELECT source, CAST(trunc(least(t * pow(c, 0.0) / c, 1.0) * 1000000) AS BIGINT) AS thr
+         FROM tm_c CROSS JOIN tm_t)
 SELECT keep_id, n_copies, n_chars_line_deduped,
        CASE WHEN b_split < 800000 THEN 'train'
             WHEN b_split < 900000 THEN 'val' ELSE 'test' END AS split,
        CASE WHEN src_parity = 0 AND b_samp < 300000 THEN 1
             WHEN src_parity = 1 AND b_samp < 700000 THEN 1
-            ELSE 0 END AS sampled
-FROM xa_fin ORDER BY keep_id
+            ELSE 0 END AS sampled,
+       CASE WHEN b_tmix < tm_k.thr THEN 1 ELSE 0 END AS tmix_kept
+FROM xt_fin JOIN tm_k ON tm_k.source = xt_fin.src
+ORDER BY keep_id
 """
 
 
@@ -1192,7 +1238,12 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation "trim length outliers" step, never a single-task sort).
     Fourth op in the gate: self-perplexity under a bigram Laplace LM
     (datapipe/lm.py — the CCNet-style LM quality filter; micro-nat
-    fixed-point log sums make the per-doc aggregate exact integers)."""
+    fixed-point log sums make the per-doc aggregate exact integers).
+    Fifth op (round 7): ``text.chunk_documents`` (max_tokens=64,
+    overlap=16) — per-doc chunk count plus the chunk-token and re-sliced
+    chunk-text char sums, which pin the window arithmetic (ceil/stride/
+    last-chunk remainder) AND the slice+concat re-assembly byte-for-byte
+    against a SQL replay."""
     _utc(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     from tsflex_spark.datapipe.lm import bigram_rows, score_perplexity, train_ngram_lm
@@ -1209,6 +1260,15 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, lm, "text", id_col="doc_id", broadcast_model=True, bigrams=bg
     )
     out = base.join(bpe, on="doc_id").join(ppl, on="doc_id")
+    from tsflex_spark.datapipe.text import chunk_documents
+
+    ch = chunk_documents(docs, "text", id_col="doc_id", max_tokens=64, overlap=16)
+    cha = ch.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_chunk_tokens").alias("sum_chunk_tokens"),
+        F.sum(F.length("chunk_text")).cast("long").alias("sum_chunk_chars"),
+    )
+    out = out.join(cha, on="doc_id")
     # quantiles from a MINIMAL projection straight off the scan — feeding
     # the joined frame would re-execute the whole join once per selection
     # pass (exact_quantiles is two-pass by construction)
@@ -1226,6 +1286,9 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bigrams",
         "sum_logp_e6",
         "ppl",
+        "n_chunks",
+        "sum_chunk_tokens",
+        "sum_chunk_chars",
         "p05_chars",
         "p95_chars",
         (
@@ -1269,14 +1332,37 @@ sc AS (
   LEFT JOIN pairs p ON p.w1 = bgf.w1 AND p.w2 = bgf.w2
   LEFT JOIN ctx x ON x.w1 = bgf.w1
   CROSS JOIN voc),
-per AS (SELECT doc_id, count(*) AS n_bigrams, CAST(sum(lp) AS BIGINT) AS sum_logp_e6 FROM sc GROUP BY doc_id)
+per AS (SELECT doc_id, count(*) AS n_bigrams, CAST(sum(lp) AS BIGINT) AS sum_logp_e6 FROM sc GROUP BY doc_id),
+-- chunk_documents(max_tokens=64, overlap=16) replay: stride 48, RAW
+-- (non-lowered) whitespace tokens, ceil window count with a floor of 1,
+-- 1-based inclusive list_slice re-slicing + single-space re-join
+ck AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents),
+ckn AS (
+  SELECT doc_id, t,
+         greatest(CAST(ceil((len(t) - 16) / 48.0) AS BIGINT), 1) AS nc
+  FROM ck),
+chv AS (
+  SELECT doc_id, nc,
+         len(list_slice(t, CAST(k * 48 + 1 AS BIGINT), CAST(k * 48 + 64 AS BIGINT))) AS nct,
+         length(array_to_string(
+           list_slice(t, CAST(k * 48 + 1 AS BIGINT), CAST(k * 48 + 64 AS BIGINT)), ' ')) AS ncc
+  FROM (SELECT doc_id, nc, t, unnest(range(0, nc)) AS k FROM ckn)),
+cagg AS (
+  SELECT doc_id, count(*) AS n_chunks,
+         CAST(sum(nct) AS BIGINT) AS sum_chunk_tokens,
+         CAST(sum(ncc) AS BIGINT) AS sum_chunk_chars
+  FROM chv GROUP BY doc_id)
 SELECT s.doc_id, s.n_chars, s.n_tokens, s.n_bpe_tokens,
        coalesce(per.n_bigrams, 0) AS n_bigrams,
        CAST(coalesce(per.sum_logp_e6, 0) AS BIGINT) AS sum_logp_e6,
        round(exp(-(CAST(per.sum_logp_e6 AS DOUBLE) / 1e6) / per.n_bigrams), 6) AS ppl,
+       cagg.n_chunks, cagg.sum_chunk_tokens, cagg.sum_chunk_chars,
        c.p05_chars, c.p95_chars,
        CAST(s.n_chars >= c.p05_chars AND s.n_chars <= c.p95_chars AS INT) AS in_band
 FROM s CROSS JOIN c LEFT JOIN per ON per.doc_id = s.doc_id
+JOIN cagg ON cagg.doc_id = s.doc_id
 ORDER BY s.doc_id
 """
 
@@ -1288,15 +1374,56 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (argmax of per-language stopword hits over {en,de,fr,es,nl}, 'und'
     when nothing matches) and the Gopher-style repetition filters
     (dup-line / dup-line-char / top-2gram / top-3gram fractions) — three
-    catalog ops, one gate (50-entry cap)."""
+    catalog ops, one gate (50-entry cap).
+
+    Fourth op (round 7): ``text.redact_pii`` — the gate plants one
+    synthetic email + IPv4 + SSN per doc (identically constructed on
+    both sides, so natural-text matches are mirrored too) and verifies
+    the per-doc match COUNT and the redacted-text LENGTH after the
+    sequential email→ssn→ipv4→cc16 replace chain. The ``phone`` pattern
+    is excluded here (its negative lookbehind is Java-regex-only — RE2/
+    DuckDB can't replay it; covered by pytest instead)."""
     _utc(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    from tsflex_spark.datapipe.text import language_id, quality_score, repetition_stats
+    from tsflex_spark.datapipe.text import (
+        language_id,
+        quality_score,
+        redact_pii,
+        repetition_stats,
+    )
 
     q = quality_score(docs, "text", id_col="doc_id")
     lang = language_id(docs, "text", id_col="doc_id")
     rep = repetition_stats(docs, "text", id_col="doc_id")
-    return q.join(lang, on="doc_id").join(rep, on="doc_id").orderBy("doc_id")
+    pii_src = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach me at user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or 192.168."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7, SSN 123-45-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("__txt"),
+    )
+    red = redact_pii(
+        pii_src,
+        "__txt",
+        out_col="__red",
+        kinds=("email", "ssn", "ipv4", "cc16"),
+        count_col="pii_count",
+    ).select(
+        "doc_id",
+        F.col("pii_count").cast("long").alias("pii_count"),
+        F.length("__red").cast("long").alias("n_chars_redacted"),
+    )
+    return (
+        q.join(lang, on="doc_id")
+        .join(rep, on="doc_id")
+        .join(red, on="doc_id")
+        .orderBy("doc_id")
+    )
 
 
 def _oracle_quality_score() -> str:
@@ -1330,9 +1457,44 @@ SELECT doc_id,
         + CASE WHEN n_digit / safe_chars < 0.2 THEN 0.25 ELSE 0.0 END
         + CASE WHEN n_stop / safe_toks > 0.0 THEN 0.25 ELSE 0.0 END) AS quality_score,
        {_lang_pred_sql()} AS lang_pred,
-       r.dup_line_frac, r.dup_line_char_frac, r.top_2gram_frac, r.top_3gram_frac
+       r.dup_line_frac, r.dup_line_char_frac, r.top_2gram_frac, r.top_3gram_frac,
+       p.pii_count, p.n_chars_redacted
 FROM d JOIN ({_repetition_sql()}) r USING (doc_id)
+JOIN ({_redact_pii_sql()}) p USING (doc_id)
 ORDER BY doc_id
+"""
+
+
+def _redact_pii_sql() -> str:
+    """redact_pii replay (email→ssn→ipv4→cc16 sequential replace chain +
+    match count over the ORIGINAL text) on the same planted-PII column
+    the Spark side builds. Patterns are verbatim from
+    ``datapipe.text._PII_PATTERNS`` minus the lookbehind-bearing phone
+    rule (RE2 has no lookbehind)."""
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ssn = r"\b\d{3}-\d{2}-\d{4}\b"
+    ipv4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+    cc16 = r"\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{4}\b"
+    return rf"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(txt, '{email}', 0))
+          + len(regexp_extract_all(txt, '{ssn}', 0))
+          + len(regexp_extract_all(txt, '{ipv4}', 0))
+          + len(regexp_extract_all(txt, '{cc16}', 0)) AS BIGINT) AS pii_count,
+       CAST(length(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(txt, '{email}', '<EMAIL>', 'g'),
+               '{ssn}', '<SSN>', 'g'),
+             '{ipv4}', '<IP>', 'g'),
+           '{cc16}', '<CC>', 'g')) AS BIGINT) AS n_chars_redacted
+FROM (
+  SELECT doc_id,
+         text || ' reach me at user' || doc_id || '@mail.example.com or 192.168.'
+              || (doc_id % 256) || '.7, SSN 123-45-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS txt
+  FROM documents)
 """
 
 
@@ -1500,10 +1662,17 @@ SELECT (SELECT count(*) FROM documents) AS n_docs,
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram (5-shingle) Jaccard similarity on consecutive-doc pairs
-    (SURVEY north-star near-dup verification stage)."""
+    (SURVEY north-star near-dup verification stage), fused (round 7) with
+    ``dedup.fuzzy_join(method="exact")`` — cross-table record linkage on
+    a bounded doc_id<200 slice split by id parity (the bound keeps the
+    oracle's all-pairs cross tractable; the engine side is the same
+    shingle-intersection join that scales by hash keys). Both legs share
+    one checkpointed corpus shingle table; the exact-recall fuzzy pairs
+    at threshold 0.5 are hash-compared pair-for-pair against a DuckDB
+    all-pairs replay."""
     _utc(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    from tsflex_spark.datapipe.dedup import ngram_jaccard, shingle_rows
+    from tsflex_spark.datapipe.dedup import fuzzy_join, ngram_jaccard, shingle_rows
 
     pairs = docs.select(F.col("doc_id").alias("id_a")).where(
         F.col("id_a") % 2 == 0
@@ -1515,9 +1684,21 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairs touch every doc, so the involved-doc prune checkpoint inside
     # ngram_jaccard would just re-materialize the whole table
     sh = shingle_rows(docs, "text", "doc_id").localCheckpoint(eager=False)
-    return ngram_jaccard(
+    consec = ngram_jaccard(
         docs, pairs, "text", id_col="doc_id", shingles=sh, prune_checkpoint=False
-    ).orderBy("id_a")
+    ).withColumn("kind", F.lit("consec"))
+    small = docs.where(F.col("doc_id") < 200)
+    left = small.where(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("id_a"), "text"
+    )
+    right = small.where(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("id_b"), "text"
+    )
+    fz = fuzzy_join(
+        left, right, "text", "id_a", "id_b", threshold=0.5, shingle_k=5,
+        method="exact",
+    ).withColumn("kind", F.lit("fuzzy"))
+    return consec.unionByName(fz).orderBy("kind", "id_a", "id_b")
 
 
 def _oracle_ngram_jaccard() -> str:
@@ -1531,12 +1712,113 @@ WITH sh AS (
   FROM (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS n FROM documents)),
 p AS (SELECT a.doc_id AS id_a, a.doc_id + 1 AS id_b
       FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
-      WHERE a.doc_id % 2 = 0)
-SELECT p.id_a, p.id_b,
-       CAST(len(list_distinct(list_intersect(sa.s, sb.s))) AS DOUBLE)
-         / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS jaccard
-FROM p JOIN sh sa ON sa.doc_id = p.id_a JOIN sh sb ON sb.doc_id = p.id_b
-ORDER BY p.id_a
+      WHERE a.doc_id % 2 = 0),
+consec AS (
+  SELECT 'consec' AS kind, p.id_a, p.id_b,
+         CAST(len(list_distinct(list_intersect(sa.s, sb.s))) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS jaccard
+  FROM p JOIN sh sa ON sa.doc_id = p.id_a JOIN sh sb ON sb.doc_id = p.id_b),
+-- fuzzy_join(method='exact') replay: bounded doc_id<200 parity split,
+-- jaccard = |A∩B| / (|A| + |B| - |A∩B|) over distinct-shingle sets —
+-- the engine's i/(na+nb-i) form verbatim so the doubles are identical
+fz AS (
+  SELECT 'fuzzy' AS kind, a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+  FROM sh a CROSS JOIN sh b
+  WHERE a.doc_id < 200 AND a.doc_id % 2 = 0
+    AND b.doc_id < 200 AND b.doc_id % 2 = 1
+    AND len(list_intersect(a.s, b.s)) > 0)
+SELECT * FROM consec
+UNION ALL
+SELECT * FROM fz WHERE jaccard >= 0.5
+ORDER BY kind, id_a, id_b
+"""
+
+
+def q_passage_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level dedup signal (Lee et al. 2022 ExactSubstr, reshaped
+    for Spark: ``dedup.duplicate_spans`` — maximal token spans whose every
+    8-gram occurs >= 2x in the corpus) UNION'd with the corpus-wide
+    boilerplate discovery table (``text.top_ngrams`` top-50 3-grams) —
+    two corpus-pattern ops, one gate (50-entry board cap). The span
+    engine groups on ``xxhash64(gram)``; the oracle groups on the gram
+    STRING — bit-equality of the result proves the hash bucketing is a
+    faithful stand-in for string equality (no collision at test scale)
+    and that the island/window math matches SQL gaps-and-islands.
+    ``top_ngrams`` ties are broken by (count desc, ngram asc) on both
+    sides so the LIMIT boundary is deterministic."""
+    _utc(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from tsflex_spark.datapipe.dedup import duplicate_spans
+    from tsflex_spark.datapipe.text import top_ngrams
+
+    spans = duplicate_spans(docs, "text", id_col="doc_id", n=8, min_occurrences=2)
+    sp = spans.select(
+        F.lit("span").alias("kind"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.lit(None).cast("string").alias("ngram"),
+        F.lit(None).cast("long").alias("n_occ"),
+    )
+    tn = top_ngrams(docs, n=3, k=50, text_col="text", min_count=2)
+    ng = tn.select(
+        F.lit("ngram").alias("kind"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("long").alias("span_start"),
+        F.lit(None).cast("long").alias("span_end"),
+        F.lit(None).cast("long").alias("n_grams"),
+        F.col("ngram"),
+        F.col("count").cast("long").alias("n_occ"),
+    )
+    return sp.unionByName(ng).orderBy("kind", "doc_id", "span_start", "ngram")
+
+
+def _oracle_passage_spans() -> str:
+    # span leg: token 8-grams (positions 0-based), grams occurring >= 2x
+    # corpus-wide, gaps-and-islands per doc (pos - row_number); ngram leg:
+    # corpus top-50 3-grams with count >= 2, (count desc, ngram) order
+    return r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents),
+g8 AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(t, i, i + 7), ' ') AS gram
+  FROM (SELECT doc_id, t,
+               unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS i
+        FROM tk)),
+dup AS (SELECT gram FROM g8 GROUP BY gram HAVING count(*) >= 2),
+flagged AS (SELECT doc_id, pos FROM g8 JOIN dup USING (gram)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM flagged),
+spans AS (
+  SELECT 'span' AS kind, doc_id,
+         min(pos) AS span_start, max(pos) + 7 AS span_end,
+         count(*) AS n_grams,
+         CAST(NULL AS VARCHAR) AS ngram, CAST(NULL AS BIGINT) AS n_occ
+  FROM isl GROUP BY doc_id, grp),
+g3 AS (
+  SELECT array_to_string(list_slice(t, i, i + 2), ' ') AS gram
+  FROM (SELECT t, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS i
+        FROM tk)
+  WHERE array_to_string(list_slice(t, i, i + 2), ' ') <> ''),
+topn AS (
+  SELECT 'ngram' AS kind, CAST(NULL AS BIGINT) AS doc_id,
+         CAST(NULL AS BIGINT) AS span_start, CAST(NULL AS BIGINT) AS span_end,
+         CAST(NULL AS BIGINT) AS n_grams,
+         gram AS ngram, count(*) AS n_occ
+  FROM g3 GROUP BY gram HAVING count(*) >= 2
+  ORDER BY count(*) DESC, gram LIMIT 50)
+SELECT * FROM spans
+UNION ALL
+SELECT * FROM topn
+ORDER BY kind, doc_id, span_start, ngram
 """
 
 
@@ -3694,9 +3976,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "processing_diff": q_processing_diff,
         "streaming_window": q_streaming_window,
         "chunk_islands": q_chunk_islands,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q6": q_tpch_q6,
+        "tpch_q1": q_tpch_q1,  # carries the Q6 scalar leg (board cap)
         "tpch_q3": q_tpch_q3,
+        "passage_spans": q_passage_spans,
         "reduce_features": q_reduce_features,
         "rolling_corr": q_rolling_corr,
         "revenue_per_nation": q_revenue_per_nation,
@@ -3750,8 +4032,8 @@ def oracle_sql() -> dict[str, str]:
         "streaming_window": _oracle_streaming_window(),
         "chunk_islands": _oracle_chunk_islands(),
         "tpch_q1": _oracle_tpch_q1(),
-        "tpch_q6": _oracle_tpch_q6(),
         "tpch_q3": _oracle_tpch_q3(),
+        "passage_spans": _oracle_passage_spans(),
         "reduce_features": _oracle_reduce_features(),
         "rolling_corr": _oracle_rolling_corr(),
         "revenue_per_nation": _oracle_revenue_per_nation(),

@@ -30,7 +30,8 @@ def test_filter_pushdown_reaches_scan(spark):
     """TPC-H Q6-style predicates must land in PushedFilters of the scan."""
     import __spark_entry__ as E
 
-    plan = plan_of(E.queries()["tpch_q6"](spark, SF_DIR))
+    # the Q6 leg rides inside the fused tpch_q1 gate (50-entry board cap)
+    plan = plan_of(E.q_tpch_q6(spark, SF_DIR))
     assert "PushedFilters:" in plan
     pushed = [ln for ln in plan.splitlines() if "PushedFilters:" in ln]
     assert any("l_shipdate" in ln for ln in pushed), pushed
