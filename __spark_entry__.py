@@ -1243,7 +1243,17 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap=16) — per-doc chunk count plus the chunk-token and re-sliced
     chunk-text char sums, which pin the window arithmetic (ceil/stride/
     last-chunk remainder) AND the slice+concat re-assembly byte-for-byte
-    against a SQL replay."""
+    against a SQL replay.
+
+    Sixth op (round 7): interpolated Kneser-Ney perplexity
+    (``lm.train_kn_lm`` order 2 + ``score_perplexity_kn``) — trained on
+    the corpus, scored on each doc with an out-of-vocabulary token
+    appended so the unk floor AND the unseen-context λ=1 fallthrough are
+    both exercised, not just the smooth path. The oracle replays the
+    full KN stack in SQL: bigram/continuation/context tables, Ney
+    discounts D=n1/(n1+2·n2) from count-of-counts, and the bottom-up
+    interpolation fold with the engine's exact double parenthesization
+    (micro-nat fixed-point sums keep the per-doc aggregate integral)."""
     _utc(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     from tsflex_spark.datapipe.lm import bigram_rows, score_perplexity, train_ngram_lm
@@ -1269,6 +1279,21 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("chunk_text")).cast("long").alias("sum_chunk_chars"),
     )
     out = out.join(cha, on="doc_id")
+    from tsflex_spark.datapipe.lm import score_perplexity_kn, train_kn_lm
+
+    kn = train_kn_lm(docs, "text", id_col="doc_id", order=2)
+    docs2 = docs.select(
+        "doc_id", F.concat(F.col("text"), F.lit(" zzqqunk")).alias("__t2")
+    )
+    knp = score_perplexity_kn(
+        docs2, kn, "__t2", id_col="doc_id", broadcast_model=True
+    ).select(
+        "doc_id",
+        F.col("n_ngrams").alias("kn_n"),
+        F.col("sum_logp_e6").alias("kn_sum_logp_e6"),
+        F.col("ppl").alias("kn_ppl"),
+    )
+    out = out.join(knp, on="doc_id")
     # quantiles from a MINIMAL projection straight off the scan — feeding
     # the joined frame would re-execute the whole join once per selection
     # pass (exact_quantiles is two-pass by construction)
@@ -1289,6 +1314,9 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chunks",
         "sum_chunk_tokens",
         "sum_chunk_chars",
+        "kn_n",
+        "kn_sum_logp_e6",
+        "kn_ppl",
         "p05_chars",
         "p95_chars",
         (
@@ -1353,16 +1381,73 @@ cagg AS (
   SELECT doc_id, count(*) AS n_chunks,
          CAST(sum(nct) AS BIGINT) AS sum_chunk_tokens,
          CAST(sum(ncc) AS BIGINT) AS sum_chunk_chars
-  FROM chv GROUP BY doc_id)
+  FROM chv GROUP BY doc_id),
+-- interpolated Kneser-Ney (order 2) replay, scored on text + an OOV
+-- token so the unk floor and unseen-context fallthrough both fire.
+-- pairs/ctx-equivalents reuse the Laplace CTEs above; `pairs` rows are
+-- distinct (w1,w2) so count(*) IS the distinct-left-context count
+kn_ctx AS (SELECT w1, CAST(sum(c) AS DOUBLE) AS tot, CAST(count(*) AS DOUBLE) AS n1p
+           FROM pairs GROUP BY w1),
+kn_uni AS (SELECT w2 AS w, count(*) AS cc FROM pairs GROUP BY w2),
+kn_con AS (SELECT CAST(sum(cc) AS DOUBLE) AS tot1, CAST(count(*) AS DOUBLE) AS n1p1
+           FROM kn_uni),
+kn_d AS (
+  -- degenerate-count fallback mirrors train_kn_lm: D = 0.5 when n1 = 0
+  SELECT (SELECT CASE WHEN sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) > 0
+                 THEN CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                    / CAST(greatest(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                                  + 2 * sum(CASE WHEN c = 2 THEN 1 ELSE 0 END), 1) AS DOUBLE)
+                 ELSE 0.5 END
+          FROM pairs) AS d2,
+         (SELECT CASE WHEN sum(CASE WHEN cc = 1 THEN 1 ELSE 0 END) > 0
+                 THEN CAST(sum(CASE WHEN cc = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                    / CAST(greatest(sum(CASE WHEN cc = 1 THEN 1 ELSE 0 END)
+                                  + 2 * sum(CASE WHEN cc = 2 THEN 1 ELSE 0 END), 1) AS DOUBLE)
+                 ELSE 0.5 END
+          FROM kn_uni) AS d1),
+kn_v AS (SELECT CAST(v + 1 AS DOUBLE) AS v FROM voc),
+tk2 AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split_regex(text || ' zzqqunk', '\s+'),
+                                    x -> x <> ''), x -> lower(x)) AS t
+  FROM documents),
+sg2 AS (
+  SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                                     i -> {'w1': t[i], 'w2': t[i + 1]})) AS b
+        FROM tk2)),
+kn_lp AS (
+  SELECT sg2.doc_id,
+         CAST(round(ln(
+           CASE WHEN kx.tot IS NOT NULL AND kx.tot > 0
+                THEN greatest(CAST(coalesce(p.c, 0) AS DOUBLE) - kd.d2, 0.0) / kx.tot
+                     + (kd.d2 * kx.n1p / kx.tot)
+                       * (greatest(CAST(coalesce(ku.cc, 0) AS DOUBLE) - kd.d1, 0.0) / kc.tot1
+                          + (kd.d1 * kc.n1p1 / kc.tot1) * (1.0 / kv.v))
+                ELSE greatest(CAST(coalesce(ku.cc, 0) AS DOUBLE) - kd.d1, 0.0) / kc.tot1
+                     + (kd.d1 * kc.n1p1 / kc.tot1) * (1.0 / kv.v)
+           END) * 1000000.0) AS BIGINT) AS lp
+  FROM sg2
+  LEFT JOIN pairs p ON p.w1 = sg2.w1 AND p.w2 = sg2.w2
+  LEFT JOIN kn_ctx kx ON kx.w1 = sg2.w1
+  LEFT JOIN kn_uni ku ON ku.w = sg2.w2
+  CROSS JOIN kn_d kd CROSS JOIN kn_con kc CROSS JOIN kn_v kv),
+kn_per AS (SELECT doc_id, count(*) AS kn_n, CAST(sum(lp) AS BIGINT) AS kn_sum
+           FROM kn_lp GROUP BY doc_id)
 SELECT s.doc_id, s.n_chars, s.n_tokens, s.n_bpe_tokens,
        coalesce(per.n_bigrams, 0) AS n_bigrams,
        CAST(coalesce(per.sum_logp_e6, 0) AS BIGINT) AS sum_logp_e6,
        round(exp(-(CAST(per.sum_logp_e6 AS DOUBLE) / 1e6) / per.n_bigrams), 6) AS ppl,
        cagg.n_chunks, cagg.sum_chunk_tokens, cagg.sum_chunk_chars,
+       CAST(coalesce(kn_per.kn_n, 0) AS BIGINT) AS kn_n,
+       CAST(coalesce(kn_per.kn_sum, 0) AS BIGINT) AS kn_sum_logp_e6,
+       round(exp(-(CAST(kn_per.kn_sum AS DOUBLE) / 1e6) / kn_per.kn_n), 6) AS kn_ppl,
        c.p05_chars, c.p95_chars,
        CAST(s.n_chars >= c.p05_chars AND s.n_chars <= c.p95_chars AS INT) AS in_band
 FROM s CROSS JOIN c LEFT JOIN per ON per.doc_id = s.doc_id
 JOIN cagg ON cagg.doc_id = s.doc_id
+LEFT JOIN kn_per ON kn_per.doc_id = s.doc_id
 ORDER BY s.doc_id
 """
 

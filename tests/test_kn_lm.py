@@ -61,7 +61,8 @@ def _kn_reference(texts, order):
     for k in range(N, 0, -1):
         n1 = sum(1 for c in src[k].values() if c == 1)
         n2 = sum(1 for c in src[k].values() if c == 2)
-        D[k] = n1 / max(n1 + 2 * n2, 1)
+        # degenerate-count fallback mirrors train_kn_lm: D=0.5 when n1=0
+        D[k] = n1 / max(n1 + 2 * n2, 1) if n1 > 0 else 0.5
 
     def logp_e6(gram):
         p = 1.0 / v

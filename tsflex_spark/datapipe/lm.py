@@ -504,11 +504,20 @@ def train_kn_lm(
     drows = None
     for k in range(N, 0, -1):
         cc = "c" if k == N else "cc"
+        # degenerate count-of-counts (n1 = 0: every type occurs >= 3x —
+        # dense synthetic corpora, tiny vocabularies) would make D = 0
+        # and assign EXACT ZERO to unseen events at this level (log(0)
+        # downstream). KenLM aborts on such inputs; we fall back to the
+        # absolute-discount default D = 0.5 instead, keeping the model
+        # proper (every event gets positive mass).
         dk = _ney_discount(d_src[k], cc).select(
-            (
+            F.when(
+                F.col("n1") > 0,
                 F.col("n1").cast("double")
-                / F.greatest(F.col("n1") + 2 * F.col("n2"), F.lit(1)).cast("double")
-            ).alias(f"d{k}")
+                / F.greatest(F.col("n1") + 2 * F.col("n2"), F.lit(1)).cast("double"),
+            )
+            .otherwise(F.lit(0.5))
+            .alias(f"d{k}")
         )
         drows = dk if drows is None else drows.join(dk)
         dcols.append(f"d{k}")
