@@ -1281,7 +1281,18 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.join(cha, on="doc_id")
     from tsflex_spark.datapipe.lm import score_perplexity_kn, train_kn_lm
 
-    kn = train_kn_lm(docs, "text", id_col="doc_id", order=2)
+    # KN training consumes the SAME bigram explode the Laplace leg
+    # checkpointed above — rename (w1,w2) to the g-col convention instead
+    # of re-exploding the corpus
+    kn = train_kn_lm(
+        docs,
+        "text",
+        id_col="doc_id",
+        order=2,
+        ngrams=bg.select(
+            "doc_id", F.col("w1").alias("g1"), F.col("w2").alias("g2")
+        ),
+    )
     docs2 = docs.select(
         "doc_id", F.concat(F.col("text"), F.lit(" zzqqunk")).alias("__t2")
     )
