@@ -1161,6 +1161,99 @@ def _xxh64_pmod_steps(prefix: str, id_col: str, seed: int, out_col: str) -> list
     return steps
 
 
+def _xxh64_gram_steps(prefix: str, gram_col: str, dim: int) -> list:
+    """(name, expr) steps computing Spark ``xxhash64(gram)`` (a STRING —
+    hashed as its UTF-8 bytes with running seed 42) and the
+    ``xxhash64(gram, lit(1))`` sign hash, for grams of length <= 3, in
+    pure DuckDB SQL: XXH64's byte-tail rounds unrolled per position.
+    The corpus is ASCII (byte == codepoint via ``unicode``) — a non-ASCII
+    char would make the gate mismatch, so the assumption is checked by
+    the gate being green, not trusted. Follows ``utils/xxh.py``
+    ``hash_bytes`` (len<32 branch: h = seed+P5+len, per-byte
+    ``rotl(h ^ b*P5, 11)*P1``, avalanche) and ``hash_int`` for the sign
+    fold. Emits ``{prefix}_bucket`` = pmod(h, dim) and ``{prefix}_sign``
+    = +1/-1 (hash-parity of the sign hash)."""
+    M = "18446744073709551616::HUGEINT"
+    M32 = "4294967296::HUGEINT"
+    P = {
+        "P1": 0x9E3779B185EBCA87,
+        "P2": 0xC2B2AE3D27D4EB4F,
+        "P3": 0x165667B19E3779F9,
+        "P5": 0x27D4EB2F165667C5,
+    }
+
+    def mulm(a: str, p: int) -> str:
+        bh, bl = p >> 32, p & 0xFFFFFFFF
+        return (
+            f"(({a}) * {bl}::HUGEINT % {M} + "
+            f"((({a}) * {bh}::HUGEINT % {M32}) << 32)) % {M}"
+        )
+
+    def rotl(x: str, r: int) -> str:
+        return f"((({x}) << {r}) % {M} + (({x}) >> {64 - r}))"
+
+    def signed(x: str) -> str:
+        return (
+            f"(CASE WHEN {x} >= 9223372036854775808::HUGEINT "
+            f"THEN {x} - {M} ELSE {x} END)"
+        )
+
+    p, g = prefix, gram_col
+    steps = [
+        (f"{p}_len", f"length({g})"),
+        (f"{p}_h0", f"(42::HUGEINT + {P['P5']}::HUGEINT + {p}_len) % {M}"),
+    ]
+    for j in (1, 2, 3):
+        steps.append(
+            (
+                f"{p}_b{j}",
+                f"CASE WHEN {p}_len >= {j} THEN "
+                f"CAST(unicode(substr({g}, {j}, 1)) AS HUGEINT) "
+                f"ELSE 0::HUGEINT END",
+            )
+        )
+        steps.append(
+            (f"{p}_t{j}", f"xor({p}_h{j - 1}, {mulm(f'{p}_b{j}', P['P5'])})")
+        )
+        steps.append(
+            (
+                f"{p}_h{j}",
+                f"CASE WHEN {p}_len >= {j} "
+                f"THEN {mulm(rotl(f'{p}_t{j}', 11), P['P1'])} "
+                f"ELSE {p}_h{j - 1} END",
+            )
+        )
+    steps += [
+        (f"{p}_f1", mulm(f"xor({p}_h3, {p}_h3 >> 33)", P["P2"])),
+        (f"{p}_f2", mulm(f"xor({p}_f1, {p}_f1 >> 29)", P["P3"])),
+        (f"{p}_f3", f"xor({p}_f2, {p}_f2 >> 32)"),
+        (
+            f"{p}_bucket",
+            f"((({signed(f'{p}_f3')}) % {dim} + {dim}) % {dim})::BIGINT",
+        ),
+        # sign hash: hash_int(1, h) — the int literal is the VALUE, the
+        # running string hash is the SEED (xxh.py:52-58)
+        (
+            f"{p}_g1",
+            f"xor(({p}_f3 + {P['P5']}::HUGEINT + 4) % {M}, "
+            f"{mulm('1::HUGEINT', P['P1'])})",
+        ),
+        (
+            f"{p}_g2",
+            f"(({mulm(rotl(f'{p}_g1', 23), P['P2'])}) + {P['P3']}::HUGEINT) % {M}",
+        ),
+        (f"{p}_e1", mulm(f"xor({p}_g2, {p}_g2 >> 33)", P["P2"])),
+        (f"{p}_e2", mulm(f"xor({p}_e1, {p}_e1 >> 29)", P["P3"])),
+        (f"{p}_e3", f"xor({p}_e2, {p}_e2 >> 32)"),
+        (
+            f"{p}_sign",
+            f"CASE WHEN (({signed(f'{p}_e3')}) % 2 + 2) % 2 = 0 "
+            f"THEN 1 ELSE -1 END",
+        ),
+    ]
+    return steps
+
+
 def _xxh64_cte_chain(base_cte: str, steps: list, tag: str) -> str:
     """Chain each step into its own CTE over ``base_cte``; returns the
     CTE fragment text, final CTE named ``{tag}_fin``."""
@@ -1843,11 +1936,22 @@ def q_passage_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     faithful stand-in for string equality (no collision at test scale)
     and that the island/window math matches SQL gaps-and-islands.
     ``top_ngrams`` ties are broken by (count desc, ngram asc) on both
-    sides so the LIMIT boundary is deterministic."""
+    sides so the LIMIT boundary is deterministic.
+
+    Third block (kind='hembed'): ``text.hash_embed`` (dim=16, char
+    3-grams) — every per-doc embedding coordinate hash-compared. The
+    oracle replays Spark's ``xxhash64`` over UTF-8 STRING bytes in pure
+    SQL (``_xxh64_gram_steps``: the XXH64 byte-tail rounds unrolled —
+    the string specialization the long/int CTE chains couldn't reach),
+    so bucket assignment, ±1 sign hashing, and L2 normalization are all
+    engine-independent. Exact despite floats: the bucket sums are
+    integers, their squares sum exactly in doubles, and sqrt + divide
+    are correctly rounded — so the coordinates are bit-identical with
+    no rounding tolerance."""
     _utc(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     from tsflex_spark.datapipe.dedup import duplicate_spans
-    from tsflex_spark.datapipe.text import top_ngrams
+    from tsflex_spark.datapipe.text import hash_embed, top_ngrams
 
     spans = duplicate_spans(docs, "text", id_col="doc_id", n=8, min_occurrences=2)
     sp = spans.select(
@@ -1858,6 +1962,7 @@ def q_passage_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_grams").cast("long").alias("n_grams"),
         F.lit(None).cast("string").alias("ngram"),
         F.lit(None).cast("long").alias("n_occ"),
+        F.lit(None).cast("double").alias("val"),
     )
     tn = top_ngrams(docs, n=3, k=50, text_col="text", min_count=2)
     ng = tn.select(
@@ -1868,15 +1973,35 @@ def q_passage_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n_grams"),
         F.col("ngram"),
         F.col("count").cast("long").alias("n_occ"),
+        F.lit(None).cast("double").alias("val"),
     )
-    return sp.unionByName(ng).orderBy("kind", "doc_id", "span_start", "ngram")
+    he = hash_embed(docs, "text", id_col="doc_id", dim=16, ngram=3)
+    hrows = he.select(
+        "doc_id", F.posexplode("embedding").alias("j", "val")
+    ).select(
+        F.lit("hembed").alias("kind"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("j").cast("long").alias("span_start"),
+        F.lit(None).cast("long").alias("span_end"),
+        F.lit(None).cast("long").alias("n_grams"),
+        F.lit(None).cast("string").alias("ngram"),
+        F.lit(None).cast("long").alias("n_occ"),
+        F.col("val"),
+    )
+    return (
+        sp.unionByName(ng)
+        .unionByName(hrows)
+        .orderBy("kind", "doc_id", "span_start", "ngram")
+    )
 
 
 def _oracle_passage_spans() -> str:
     # span leg: token 8-grams (positions 0-based), grams occurring >= 2x
     # corpus-wide, gaps-and-islands per doc (pos - row_number); ngram leg:
-    # corpus top-50 3-grams with count >= 2, (count desc, ngram) order
-    return r"""
+    # corpus top-50 3-grams with count >= 2, (count desc, ngram) order;
+    # hembed leg: xxhash64-over-string replay (char 3-grams, dim 16)
+    he_chain = _xxh64_cte_chain("hg", _xxh64_gram_steps("he", "g", 16), "hx")
+    return rf"""
 WITH tk AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
@@ -1897,7 +2022,8 @@ spans AS (
   SELECT 'span' AS kind, doc_id,
          min(pos) AS span_start, max(pos) + 7 AS span_end,
          count(*) AS n_grams,
-         CAST(NULL AS VARCHAR) AS ngram, CAST(NULL AS BIGINT) AS n_occ
+         CAST(NULL AS VARCHAR) AS ngram, CAST(NULL AS BIGINT) AS n_occ,
+         CAST(NULL AS DOUBLE) AS val
   FROM isl GROUP BY doc_id, grp),
 g3 AS (
   SELECT array_to_string(list_slice(t, i, i + 2), ' ') AS gram
@@ -1908,12 +2034,45 @@ topn AS (
   SELECT 'ngram' AS kind, CAST(NULL AS BIGINT) AS doc_id,
          CAST(NULL AS BIGINT) AS span_start, CAST(NULL AS BIGINT) AS span_end,
          CAST(NULL AS BIGINT) AS n_grams,
-         gram AS ngram, count(*) AS n_occ
+         gram AS ngram, count(*) AS n_occ,
+         CAST(NULL AS DOUBLE) AS val
   FROM g3 GROUP BY gram HAVING count(*) >= 2
-  ORDER BY count(*) DESC, gram LIMIT 50)
+  ORDER BY count(*) DESC, gram LIMIT 50),
+-- hash_embed replay: char 3-grams (with multiplicity) of the lowered
+-- whitespace-collapsed text; per gram the unrolled XXH64-string chain
+-- gives bucket + sign; integer bucket sums -> exact L2 normalize
+hn AS (
+  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS n
+  FROM documents),
+hg AS (
+  SELECT doc_id, substr(n, i::INT, 3) AS g
+  FROM (SELECT doc_id, n,
+               unnest(range(1, greatest(length(n) - 2, 1) + 1)) AS i
+        FROM hn)),
+{he_chain},
+hsum AS (
+  SELECT doc_id, he_bucket AS j, CAST(sum(he_sign) AS BIGINT) AS s
+  FROM hx_fin GROUP BY doc_id, he_bucket),
+hq AS (SELECT doc_id, sum(s * s) AS q FROM hsum GROUP BY doc_id),
+hdim AS (
+  SELECT d.doc_id, r.range AS j
+  FROM (SELECT DISTINCT doc_id FROM documents) d CROSS JOIN range(16) r),
+hemb AS (
+  SELECT 'hembed' AS kind, hd.doc_id,
+         hd.j AS span_start, CAST(NULL AS BIGINT) AS span_end,
+         CAST(NULL AS BIGINT) AS n_grams,
+         CAST(NULL AS VARCHAR) AS ngram, CAST(NULL AS BIGINT) AS n_occ,
+         CAST(coalesce(hs.s, 0) AS DOUBLE)
+           / (CASE WHEN hq.q = 0 THEN 1.0 ELSE sqrt(CAST(hq.q AS DOUBLE)) END)
+           AS val
+  FROM hdim hd
+  LEFT JOIN hsum hs ON hs.doc_id = hd.doc_id AND hs.j = hd.j
+  JOIN hq ON hq.doc_id = hd.doc_id)
 SELECT * FROM spans
 UNION ALL
 SELECT * FROM topn
+UNION ALL
+SELECT * FROM hemb
 ORDER BY kind, doc_id, span_start, ngram
 """
 
