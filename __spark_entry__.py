@@ -1254,6 +1254,129 @@ def _xxh64_gram_steps(prefix: str, gram_col: str, dim: int) -> list:
     return steps
 
 
+def _xxh64_str_cte(src: str, rid: str, scol: str, tag: str) -> str:
+    """CTE fragment computing ``{tag}_h`` = Spark ``xxhash64(scol)``
+    (UTF-8/ASCII bytes, seed 42, signed BIGINT) for ARBITRARY-length
+    strings — the general replication the fixed-length gram chain can't
+    do. XXH64's three loops become recursive CTEs: the 32-byte stripe
+    accumulator (v1..v4), the 8-byte word tail, then one conditional
+    4-byte round + three conditional byte rounds + avalanche. Follows
+    ``utils/xxh.py`` ``hash_bytes`` exactly; bit-parity fuzzed against
+    it in ``tests/test_oracle_helpers.py``. The enclosing query must be
+    ``WITH RECURSIVE``. Final CTE: ``{tag}_out(rid, {tag}_h)``."""
+    M = "18446744073709551616::HUGEINT"
+    M32 = "4294967296::HUGEINT"
+    P1 = 0x9E3779B185EBCA87
+    P2 = 0xC2B2AE3D27D4EB4F
+    P3 = 0x165667B19E3779F9
+    P4 = 0x85EBCA77C2B2AE63
+    P5 = 0x27D4EB2F165667C5
+
+    def mulm(a: str, p: int) -> str:
+        bh, bl = p >> 32, p & 0xFFFFFFFF
+        return (
+            f"(({a}) * {bl}::HUGEINT % {M} + "
+            f"((({a}) * {bh}::HUGEINT % {M32}) << 32)) % {M}"
+        )
+
+    def rotl(x: str, r: int) -> str:
+        return f"((({x}) << {r}) % {M} + (({x}) >> {64 - r}))"
+
+    def word(o: str, nbytes: int = 8) -> str:
+        # little-endian nbytes at 1-based offset o (ASCII: byte==codepoint)
+        return "(" + " + ".join(
+            f"(unicode(substr({scol}, ({o}) + {j}, 1))::HUGEINT << {8 * j})"
+            for j in range(nbytes)
+        ) + ")"
+
+    def stripe_round(v: str, w: str) -> str:
+        return mulm(rotl(f"(({v}) + {mulm(w, P2)}) % {M}", 31), P1)
+
+    t = tag
+    sw = [word(f"done + {1 + 8 * i}") for i in range(4)]
+    fold, h = [], "hm"
+    for i in range(4):
+        k1 = mulm(rotl(mulm(f"v{i + 1}", P2), 31), P1)
+        fold.append(
+            (f"hf{i + 1}",
+             f"({mulm(f'xor({h}, {k1})', P1)} + {P4}::HUGEINT) % {M}")
+        )
+        h = f"hf{i + 1}"
+    fold_cols = ",\n    ".join(f"{expr} AS {name}" for name, expr in fold)
+    k1t = mulm(rotl(mulm(word("i + 1"), P2), 31), P1)
+    hw = f"({mulm(rotl(f'xor(h, {k1t})', 27), P1)} + {P4}::HUGEINT) % {M}"
+    k4 = mulm(word("i + 1", 4), P1)
+    h4 = (
+        f"CASE WHEN i + 4 <= n THEN "
+        f"({mulm(rotl(f'xor(h, {k4})', 23), P2)}"
+        f" + {P3}::HUGEINT) % {M} ELSE h END"
+    )
+    byte_steps = []
+    for j in (1, 2, 3):
+        b = f"unicode(substr({scol}, i4 + {j}, 1))::HUGEINT"
+        byte_steps.append(
+            (f"hb{j}",
+             f"CASE WHEN i4 + {j} <= n THEN "
+             f"{mulm(rotl(f'xor(hb{j - 1}, {mulm(b, P5)})', 11), P1)} "
+             f"ELSE hb{j - 1} END")
+        )
+    byte_cols = ",\n    ".join(f"{expr} AS {name}" for name, expr in byte_steps)
+    return f"""
+{t}_src AS (SELECT {rid} AS rid, {scol}, length({scol}) AS n FROM {src}),
+{t}_st AS (
+  SELECT rid, {scol}, n, CAST(0 AS BIGINT) AS done,
+         (42::HUGEINT + {P1}::HUGEINT + {P2}::HUGEINT) % {M} AS v1,
+         (42::HUGEINT + {P2}::HUGEINT) % {M} AS v2,
+         42::HUGEINT AS v3,
+         (42::HUGEINT - {P1}::HUGEINT + {M}) % {M} AS v4
+  FROM {t}_src WHERE n >= 32
+  UNION ALL
+  SELECT rid, {scol}, n, done + 32,
+         {stripe_round('v1', sw[0])},
+         {stripe_round('v2', sw[1])},
+         {stripe_round('v3', sw[2])},
+         {stripe_round('v4', sw[3])}
+  FROM {t}_st WHERE done + 32 <= n),
+{t}_stf AS (
+  SELECT rid, {scol}, n, done,
+         ({rotl('v1', 1)} % {M} + {rotl('v2', 7)} + {rotl('v3', 12)}
+          + {rotl('v4', 18)}) % {M} AS hm,
+         v1, v2, v3, v4
+  FROM {t}_st WHERE done + 32 > n),
+{t}_stm AS (
+  SELECT rid, {scol}, n, done,
+    {fold_cols}
+  FROM {t}_stf),
+{t}_h0 AS (
+  SELECT s.rid, s.{scol}, s.n,
+         coalesce(m.done, 0) AS done,
+         (coalesce(m.hf4, (42::HUGEINT + {P5}::HUGEINT) % {M}) + s.n) % {M} AS h
+  FROM {t}_src s LEFT JOIN {t}_stm m ON m.rid = s.rid),
+{t}_wt AS (
+  SELECT rid, {scol}, n, done AS i, h FROM {t}_h0
+  UNION ALL
+  SELECT rid, {scol}, n, i + 8, {hw} FROM {t}_wt WHERE i + 8 <= n),
+{t}_wtf AS (SELECT * FROM {t}_wt WHERE i + 8 > n),
+{t}_b4 AS (
+  SELECT rid, {scol}, n,
+         CASE WHEN i + 4 <= n THEN i + 4 ELSE i END AS i4,
+         {h4} AS hb0
+  FROM {t}_wtf),
+{t}_bs AS (
+  SELECT rid, {scol}, n, i4,
+    {byte_cols}
+  FROM {t}_b4),
+{t}_f1 AS (SELECT rid, {mulm('xor(hb3, hb3 >> 33)', P2)} AS f1 FROM {t}_bs),
+{t}_f2 AS (SELECT rid, {mulm('xor(f1, f1 >> 29)', P3)} AS f2 FROM {t}_f1),
+{t}_out AS (
+  SELECT rid,
+         (CASE WHEN xor(f2, f2 >> 32) >= 9223372036854775808::HUGEINT
+               THEN xor(f2, f2 >> 32) - {M}
+               ELSE xor(f2, f2 >> 32) END)::BIGINT AS {t}_h
+  FROM {t}_f2)
+"""
+
+
 def _xxh64_cte_chain(base_cte: str, steps: list, tag: str) -> str:
     """Chain each step into its own CTE over ``base_cte``; returns the
     CTE fragment text, final CTE named ``{tag}_fin``."""
@@ -1571,7 +1694,15 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-doc match COUNT and the redacted-text LENGTH after the
     sequential email→ssn→ipv4→cc16 replace chain. The ``phone`` pattern
     is excluded here (its negative lookbehind is Java-regex-only — RE2/
-    DuckDB can't replay it; covered by pytest instead)."""
+    DuckDB can't replay it; covered by pytest instead).
+
+    Fifth op (round 7): DSIR importance weights (Xie et al. 2023 —
+    ``dsir.importance_weights`` over a doc_id%10==0 target slice,
+    num_buckets=64): per-doc hashed unigram+bigram counts × the smoothed
+    bucket log-ratio, exact micro-nat integers. The oracle replays the
+    WHOLE chain — Spark xxhash64 over every distinct gram STRING (the
+    recursive-CTE XXH64 replay), bucket histograms for target and raw,
+    the alpha-smoothed ln(p/q) table, and the per-doc Σ c·lr_e6."""
     _utc(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     from tsflex_spark.datapipe.text import (
@@ -1607,18 +1738,29 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pii_count").cast("long").alias("pii_count"),
         F.length("__red").cast("long").alias("n_chars_redacted"),
     )
+    from tsflex_spark.datapipe.dsir import fit_bucket_logratio, importance_weights
+
+    target = docs.where(F.col("doc_id") % 10 == 0).select("text")
+    lr = fit_bucket_logratio(target, docs.select("text"), "text", num_buckets=64)
+    dw = importance_weights(docs, lr, "text", id_col="doc_id", num_buckets=64).select(
+        "doc_id",
+        F.col("n_grams").alias("dsir_n_grams"),
+        F.col("logw_e6").alias("dsir_logw_e6"),
+    )
     return (
         q.join(lang, on="doc_id")
         .join(rep, on="doc_id")
         .join(red, on="doc_id")
+        .join(dw, on="doc_id")
         .orderBy("doc_id")
     )
 
 
 def _oracle_quality_score() -> str:
     stop = "['the','a','an','and','or','of','to','in','is','it','that','was','for','on','are','as','with','at','be','this']"
+    dsir_chain = _xxh64_str_cte("dvoc2", "rid", "gram", "dx")
     return f"""
-WITH t AS (
+WITH RECURSIVE t AS (
   SELECT doc_id, text,
          list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks,
          CAST(length(text) AS DOUBLE) AS n_chars
@@ -1647,10 +1789,63 @@ SELECT doc_id,
         + CASE WHEN n_stop / safe_toks > 0.0 THEN 0.25 ELSE 0.0 END) AS quality_score,
        {_lang_pred_sql()} AS lang_pred,
        r.dup_line_frac, r.dup_line_char_frac, r.top_2gram_frac, r.top_3gram_frac,
-       p.pii_count, p.n_chars_redacted
+       p.pii_count, p.n_chars_redacted,
+       CAST(coalesce(dper.dsir_n_grams, 0) AS BIGINT) AS dsir_n_grams,
+       CAST(coalesce(dper.dsir_logw_e6, 0) AS BIGINT) AS dsir_logw_e6
 FROM d JOIN ({_repetition_sql()}) r USING (doc_id)
 JOIN ({_redact_pii_sql()}) p USING (doc_id)
+LEFT JOIN ({_dsir_sql(dsir_chain)}) dper USING (doc_id)
 ORDER BY doc_id
+"""
+
+
+def _dsir_sql(chain: str) -> str:
+    """DSIR importance-weights replay (Xie et al.): hashed unigram+bigram
+    buckets (Spark xxhash64 over each DISTINCT gram string — the
+    recursive-CTE XXH64 replay — joined back to occurrences), target =
+    doc_id%10==0 slice, alpha=1 smoothed ln(p/q) in micro-nats, per-doc
+    exact-integer Σ c·lr_e6. Mirrors ``dsir._hashed_buckets`` /
+    ``fit_bucket_logratio`` / ``importance_weights`` at num_buckets=64."""
+    return rf"""
+WITH RECURSIVE dt AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
+                        x -> lower(x)) AS t
+  FROM documents),
+dg AS (
+  SELECT doc_id, gram FROM (
+    SELECT doc_id, unnest(t) AS gram FROM dt
+    UNION ALL
+    SELECT doc_id, array_to_string(list_slice(t, i, i + 1), ' ') AS gram
+    FROM (SELECT doc_id, t,
+                 unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i
+          FROM dt))),
+dvoc2 AS (
+  SELECT gram, row_number() OVER (ORDER BY gram) AS rid
+  FROM (SELECT DISTINCT gram FROM dg)),
+{chain},
+dbkt AS (
+  SELECT v.gram, ((dx_h % 64) + 64) % 64 AS bucket
+  FROM dvoc2 v JOIN dx_out o ON o.rid = v.rid),
+dcnt AS (
+  SELECT dg.doc_id, b.bucket, count(*) AS c
+  FROM dg JOIN dbkt b USING (gram) GROUP BY dg.doc_id, b.bucket),
+dtc AS (
+  SELECT bucket,
+         sum(CASE WHEN doc_id % 10 = 0 THEN c ELSE 0 END) AS tc,
+         sum(c) AS rc
+  FROM dcnt GROUP BY bucket),
+dtot AS (SELECT CAST(sum(tc) AS DOUBLE) AS tt, CAST(sum(rc) AS DOUBLE) AS rt FROM dtc),
+dlr AS (
+  SELECT bucket,
+         CAST(round((ln((CAST(tc AS DOUBLE) + 1.0) / (tt + 1.0 * 64))
+                   - ln((CAST(rc AS DOUBLE) + 1.0) / (rt + 1.0 * 64)))
+                    * 1000000.0) AS BIGINT) AS lr_e6
+  FROM dtc CROSS JOIN dtot)
+SELECT dcnt.doc_id,
+       CAST(sum(c) AS BIGINT) AS dsir_n_grams,
+       CAST(sum(c * lr_e6) AS BIGINT) AS dsir_logw_e6
+FROM dcnt JOIN dlr USING (bucket) GROUP BY dcnt.doc_id
 """
 
 
@@ -1759,8 +1954,12 @@ def _lang_pred_sql() -> str:
 
 def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting (SURVEY north-star): 64-bit content hash of
-    normalized text; checked via group structure (distinct fingerprints ==
-    distinct normalized texts)."""
+    normalized text. Round 7: no longer just a group-structure check —
+    the oracle recomputes Spark's ``xxhash64`` over every FULL normalized
+    document (arbitrary length, ``_xxh64_str_cte``'s recursive-CTE XXH64
+    stripes+tails) and the xor/min/max of the actual fingerprint VALUES
+    must match bit-for-bit (the xor flips on any single-bit error in any
+    document's hash)."""
     _utc(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     from tsflex_spark.datapipe.text import fingerprint
@@ -1769,6 +1968,9 @@ def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = fp.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.count_distinct("fingerprint").alias("n_unique"),
+        F.expr("bit_xor(fingerprint)").alias("fp_xor"),
+        F.min("fingerprint").alias("fp_min"),
+        F.max("fingerprint").alias("fp_max"),
     )
     # rolling-hash (Rabin–Karp) winnowing fingerprints — arithmetic hash,
     # so DuckDB recomputes the exact values (unlike xxhash64 sketches)
@@ -1797,14 +1999,16 @@ def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_fingerprint_dedup() -> str:
     # winnowing mirror: h(i) = Σ_j code[i+j]·257^(4-j) mod 1e9+7 (mod once
     # at the end ≡ the engine's mod-each-step fold), window-4 minima,
-    # corpus-level distinct count
+    # corpus-level distinct count; fp leg = full-document xxhash64 replay
     B, M, k, w = 257, 1_000_000_007, 5, 4
     pows = [pow(B, k - 1 - j, M) for j in range(k)]
     gram = " + ".join(f"codes[i+{j}] * {pows[j]}" for j in range(k))
     mins = ", ".join(f"hs[i+{j}]" for j in range(w))
+    fp_chain = _xxh64_str_cte("nrm", "doc_id", "t", "fx")
     return rf"""
-WITH nrm AS (
+WITH RECURSIVE nrm AS (
   SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents),
+{fp_chain},
 c AS (
   SELECT doc_id,
          list_transform(range(1, length(t) + 1),
@@ -1844,6 +2048,9 @@ auc_v AS (
 SELECT (SELECT count(*) FROM documents) AS n_docs,
        (SELECT count(DISTINCT lower(regexp_replace(text, '\s+', ' ', 'g')))
         FROM documents) AS n_unique,
+       (SELECT bit_xor(fx_h) FROM fx_out) AS fp_xor,
+       (SELECT min(fx_h) FROM fx_out) AS fp_min,
+       (SELECT max(fx_h) FROM fx_out) AS fp_max,
        (SELECT count(*) FROM u) AS n_winnow,
        (SELECT auc FROM auc_v) AS auc_parity
 """

@@ -62,6 +62,51 @@ def test_xxh64_sql_chain_fuzz():
     prop()
 
 
+def test_xxh64_str_sql_fuzz():
+    """The general STRING replication (_xxh64_str_cte: recursive-CTE
+    XXH64 stripes + word/4-byte/byte tails) == python hash_bytes
+    (Catalyst-parity-tested in test_xxh.py) over random ASCII strings
+    covering every loop-boundary length class."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tsflex_spark.utils.xxh import spark_xxhash64
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE strs (rid BIGINT, s VARCHAR)")
+
+    def check(strings):
+        con.execute("DELETE FROM strs")
+        con.executemany(
+            "INSERT INTO strs VALUES (?, ?)", list(enumerate(strings))
+        )
+        frag = entry_mod._xxh64_str_cte("strs", "rid", "s", "xh")
+        got = dict(
+            con.execute(
+                f"WITH RECURSIVE {frag} SELECT rid, xh_h FROM xh_out"
+            ).fetchall()
+        )
+        for rid, s in enumerate(strings):
+            assert got[rid] == spark_xxhash64(s), (rid, len(s), s)
+
+    # deterministic boundary battery: every tail-combination class
+    check(["", "a", "abc", "abcd", "abcdefg", "abcdefgh", "abcdefghi",
+           "x" * 15, "y" * 16, "z" * 31, "w" * 32, "v" * 33, "u" * 63,
+           "t" * 64, "s" * 65, "r" * 100])
+
+    ascii_safe = st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        min_size=0, max_size=200,
+    )
+
+    @settings(max_examples=20, deadline=None)
+    @given(strings=st.lists(ascii_safe, min_size=1, max_size=6))
+    def prop(strings):
+        check(strings)
+
+    prop()
+
+
 def test_pagerank_sql_chain_fuzz(spark):
     """DuckDB unrolled chain == datapipe.graph.pagerank on random
     digraphs (dangling nodes arise whenever a dst never appears as src;
