@@ -1087,20 +1087,23 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _xxh64_pmod_steps(prefix: str, id_col: str, seed: int, out_col: str) -> list:
-    """(name, expr) steps computing ``pmod(xxhash64(id_col, lit(seed)),
-    10^6)`` in DuckDB SQL, bit-for-bit equal to Catalyst: ``hash_long``
-    over the 8-byte id (running seed 42), then ``hash_int`` over the
-    4-byte int literal — the exact fold Spark applies to
-    ``xxhash64(col, lit(py_int))``. u64 wraparound multiplication is
-    expressed as a 32-bit-split product so INT128 never overflows; each
-    step lands in its own CTE column (inlining would duplicate
-    subexpressions exponentially).
-
-    ``seed`` must fit int32: a Python int literal outside int32 becomes
-    a LongType lit, which Catalyst folds with hash_long instead — a
-    caller passing one would get a silently divergent oracle."""
-    assert -(2**31) <= seed < 2**31, f"seed {seed} not an int32 literal"
+def _xxh64_long_steps(
+    prefix: str,
+    id_col: str,
+    out_col: str,
+    *,
+    int_value=None,
+    pmod: int = None,
+) -> list:
+    """(name, expr) steps computing Spark ``xxhash64(id_col[, int])`` in
+    DuckDB SQL, bit-for-bit equal to Catalyst: ``hash_long`` over the
+    8-byte id (running seed 42), then — when ``int_value`` is given —
+    ``hash_int`` over the 4-byte int (a python literal OR an SQL column
+    expression, e.g. a per-row slot index). ``out_col`` is the signed
+    64-bit hash, or ``pmod(h, pmod)`` when ``pmod`` is set. u64
+    wraparound multiplication is a 32-bit-split product so INT128 never
+    overflows; each step lands in its own CTE column (inlining would
+    duplicate subexpressions exponentially)."""
     M = "18446744073709551616::HUGEINT"
     M32 = "4294967296::HUGEINT"
     P = {
@@ -1121,6 +1124,12 @@ def _xxh64_pmod_steps(prefix: str, id_col: str, seed: int, out_col: str) -> list
     def rotl(x: str, r: int) -> str:
         return f"((({x}) << {r}) % {M} + (({x}) >> {64 - r}))"
 
+    def signed(x: str) -> str:
+        return (
+            f"(CASE WHEN {x} >= 9223372036854775808::HUGEINT "
+            f"THEN {x} - {M} ELSE {x} END)"
+        )
+
     p = prefix
     steps = [
         # hash_long(id, 42): xxh.py:40-49
@@ -1134,31 +1143,54 @@ def _xxh64_pmod_steps(prefix: str, id_col: str, seed: int, out_col: str) -> list
         (f"{p}_f1", mulm(f"xor({p}_h2, {p}_h2 >> 33)", P["P2"])),
         (f"{p}_f2", mulm(f"xor({p}_f1, {p}_f1 >> 29)", P["P3"])),
         (f"{p}_f3", f"xor({p}_f2, {p}_f2 >> 32)"),
-        # hash_int(seed, h): xxh.py:52-58 — the int literal is the VALUE,
-        # the running hash is the SEED
-        (
-            f"{p}_g1",
-            # hash_int reads the literal as its unsigned 4-byte pattern
-            # (xxh.py:54 `value &= 0xFFFFFFFF`) — mask at build time so
-            # negative int32 seeds emit the same bits Catalyst hashes
-            f"xor(({p}_f3 + {P['P5']}::HUGEINT + 4) % {M}, "
-            f"{mulm(f'{seed & 0xFFFFFFFF}::HUGEINT', P['P1'])})",
-        ),
-        (
-            f"{p}_g2",
-            f"(({mulm(rotl(f'{p}_g1', 23), P['P2'])}) + {P['P3']}::HUGEINT) % {M}",
-        ),
-        (f"{p}_e1", mulm(f"xor({p}_g2, {p}_g2 >> 33)", P["P2"])),
-        (f"{p}_e2", mulm(f"xor({p}_e1, {p}_e1 >> 29)", P["P3"])),
-        (f"{p}_e3", f"xor({p}_e2, {p}_e2 >> 32)"),
-        (
-            out_col,
-            f"((CASE WHEN {p}_e3 >= 9223372036854775808::HUGEINT "
-            f"THEN {p}_e3 - {M} ELSE {p}_e3 END % 1000000 + 1000000) "
-            f"% 1000000)::BIGINT",
-        ),
     ]
+    last = f"{p}_f3"
+    if int_value is not None:
+        # hash_int(value, h): xxh.py:52-58 — the int is the VALUE, the
+        # running hash is the SEED; the value hashes as its unsigned
+        # 4-byte pattern (xxh.py:54 `value &= 0xFFFFFFFF`)
+        if isinstance(int_value, int):
+            assert -(2**31) <= int_value < 2**31, f"{int_value} not int32"
+            vexpr = f"{int_value & 0xFFFFFFFF}::HUGEINT"
+        else:
+            vexpr = f"((({int_value})::HUGEINT % {M32} + {M32}) % {M32})"
+        steps += [
+            (
+                f"{p}_g1",
+                f"xor(({p}_f3 + {P['P5']}::HUGEINT + 4) % {M}, "
+                f"{mulm(vexpr, P['P1'])})",
+            ),
+            (
+                f"{p}_g2",
+                f"(({mulm(rotl(f'{p}_g1', 23), P['P2'])}) + {P['P3']}::HUGEINT) % {M}",
+            ),
+            (f"{p}_e1", mulm(f"xor({p}_g2, {p}_g2 >> 33)", P["P2"])),
+            (f"{p}_e2", mulm(f"xor({p}_e1, {p}_e1 >> 29)", P["P3"])),
+            (f"{p}_e3", f"xor({p}_e2, {p}_e2 >> 32)"),
+        ]
+        last = f"{p}_e3"
+    if pmod is not None:
+        steps.append(
+            (
+                out_col,
+                f"(({signed(last)} % {pmod} + {pmod}) % {pmod})::BIGINT",
+            )
+        )
+    else:
+        steps.append((out_col, f"({signed(last)})::BIGINT"))
     return steps
+
+
+def _xxh64_pmod_steps(prefix: str, id_col: str, seed: int, out_col: str) -> list:
+    """``pmod(xxhash64(id_col, lit(seed)), 10^6)`` — the curation-
+    membership specialization of :func:`_xxh64_long_steps`. ``seed``
+    must fit int32: a Python int literal outside int32 becomes a
+    LongType lit, which Catalyst folds with hash_long instead — a
+    caller passing one would get a silently divergent oracle."""
+    assert -(2**31) <= seed < 2**31, f"seed {seed} not an int32 literal"
+    return _xxh64_long_steps(
+        prefix, id_col, out_col, int_value=seed, pmod=1_000_000
+    )
 
 
 def _xxh64_gram_steps(prefix: str, gram_col: str, dim: int) -> list:
@@ -2865,7 +2897,18 @@ def q_sketch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       candidate pairs at sf0.1 — band tuning IS the scale knob).
     - ``simhash``: 64-bit SimHash fingerprints → hamming<=8 banded
       candidate pairs (pigeonhole bands) → exact-Jaccard verify.
-    """
+
+    Round 7: the sketches are no longer engine-specific black boxes —
+    ``mh_xor`` / ``sim_xor`` carry the bit-xor of EVERY OPH minhash
+    slot and every SimHash fingerprint across the corpus, and the
+    oracle recomputes both sketch families from scratch in SQL
+    (shingle-string xxhash64 via the recursive-CTE replay, the
+    hash_long+hash_int minhash mix, 128-bin OPH mins with circular-
+    borrow densification, per-bit SimHash majorities). Any single-bit
+    error in any signature flips the xor. The per-doc hash FILL of
+    densification (three consecutive empty bins) cannot fire on KB-
+    sized docs; it stays pytest-covered, and if it ever fired here the
+    gate would mismatch loudly rather than silently diverge."""
     _utc(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     from tsflex_spark.datapipe.dedup import (
@@ -2919,19 +2962,47 @@ def q_sketch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("__s"), F.lit("simhash")),
         )
     )
+    # two aggregates, not one: exploding minhash replicates simhash 128x
+    # per doc (xor of an even count vanishes), and DISTINCT would collapse
+    # byte-identical duplicate docs the oracle counts once per doc
+    sig = (
+        sk.select(F.explode("minhash").alias("__v"))
+        .agg(F.expr("bit_xor(__v)").alias("mh_xor"))
+        .join(F.broadcast(sk.agg(F.expr("bit_xor(simhash)").alias("sim_xor"))))
+    )
     return (
         tagged.select(F.explode(methods).alias("method"), "id_a", "id_b", "jaccard")
+        .join(F.broadcast(sig))
         .orderBy("method", "id_a", "id_b")
     )
 
 
 def _oracle_sketch_dedup() -> str:
-    # ground truth: ALL-pairs exact shingle Jaccard >= 0.8, once per
-    # sketch method — each sketch's candidates must catch every true
-    # pair (recall contract) and the shared exact-verify stage removes
-    # everything below threshold (precision contract)
-    return r"""
-WITH sh AS (
+    # ground truth, two layers: (1) the recall/precision CONTRACT — every
+    # all-pairs exact-Jaccard >= 0.8 pair survives candidates + verify,
+    # nothing below does; (2) the SKETCH VALUES — minhash OPH signatures
+    # (shingle-string xxhash64 -> hash_long+hash_int(42) mix -> 128-bin
+    # mins -> circular-borrow densify) and SimHash fingerprints (per-bit
+    # majorities) recomputed from scratch, xor-checked corpus-wide
+    sx_chain = _xxh64_str_cte("svoc", "rid", "g", "sx")
+    mm_chain = _xxh64_cte_chain(
+        "shh", _xxh64_long_steps("mm", "sh_h", "hm", int_value=42), "mxc"
+    )
+    ms_chain = _xxh64_cte_chain(
+        "shh", _xxh64_long_steps("ms", "sh_h", "hs"), "msc"
+    )
+    mf_chain = _xxh64_cte_chain(
+        "mh_grid", _xxh64_long_steps("mf", "dm", "fill", int_value="j"), "mfc"
+    )
+    pops = ",\n         ".join(
+        f"sum((hsu >> {b}) % 2) AS p{b}" for b in range(64)
+    )
+    fp_terms = " + ".join(
+        f"CASE WHEN 2 * p{b} > n THEN {1 << b}::HUGEINT ELSE 0::HUGEINT END"
+        for b in range(64)
+    )
+    return rf"""
+WITH RECURSIVE sh AS (
   SELECT doc_id,
          list_distinct(
            list_transform(
@@ -2944,10 +3015,48 @@ tp AS (
                len(list_intersect(a.s, b.s)) AS i,
                len(a.s) AS na, len(b.s) AS nb
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-  WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= 0.8)
-SELECT 'minhash' AS method, id_a, id_b, jaccard FROM tp
+  WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= 0.8),
+sh2 AS (SELECT doc_id, unnest(s) AS g FROM sh),
+svoc AS (SELECT g, row_number() OVER (ORDER BY g) AS rid
+         FROM (SELECT DISTINCT g FROM sh2)),
+{sx_chain},
+shh AS (
+  SELECT sh2.doc_id, o.sx_h AS sh_h
+  FROM sh2 JOIN svoc v USING (g) JOIN sx_out o ON o.rid = v.rid),
+{mm_chain},
+mh_rows AS (SELECT doc_id, hm, ((hm % 128) + 128) % 128 AS bin FROM mxc_fin),
+mh_bin AS (SELECT doc_id, bin, min(hm) AS mn FROM mh_rows GROUP BY doc_id, bin),
+mh_doc AS (SELECT doc_id, min(hm) AS dm FROM mh_rows GROUP BY doc_id),
+mh_grid AS (SELECT d.doc_id, d.dm, r.range AS j FROM mh_doc d CROSS JOIN range(128) r),
+{mf_chain},
+mh_slot AS (
+  SELECT g.doc_id, g.j, coalesce(b0.mn, b1.mn, b2.mn, g.fill) AS v
+  FROM mfc_fin g
+  LEFT JOIN mh_bin b0 ON b0.doc_id = g.doc_id AND b0.bin = g.j
+  LEFT JOIN mh_bin b1 ON b1.doc_id = g.doc_id AND b1.bin = (g.j + 1) % 128
+  LEFT JOIN mh_bin b2 ON b2.doc_id = g.doc_id AND b2.bin = (g.j + 2) % 128),
+mh_x AS (SELECT bit_xor(v) AS mh_xor FROM mh_slot),
+{ms_chain},
+sim_pop AS (
+  SELECT doc_id, count(*) AS n,
+         {pops}
+  FROM (SELECT doc_id, ((hs::HUGEINT % 18446744073709551616::HUGEINT)
+                        + 18446744073709551616::HUGEINT)
+                       % 18446744073709551616::HUGEINT AS hsu
+        FROM msc_fin)
+  GROUP BY doc_id),
+sim_fp AS (
+  SELECT doc_id,
+         (CASE WHEN fpu >= 9223372036854775808::HUGEINT
+               THEN fpu - 18446744073709551616::HUGEINT
+               ELSE fpu END)::BIGINT AS fp
+  FROM (SELECT doc_id, ({fp_terms}) AS fpu FROM sim_pop)),
+sim_x AS (SELECT bit_xor(fp) AS sim_xor FROM sim_fp)
+SELECT 'minhash' AS method, id_a, id_b, jaccard, mh_x.mh_xor, sim_x.sim_xor
+FROM tp CROSS JOIN mh_x CROSS JOIN sim_x
 UNION ALL
-SELECT 'simhash' AS method, id_a, id_b, jaccard FROM tp
+SELECT 'simhash' AS method, id_a, id_b, jaccard, mh_x.mh_xor, sim_x.sim_xor
+FROM tp CROSS JOIN mh_x CROSS JOIN sim_x
 ORDER BY method, id_a, id_b
 """
 
