@@ -4030,30 +4030,59 @@ GROUP BY s_start ORDER BY ts
 """
 
 
+# dyadic gate weights for the classifier-scorer leg: multiples of 2^-10,
+# so sign*w products and their sums are EXACT doubles (order-independent)
+_CLF_GATE_WEIGHTS = [(j - 64) / 1024.0 for j in range(128)]
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (SURVEY north-star; GPT-3 appendix C /
     Llama §5.1 word-n-gram overlap): docs with doc_id % 97 == 0 play the
     eval set; every other document is scored by its distinct word-8-gram
     overlap with that set. Eval n-gram hashes broadcast; the corpus side
-    is one map-side hash join — corpus text never shuffles."""
+    is one map-side hash join — corpus text never shuffles.
+
+    Second op (round 7): ``classifier.score_quality`` — the corpus-scale
+    codegen scorer (per-gram sign·w[bucket] via element_at into a
+    literal weight array, one (sum,count) exchange, sigmoid). Weights
+    are DYADIC literals ((j-64)/1024), so every contribution and every
+    partial sum is exact in double — the per-doc mean is bit-identical
+    regardless of partition/summation order, and the oracle replays the
+    whole path (gram string xxhash64 → bucket/sign → weight lookup →
+    sigmoid, 6dp-rounded on both sides). Training (LBFGS) is inherently
+    iterative-numeric and stays pytest-covered; what a 100 TB run must
+    trust bit-wise is the SCORER."""
     _utc(spark)
+    from tsflex_spark.datapipe.classifier import QualityClassifier, score_quality
     from tsflex_spark.datapipe.decontam import decontaminate
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     ev = docs.where(F.col("doc_id") % 97 == 0).select("text")
     corpus = docs.where(F.col("doc_id") % 97 != 0).select("doc_id", "text")
     out = decontaminate(corpus, ev, text_col="text", id_col="doc_id", n=8)
-    return out.select(
-        "doc_id",
-        "n_ngrams",
-        "n_hits",
-        "hit_frac",
-        F.col("contaminated").cast("int").alias("contaminated"),
-    ).orderBy("doc_id")
+    clf = QualityClassifier(
+        weights=_CLF_GATE_WEIGHTS, intercept=0.125, dim=128, ngram=3
+    )
+    sq = score_quality(docs, clf, "text", "doc_id").select(
+        "doc_id", F.round("quality_prob", 6).alias("clf_prob")
+    )
+    return (
+        out.select(
+            "doc_id",
+            "n_ngrams",
+            "n_hits",
+            "hit_frac",
+            F.col("contaminated").cast("int").alias("contaminated"),
+        )
+        .join(sq, on="doc_id")
+        .orderBy("doc_id")
+    )
 
 
 def _oracle_decontaminate() -> str:
-    return r"""
+    cg_chain = _xxh64_cte_chain("cg", _xxh64_gram_steps("cf", "g", 128), "cgx")
+    wl = "[" + ", ".join(repr(w) for w in _CLF_GATE_WEIGHTS) + "]"
+    return rf"""
 WITH tok AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
@@ -4073,15 +4102,36 @@ agg AS (
          count(e.gram) AS n_hits
   FROM gd LEFT JOIN e USING (gram)
   WHERE gd.doc_id % 97 <> 0
-  GROUP BY gd.doc_id)
+  GROUP BY gd.doc_id),
+-- classifier-scorer replay: char 3-grams of lower/collapsed text,
+-- bucket/sign via the unrolled xxhash64-string chain, dyadic weight
+-- lookup, exact order-free mean, sigmoid at 6dp
+cg AS (
+  SELECT doc_id, substr(n, i::INT, 3) AS g
+  FROM (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS n,
+               unnest(range(1, greatest(length(lower(regexp_replace(text, '\s+', ' ', 'g'))) - 2, 1) + 1)) AS i
+        FROM documents)),
+{cg_chain},
+csum AS (
+  SELECT doc_id,
+         sum(cf_sign * ({wl})[cf_bucket + 1]) AS s,
+         count(*) AS n
+  FROM cgx_fin GROUP BY doc_id),
+cprob AS (
+  SELECT doc_id,
+         round(1.0 / (1.0 + exp(-(coalesce(s / CAST(n AS DOUBLE), 0.0) + 0.125))), 6)
+           AS clf_prob
+  FROM csum)
 SELECT d.doc_id,
        coalesce(a.n_ngrams, 0) AS n_ngrams,
        coalesce(a.n_hits, 0) AS n_hits,
        CASE WHEN coalesce(a.n_ngrams, 0) > 0
             THEN CAST(coalesce(a.n_hits, 0) AS DOUBLE) / CAST(a.n_ngrams AS DOUBLE)
             ELSE 0.0 END AS hit_frac,
-       CAST(coalesce(a.n_hits, 0) >= 1 AS INT) AS contaminated
+       CAST(coalesce(a.n_hits, 0) >= 1 AS INT) AS contaminated,
+       p.clf_prob
 FROM documents d LEFT JOIN agg a USING (doc_id)
+JOIN cprob p USING (doc_id)
 WHERE d.doc_id % 97 <> 0
 ORDER BY d.doc_id
 """
