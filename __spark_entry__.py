@@ -2227,9 +2227,26 @@ def q_passage_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n_occ"),
         F.col("val"),
     )
+    # fourth block: the REMOVAL half of passage dedup — keep-one
+    # canonical occurrence, non-canonical spans cut, text rebuilt.
+    # n_grams carries the kept-token count, n_occ the rebuilt length
+    from tsflex_spark.datapipe.dedup import remove_duplicate_spans
+
+    rds = remove_duplicate_spans(docs, "text", id_col="doc_id", n=8, out_col="__rb")
+    dsp = rds.select(
+        F.lit("despan").alias("kind"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.lit(None).cast("long").alias("span_start"),
+        F.lit(None).cast("long").alias("span_end"),
+        F.size(F.split(F.col("__rb"), " ")).cast("long").alias("n_grams"),
+        F.lit(None).cast("string").alias("ngram"),
+        F.length("__rb").cast("long").alias("n_occ"),
+        F.lit(None).cast("double").alias("val"),
+    )
     return (
         sp.unionByName(ng)
         .unionByName(hrows)
+        .unionByName(dsp)
         .orderBy("kind", "doc_id", "span_start", "ngram")
     )
 
@@ -2306,12 +2323,52 @@ hemb AS (
            AS val
   FROM hdim hd
   LEFT JOIN hsum hs ON hs.doc_id = hd.doc_id AND hs.j = hd.j
-  JOIN hq ON hq.doc_id = hd.doc_id)
+  JOIN hq ON hq.doc_id = hd.doc_id),
+-- remove_duplicate_spans replay (keep-one): canonical = min (doc, pos)
+-- composite (pos << 2^20 bound), non-canonical islands cut, text
+-- rebuilt by single-space join of surviving tokens
+rd_keep AS (
+  SELECT gram, min(doc_id * 1048576 + pos) AS kk, count(*) AS c
+  FROM g8 GROUP BY gram),
+rd_flag AS (
+  SELECT g8.doc_id, g8.pos
+  FROM g8 JOIN rd_keep k USING (gram)
+  WHERE k.c >= 2 AND g8.doc_id * 1048576 + g8.pos <> k.kk),
+rd_isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM rd_flag),
+rd_spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+  FROM rd_isl GROUP BY doc_id, grp),
+rd_tokens AS (
+  SELECT doc_id, i - 1 AS idx, t[i] AS tok
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM tk)),
+rd_kept AS (
+  SELECT tt.doc_id, tt.idx, tt.tok
+  FROM rd_tokens tt
+  WHERE NOT EXISTS (SELECT 1 FROM rd_spans sp
+                    WHERE sp.doc_id = tt.doc_id
+                      AND tt.idx BETWEEN sp.s AND sp.e)),
+rd_rb AS (
+  SELECT d.doc_id, coalesce(string_agg(k.tok, ' ' ORDER BY k.idx), '') AS rb
+  FROM documents d LEFT JOIN rd_kept k ON k.doc_id = d.doc_id
+  GROUP BY d.doc_id),
+despan AS (
+  SELECT 'despan' AS kind, doc_id,
+         CAST(NULL AS BIGINT) AS span_start, CAST(NULL AS BIGINT) AS span_end,
+         CAST(len(string_split(rb, ' ')) AS BIGINT) AS n_grams,
+         CAST(NULL AS VARCHAR) AS ngram,
+         CAST(length(rb) AS BIGINT) AS n_occ,
+         CAST(NULL AS DOUBLE) AS val
+  FROM rd_rb)
 SELECT * FROM spans
 UNION ALL
 SELECT * FROM topn
 UNION ALL
 SELECT * FROM hemb
+UNION ALL
+SELECT * FROM despan
 ORDER BY kind, doc_id, span_start, ngram
 """
 
@@ -2738,7 +2795,15 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored with exact n-gram Jaccard, pairs >= 0.2 become edges, and the
     alternating large-star/small-star connected-components pass closes
     them transitively (A~B, B~C => one cluster). Output: one row per
-    cluster (min doc_id label + member count) over ALL documents."""
+    cluster (min doc_id label + member count) over ALL documents.
+
+    Round 7: ``curation.leakage_safe_split`` joins the gate — every
+    member's split is hashed from its CLUSTER label (near-dup clusters
+    can never straddle train/val/test), verified two ways: the per-
+    cluster ``split`` value must equal the oracle's xxh64-of-label
+    bucket, and ``n_splits`` (count of distinct member splits) must be
+    exactly 1 — the no-leakage invariant itself, computed from the
+    engine's actual per-doc assignments, not assumed."""
     _utc(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     from tsflex_spark.datapipe.dedup import (
@@ -2783,12 +2848,21 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = labeled.join(
         pr.join(dg, "node"), labeled.doc_id == F.col("node"), "left"
     )
+    from tsflex_spark.datapipe.curation import leakage_safe_split
+
+    lss = leakage_safe_split(
+        docs.select("doc_id"), "doc_id", [0.8, 0.1, 0.1], seed=5,
+        cluster_labels=cc,
+    ).select("doc_id", "split")
+    stats = stats.join(lss, on="doc_id")
     return (
         stats.groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
             F.sum(F.coalesce("rank", F.lit(0.0))).alias("rank_mass"),
             F.sum(F.coalesce("dtot", F.lit(0))).alias("degree_sum"),
+            F.min("split").alias("split"),
+            F.count_distinct("split").alias("n_splits"),
         )
         .orderBy("cluster_id")
     )
@@ -2867,13 +2941,27 @@ lbl AS (
 """ + _pagerank_cte_chain(6, 0.85) + r""",
 pdeg AS (SELECT node, count(*) AS dtot FROM
          (SELECT src AS node FROM de UNION ALL SELECT dst AS node FROM de)
-         GROUP BY node)
+         GROUP BY node),
+-- leakage_safe_split replay: split hashed from the CLUSTER label;
+-- n_splits = 1 is the no-straddle invariant the engine must exhibit
+lclu AS (SELECT DISTINCT cluster_id FROM lbl),
+""" + _xxh64_cte_chain(
+        "lclu", _xxh64_pmod_steps("ls", "cluster_id", 5, "b_ls"), "lsx"
+    ) + r""",
+lsp AS (
+  SELECT cluster_id,
+         CASE WHEN b_ls < 800000 THEN 'train'
+              WHEN b_ls < 900000 THEN 'val' ELSE 'test' END AS split
+  FROM lsx_fin)
 SELECT lbl.cluster_id, count(*) AS n_members,
        sum(coalesce(pr6.rank, 0.0)) AS rank_mass,
-       CAST(sum(coalesce(pdeg.dtot, 0)) AS BIGINT) AS degree_sum
+       CAST(sum(coalesce(pdeg.dtot, 0)) AS BIGINT) AS degree_sum,
+       min(lsp.split) AS split,
+       CAST(1 AS BIGINT) AS n_splits
 FROM lbl
 LEFT JOIN pr6 ON pr6.node = lbl.doc_id
 LEFT JOIN pdeg ON pdeg.node = lbl.doc_id
+JOIN lsp ON lsp.cluster_id = lbl.cluster_id
 GROUP BY lbl.cluster_id ORDER BY lbl.cluster_id
 """
 
@@ -2883,10 +2971,9 @@ def q_sketch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     50), now FULLY oracle-checked by gating the candidate-superset
     property instead of a rows-only count: every pair with EXACT shingle
     Jaccard >= 0.8 must survive sketch-candidate generation + exact
-    verify, and nothing below the threshold may. The xxhash64 sketches
-    themselves stay engine-specific; what the oracle checks is the
-    recall contract each sketch is FOR — its output must equal DuckDB's
-    all-pairs exact-Jaccard >= 0.8 set.
+    verify, and nothing below the threshold may — the recall contract
+    each sketch is FOR: its output must equal DuckDB's all-pairs
+    exact-Jaccard >= 0.8 set.
 
     - ``minhash``: 128-hash OPH MinHash signatures → 16-band (8 rows/
       band) LSH candidates → exact-Jaccard verify (the production dedup
