@@ -2005,13 +2005,24 @@ def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("fingerprint").alias("fp_max"),
     )
     # rolling-hash (Rabin–Karp) winnowing fingerprints — arithmetic hash,
-    # so DuckDB recomputes the exact values (unlike xxhash64 sketches)
-    from tsflex_spark.datapipe.text import winnow_fingerprints
+    # so DuckDB recomputes the exact values (unlike xxhash64 sketches).
+    # Round 7: the MOSS pairing stage (winnow_candidates: fp equi-self-
+    # join, >= 2 shared fps) is verified too, via its pair count + the
+    # xor of its pair keys (order-free, flips on any pair difference)
+    from tsflex_spark.datapipe.text import winnow_candidates, winnow_fingerprints
 
     wf = winnow_fingerprints(docs, "text", id_col="doc_id", k=5, window=4)
+    wf = wf.localCheckpoint(eager=False)  # feeds the distinct count AND the pairing
     n_win = wf.select(F.explode("fps").alias("f")).agg(
         F.count_distinct("f").alias("n_winnow")
     )
+    wc = winnow_candidates(docs, "text", id_col="doc_id", min_shared=2, fps=wf).agg(
+        F.count(F.lit(1)).alias("n_winnow_pairs"),
+        F.coalesce(
+            F.expr("bit_xor(id_a * 1048576 + id_b)"), F.lit(0)
+        ).alias("winnow_pair_xor"),
+    )
+    n_win = n_win.join(F.broadcast(wc))
     # utils/ml_metrics.binary_auc verified against the same Mann-Whitney
     # rank computation in SQL (label = doc_id parity, score = n_chars —
     # the VALUE checks the tie-handling rank math, not a model)
@@ -2060,6 +2071,13 @@ wnw AS (
               ELSE [] END AS fps
   FROM h),
 u AS (SELECT DISTINCT unnest(fps) AS f FROM wnw),
+-- MOSS pairing: docs sharing >= 2 winnow fps (fp equi-self-join)
+wrows AS (SELECT DISTINCT doc_id, f
+          FROM (SELECT doc_id, unnest(fps) AS f FROM wnw)),
+wpair AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM wrows a JOIN wrows b ON a.f = b.f AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2),
 -- Mann-Whitney AUC with average tie ranks: per distinct score, rows
 -- strictly below + (n+1)/2 (identical derivation to utils/ml_metrics)
 auc_ps AS (
@@ -2084,6 +2102,9 @@ SELECT (SELECT count(*) FROM documents) AS n_docs,
        (SELECT min(fx_h) FROM fx_out) AS fp_min,
        (SELECT max(fx_h) FROM fx_out) AS fp_max,
        (SELECT count(*) FROM u) AS n_winnow,
+       (SELECT count(*) FROM wpair) AS n_winnow_pairs,
+       (SELECT coalesce(bit_xor(id_a * 1048576 + id_b), 0) FROM wpair)
+         AS winnow_pair_xor,
        (SELECT auc FROM auc_v) AS auc_parity
 """
 

@@ -245,6 +245,7 @@ def winnow_candidates(
     min_shared: int = 2,
     k: int = 5,
     window: int = 4,
+    fps: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Partial-overlap candidate pairs from winnowing fingerprints: docs
     sharing at least ``min_shared`` fingerprints — the MOSS "these two
@@ -255,8 +256,11 @@ def winnow_candidates(
     Shape mirrors ``minhash_lsh_candidates``: explode to (id, fp) rows,
     self equi-join on the fingerprint (only colliding docs meet), count
     shared fps per pair. Returns (id_a, id_b, n_shared) with id_a < id_b.
+    Pass a precomputed ``fps`` frame (``winnow_fingerprints`` output) to
+    reuse an existing fingerprint pass instead of re-running the UDF.
     """
-    fps = winnow_fingerprints(df, text_col, id_col, k=k, window=window)
+    if fps is None:
+        fps = winnow_fingerprints(df, text_col, id_col, k=k, window=window)
     rows = fps.select(F.col(id_col), F.explode("fps").alias("__fp")).dropDuplicates(
         [id_col, "__fp"]
     )
