@@ -2016,7 +2016,9 @@ def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_win = wf.select(F.explode("fps").alias("f")).agg(
         F.count_distinct("f").alias("n_winnow")
     )
-    wc = winnow_candidates(docs, "text", id_col="doc_id", min_shared=2, fps=wf).agg(
+    wc = winnow_candidates(
+        docs, "text", id_col="doc_id", min_shared=2, fps=wf, max_doc_freq=20
+    ).agg(
         F.count(F.lit(1)).alias("n_winnow_pairs"),
         F.coalesce(
             F.expr("bit_xor(id_a * 1048576 + id_b)"), F.lit(0)
@@ -2071,9 +2073,13 @@ wnw AS (
               ELSE [] END AS fps
   FROM h),
 u AS (SELECT DISTINCT unnest(fps) AS f FROM wnw),
--- MOSS pairing: docs sharing >= 2 winnow fps (fp equi-self-join)
-wrows AS (SELECT DISTINCT doc_id, f
-          FROM (SELECT doc_id, unnest(fps) AS f FROM wnw)),
+-- MOSS pairing: docs sharing >= 2 winnow fps (fp equi-self-join),
+-- boilerplate fps (doc-frequency > 20) excluded before the join —
+-- the same cap the engine applies (max_doc_freq=20)
+wrows0 AS (SELECT DISTINCT doc_id, f
+           FROM (SELECT doc_id, unnest(fps) AS f FROM wnw)),
+wkeep AS (SELECT f FROM wrows0 GROUP BY f HAVING count(*) <= 20),
+wrows AS (SELECT doc_id, f FROM wrows0 JOIN wkeep USING (f)),
 wpair AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM wrows a JOIN wrows b ON a.f = b.f AND a.doc_id < b.doc_id
@@ -2118,10 +2124,22 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle-intersection join that scales by hash keys). Both legs share
     one checkpointed corpus shingle table; the exact-recall fuzzy pairs
     at threshold 0.5 are hash-compared pair-for-pair against a DuckDB
-    all-pairs replay."""
+    all-pairs replay.
+
+    Third op (round 7): ``dedup.edit_similarity`` — unit-cost
+    Levenshtein verify over 256-char normalized prefixes on EVERY pair
+    of both legs (the record-linkage complement to shingle Jaccard:
+    transpositions and in-word edits priced exactly). Integer distance
+    and a single exact division make the similarity bit-identical to
+    DuckDB's ``levenshtein`` replay."""
     _utc(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    from tsflex_spark.datapipe.dedup import fuzzy_join, ngram_jaccard, shingle_rows
+    from tsflex_spark.datapipe.dedup import (
+        edit_similarity,
+        fuzzy_join,
+        ngram_jaccard,
+        shingle_rows,
+    )
 
     pairs = docs.select(F.col("doc_id").alias("id_a")).where(
         F.col("id_a") % 2 == 0
@@ -2147,7 +2165,9 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         left, right, "text", "id_a", "id_b", threshold=0.5, shingle_k=5,
         method="exact",
     ).withColumn("kind", F.lit("fuzzy"))
-    return consec.unionByName(fz).orderBy("kind", "id_a", "id_b")
+    allp = consec.unionByName(fz)
+    out = edit_similarity(allp, docs, "text", "doc_id", prefix_len=256)
+    return out.orderBy("kind", "id_a", "id_b")
 
 
 def _oracle_ngram_jaccard() -> str:
@@ -2177,10 +2197,28 @@ fz AS (
   FROM sh a CROSS JOIN sh b
   WHERE a.doc_id < 200 AND a.doc_id % 2 = 0
     AND b.doc_id < 200 AND b.doc_id % 2 = 1
-    AND len(list_intersect(a.s, b.s)) > 0)
-SELECT * FROM consec
-UNION ALL
-SELECT * FROM fz WHERE jaccard >= 0.5
+    AND len(list_intersect(a.s, b.s)) > 0),
+unioned AS (
+  SELECT * FROM consec
+  UNION ALL
+  SELECT * FROM fz WHERE jaccard >= 0.5),
+-- edit_similarity replay: unit-cost Levenshtein over 256-char
+-- normalized prefixes; integer distance, one exact division
+lev AS (
+  SELECT doc_id,
+         substr(lower(regexp_replace(text, '\s+', ' ', 'g')), 1, 256) AS nt
+  FROM documents),
+withd AS (
+  SELECT u.*, levenshtein(la.nt, lb.nt) AS d,
+         greatest(length(la.nt), length(lb.nt)) AS mx
+  FROM unioned u
+  JOIN lev la ON la.doc_id = u.id_a
+  JOIN lev lb ON lb.doc_id = u.id_b)
+SELECT kind, id_a, id_b, jaccard,
+       CAST(d AS BIGINT) AS edit_dist,
+       CASE WHEN mx = 0 THEN 1.0
+            ELSE 1.0 - CAST(d AS DOUBLE) / CAST(mx AS DOUBLE) END AS edit_sim
+FROM withd
 ORDER BY kind, id_a, id_b
 """
 

@@ -92,3 +92,59 @@ def test_unknown_method_raises(spark, frames):
     l, r = frames
     with pytest.raises(ValueError):
         fuzzy_join(l, r, "text", "lid", "rid", method="nope")
+
+
+def _lev(a: str, b: str) -> int:
+    # textbook unit-cost DP oracle
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_similarity_python_oracle(spark):
+    from tsflex_spark.datapipe.dedup import edit_similarity
+
+    docs = spark.createDataFrame(
+        [(1, "kitten in the yard"), (2, "sitting in the yard"),
+         (3, "Kitten  IN the\tyard"), (4, "")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 4)], "id_a long, id_b long"
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in edit_similarity(pairs, docs, "text", "doc_id").collect()
+    }
+    norm = {1: "kitten in the yard", 2: "sitting in the yard",
+            3: "kitten in the yard", 4: ""}
+    for (a, b), r in out.items():
+        d = _lev(norm[a], norm[b])
+        mx = max(len(norm[a]), len(norm[b]))
+        assert r["edit_dist"] == d
+        exp = 1.0 if mx == 0 else 1.0 - d / mx
+        assert r["edit_sim"] == exp
+    # normalization: case + whitespace collapse make 1 vs 3 identical
+    assert out[(1, 3)]["edit_dist"] == 0 and out[(1, 3)]["edit_sim"] == 1.0
+    # empty-vs-empty: defined as similarity 1, not 0/0
+    assert out[(4, 4)]["edit_sim"] == 1.0
+
+
+def test_edit_similarity_prefix_bound(spark):
+    from tsflex_spark.datapipe.dedup import edit_similarity
+
+    long_a = "x" * 500
+    long_b = "x" * 300 + "y" * 200
+    docs = spark.createDataFrame(
+        [(1, long_a), (2, long_b)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    r = edit_similarity(pairs, docs, "text", "doc_id", prefix_len=256).collect()[0]
+    # only the first 256 chars enter the DP: 300 shared 'x' -> prefix equal
+    assert r["edit_dist"] == 0
+    r2 = edit_similarity(pairs, docs, "text", "doc_id", prefix_len=None).collect()[0]
+    assert r2["edit_dist"] == 200

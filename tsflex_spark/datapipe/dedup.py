@@ -1407,3 +1407,49 @@ def fuzzy_join(
         F.col("__rid").alias(right_id),
         "jaccard",
     )
+
+
+def edit_similarity(
+    pairs: DataFrame,
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    left_col: str = "id_a",
+    right_col: str = "id_b",
+    *,
+    prefix_len: Optional[int] = 256,
+    out_dist: str = "edit_dist",
+    out_sim: str = "edit_sim",
+) -> DataFrame:
+    """Edit-distance verification for candidate pairs — the character-
+    level complement to shingle Jaccard for RECORD-LINKAGE fields
+    (titles, names, addresses): Jaccard is blind to transpositions and
+    small in-word edits that Levenshtein prices exactly.
+
+    Adds ``out_dist`` (unit-cost Levenshtein, Spark's builtin — pure
+    JVM codegen, no Python) and ``out_sim`` = ``1 - dist/max_len`` over
+    the (lowercased, whitespace-collapsed) texts. ``prefix_len`` bounds
+    the dynamic program: Levenshtein is O(len_a x len_b) PER PAIR, so
+    whole-document inputs are quadratic blowups — 256-char prefixes keep
+    the verify O(64k) per pair (the linkage-field regime this op is
+    for). Pass ``prefix_len=None`` only for genuinely short fields.
+
+    Plan shape: two broadcast-eligible joins of the (bounded) pair
+    frame against the corpus projection — the corpus itself never
+    shuffles; the DP runs inside whole-stage codegen.
+    """
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    if prefix_len is not None:
+        norm = F.substring(norm, 1, int(prefix_len))
+    t = docs.select(F.col(id_col), norm.alias("__nt"))
+    a = t.select(F.col(id_col).alias(left_col), F.col("__nt").alias("__ta"))
+    b = t.select(F.col(id_col).alias(right_col), F.col("__nt").alias("__tb"))
+    j = pairs.join(a, on=left_col).join(b, on=right_col)
+    dist = F.levenshtein("__ta", "__tb")
+    mx = F.greatest(F.length("__ta"), F.length("__tb"))
+    sim = F.when(mx == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0) - dist.cast("double") / mx.cast("double")
+    )
+    return j.withColumn(out_dist, dist.cast("long")).withColumn(
+        out_sim, sim
+    ).drop("__ta", "__tb")

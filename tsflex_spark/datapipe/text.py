@@ -246,6 +246,7 @@ def winnow_candidates(
     k: int = 5,
     window: int = 4,
     fps: Optional[DataFrame] = None,
+    max_doc_freq: Optional[int] = 100,
 ) -> DataFrame:
     """Partial-overlap candidate pairs from winnowing fingerprints: docs
     sharing at least ``min_shared`` fingerprints — the MOSS "these two
@@ -258,12 +259,29 @@ def winnow_candidates(
     shared fps per pair. Returns (id_a, id_b, n_shared) with id_a < id_b.
     Pass a precomputed ``fps`` frame (``winnow_fingerprints`` output) to
     reuse an existing fingerprint pass instead of re-running the UDF.
+
+    ``max_doc_freq`` drops fingerprints appearing in more than that many
+    documents BEFORE the self-join — MOSS's standard common-code/
+    boilerplate exclusion, and the scale guard: unlike LSH band hashes
+    (balanced by construction), winnow fps concentrate on boilerplate,
+    and one fp shared by m documents alone emits m^2/2 pairs (measured:
+    an uncapped corpus-wide join at sf0.1 took ~90 s where the capped
+    one is sub-second). ``None`` disables the cap for small/trusted
+    inputs.
     """
     if fps is None:
         fps = winnow_fingerprints(df, text_col, id_col, k=k, window=window)
     rows = fps.select(F.col(id_col), F.explode("fps").alias("__fp")).dropDuplicates(
         [id_col, "__fp"]
     )
+    if max_doc_freq is not None:
+        keep = (
+            rows.groupBy("__fp")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= int(max_doc_freq))
+            .select("__fp")
+        )
+        rows = rows.join(keep, "__fp", "left_semi")
     a = rows.select(F.col(id_col).alias("id_a"), "__fp")
     b = rows.select(F.col(id_col).alias("id_b"), "__fp")
     return (
