@@ -2161,9 +2161,17 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     right = small.where(F.col("doc_id") % 2 == 1).select(
         F.col("doc_id").alias("id_b"), "text"
     )
+    # both fuzzy sides are slices of the corpus — reuse the checkpointed
+    # corpus shingle table instead of re-scanning + re-shingling the text
+    lsh = sh.where((F.col("doc_id") < 200) & (F.col("doc_id") % 2 == 0)).select(
+        F.col("doc_id").alias("id_a"), "__s"
+    )
+    rsh = sh.where((F.col("doc_id") < 200) & (F.col("doc_id") % 2 == 1)).select(
+        F.col("doc_id").alias("id_b"), "__s"
+    )
     fz = fuzzy_join(
         left, right, "text", "id_a", "id_b", threshold=0.5, shingle_k=5,
-        method="exact",
+        method="exact", left_shingles=lsh, right_shingles=rsh,
     ).withColumn("kind", F.lit("fuzzy"))
     allp = consec.unionByName(fz)
     out = edit_similarity(allp, docs, "text", "doc_id", prefix_len=256)

@@ -1330,6 +1330,8 @@ def fuzzy_join(
     method: str = "lsh",
     num_hashes: int = 64,
     num_bands: int = 16,
+    left_shingles: Optional[DataFrame] = None,
+    right_shingles: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Cross-table record linkage by text similarity: return
     (left_id, right_id, jaccard) for every cross pair whose shingle-set
@@ -1347,10 +1349,21 @@ def fuzzy_join(
     Both text columns must be named ``text_col`` in their own frames
     (rename before calling otherwise). Ids may collide across tables —
     pairing is positional (left id, right id), no shared id space
-    assumed.
+    assumed. Pass ``left_shingles``/``right_shingles`` (``shingle_rows``
+    output: (id, __s) distinct hashed-shingle rows) to reuse an existing
+    — e.g. corpus-wide checkpointed — shingle table instead of
+    re-scanning the text.
     """
-    lsh_rows = shingle_rows(left, text_col, left_id, shingle_k)
-    rsh_rows = shingle_rows(right, text_col, right_id, shingle_k)
+    lsh_rows = (
+        left_shingles
+        if left_shingles is not None
+        else shingle_rows(left, text_col, left_id, shingle_k)
+    )
+    rsh_rows = (
+        right_shingles
+        if right_shingles is not None
+        else shingle_rows(right, text_col, right_id, shingle_k)
+    )
 
     if method == "lsh":
         lsig = minhash_signatures(
