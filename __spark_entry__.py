@@ -1052,7 +1052,14 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership hash. alpha=0 keeps the verified path pow-free (JVM
     ``Math.pow`` vs DuckDB libm differ in ulps for fractional exponents;
     fractional-alpha behavior is pytest-verified against numpy instead —
-    the engine-independence claim is about the membership MECHANICS)."""
+    the engine-independence claim is about the membership MECHANICS).
+
+    Fifth leg (round 7): URL curation — the gate plants two URLs per doc
+    (one ``blog.shopK.co.uk`` path URL exercising the multi-part public-
+    suffix branch of ``registered_domain``, one bare-IP URL exercising
+    the IP passthrough) and verifies ``extract_urls`` counts, the first
+    URL's registrable domain, and the post-``domain_filter`` blocklist
+    survivor count — C4/RefinedWeb source filtering, replayed in SQL."""
     _utc(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     from tsflex_spark.datapipe.curation import deterministic_split, stratified_sample
@@ -1078,11 +1085,47 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frame directly instead of building and broadcasting a corpus-sized
     # (id, split) frame (the sample join genuinely needs `source`)
     out = deterministic_split(out, "keep_id", [0.8, 0.1, 0.1], seed=42)
+    from tsflex_spark.datapipe.text import (
+        domain_filter,
+        extract_urls,
+        registered_domain,
+        url_host,
+    )
+
+    urltxt = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://blog.shop"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit(".co.uk/p?x=1 or http://192.168.1."),
+            (F.col("doc_id") % 9).cast("string"),
+            F.lit("/ ok"),
+        ).alias("__u"),
+    )
+    uarr = extract_urls(urltxt, "__u", "doc_id")
+    ufirst = uarr.select(
+        "doc_id",
+        F.size("urls").cast("long").alias("n_urls"),
+        registered_domain(url_host(F.element_at("urls", 1))).alias("first_domain"),
+    )
+    eu = extract_urls(urltxt, "__u", "doc_id", explode=True)
+    keptu = domain_filter(eu, "url", blocklist=["shop7.co.uk", "192.168.1.5"])
+    perk = keptu.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls_kept")
+    )
+    url_leg = ufirst.join(perk, "doc_id", "left").select(
+        F.col("doc_id").alias("keep_id"),
+        "n_urls",
+        "first_domain",
+        F.coalesce("n_urls_kept", F.lit(0)).alias("n_urls_kept"),
+    )
     return (
         out.join(F.broadcast(samp), "keep_id", "left")
         .withColumn("sampled", F.coalesce("sampled", F.lit(0)))
         .join(F.broadcast(tmix), "keep_id", "left")
         .withColumn("tmix_kept", F.coalesce("tmix_kept", F.lit(0)))
+        .join(F.broadcast(url_leg), "keep_id")
         .orderBy("keep_id")
     )
 
@@ -1421,6 +1464,63 @@ def _xxh64_cte_chain(base_cte: str, steps: list, tag: str) -> str:
     return ",\n".join(frags)
 
 
+def _url_leg_sql() -> str:
+    """URL-curation replay (extract_urls / url_host / registered_domain /
+    domain_filter) on the same planted-URL column the Spark side builds:
+    per-doc URL count, first URL's registrable domain (multi-part
+    public-suffix and bare-IP branches both exercised by construction),
+    and the blocklist survivor count."""
+    from tsflex_spark.datapipe.text import _MULTIPART_SUFFIXES, _URL_RE
+
+    url_re = _URL_RE.replace("'", "''")
+    host_re = (
+        r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^@/?#\s]*@)?([^/:?#\s]+)"
+    )
+    ip_re = r"^\d{1,3}(\.\d{1,3}){3}$"
+    sufs = ", ".join(f"'{s}'" for s in _MULTIPART_SUFFIXES)
+    dom_case = (
+        f"CASE WHEN regexp_matches(host, '{ip_re}') OR len(labels) <= 2 "
+        f"THEN host "
+        f"WHEN len(labels) >= 3 AND (labels[-2] || '.' || labels[-1]) IN ({sufs}) "
+        f"THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1] "
+        f"ELSE labels[-2] || '.' || labels[-1] END"
+    )
+    return f"""
+WITH up AS (
+  SELECT doc_id,
+         text || ' see https://blog.shop' || (doc_id % 50)
+              || '.co.uk/p?x=1 or http://192.168.1.' || (doc_id % 9)
+              || '/ ok' AS u
+  FROM documents),
+ulab AS (
+  SELECT doc_id, url,
+         string_split_regex(host, '\\.') AS labels, host
+  FROM (SELECT doc_id, url,
+               lower(regexp_replace(regexp_extract(url, '{host_re}', 1),
+                                    '\\.+$', '')) AS host
+        FROM (SELECT doc_id,
+                     unnest(regexp_extract_all(u, '{url_re}', 0)) AS url
+              FROM up))),
+ur AS (SELECT doc_id, url, {dom_case} AS dom FROM ulab),
+un AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_urls FROM ur GROUP BY doc_id),
+uk AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_urls_kept
+       FROM ur WHERE dom NOT IN ('shop7.co.uk', '192.168.1.5')
+       GROUP BY doc_id),
+uf AS (
+  SELECT doc_id, {dom_case} AS first_domain
+  FROM (SELECT doc_id,
+               string_split_regex(host, '\\.') AS labels, host
+        FROM (SELECT doc_id,
+                     lower(regexp_replace(
+                       regexp_extract(regexp_extract(u, '{url_re}', 0),
+                                      '{host_re}', 1), '\\.+$', '')) AS host
+              FROM up)))
+SELECT un.doc_id, un.n_urls, uf.first_domain,
+       coalesce(uk.n_urls_kept, 0) AS n_urls_kept
+FROM un JOIN uf USING (doc_id) LEFT JOIN uk USING (doc_id)
+"""
+
+
 def _oracle_dedup_exact() -> str:
     split_chain = _xxh64_cte_chain(
         "base", _xxh64_pmod_steps("sp", "keep_id", 42, "b_split"), "xs"
@@ -1470,8 +1570,10 @@ SELECT keep_id, n_copies, n_chars_line_deduped,
        CASE WHEN src_parity = 0 AND b_samp < 300000 THEN 1
             WHEN src_parity = 1 AND b_samp < 700000 THEN 1
             ELSE 0 END AS sampled,
-       CASE WHEN b_tmix < tm_k.thr THEN 1 ELSE 0 END AS tmix_kept
+       CASE WHEN b_tmix < tm_k.thr THEN 1 ELSE 0 END AS tmix_kept,
+       uleg.n_urls, uleg.first_domain, uleg.n_urls_kept
 FROM xt_fin JOIN tm_k ON tm_k.source = xt_fin.src
+JOIN ({_url_leg_sql()}) uleg ON uleg.doc_id = xt_fin.keep_id
 ORDER BY keep_id
 """
 
