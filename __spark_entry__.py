@@ -3997,13 +3997,23 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoded as opaque blobs -> mapInPandas decode (deterministic 8x8 fake
     — image libs are stubbed) -> per-image mean/std features, plus the
     4x4 nearest-neighbor resize (sum of resized pixels). The oracle
-    recomputes the same float32-quantized pixels from the bytes."""
+    recomputes the same float32-quantized pixels from the bytes.
+
+    Second op (round 7): ``text.html_to_text`` — the crawl-ingestion
+    extraction step. The gate wraps each doc in a full HTML page
+    (head/style/script blocks, entity-bearing list items, a comment;
+    every 7th doc additionally gets an HTTP response header to exercise
+    the header-strip branch) and hash-compares the ENTIRE extracted
+    text: block removal, tag→newline structure, entity decode order,
+    and whitespace collapse are all replayed in SQL (the whole regexp
+    chain is RE2-compatible by construction)."""
     _utc(spark)
     from tsflex_spark.datapipe.multimodal import (
         audio_features,
         decode_image_features,
         resize_images,
     )
+    from tsflex_spark.datapipe.text import html_to_text
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     media = docs.select(
@@ -4023,10 +4033,39 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     au = audio_features(media, media_col="media", id_col="doc_id").select(
         "doc_id", F.col("rms").alias("audio_rms"), F.col("zcr").alias("audio_zcr")
     )
+    hsrc = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"),
+            ).otherwise(F.lit("")),
+            F.lit(
+                "<html><head><title>T</title><style>p{color:red}</style>"
+                "</head><body><h1>Doc "
+            ),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><p>"),
+            F.col("text"),
+            F.lit(
+                "</p><ul><li>a &amp; b</li><li>x &lt;= y</li></ul>"
+                "<script>var a = 1 < 2;</script><!-- hidden --></body></html>"
+            ),
+        ).alias("__h"),
+    )
+    ht = html_to_text(hsrc, "__h", out_col="__ht").select(
+        "doc_id",
+        F.col("__ht").alias("html_clean"),
+        F.length("__ht").cast("long").alias("html_chars"),
+    )
     return (
         out.join(rs_sum, on="doc_id")
         .join(au, on="doc_id")
-        .select("doc_id", "img_mean", "img_std", "resize_sum", "audio_rms", "audio_zcr")
+        .join(ht, on="doc_id")
+        .select(
+            "doc_id", "img_mean", "img_std", "resize_sum", "audio_rms",
+            "audio_zcr", "html_clean", "html_chars",
+        )
         .orderBy("doc_id")
     )
 
@@ -4069,8 +4108,62 @@ a2 AS (
               ELSE 0.0 END AS audio_zcr
   FROM aud)
 SELECT s.doc_id, m AS img_mean, sqrt(greatest(m2 - m * m, 0)) AS img_std, resize_sum,
-       audio_rms, audio_zcr
-FROM s JOIN a2 ON s.doc_id = a2.doc_id ORDER BY s.doc_id
+       audio_rms, audio_zcr, h.html_clean, h.html_chars
+FROM s JOIN a2 ON s.doc_id = a2.doc_id
+JOIN ({_html_leg_sql()}) h ON h.doc_id = s.doc_id
+ORDER BY s.doc_id
+"""
+
+
+def _html_leg_sql() -> str:
+    """html_to_text replay on the gate's planted HTML page: the exact
+    regexp chain from ``text.html_to_text`` (header strip, block
+    removal, comment removal, block-tags→newline, tag strip, entity
+    decode in engine order, whitespace collapse, trim) — every pattern
+    is RE2-compatible (inline (?is) flags, lazy quantifiers; no
+    lookaround), so the full extracted text hash-matches."""
+    blocks = ""
+    expr = "h"
+    # header strip: anchored first-match replace, applied only to HTTP/
+    expr = (
+        f"CASE WHEN {expr} LIKE 'HTTP/%' THEN "
+        f"regexp_replace({expr}, '(?s)^.*?\\r?\\n\\r?\\n', '', 'g') "
+        f"ELSE {expr} END"
+    )
+    for blk in ("script", "style", "head", "noscript", "template"):
+        expr = f"regexp_replace({expr}, '(?is)<{blk}\\b.*?</{blk}\\s*>', ' ', 'g')"
+    expr = f"regexp_replace({expr}, '(?s)<!--.*?-->', ' ', 'g')"
+    expr = (
+        f"regexp_replace({expr}, '(?i)</?(p|div|br|li|ul|ol|tr|td|th|table|"
+        f"h[1-6]|section|article|header|footer|blockquote)\\b[^>]*>', "
+        f"chr(10), 'g')"
+    )
+    expr = f"regexp_replace({expr}, '(?s)<[^>]*>', ' ', 'g')"
+    for ent, rep in (
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "''"), ("&apos;", "''"), ("&amp;", "&"),
+    ):
+        expr = f"replace({expr}, '{ent}', '{rep}')"
+    expr = f"regexp_replace({expr}, '[ \\t\\x0b\\f\\r]+', ' ', 'g')"
+    expr = f"regexp_replace({expr}, ' ?\\n[ \\n]*', chr(10), 'g')"
+    expr = f"trim(regexp_replace({expr}, '^\\n+|\\n+$', '', 'g'))"
+    return f"""
+WITH hp AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN 'HTTP/1.1 200 OK' || chr(13) || chr(10)
+                   || 'Content-Type: text/html' || chr(13) || chr(10)
+                   || chr(13) || chr(10)
+              ELSE '' END
+         || '<html><head><title>T</title><style>p{{color:red}}</style>'
+         || '</head><body><h1>Doc ' || doc_id || '</h1><p>' || text
+         || '</p><ul><li>a &amp; b</li><li>x &lt;= y</li></ul>'
+         || '<script>var a = 1 < 2;</script><!-- hidden --></body></html>'
+           AS h
+  FROM documents)
+SELECT doc_id, {expr} AS html_clean,
+       CAST(length({expr}) AS BIGINT) AS html_chars
+FROM hp
 """
 
 
