@@ -1603,7 +1603,13 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     full KN stack in SQL: bigram/continuation/context tables, Ney
     discounts D=n1/(n1+2·n2) from count-of-counts, and the bottom-up
     interpolation fold with the engine's exact double parenthesization
-    (micro-nat fixed-point sums keep the per-doc aggregate integral)."""
+    (micro-nat fixed-point sums keep the per-doc aggregate integral).
+
+    Seventh op (round 7): ``text.normalize_unicode`` (NFC) — the gate
+    appends decomposed combining sequences (e+́, A+̊, o+̈) to every doc
+    and verifies the composed length + tail against DuckDB's
+    ``nfc_normalize`` (utf8proc vs the engine's pandas/UCD — both
+    implement UAX#15 canonical composition)."""
     _utc(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     from tsflex_spark.datapipe.lm import bigram_rows, score_perplexity, train_ngram_lm
@@ -1655,6 +1661,24 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ppl").alias("kn_ppl"),
     )
     out = out.join(knp, on="doc_id")
+    from tsflex_spark.datapipe.text import normalize_unicode
+
+    nsrc = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            # DECOMPOSED combining sequences (explicit escapes; a
+            # composed literal would make normalization a no-op)
+            F.lit(" nfc:e\u0301:A\u030A:o\u0308"),
+        ).alias("__nf"),
+    )
+    nu = normalize_unicode(nsrc, "__nf", out_col="__nfo", form="NFC")
+    nleg = nu.select(
+        "doc_id",
+        F.length("__nfo").cast("long").alias("nfc_chars"),
+        F.expr("right(__nfo, 10)").alias("nfc_tail"),
+    )
+    out = out.join(nleg, on="doc_id")
     # quantiles from a MINIMAL projection straight off the scan — feeding
     # the joined frame would re-execute the whole join once per selection
     # pass (exact_quantiles is two-pass by construction)
@@ -1678,6 +1702,8 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kn_n",
         "kn_sum_logp_e6",
         "kn_ppl",
+        "nfc_chars",
+        "nfc_tail",
         "p05_chars",
         "p95_chars",
         (
@@ -1795,7 +1821,15 @@ kn_lp AS (
   LEFT JOIN kn_uni ku ON ku.w = sg2.w2
   CROSS JOIN kn_d kd CROSS JOIN kn_con kc CROSS JOIN kn_v kv),
 kn_per AS (SELECT doc_id, count(*) AS kn_n, CAST(sum(lp) AS BIGINT) AS kn_sum
-           FROM kn_lp GROUP BY doc_id)
+           FROM kn_lp GROUP BY doc_id),
+-- normalize_unicode(NFC) replay: decomposed combining sequences planted
+-- (chr codes 769/778/776 = the same U+0301/U+030A/U+0308 the engine
+-- appends), composed by DuckDB's utf8proc nfc_normalize
+nfc AS (
+  SELECT doc_id,
+         nfc_normalize(text || ' nfc:e' || chr(769) || ':A' || chr(778)
+                       || ':o' || chr(776)) AS t2
+  FROM documents)
 SELECT s.doc_id, s.n_chars, s.n_tokens, s.n_bpe_tokens,
        coalesce(per.n_bigrams, 0) AS n_bigrams,
        CAST(coalesce(per.sum_logp_e6, 0) AS BIGINT) AS sum_logp_e6,
@@ -1804,11 +1838,14 @@ SELECT s.doc_id, s.n_chars, s.n_tokens, s.n_bpe_tokens,
        CAST(coalesce(kn_per.kn_n, 0) AS BIGINT) AS kn_n,
        CAST(coalesce(kn_per.kn_sum, 0) AS BIGINT) AS kn_sum_logp_e6,
        round(exp(-(CAST(kn_per.kn_sum AS DOUBLE) / 1e6) / kn_per.kn_n), 6) AS kn_ppl,
+       CAST(length(nfc.t2) AS BIGINT) AS nfc_chars,
+       right(nfc.t2, 10) AS nfc_tail,
        c.p05_chars, c.p95_chars,
        CAST(s.n_chars >= c.p05_chars AND s.n_chars <= c.p95_chars AS INT) AS in_band
 FROM s CROSS JOIN c LEFT JOIN per ON per.doc_id = s.doc_id
 JOIN cagg ON cagg.doc_id = s.doc_id
 LEFT JOIN kn_per ON kn_per.doc_id = s.doc_id
+JOIN nfc ON nfc.doc_id = s.doc_id
 ORDER BY s.doc_id
 """
 
