@@ -2398,7 +2398,17 @@ def q_passage_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tsflex_spark.datapipe.dedup import duplicate_spans
     from tsflex_spark.datapipe.text import hash_embed, top_ngrams
 
-    spans = duplicate_spans(docs, "text", id_col="doc_id", n=8, min_occurrences=2)
+    # detection AND removal consume the same (id, pos, gram-hash) table —
+    # build it once, checkpoint, pass to both (halves the dominant scan)
+    from tsflex_spark.datapipe.dedup import span_gram_rows
+
+    pos_rows = span_gram_rows(docs, "text", "doc_id", n=8).localCheckpoint(
+        eager=False
+    )
+    spans = duplicate_spans(
+        docs, "text", id_col="doc_id", n=8, min_occurrences=2,
+        positions=pos_rows,
+    )
     sp = spans.select(
         F.lit("span").alias("kind"),
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -2438,7 +2448,9 @@ def q_passage_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n_grams carries the kept-token count, n_occ the rebuilt length
     from tsflex_spark.datapipe.dedup import remove_duplicate_spans
 
-    rds = remove_duplicate_spans(docs, "text", id_col="doc_id", n=8, out_col="__rb")
+    rds = remove_duplicate_spans(
+        docs, "text", id_col="doc_id", n=8, out_col="__rb", positions=pos_rows
+    )
     dsp = rds.select(
         F.lit("despan").alias("kind"),
         F.col("doc_id").cast("long").alias("doc_id"),

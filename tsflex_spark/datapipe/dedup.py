@@ -1009,34 +1009,16 @@ def semantic_dedup(
     return df.join(drops, id_col, "left_anti")
 
 
-def duplicate_spans(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
-    n: int = 20,
-    min_occurrences: int = 2,
+def span_gram_rows(
+    df: DataFrame, text_col: str, id_col: str, n: int = 20
 ) -> DataFrame:
-    """Token-span-level duplicate detection: find maximal spans whose
-    every word ``n``-gram occurs at least ``min_occurrences`` times in the
-    corpus — the passage-dedup signal of Lee et al. 2022 ("Deduplicating
-    Training Data Makes Language Models Better", ExactSubstr), re-shaped
-    for Spark: their suffix array is a single-machine structure; hashed
-    n-gram buckets + per-doc position islands give the same "this passage
-    appears elsewhere" spans with one hash-shuffle groupBy.
-
-    Returns (id, span_start, span_end, n_grams) — token indices, span
-    inclusive of the trailing words of the last n-gram (``span_end`` =
-    last starting position + n - 1). Boilerplate headers, license
-    blocks, and templated passages surface here even when whole-document
-    near-dup misses them.
-
-    Scale shape: rows = one per token position (same volume the shingle
-    path already handles); the only wide stage is the groupBy on the
-    8-byte gram hash, with map-side combine. Span merging is a per-doc
-    window (partitioned by id — fully parallel).
-    """
-    from pyspark.sql import Window as W
-
+    """(id, __pos, __gh): one row per token position carrying the
+    ``xxhash64`` of the word n-gram starting there — the shared heavy
+    stage (tokenize + explode + hash) of :func:`duplicate_spans` and
+    :func:`remove_duplicate_spans`. A pipeline running detection AND
+    removal should compute this once, ``localCheckpoint`` it, and pass
+    it to both via ``positions=`` — halving the dominant corpus scan.
+    ``n`` must match the consumers' ``n``."""
     from tsflex_spark.datapipe.text import _tokens
     from tsflex_spark.utils.data import fan_out
 
@@ -1056,10 +1038,50 @@ def duplicate_spans(
             )
         ).alias("__i"),
     )
-    rows = d.select(
+    return d.select(
         F.col(id_col),
         (F.col("__i") - 1).alias("__pos"),  # 0-based token index
-        F.xxhash64(F.concat_ws(" ", F.slice(F.col("__t"), F.col("__i"), n))).alias("__gh"),
+        F.xxhash64(
+            F.concat_ws(" ", F.slice(F.col("__t"), F.col("__i"), n))
+        ).alias("__gh"),
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 20,
+    min_occurrences: int = 2,
+    positions: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Token-span-level duplicate detection: find maximal spans whose
+    every word ``n``-gram occurs at least ``min_occurrences`` times in the
+    corpus — the passage-dedup signal of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better", ExactSubstr), re-shaped
+    for Spark: their suffix array is a single-machine structure; hashed
+    n-gram buckets + per-doc position islands give the same "this passage
+    appears elsewhere" spans with one hash-shuffle groupBy.
+
+    Returns (id, span_start, span_end, n_grams) — token indices, span
+    inclusive of the trailing words of the last n-gram (``span_end`` =
+    last starting position + n - 1). Boilerplate headers, license
+    blocks, and templated passages surface here even when whole-document
+    near-dup misses them.
+
+    Scale shape: rows = one per token position (same volume the shingle
+    path already handles); the only wide stage is the groupBy on the
+    8-byte gram hash, with map-side combine. Span merging is a per-doc
+    window (partitioned by id — fully parallel). Pass ``positions=``
+    (a :func:`span_gram_rows` frame built with the same ``n``) to reuse
+    the tokenize+explode+hash stage across detection and removal.
+    """
+    from pyspark.sql import Window as W
+
+    rows = (
+        positions
+        if positions is not None
+        else span_gram_rows(df, text_col, id_col, n)
     )
     dup = (
         rows.groupBy("__gh")
@@ -1092,6 +1114,7 @@ def remove_duplicate_spans(
     id_col: str,
     n: int = 20,
     out_col: Optional[str] = None,
+    positions: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Cut all-but-one occurrence of every duplicated token passage —
     the removal half of :func:`duplicate_spans` (Lee et al. 2022 keep-one
@@ -1104,30 +1127,19 @@ def remove_duplicate_spans(
     Scale shape: same one hash-shuffle groupBy as detection, plus a
     per-doc span array joined back (docs without spans skip the rebuild
     via the left join's null arm). The token filter is an in-row lambda
-    over tokens x spans — spans per doc are few by construction.
+    over tokens x spans — spans per doc are few by construction. Pass
+    ``positions=`` (a :func:`span_gram_rows` frame built with the same
+    ``n``) to reuse the tokenize+explode+hash stage with detection.
     """
     from pyspark.sql import Window as W
 
     from tsflex_spark.datapipe.text import _tokens
-    from tsflex_spark.utils.data import fan_out
 
     out_col = out_col or text_col
-    d = fan_out(df).select(
-        F.col(id_col), _tokens(F.lower(F.col(text_col))).alias("__t")
-    )
-    pos_rows = d.select(
-        F.col(id_col),
-        F.col("__t"),
-        F.explode(
-            F.when(
-                F.size("__t") >= n,
-                F.sequence(F.lit(1), F.size("__t") - F.lit(n - 1)),
-            )
-        ).alias("__i"),
-    ).select(
-        F.col(id_col),
-        (F.col("__i") - 1).alias("__pos"),
-        F.xxhash64(F.concat_ws(" ", F.slice(F.col("__t"), F.col("__i"), n))).alias("__gh"),
+    pos_rows = (
+        positions
+        if positions is not None
+        else span_gram_rows(df, text_col, id_col, n)
     )
     stats = pos_rows.groupBy("__gh").agg(
         F.count(F.lit(1)).alias("__c"),
