@@ -107,6 +107,49 @@ def test_xxh64_str_sql_fuzz():
     prop()
 
 
+def test_xxh64_gram_steps_fuzz():
+    """The unrolled <=3-byte gram chain (_xxh64_gram_steps: bucket +
+    sign hash) == python spark_xxhash64 over ASCII grams of length
+    0..3 at several dims."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tsflex_spark.utils.xxh import spark_xxhash64
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE grams (g VARCHAR)")
+
+    def check(grams, dim):
+        con.execute("DELETE FROM grams")
+        con.executemany("INSERT INTO grams VALUES (?)", [(g,) for g in grams])
+        chain = entry_mod._xxh64_cte_chain(
+            "grams", entry_mod._xxh64_gram_steps("t", "g", dim), "gx"
+        )
+        rows = con.execute(
+            f"WITH {chain} SELECT g, t_bucket, t_sign FROM gx_fin"
+        ).fetchall()
+        for g, bucket, sign in rows:
+            h = spark_xxhash64(g)
+            assert bucket == ((h % dim) + dim) % dim, (g, dim)
+            s = spark_xxhash64(g, 1)
+            assert sign == (1 if ((s % 2) + 2) % 2 == 0 else -1), g
+
+    check(["", "a", "ab", "abc", "  ", "A~z", "0", "zz", "..."], 16)
+
+    ascii3 = st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        min_size=0, max_size=3,
+    )
+
+    @settings(max_examples=20, deadline=None)
+    @given(grams=st.lists(ascii3, min_size=1, max_size=10, unique=True),
+           dim=st.sampled_from([2, 16, 64, 128]))
+    def prop(grams, dim):
+        check(grams, dim)
+
+    prop()
+
+
 def test_pagerank_sql_chain_fuzz(spark):
     """DuckDB unrolled chain == datapipe.graph.pagerank on random
     digraphs (dangling nodes arise whenever a dst never appears as src;
