@@ -1609,7 +1609,16 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     appends decomposed combining sequences (e+́, A+̊, o+̈) to every doc
     and verifies the composed length + tail against DuckDB's
     ``nfc_normalize`` (utf8proc vs the engine's pandas/UCD — both
-    implement UAX#15 canonical composition)."""
+    implement UAX#15 canonical composition).
+
+    Eighth op (round 7): ``text.pack_sequences`` — first-fit-decreasing
+    bin packing, hash-verified EXACTLY: the gate feeds a single
+    partition with strictly unique sizes (len*1000+id) so the
+    partition-local FFD is fully deterministic, and the oracle replays
+    the sequential first-fit loop as a single-row-state RECURSIVE CTE
+    (capacity list + assignment list carried through the recursion,
+    oversize rows get their own bin). Production stays partition-local
+    and order-free; what this pins is the FFD mechanics themselves."""
     _utc(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     from tsflex_spark.datapipe.lm import bigram_rows, score_perplexity, train_ngram_lm
@@ -1679,6 +1688,15 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("right(__nfo, 10)").alias("nfc_tail"),
     )
     out = out.join(nleg, on="doc_id")
+    from tsflex_spark.datapipe.text import pack_sequences
+
+    sz = docs.select(
+        "doc_id",
+        (F.length("text").cast("long") * 1000 + F.col("doc_id")).alias("__cnt"),
+    )
+    packed = pack_sequences(sz.coalesce(1), "__cnt", budget=8_000_000)
+    pleg = packed.select("doc_id", F.col("bin_id").cast("long").alias("pack_bin"))
+    out = out.join(pleg, on="doc_id")
     # quantiles from a MINIMAL projection straight off the scan — feeding
     # the joined frame would re-execute the whole join once per selection
     # pass (exact_quantiles is two-pass by construction)
@@ -1704,6 +1722,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kn_ppl",
         "nfc_chars",
         "nfc_tail",
+        "pack_bin",
         "p05_chars",
         "p95_chars",
         (
@@ -1715,7 +1734,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_text_stats() -> str:
     return r"""
-WITH s AS (
+WITH RECURSIVE s AS (
   SELECT doc_id,
          length(text) AS n_chars,
          len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
@@ -1829,7 +1848,38 @@ nfc AS (
   SELECT doc_id,
          nfc_normalize(text || ' nfc:e' || chr(769) || ':A' || chr(778)
                        || ':o' || chr(776)) AS t2
-  FROM documents)
+  FROM documents),
+-- pack_sequences replay: first-fit-decreasing as a single-row-state
+-- recursion (caps = per-bin remaining capacity, outb = assignment per
+-- rank); sizes len*1000+id are strictly unique so the desc order is
+-- total; DuckDB list_position returns 0 (not NULL) on no fit
+pitems AS (
+  SELECT doc_id, length(text) * 1000 + doc_id AS cnt,
+         row_number() OVER (ORDER BY length(text) * 1000 + doc_id DESC) AS rn
+  FROM documents),
+ppk AS (
+  SELECT CAST(0 AS BIGINT) AS i,
+         CAST([] AS BIGINT[]) AS caps,
+         CAST([] AS BIGINT[]) AS outb
+  UNION ALL
+  SELECT s.i + 1,
+         CASE WHEN s.pos = 0
+              THEN list_append(s.caps, greatest(8000000 - s.cnt, 0))
+              ELSE list_transform(range(1, len(s.caps) + 1),
+                     k -> CASE WHEN k = s.pos THEN s.caps[k] - s.cnt
+                               ELSE s.caps[k] END)
+         END,
+         list_append(s.outb,
+           CASE WHEN s.pos = 0 THEN len(s.caps) ELSE s.pos - 1 END)
+  FROM (SELECT ppk.i, ppk.caps, ppk.outb, it.cnt,
+               list_position(list_transform(ppk.caps, c -> c >= it.cnt),
+                             true) AS pos
+        FROM ppk JOIN pitems it ON it.rn = ppk.i + 1) s
+  WHERE s.i < (SELECT count(*) FROM pitems)),
+ppack AS (
+  SELECT it.doc_id, pf.outb[it.rn] AS pack_bin
+  FROM (SELECT outb FROM ppk WHERE i = (SELECT count(*) FROM pitems)) pf
+  CROSS JOIN pitems it)
 SELECT s.doc_id, s.n_chars, s.n_tokens, s.n_bpe_tokens,
        coalesce(per.n_bigrams, 0) AS n_bigrams,
        CAST(coalesce(per.sum_logp_e6, 0) AS BIGINT) AS sum_logp_e6,
@@ -1840,12 +1890,14 @@ SELECT s.doc_id, s.n_chars, s.n_tokens, s.n_bpe_tokens,
        round(exp(-(CAST(kn_per.kn_sum AS DOUBLE) / 1e6) / kn_per.kn_n), 6) AS kn_ppl,
        CAST(length(nfc.t2) AS BIGINT) AS nfc_chars,
        right(nfc.t2, 10) AS nfc_tail,
+       ppack.pack_bin,
        c.p05_chars, c.p95_chars,
        CAST(s.n_chars >= c.p05_chars AND s.n_chars <= c.p95_chars AS INT) AS in_band
 FROM s CROSS JOIN c LEFT JOIN per ON per.doc_id = s.doc_id
 JOIN cagg ON cagg.doc_id = s.doc_id
 LEFT JOIN kn_per ON kn_per.doc_id = s.doc_id
 JOIN nfc ON nfc.doc_id = s.doc_id
+JOIN ppack ON ppack.doc_id = s.doc_id
 ORDER BY s.doc_id
 """
 
