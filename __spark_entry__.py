@@ -1618,7 +1618,15 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sequential first-fit loop as a single-row-state RECURSIVE CTE
     (capacity list + assignment list carried through the recursion,
     oversize rows get their own bin). Production stays partition-local
-    and order-free; what this pins is the FFD mechanics themselves."""
+    and order-free; what this pins is the FFD mechanics themselves.
+
+    Ninth op (round 7): ``bpe.bpe_encode`` with a FIXED literal merge
+    list — the corpus-scale half of the BPE story (training's merge
+    LOOP stays driver-side + pytest, exactly like the classifier
+    split). The oracle replays encode_word's lowest-rank-leftmost merge
+    loop as a recursive CTE over the DISTINCT word vocabulary (rank =
+    list_position over the literal merge keys), then sums token counts
+    and stable vocab ids per document."""
     _utc(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     from tsflex_spark.datapipe.lm import bigram_rows, score_perplexity, train_ngram_lm
@@ -1697,6 +1705,21 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = pack_sequences(sz.coalesce(1), "__cnt", budget=8_000_000)
     pleg = packed.select("doc_id", F.col("bin_id").cast("long").alias("pack_bin"))
     out = out.join(pleg, on="doc_id")
+    from tsflex_spark.datapipe.bpe import BPETokenizer, bpe_encode
+
+    btok = BPETokenizer(
+        _BPE_GATE_MERGES, lowercase=True, alphabet=_BPE_GATE_ALPHABET
+    )
+    enc = bpe_encode(docs, "text", "doc_id", btok, out_col="__toks", ids=True)
+    bleg = (
+        enc.select("doc_id", F.col("n_tokens"), F.explode_outer("__toks").alias("__tid"))
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_tokens").cast("long").alias("bpe_enc_tokens"),
+            F.coalesce(F.sum("__tid"), F.lit(0)).cast("long").alias("bpe_enc_id_sum"),
+        )
+    )
+    out = out.join(bleg, on="doc_id")
     # quantiles from a MINIMAL projection straight off the scan — feeding
     # the joined frame would re-execute the whole join once per selection
     # pass (exact_quantiles is two-pass by construction)
@@ -1723,6 +1746,8 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nfc_chars",
         "nfc_tail",
         "pack_bin",
+        "bpe_enc_tokens",
+        "bpe_enc_id_sum",
         "p05_chars",
         "p95_chars",
         (
@@ -1891,6 +1916,7 @@ SELECT s.doc_id, s.n_chars, s.n_tokens, s.n_bpe_tokens,
        CAST(length(nfc.t2) AS BIGINT) AS nfc_chars,
        right(nfc.t2, 10) AS nfc_tail,
        ppack.pack_bin,
+       bpe.bpe_enc_tokens, bpe.bpe_enc_id_sum,
        c.p05_chars, c.p95_chars,
        CAST(s.n_chars >= c.p05_chars AND s.n_chars <= c.p95_chars AS INT) AS in_band
 FROM s CROSS JOIN c LEFT JOIN per ON per.doc_id = s.doc_id
@@ -1898,8 +1924,9 @@ JOIN cagg ON cagg.doc_id = s.doc_id
 LEFT JOIN kn_per ON kn_per.doc_id = s.doc_id
 JOIN nfc ON nfc.doc_id = s.doc_id
 JOIN ppack ON ppack.doc_id = s.doc_id
+JOIN (__BPE_LEG__) bpe ON bpe.doc_id = s.doc_id
 ORDER BY s.doc_id
-"""
+""".replace("__BPE_LEG__", _bpe_leg_sql())
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4483,6 +4510,90 @@ GROUP BY s_start ORDER BY ts
 # dyadic gate weights for the classifier-scorer leg: multiples of 2^-10,
 # so sign*w products and their sums are EXACT doubles (order-independent)
 _CLF_GATE_WEIGHTS = [(j - 64) / 1024.0 for j in range(128)]
+
+# fixed merge list for the bpe_encode gate leg (training's merge loop is
+# driver-side by design — the SCORER/encoder is the corpus-scale path)
+_BPE_GATE_MERGES = [
+    ("e", "</w>"), ("t", "h"), ("th", "e"), ("the", "</w>"),
+    ("a", "n"), ("an", "d"), ("i", "n"), ("o", "n"), ("e", "r"),
+    ("er", "</w>"),
+]
+_BPE_GATE_ALPHABET = list("abcdefghijklmnopqrstuvwxyz0123456789")
+
+
+def _bpe_leg_sql() -> str:
+    """bpe_encode replay with the gate's literal merges: per DISTINCT
+    word, the lowest-rank-leftmost merge loop of ``encode_word`` runs as
+    a recursive CTE (rank = 1-based ``list_position`` over the literal
+    merge keys — 0 means no merge applies, the loop's exit); per doc,
+    token counts and stable-vocab id sums re-aggregate over the word
+    sequence. Unseen symbols map to -1 exactly like the engine vocab."""
+    from tsflex_spark.datapipe.bpe import BPETokenizer
+
+    tok = BPETokenizer(
+        _BPE_GATE_MERGES, lowercase=True, alphabet=_BPE_GATE_ALPHABET
+    )
+    keys = ", ".join(
+        "'" + (a + "\x01" + b).replace("'", "''") + "'"
+        for a, b in _BPE_GATE_MERGES
+    )
+    vocab_syms = ", ".join(
+        "'" + s.replace("'", "''") + "'" for s in sorted(tok.vocab)
+    )
+    return rf"""
+WITH RECURSIVE bw AS (
+  SELECT DISTINCT word
+  FROM (SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                  x -> x <> '')) AS word
+        FROM documents)),
+benc AS (
+  SELECT word, 0 AS it,
+         list_append(list_transform(range(1, length(word) + 1),
+                                    i -> substr(word, CAST(i AS INT), 1)),
+                     '</w>') AS syms
+  FROM bw
+  UNION ALL
+  SELECT word, it + 1,
+         list_concat(
+           list_concat(list_slice(syms, 1, i0 - 1),
+                       [syms[i0] || syms[i0 + 1]]),
+           list_slice(syms, i0 + 2, len(syms))) AS syms
+  FROM (
+    SELECT word, it, syms,
+           list_position(ranks,
+             list_aggregate(list_filter(ranks, r -> r > 0), 'min')) AS i0
+    FROM (SELECT word, it, syms,
+                 list_transform(range(1, len(syms)),
+                   i -> list_position([{keys}],
+                          syms[i] || chr(1) || syms[i + 1])) AS ranks
+          FROM benc)
+    WHERE len(list_filter(ranks, r -> r > 0)) > 0 AND it < 64)),
+bfin AS (
+  SELECT word, syms FROM (
+    SELECT word, syms,
+           row_number() OVER (PARTITION BY word ORDER BY it DESC) AS rn
+    FROM benc) WHERE rn = 1),
+bids AS (
+  SELECT word,
+         CAST(len(syms) AS BIGINT) AS n_toks,
+         CAST(list_sum(list_transform(syms,
+           s -> CASE WHEN list_position([{vocab_syms}], s) > 0
+                     THEN list_position([{vocab_syms}], s) - 1
+                     ELSE -1 END)) AS BIGINT) AS id_sum
+  FROM bfin),
+bwords AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                            x -> x <> '')) AS word
+  FROM documents)
+SELECT d.doc_id,
+       CAST(coalesce(sum(b.n_toks), 0) AS BIGINT) AS bpe_enc_tokens,
+       CAST(coalesce(sum(b.id_sum), 0) AS BIGINT) AS bpe_enc_id_sum
+FROM documents d
+LEFT JOIN bwords w ON w.doc_id = d.doc_id
+LEFT JOIN bids b ON b.word = w.word
+GROUP BY d.doc_id
+"""
 
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
