@@ -1619,6 +1619,10 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (capacity list + assignment list carried through the recursion,
     oversize rows get their own bin). Production stays partition-local
     and order-free; what this pins is the FFD mechanics themselves.
+    The verification slice is bounded to doc_id<2000 — sequential FFD
+    over one partition is O(n·bins) by nature, so an unbounded slice
+    would make the GATE (not the op) super-linear at probe scale; docs
+    outside the slice carry pack_bin=-1 on both sides.
 
     Ninth op (round 7): ``bpe.bpe_encode`` with a FIXED literal merge
     list — the corpus-scale half of the BPE story (training's merge
@@ -1698,13 +1702,15 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.join(nleg, on="doc_id")
     from tsflex_spark.datapipe.text import pack_sequences
 
-    sz = docs.select(
+    sz = docs.where(F.col("doc_id") < 2000).select(
         "doc_id",
         (F.length("text").cast("long") * 1000 + F.col("doc_id")).alias("__cnt"),
     )
     packed = pack_sequences(sz.coalesce(1), "__cnt", budget=8_000_000)
     pleg = packed.select("doc_id", F.col("bin_id").cast("long").alias("pack_bin"))
-    out = out.join(pleg, on="doc_id")
+    out = out.join(pleg, on="doc_id", how="left").withColumn(
+        "pack_bin", F.coalesce("pack_bin", F.lit(-1))
+    )
     from tsflex_spark.datapipe.bpe import BPETokenizer, bpe_encode
 
     btok = BPETokenizer(
@@ -1881,7 +1887,7 @@ nfc AS (
 pitems AS (
   SELECT doc_id, length(text) * 1000 + doc_id AS cnt,
          row_number() OVER (ORDER BY length(text) * 1000 + doc_id DESC) AS rn
-  FROM documents),
+  FROM documents WHERE doc_id < 2000),
 ppk AS (
   SELECT CAST(0 AS BIGINT) AS i,
          CAST([] AS BIGINT[]) AS caps,
@@ -1902,9 +1908,11 @@ ppk AS (
         FROM ppk JOIN pitems it ON it.rn = ppk.i + 1) s
   WHERE s.i < (SELECT count(*) FROM pitems)),
 ppack AS (
-  SELECT it.doc_id, pf.outb[it.rn] AS pack_bin
-  FROM (SELECT outb FROM ppk WHERE i = (SELECT count(*) FROM pitems)) pf
-  CROSS JOIN pitems it)
+  SELECT d.doc_id, coalesce(pb.pack_bin, -1) AS pack_bin
+  FROM documents d LEFT JOIN (
+    SELECT it.doc_id, pf.outb[it.rn] AS pack_bin
+    FROM (SELECT outb FROM ppk WHERE i = (SELECT count(*) FROM pitems)) pf
+    CROSS JOIN pitems it) pb ON pb.doc_id = d.doc_id)
 SELECT s.doc_id, s.n_chars, s.n_tokens, s.n_bpe_tokens,
        coalesce(per.n_bigrams, 0) AS n_bigrams,
        CAST(coalesce(per.sum_logp_e6, 0) AS BIGINT) AS sum_logp_e6,
