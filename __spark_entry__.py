@@ -1120,12 +1120,15 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_domain",
         F.coalesce("n_urls_kept", F.lit(0)).alias("n_urls_kept"),
     )
+    # samp is a genuinely bounded (sampled-subset) frame — broadcast it.
+    # tmix/url_leg are one-row-per-doc, i.e. corpus-sized: no hint, the
+    # keep_id equi-join shuffles (or AQE broadcasts when actually small).
     return (
         out.join(F.broadcast(samp), "keep_id", "left")
         .withColumn("sampled", F.coalesce("sampled", F.lit(0)))
-        .join(F.broadcast(tmix), "keep_id", "left")
+        .join(tmix, "keep_id", "left")
         .withColumn("tmix_kept", F.coalesce("tmix_kept", F.lit(0)))
-        .join(F.broadcast(url_leg), "keep_id")
+        .join(url_leg, "keep_id")
         .orderBy("keep_id")
     )
 
@@ -1337,7 +1340,10 @@ def _xxh64_str_cte(src: str, rid: str, scol: str, tag: str) -> str:
     accumulator (v1..v4), the 8-byte word tail, then one conditional
     4-byte round + three conditional byte rounds + avalanche. Follows
     ``utils/xxh.py`` ``hash_bytes`` exactly; bit-parity fuzzed against
-    it in ``tests/test_oracle_helpers.py``. The enclosing query must be
+    it in ``tests/test_oracle_helpers.py``. The byte==codepoint identity
+    only holds for ASCII, so the src CTE hard-errors (DuckDB ``error()``
+    naming the offending rid) on any non-ASCII input instead of
+    producing an opaque hash mismatch. The enclosing query must be
     ``WITH RECURSIVE``. Final CTE: ``{tag}_out(rid, {tag}_h)``."""
     M = "18446744073709551616::HUGEINT"
     M32 = "4294967296::HUGEINT"
@@ -1397,7 +1403,10 @@ def _xxh64_str_cte(src: str, rid: str, scol: str, tag: str) -> str:
         )
     byte_cols = ",\n    ".join(f"{expr} AS {name}" for name, expr in byte_steps)
     return f"""
-{t}_src AS (SELECT {rid} AS rid, {scol}, length({scol}) AS n FROM {src}),
+{t}_src AS (SELECT {rid} AS rid, {scol},
+  CASE WHEN octet_length(encode({scol})) <> length({scol})
+       THEN error('xxh64 oracle: non-ASCII input at rid=' || {rid}::VARCHAR)
+       ELSE length({scol}) END AS n FROM {src}),
 {t}_st AS (
   SELECT rid, {scol}, n, CAST(0 AS BIGINT) AS done,
          (42::HUGEINT + {P1}::HUGEINT + {P2}::HUGEINT) % {M} AS v1,
@@ -4535,7 +4544,10 @@ def _bpe_leg_sql() -> str:
     a recursive CTE (rank = 1-based ``list_position`` over the literal
     merge keys — 0 means no merge applies, the loop's exit); per doc,
     token counts and stable-vocab id sums re-aggregate over the word
-    sequence. Unseen symbols map to -1 exactly like the engine vocab."""
+    sequence. Unseen symbols map to -1 exactly like the engine vocab.
+    The recursion is bounded by ``it < length(word) + 1`` — a word of L
+    chars starts as L+1 symbols so L merges is the true maximum, unlike
+    a fixed cap which could spuriously fail long repetitive words."""
     from tsflex_spark.datapipe.bpe import BPETokenizer
 
     tok = BPETokenizer(
@@ -4575,7 +4587,8 @@ benc AS (
                    i -> list_position([{keys}],
                           syms[i] || chr(1) || syms[i + 1])) AS ranks
           FROM benc)
-    WHERE len(list_filter(ranks, r -> r > 0)) > 0 AND it < 64)),
+    WHERE len(list_filter(ranks, r -> r > 0)) > 0
+      AND it < length(word) + 1)),
 bfin AS (
   SELECT word, syms FROM (
     SELECT word, syms,

@@ -246,7 +246,7 @@ def winnow_candidates(
     k: int = 5,
     window: int = 4,
     fps: Optional[DataFrame] = None,
-    max_doc_freq: Optional[int] = 100,
+    max_doc_freq: Optional[int] = None,
 ) -> DataFrame:
     """Partial-overlap candidate pairs from winnowing fingerprints: docs
     sharing at least ``min_shared`` fingerprints — the MOSS "these two
@@ -265,9 +265,10 @@ def winnow_candidates(
     boilerplate exclusion, and the scale guard: unlike LSH band hashes
     (balanced by construction), winnow fps concentrate on boilerplate,
     and one fp shared by m documents alone emits m^2/2 pairs (measured:
-    an uncapped corpus-wide join at sf0.1 took ~90 s where the capped
-    one is sub-second). ``None`` disables the cap for small/trusted
-    inputs.
+    an uncapped corpus-wide join at sf0.1 took ~90 s where a cap of 20
+    is sub-second). Defaults to ``None`` (no pairs dropped — full MOSS
+    recall); callers at corpus scale should opt in explicitly, e.g.
+    ``max_doc_freq=100``.
     """
     if fps is None:
         fps = winnow_fingerprints(df, text_col, id_col, k=k, window=window)
