@@ -281,6 +281,7 @@ def ngram_jaccard(
     shingle_k: int = 5,
     shingles: Optional[DataFrame] = None,
     prune_checkpoint: bool = True,
+    prune: bool = True,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (verification stage).
 
@@ -288,7 +289,12 @@ def ngram_jaccard(
     size = count of shingles reached via BOTH pair sides; union =
     |A| + |B| - inter. Codegen'd shuffle joins on (id, shingle) -- scales
     to arbitrarily many candidate pairs (never materializes per-doc
-    arrays, never compares arrays in-row)."""
+    arrays, never compares arrays in-row).
+
+    ``prune=False`` skips the involved-docs semi-join entirely — for
+    pair sets that touch (nearly) every document the prune keeps
+    everything, so the distinct + semi-join over the full shingle table
+    is pure overhead (it also implies no prune checkpoint)."""
     sh = shingles if shingles is not None else shingle_rows(df, text_col, id_col, shingle_k)
     # prune the shingle table to docs that appear in a candidate pair
     # BEFORE the heavy joins: LSH keeps the candidate set tiny relative
@@ -297,21 +303,22 @@ def ngram_jaccard(
     # docs / 10M shingle rows / 4k pairs). With a huge candidate set the
     # semi join degrades to one hash shuffle — the verification working
     # set is proportional to the involved docs either way.
-    involved = (
-        pairs.select(F.col("id_a").alias(id_col))
-        .union(pairs.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
-    # the pruned slice feeds THREE consumers (sizes, side-a, side-b):
-    # checkpoint it so the semi-join prune of the full shingle table runs
-    # once, not three times (the full table is often itself a lazily
-    # checkpointed branch shared with sketch generation). Pass
-    # prune_checkpoint=False when the pairs cover most of the corpus —
-    # there the prune keeps ~everything and the extra materialization
-    # costs more than the three scans it saves.
-    sh = sh.join(involved, id_col, "left_semi")
-    if prune_checkpoint:
-        sh = sh.localCheckpoint(eager=False)
+    if prune:
+        involved = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .union(pairs.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        # the pruned slice feeds THREE consumers (sizes, side-a, side-b):
+        # checkpoint it so the semi-join prune of the full shingle table
+        # runs once, not three times (the full table is often itself a
+        # lazily checkpointed branch shared with sketch generation). Pass
+        # prune_checkpoint=False when the pairs cover most of the corpus —
+        # there the prune keeps ~everything and the extra materialization
+        # costs more than the three scans it saves.
+        sh = sh.join(involved, id_col, "left_semi")
+        if prune_checkpoint:
+            sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
     sha = sh.select(F.col(id_col).alias("id_a"), F.col("__s"))
     shb = sh.select(F.col(id_col).alias("id_b"), F.col("__s"))
@@ -1010,7 +1017,11 @@ def semantic_dedup(
 
 
 def span_gram_rows(
-    df: DataFrame, text_col: str, id_col: str, n: int = 20
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 20,
+    tokens: Optional[DataFrame] = None,
 ) -> DataFrame:
     """(id, __pos, __gh): one row per token position carrying the
     ``xxhash64`` of the word n-gram starting there — the shared heavy
@@ -1018,13 +1029,19 @@ def span_gram_rows(
     :func:`remove_duplicate_spans`. A pipeline running detection AND
     removal should compute this once, ``localCheckpoint`` it, and pass
     it to both via ``positions=`` — halving the dominant corpus scan.
-    ``n`` must match the consumers' ``n``."""
+    ``n`` must match the consumers' ``n``. ``tokens`` (an
+    ``(id, __t array<string>)`` frame of lowercased whitespace tokens)
+    skips the tokenize — pass it when another corpus pass (e.g.
+    ``text.top_ngrams``) already tokenized."""
     from tsflex_spark.datapipe.text import _tokens
     from tsflex_spark.utils.data import fan_out
 
-    d = fan_out(df).select(
-        F.col(id_col), _tokens(F.lower(F.col(text_col))).alias("__t")
-    )
+    if tokens is not None:
+        d = tokens.select(F.col(id_col), F.col("__t"))
+    else:
+        d = fan_out(df).select(
+            F.col(id_col), _tokens(F.lower(F.col(text_col))).alias("__t")
+        )
     d = d.select(
         F.col(id_col),
         F.col("__t"),

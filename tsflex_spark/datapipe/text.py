@@ -920,6 +920,7 @@ def top_ngrams(
     by_docs: bool = False,
     lowercase: bool = True,
     min_count: int = 2,
+    tokens: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Corpus-wide most-frequent word ``n``-grams → top-``k``
     ``(ngram, count[, n_docs])`` — the boilerplate-DISCOVERY companion to
@@ -941,14 +942,23 @@ def top_ngrams(
 
     Reuses ``decontam.word_ngram_rows``'s explode/slice construction
     (codegen `slice` + `concat_ws`, no interpreted HOF lambdas).
+
+    ``tokens`` — a pre-tokenized ``([id,] __t array<string>)`` frame
+    (same contract as ``dedup.span_gram_rows``): skips the tokenize so
+    a pipeline that already tokenized the corpus (passage dedup, LM
+    counting) shares that pass; ``lowercase`` is then the caller's
+    responsibility.
     """
     from tsflex_spark.utils.data import fan_out
 
     if n < 1:
         raise ValueError("n must be >= 1")
-    txt = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
     cols = [F.col(id_col)] if id_col is not None else []
-    d = fan_out(df).select(*cols, _tokens(txt).alias("__t"))
+    if tokens is not None:
+        d = tokens.select(*cols, F.col("__t"))
+    else:
+        txt = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+        d = fan_out(df).select(*cols, _tokens(txt).alias("__t"))
     # explode to a column FIRST: a generator nested inside another
     # expression is UNSUPPORTED_GENERATOR.NESTED_IN_EXPRESSIONS
     d = d.select(
