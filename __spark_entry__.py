@@ -1620,18 +1620,18 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``nfc_normalize`` (utf8proc vs the engine's pandas/UCD — both
     implement UAX#15 canonical composition).
 
-    Eighth op (round 7): ``text.pack_sequences`` — first-fit-decreasing
-    bin packing, hash-verified EXACTLY: the gate feeds a single
-    partition with strictly unique sizes (len*1000+id) so the
-    partition-local FFD is fully deterministic, and the oracle replays
-    the sequential first-fit loop as a single-row-state RECURSIVE CTE
-    (capacity list + assignment list carried through the recursion,
-    oversize rows get their own bin). Production stays partition-local
-    and order-free; what this pins is the FFD mechanics themselves.
-    The verification slice is bounded to doc_id<2000 — sequential FFD
-    over one partition is O(n·bins) by nature, so an unbounded slice
-    would make the GATE (not the op) super-linear at probe scale; docs
-    outside the slice carry pack_bin=-1 on both sides.
+    Eighth op (round 7, reworked round 8): ``text.pack_sequences`` in
+    its ``deterministic=True`` mode — rows bucket by
+    ``pmod(xxhash64(doc_id), 32)``, first-fit-decreasing runs within
+    each bucket over ``(count desc, id asc)`` total order, bin id =
+    ``bucket << 40 | index``. Bins depend only on the data (any
+    parallelism reproduces them), so the gate runs the FULL corpus at
+    natural parallelism — the round-7 ``coalesce(1)`` + ``doc_id<2000``
+    verification bound is gone. The oracle replays the bucket hash
+    (xxh64-long chain) and the per-bucket first-fit loop as a RECURSIVE
+    CTE whose state advances all 32 buckets in lockstep (capacity list
+    + assignment list per bucket; recursion depth = largest bucket,
+    ~n/32; oversize rows get a bin of their own).
 
     Ninth op (round 7): ``bpe.bpe_encode`` with a FIXED literal merge
     list — the corpus-scale half of the BPE story (training's merge
@@ -1711,15 +1711,20 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.join(nleg, on="doc_id")
     from tsflex_spark.datapipe.text import pack_sequences
 
-    sz = docs.where(F.col("doc_id") < 2000).select(
+    sz = docs.select(
         "doc_id",
         (F.length("text").cast("long") * 1000 + F.col("doc_id")).alias("__cnt"),
     )
-    packed = pack_sequences(sz.coalesce(1), "__cnt", budget=8_000_000)
-    pleg = packed.select("doc_id", F.col("bin_id").cast("long").alias("pack_bin"))
-    out = out.join(pleg, on="doc_id", how="left").withColumn(
-        "pack_bin", F.coalesce("pack_bin", F.lit(-1))
+    packed = pack_sequences(
+        sz,
+        "__cnt",
+        budget=8_000_000,
+        deterministic=True,
+        id_col="doc_id",
+        num_buckets=32,
     )
+    pleg = packed.select("doc_id", F.col("bin_id").cast("long").alias("pack_bin"))
+    out = out.join(pleg, on="doc_id")
     from tsflex_spark.datapipe.bpe import BPETokenizer, bpe_encode
 
     btok = BPETokenizer(
@@ -1773,7 +1778,10 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_text_stats() -> str:
-    return r"""
+    pack_chain = _xxh64_cte_chain(
+        "pit0", _xxh64_long_steps("pk", "doc_id", "bkt", pmod=32), "pbk"
+    )
+    return rf"""
 WITH RECURSIVE s AS (
   SELECT doc_id,
          length(text) AS n_chars,
@@ -1793,7 +1801,7 @@ bgf AS (
   SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2
   FROM (SELECT doc_id,
                unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
-                                     i -> {'w1': t[i], 'w2': t[i + 1]})) AS b
+                                     i -> {{'w1': t[i], 'w2': t[i + 1]}})) AS b
         FROM tk)),
 pairs AS (SELECT w1, w2, count(*) AS c FROM bgf GROUP BY w1, w2),
 ctx AS (SELECT w1, sum(c) AS cc FROM pairs GROUP BY w1),
@@ -1861,7 +1869,7 @@ sg2 AS (
   SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2
   FROM (SELECT doc_id,
                unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
-                                     i -> {'w1': t[i], 'w2': t[i + 1]})) AS b
+                                     i -> {{'w1': t[i], 'w2': t[i + 1]}})) AS b
         FROM tk2)),
 kn_lp AS (
   SELECT sg2.doc_id,
@@ -1889,20 +1897,28 @@ nfc AS (
          nfc_normalize(text || ' nfc:e' || chr(769) || ':A' || chr(778)
                        || ':o' || chr(776)) AS t2
   FROM documents),
--- pack_sequences replay: first-fit-decreasing as a single-row-state
--- recursion (caps = per-bin remaining capacity, outb = assignment per
--- rank); sizes len*1000+id are strictly unique so the desc order is
--- total; DuckDB list_position returns 0 (not NULL) on no fit
+-- pack_sequences(deterministic=True) replay: bucket by
+-- pmod(xxhash64(doc_id), 32) (xxh64-long chain below), then first-fit-
+-- decreasing per bucket over (cnt DESC, doc_id) total order as a
+-- recursion whose state advances all buckets in lockstep (caps =
+-- per-bin remaining capacity, outb = 0-based assignment per rank;
+-- DuckDB list_position returns 0, not NULL, on no fit). Bin id =
+-- (bucket << 40) + index — exactly the engine's offset scheme.
+pit0 AS (
+  SELECT doc_id, length(text) * 1000 + doc_id AS cnt FROM documents),
+{pack_chain},
 pitems AS (
-  SELECT doc_id, length(text) * 1000 + doc_id AS cnt,
-         row_number() OVER (ORDER BY length(text) * 1000 + doc_id DESC) AS rn
-  FROM documents WHERE doc_id < 2000),
+  SELECT doc_id, cnt, bkt,
+         row_number() OVER (PARTITION BY bkt ORDER BY cnt DESC, doc_id) AS rn
+  FROM pbk_fin),
+pnb AS (SELECT bkt, count(*) AS n FROM pitems GROUP BY bkt),
 ppk AS (
-  SELECT CAST(0 AS BIGINT) AS i,
+  SELECT bkt, CAST(0 AS BIGINT) AS i,
          CAST([] AS BIGINT[]) AS caps,
          CAST([] AS BIGINT[]) AS outb
+  FROM pnb
   UNION ALL
-  SELECT s.i + 1,
+  SELECT s.bkt, s.i + 1,
          CASE WHEN s.pos = 0
               THEN list_append(s.caps, greatest(8000000 - s.cnt, 0))
               ELSE list_transform(range(1, len(s.caps) + 1),
@@ -1911,17 +1927,17 @@ ppk AS (
          END,
          list_append(s.outb,
            CASE WHEN s.pos = 0 THEN len(s.caps) ELSE s.pos - 1 END)
-  FROM (SELECT ppk.i, ppk.caps, ppk.outb, it.cnt,
+  FROM (SELECT ppk.bkt, ppk.i, ppk.caps, ppk.outb, it.cnt,
                list_position(list_transform(ppk.caps, c -> c >= it.cnt),
                              true) AS pos
-        FROM ppk JOIN pitems it ON it.rn = ppk.i + 1) s
-  WHERE s.i < (SELECT count(*) FROM pitems)),
+        FROM ppk JOIN pitems it
+          ON it.bkt = ppk.bkt AND it.rn = ppk.i + 1) s),
 ppack AS (
-  SELECT d.doc_id, coalesce(pb.pack_bin, -1) AS pack_bin
-  FROM documents d LEFT JOIN (
-    SELECT it.doc_id, pf.outb[it.rn] AS pack_bin
-    FROM (SELECT outb FROM ppk WHERE i = (SELECT count(*) FROM pitems)) pf
-    CROSS JOIN pitems it) pb ON pb.doc_id = d.doc_id)
+  SELECT it.doc_id, (it.bkt << 40) + pf.outb[it.rn] AS pack_bin
+  FROM pitems it
+  JOIN (SELECT ppk.bkt, ppk.outb FROM ppk
+        JOIN pnb ON pnb.bkt = ppk.bkt WHERE ppk.i = pnb.n) pf
+    ON pf.bkt = it.bkt)
 SELECT s.doc_id, s.n_chars, s.n_tokens, s.n_bpe_tokens,
        coalesce(per.n_bigrams, 0) AS n_bigrams,
        CAST(coalesce(per.sum_logp_e6, 0) AS BIGINT) AS sum_logp_e6,

@@ -1236,6 +1236,61 @@ def test_pack_sequences_ffd(spark):
     assert len(fills) < 9
 
 
+def test_pack_sequences_deterministic(spark):
+    """deterministic=True bins depend only on the data: any input
+    partitioning reproduces the exact assignment, bins respect the
+    budget, and a single-python FFD replay per bucket matches."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from tsflex_spark.datapipe.text import pack_sequences
+    from tsflex_spark.utils.xxh import hash_long
+
+    rng = np.random.default_rng(7)
+    rows = [(int(i), int(s)) for i, s in enumerate(rng.integers(10, 900, 400))]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    out = pack_sequences(
+        df, "n_tok", budget=1000, deterministic=True,
+        id_col="doc_id", num_buckets=8,
+    ).toPandas().sort_values("doc_id").reset_index(drop=True)
+    # 1) partition-independence: 1 partition and 13 partitions agree
+    for nparts in (1, 13):
+        again = pack_sequences(
+            df.repartition(nparts), "n_tok", budget=1000, deterministic=True,
+            id_col="doc_id", num_buckets=8,
+        ).toPandas().sort_values("doc_id").reset_index(drop=True)
+        assert (again["bin_id"] == out["bin_id"]).all()
+    # 2) budget respected except singleton-oversize bins
+    fills = out.groupby("bin_id")["n_tok"].sum()
+    per_bin = out.groupby("bin_id").size()
+    assert ((fills <= 1000) | (per_bin == 1)).all()
+    # 3) exact python replay: FFD per bucket over (n_tok desc, id asc)
+    for doc_id, n_tok, bin_id in out.itertuples(index=False):
+        assert (bin_id >> 40) == hash_long(doc_id, 42) % 8
+    import pandas as pd
+
+    pdf = out.copy()
+    pdf["bkt"] = pdf["bin_id"].to_numpy() >> 40
+    for bkt, grp in pdf.groupby("bkt"):
+        grp = grp.sort_values(["n_tok", "doc_id"], ascending=[False, True])
+        remaining, expect = [], []
+        for sz in grp["n_tok"]:
+            for j, cap in enumerate(remaining):
+                if cap >= sz:
+                    remaining[j] = cap - sz
+                    expect.append(j)
+                    break
+            else:
+                remaining.append(max(1000 - sz, 0))
+                expect.append(len(remaining) - 1)
+        assert ((grp["bin_id"].to_numpy() & ((1 << 40) - 1)) == expect).all()
+    # 4) requires id_col
+    try:
+        pack_sequences(df, "n_tok", budget=1000, deterministic=True)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
 def test_deterministic_split_and_stratified_sample(spark):
     from tsflex_spark.datapipe.curation import deterministic_split, stratified_sample
 

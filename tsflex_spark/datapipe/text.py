@@ -479,12 +479,16 @@ def pack_sequences(
     count_col: str,
     budget: int,
     bin_col: str = "bin_id",
+    *,
+    deterministic: bool = False,
+    id_col: Optional[str] = None,
+    num_buckets: int = 1024,
 ) -> DataFrame:
     """Pack rows (documents / chunks) into bins of at most ``budget``
     tokens — sequence packing for training-batch construction. Adds a
     globally-unique ``bin_col``; callers group on it to concatenate.
 
-    Strategy: first-fit-decreasing PER PARTITION (the scalable
+    Default strategy: first-fit-decreasing PER PARTITION (the scalable
     compromise: exact global FFD is inherently sequential; partition-
     local FFD loses ~1% fill at realistic chunk-size distributions while
     staying embarrassingly parallel). Rows are sorted by size descending
@@ -492,12 +496,70 @@ def pack_sequences(
     partition-id offset, so no cross-partition coordination, no shuffle
     beyond the initial sortWithinPartitions. Oversized rows (count >
     budget) get a bin of their own (callers decide to truncate or drop).
+
+    ``deterministic=True`` (requires ``id_col``): bins depend ONLY on
+    the data, never on partitioning or parallelism — rows bucket by
+    ``pmod(xxhash64(id), num_buckets)``, FFD runs within each bucket
+    over rows totally ordered by ``(count desc, id asc)``, and the bin
+    id is ``bucket << 40 | bin_index``. Re-running at any cluster size
+    (or single-node) reproduces the exact assignment — the mode to use
+    when packing must be replayable (data lineage, resumable jobs,
+    cross-engine verification). Same O(rows·bins) FFD work, one extra
+    hash shuffle (the bucket groupBy); ``num_buckets`` trades bucket-FFD
+    sequential depth against packing quality exactly like partition
+    count does in the default mode (size it to ~thousands of rows per
+    bucket).
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
     b = int(budget)
+
+    def ffd(sizes: "np.ndarray", offset: int) -> "np.ndarray":
+        # first-fit over a running remaining-capacity list; oversize
+        # rows (> budget) get a bin of their own (capacity floors at 0)
+        remaining: list = []
+        bins = np.empty(len(sizes), dtype="int64")
+        for i, sz in enumerate(sizes):
+            placed = False
+            for j, cap in enumerate(remaining):
+                if cap >= sz:
+                    remaining[j] = cap - sz
+                    bins[i] = offset + j
+                    placed = True
+                    break
+            if not placed:
+                remaining.append(max(b - sz, 0))
+                bins[i] = offset + len(remaining) - 1
+        return bins
+
+    if deterministic:
+        if id_col is None:
+            raise ValueError("deterministic=True requires id_col")
+        d = df.withColumn(
+            "__bkt",
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(num_buckets))).cast(
+                "long"
+            ),
+        )
+        schema = T.StructType(
+            list(d.schema.fields) + [T.StructField(bin_col, T.LongType())]
+        )
+
+        def pack_bucket(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            pdf = pdf.sort_values(
+                [count_col, id_col], ascending=[False, True], kind="mergesort"
+            )
+            offset = int(pdf["__bkt"].iloc[0]) << 40
+            pdf = pdf.copy()
+            pdf[bin_col] = ffd(pdf[count_col].to_numpy(), offset)
+            return pdf
+
+        return d.groupBy("__bkt").applyInPandas(pack_bucket, schema).drop(
+            "__bkt"
+        )
+
     d = df.sortWithinPartitions(F.col(count_col).desc()).withColumn(
         "__pid", F.spark_partition_id()
     )
@@ -506,8 +568,8 @@ def pack_sequences(
     )
 
     def pack(batches):
-        # FFD with a running remaining-capacity array, state spans the
-        # partition's batches; bin ids offset by pid * 2^40
+        # FFD state spans the partition's batches; bin ids offset by
+        # pid * 2^40
         remaining: list = []
         offset = None
         for pdf in batches:
