@@ -195,3 +195,93 @@ def test_change_and_location_natives_property(spark, vals, t):
         assert row[f"v|v_lag__sum_abs_diff__w={w}"] == pytest.approx(
             np.abs(d).sum(), rel=1e-9, abs=1e-9
         )
+
+
+# ---------------------------------------------------------------------------
+# BPE training-loop depth: merge SEQUENCES (not just encodings) vs an
+# independently-written Sennrich-style reference (arXiv:1508.07909's
+# learn_bpe shape: space-joined symbol strings, regex merge application —
+# deliberately a different data representation than the engine's tuple
+# resegmentation, so a shared bug can't hide).
+
+
+def _ref_learn_bpe(texts, num_merges, lowercase=True, max_words=50_000):
+    import re
+    from collections import Counter
+
+    cnt = Counter()
+    for t in texts:
+        if lowercase:
+            t = t.lower()
+        for w in t.split():
+            cnt[w] += 1
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:max_words]
+    vocab = {" ".join(list(w)) + " </w>": c for w, c in top}
+    merges = []
+    for _ in range(num_merges):
+        stats = Counter()
+        for word, freq in vocab.items():
+            syms = word.split(" ")
+            for a, b in zip(syms, syms[1:]):
+                stats[(a, b)] += freq
+        if not stats:
+            break
+        # highest frequency; ties -> lexicographically LARGEST pair
+        # (the engine's max(..., key=(freq, pair)) tie-break)
+        best = max(stats, key=lambda p: (stats[p], p))
+        pat = re.compile(
+            r"(?<!\S)" + re.escape(" ".join(best)) + r"(?!\S)"
+        )
+        repl = "".join(best)
+        vocab = {pat.sub(repl, word): c for word, c in vocab.items()}
+        merges.append(best)
+    return merges
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.data())
+def test_bpe_train_merge_sequence_parity(spark, data):
+    """train_bpe's learned merge SEQUENCE is identical to the reference
+    learner over tie-heavy random corpora (tiny alphabets force massive
+    pair-frequency ties, so this pins the (freq, pair) tie-break and the
+    resegmentation, not just final encodings), including the top
+    ``max_words`` cutoff boundary."""
+    from tsflex_spark.datapipe.bpe import train_bpe
+
+    alphabet = data.draw(
+        st.sampled_from(["ab", "abc", "xy", "aab"]), label="alphabet"
+    )
+    words = data.draw(
+        st.lists(
+            st.text(alphabet=alphabet, min_size=1, max_size=6),
+            min_size=3,
+            max_size=40,
+        ),
+        label="words",
+    )
+    docs = data.draw(st.integers(1, 4), label="docs")
+    num_merges = data.draw(st.integers(1, 25), label="num_merges")
+    max_words = data.draw(
+        st.sampled_from([3, 5, 10, 50_000]), label="max_words"
+    )
+    texts = [
+        " ".join(words[i::docs]) for i in range(docs) if words[i::docs]
+    ]
+    sdf = spark.createDataFrame(pd.DataFrame({"text": texts}))
+    tok = train_bpe(
+        sdf, "text", num_merges=num_merges, max_words=max_words
+    )
+    expected = _ref_learn_bpe(
+        texts, num_merges, lowercase=True, max_words=max_words
+    )
+    assert tok.merges == expected
+    # the derived artifact round-trips and encodes consistently
+    from tsflex_spark.datapipe.bpe import BPETokenizer
+
+    back = BPETokenizer.from_json(tok.to_json())
+    sample = " ".join(words[:5])
+    assert back.encode_text(sample) == tok.encode_text(sample)

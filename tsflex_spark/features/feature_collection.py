@@ -470,10 +470,24 @@ class FeatureCollection:
 
             funcs = "|".join(sorted({fd.function.func_name for _, _, fd in entries}))
             series = "|".join(sorted({s for st, _, _fd in entries for s in st}))
-            outs = "|".join(
-                sorted({o for _, _, fd in entries for o in fd.function.output_names})
+            # log the FULL output column names (naming grammar), matching
+            # what reference logger.py:30-45 records — consumers join the
+            # log frame against the result frame's columns
+            outs = ",".join(
+                sorted(
+                    {
+                        _col_name(st, o, ws)
+                        for st, ws, fd in entries
+                        for o in fd.function.output_names
+                    }
+                )
             )
-            win_lbl = str(cfg[1] if cfg[0] in ("manual", "count") else cfg[0])
+            if cfg[0] in ("manual", "count"):
+                win_lbl = str(cfg[1])
+            else:
+                # human-readable duration string ("30s"), not raw micros —
+                # same rendering the output column names carry
+                win_lbl = "|".join(sorted({ws for _, ws, _fd in entries}))
             stride_lbl = str(list(cfg[2]) if cfg[0] == "count" else cfg[1:]).replace(" ", "")
             with log_execution(funcs, series, win_lbl, stride_lbl, outs, logging_file_path):
                 if cfg[0] == "manual":
