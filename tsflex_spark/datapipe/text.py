@@ -516,10 +516,11 @@ def pack_sequences(
 
     b = int(budget)
 
-    def ffd(sizes: "np.ndarray", offset: int) -> "np.ndarray":
-        # first-fit over a running remaining-capacity list; oversize
-        # rows (> budget) get a bin of their own (capacity floors at 0)
-        remaining: list = []
+    def ffd(sizes: "np.ndarray", offset: int, remaining: list) -> "np.ndarray":
+        # first-fit over a running remaining-capacity list (mutated in
+        # place so partition-local mode can carry state across Arrow
+        # batches); oversize rows (> budget) get a bin of their own
+        # (capacity floors at 0)
         bins = np.empty(len(sizes), dtype="int64")
         for i, sz in enumerate(sizes):
             placed = False
@@ -537,6 +538,8 @@ def pack_sequences(
     if deterministic:
         if id_col is None:
             raise ValueError("deterministic=True requires id_col")
+        if int(num_buckets) < 1:
+            raise ValueError("num_buckets must be >= 1")
         d = df.withColumn(
             "__bkt",
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(num_buckets))).cast(
@@ -553,7 +556,7 @@ def pack_sequences(
             )
             offset = int(pdf["__bkt"].iloc[0]) << 40
             pdf = pdf.copy()
-            pdf[bin_col] = ffd(pdf[count_col].to_numpy(), offset)
+            pdf[bin_col] = ffd(pdf[count_col].to_numpy(), offset, [])
             return pdf
 
         return d.groupBy("__bkt").applyInPandas(pack_bucket, schema).drop(
@@ -568,28 +571,15 @@ def pack_sequences(
     )
 
     def pack(batches):
-        # FFD state spans the partition's batches; bin ids offset by
-        # pid * 2^40
+        # FFD state spans the partition's batches (the shared
+        # `remaining` list); bin ids offset by pid * 2^40
         remaining: list = []
         offset = None
         for pdf in batches:
             if offset is None and len(pdf):
                 offset = int(pdf["__pid"].iloc[0]) << 40
-            sizes = pdf[count_col].to_numpy()
-            bins = np.empty(len(sizes), dtype="int64")
-            for i, sz in enumerate(sizes):
-                placed = False
-                for j, cap in enumerate(remaining):
-                    if cap >= sz:
-                        remaining[j] = cap - sz
-                        bins[i] = offset + j
-                        placed = True
-                        break
-                if not placed:
-                    remaining.append(max(b - sz, 0))
-                    bins[i] = offset + len(remaining) - 1
             pdf = pdf.copy()
-            pdf[bin_col] = bins
+            pdf[bin_col] = ffd(pdf[count_col].to_numpy(), offset, remaining)
             yield pdf
 
     return d.mapInPandas(pack, schema).drop("__pid")
