@@ -232,3 +232,64 @@ def test_serialize_roundtrip_recalculate_parity(spark, tmp_path):
     g_again = _spark_calc(spark, sfc2, pdf)
     pd.testing.assert_frame_equal(g_direct, g_again)
     _compare(r_again, g_again)
+
+
+def test_sparsity_warning_parity(spark):
+    """Both engines warn (RuntimeWarning mentioning gaps) on the same
+    gapped config and stay silent on the same regular config — the
+    reference's per-container min!=max window-sample check
+    (strided_rolling.py:231-239) vs the engine's Observation watcher."""
+    import warnings as W
+
+    from tsflex.features import FeatureCollection, FeatureDescriptor
+
+    def run_ref(series):
+        fc = FeatureCollection([FeatureDescriptor(np.mean, "EDA", "30s", "10s")])
+        with W.catch_warnings(record=True) as rec:
+            W.simplefilter("always")
+            fc.calculate([series], return_df=True, n_jobs=1)
+        return [w for w in rec if "gaps" in str(w.message).lower()]
+
+    def run_spark(pdf):
+        fc = SparkFC([SparkFD(np.mean, "EDA", "30s", "10s")])
+        with W.catch_warnings(record=True) as rec:
+            W.simplefilter("always")
+            # collect so the Observation watcher fires before we read rec
+            fc.calculate(spark.createDataFrame(pdf), ts_col="ts").collect()
+        import time
+
+        time.sleep(0.5)  # watcher thread delivers asynchronously
+        return [w for w in rec if "gaps" in str(w.message).lower()]
+
+    # regular 1 Hz series: neither engine warns
+    s = _time_series(n=200, seed=9)
+    s.name = "EDA"
+    pdf = pd.DataFrame({"ts": s.index, "EDA": s.values})
+    assert run_ref(s) == []
+    assert run_spark(pdf) == []
+
+    # gapped series (a hole bigger than the window): both engines warn
+    gap = s.drop(s.index[60:120])
+    gap.name = "EDA"
+    gpdf = pd.DataFrame({"ts": gap.index, "EDA": gap.values})
+    assert len(run_ref(gap)) >= 1
+    assert len(run_spark(gpdf)) >= 1
+
+
+def test_series_names_stats_parity(spark, tmp_path):
+    """get_series_names_stats: same per-series grouping grain as the
+    reference's series-names stats frame (logger.py:168-195)."""
+    from tsflex.features.logger import get_series_names_stats as ref_sstats
+    from tsflex_spark.utils.logging import (
+        get_series_names_stats as spark_sstats,
+    )
+
+    eda, tmp, pdf = _two_series()
+    rfc, sfc = _logged_fcs()
+    ref_log = str(tmp_path / "ref.log")
+    spk_log = str(tmp_path / "spark.log")
+    _ref_calc(rfc, [eda, tmp], logging_file_path=ref_log)
+    _spark_calc(spark, sfc, pdf, logging_file_path=spk_log)
+    rs, gs = ref_sstats(ref_log), spark_sstats(spk_log)
+    # one row per distinct series-name set, both engines
+    assert len(rs) == len(gs) == 2
