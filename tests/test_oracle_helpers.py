@@ -259,3 +259,25 @@ def test_kmeans_sql_chain_fuzz(spark):
             assert abs(norm_j - float((C[j] ** 2).sum())) < 1e-9, j
 
     prop()
+
+
+def test_xxh64_str_cte_nonascii_guard():
+    """The string-hash oracle hard-errors (naming the rid) on non-ASCII
+    input instead of silently hashing wrong bytes — the byte==codepoint
+    identity it relies on only holds for ASCII (round-8 ADVICE fix)."""
+    import pytest
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE strs (rid BIGINT, s VARCHAR)")
+    con.execute("INSERT INTO strs VALUES (0, 'plain ascii'), (7, 'café')")
+    frag = entry_mod._xxh64_str_cte("strs", "rid", "s", "xh")
+    with pytest.raises(Exception, match="non-ASCII.*rid=7"):
+        con.execute(
+            f"WITH RECURSIVE {frag} SELECT rid, xh_h FROM xh_out"
+        ).fetchall()
+    # ascii-only input still hashes
+    con.execute("DELETE FROM strs WHERE rid = 7")
+    rows = con.execute(
+        f"WITH RECURSIVE {frag} SELECT rid, xh_h FROM xh_out"
+    ).fetchall()
+    assert len(rows) == 1
