@@ -5131,8 +5131,24 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     processing/anomaly.py): per-user 1h trailing window excluding the
     current row, NULL below min_points or at zero variance — three
     window aggregates materialized once, pure codegen, one keyed
-    exchange."""
+    exchange.
+
+    Second leg (round 8, kind='dtw'): ``features.dtw.dtw_distance``
+    promoted from numpy-parity pytest to a hash oracle — per-user DTW
+    between the user's first 16 samples and their REVERSAL (a fixed,
+    engine-independent second series), executed through the REAL path
+    (vectorized FuncWrapper → UDF tier → keyed SEQUENCE-domain
+    calculate with include_final_window). The oracle replays the exact
+    dynamic program — cost (a_i−b_j)², cur = cost + min(upleft, up,
+    left), sqrt at the end — as a recursive CTE walking the 16×16 grid
+    cell-by-cell in row-major order with a 17-cell trailing buffer, all
+    users advancing in lockstep. Every float op (subtract, square, add,
+    min, sqrt) happens in the same order in both engines, so the
+    distances are bit-identical with no tolerance."""
     _utc(spark)
+    from pyspark.sql import Window as W
+
+    from tsflex_spark.features.dtw import dtw_distance
     from tsflex_spark.processing.anomaly import anomaly_zscore
 
     ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
@@ -5150,22 +5166,73 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it as 0/1 for the hash gate (pandas null-bool object columns encode
     # None vs NaN differently across engines) — the NULL policy itself is
     # verified through mean_w/std_w/zscore
-    return out.select(
+    zleg = out.select(
+        F.lit("z").alias("kind"),
         "event_id",
         "user_id",
         "mean_w",
         "std_w",
         "zscore",
         F.when(F.col("is_anomaly"), 1).otherwise(0).cast("long").alias("anom"),
-    ).orderBy("event_id")
+    )
+    # dtw leg: users < 30 with >= 16 events; a = first 16 values in
+    # (ts, event_id) order, b = the same 16 reversed; one count-16
+    # segment per user via the final-window rule on a 0..15 SEQUENCE
+    # index — one DTW value per user through the vectorized UDF tier
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    sub = (
+        ev.where(F.col("user_id") < 30)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 16)
+    )
+    full = (
+        sub.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") == 16)
+        .select("user_id")
+    )
+    sub = sub.join(full, "user_id")
+    rev = sub.select(
+        "user_id", (17 - F.col("rn")).alias("rn"), F.col("value").alias("b")
+    )
+    ab = (
+        sub.select("user_id", "rn", F.col("value").alias("a"))
+        .join(rev, ["user_id", "rn"])
+        .withColumn("rn", (F.col("rn") - 1).cast("long"))
+    )
+    fc = FeatureCollection(
+        [FeatureDescriptor(dtw_distance(), ("a", "b"), 16, 16)]
+    )
+    dtw = fc.calculate(
+        ab,
+        ts_col="rn",
+        key_cols=["user_id"],
+        include_final_window=True,
+    )
+    dleg = dtw.select(
+        F.lit("dtw").alias("kind"),
+        F.col("user_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.lit(None).cast("double").alias("mean_w"),
+        F.lit(None).cast("double").alias("std_w"),
+        F.col("a|b__dtw__w=16").alias("zscore"),
+        F.lit(None).cast("long").alias("anom"),
+    )
+    return zleg.unionByName(dleg).orderBy("kind", "event_id")
 
 
 def _oracle_anomaly_zscore() -> str:
-    # identical derivation from the same three window sums (count, Σx,
-    # Σx²) so both engines round identical doubles; frame = microsecond
-    # range (-3600e6, -1], matching anomaly_zscore's rangeBetween
+    # z leg: identical derivation from the same three window sums
+    # (count, Σx, Σx²) so both engines round identical doubles; frame =
+    # microsecond range (-3600e6, -1], matching rangeBetween.
+    # dtw leg: the exact DTW dynamic program as a recursive CTE — cells
+    # in row-major order (k = (i-1)*16 + j), state = the 17 trailing
+    # cell values per user (buf[1]=upleft, buf[2]=up, buf[17]=left),
+    # boundaries handled by CASE exactly like the engine's INF-padded
+    # first row/column; cost, min, add, sqrt in the same order as
+    # features/dtw.py _batch_dtw so the doubles are bit-identical.
     return f"""
-WITH w AS (
+WITH RECURSIVE w AS (
   SELECT event_id, user_id, value,
          count(value) OVER win AS n,
          sum(value)  OVER win AS s1,
@@ -5179,14 +5246,51 @@ d AS (
          s1 / n AS mean,
          sqrt(greatest((s2 - s1 * s1 / n) / n, 0.0)) AS std
   FROM w
-)
-SELECT event_id, user_id,
+),
+du AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE user_id < 30),
+d16 AS (SELECT user_id, rn, value FROM du WHERE rn <= 16),
+dful AS (SELECT user_id FROM d16 GROUP BY user_id HAVING count(*) = 16),
+dav AS (SELECT d16.user_id, rn, value FROM d16 JOIN dful USING (user_id)),
+dc AS (
+  SELECT a.user_id, (a.rn - 1) * 16 + (17 - b.rn) AS k,
+         (a.value - b.value) * (a.value - b.value) AS c
+  FROM dav a JOIN dav b ON b.user_id = a.user_id),
+ddp AS (
+  SELECT user_id, CAST(0 AS BIGINT) AS k,
+         list_transform(range(1, 18), x -> 'infinity'::DOUBLE) AS buf
+  FROM dful
+  UNION ALL
+  SELECT s.user_id, s.k + 1,
+         list_concat(list_slice(s.buf, 2, 17), [s.nc])
+  FROM (
+    SELECT ddp.user_id, ddp.k, ddp.buf,
+           dc.c + least(
+             CASE WHEN ddp.k // 16 = 0 AND ddp.k % 16 = 0 THEN 0.0
+                  WHEN ddp.k // 16 = 0 OR ddp.k % 16 = 0
+                  THEN 'infinity'::DOUBLE
+                  ELSE ddp.buf[1] END,
+             CASE WHEN ddp.k // 16 = 0 THEN 'infinity'::DOUBLE
+                  ELSE ddp.buf[2] END,
+             CASE WHEN ddp.k % 16 = 0 THEN 'infinity'::DOUBLE
+                  ELSE ddp.buf[17] END) AS nc
+    FROM ddp JOIN dc ON dc.user_id = ddp.user_id AND dc.k = ddp.k + 1) s),
+ddtw AS (SELECT user_id, sqrt(buf[17]) AS dtw FROM ddp WHERE k = 256)
+SELECT 'z' AS kind, event_id, user_id,
        CASE WHEN n > 0 THEN mean END AS mean_w,
        CASE WHEN n > 0 THEN std END AS std_w,
        CASE WHEN n >= 5 AND std > 0 THEN (value - mean) / std END AS zscore,
        CASE WHEN n >= 5 AND std > 0 AND abs((value - mean) / std) > 2.0
             THEN 1 ELSE 0 END AS anom
-FROM d ORDER BY event_id
+FROM d
+UNION ALL
+SELECT 'dtw' AS kind, user_id AS event_id, user_id,
+       CAST(NULL AS DOUBLE) AS mean_w, CAST(NULL AS DOUBLE) AS std_w,
+       dtw AS zscore, CAST(NULL AS BIGINT) AS anom
+FROM ddtw
+ORDER BY kind, event_id
 """
 
 
