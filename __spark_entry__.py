@@ -427,15 +427,39 @@ FROM agg ORDER BY seg_end
 def q_count_based_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-based windows on a TIME index (SURVEY §2.5
     TimeIndexSampleStridedRolling): int window=256 samples, stride=128;
-    output index = the timestamp AT the end sample position."""
+    output index = the timestamp AT the end sample position.
+
+    Round 8: the SHAPE feature family's integer-valued members are
+    promoted from numpy-parity pytest to this hash gate — number_peaks,
+    longest_strike_above/below_mean, and index_mass_quantile run as
+    vectorized FuncWrappers over the same count-256 windows (equal
+    lengths → the true (nb, 256) batch path) on an INTEGRAL derived
+    series ``iv = floor(value·100 + 0.5)``: integral doubles make every
+    sum exact in any order, so window mean / cumulative mass / strict
+    comparisons are bit-identical between numpy's pairwise summation
+    and DuckDB's sequential one, and the (idx+1)/256 quantile index
+    divides by a power of two — no tolerance anywhere."""
     _utc(spark)
+    from tsflex_spark.features.shape import (
+        index_mass_quantile,
+        longest_strike_above_mean,
+        longest_strike_below_mean,
+        number_peaks,
+    )
+
     ev = _events(spark, sf_dir).select(
-        "ts", F.col("value").cast("decimal(18,2)").alias("value")
+        "ts",
+        F.col("value").cast("decimal(18,2)").alias("value"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("double").alias("iv"),
     )
     fc = FeatureCollection(
         [
             FeatureDescriptor("sum", "value", 256, 128),
             FeatureDescriptor("count", "value", 256, 128),
+            FeatureDescriptor(number_peaks(3), "iv", 256, 128),
+            FeatureDescriptor(longest_strike_above_mean(), "iv", 256, 128),
+            FeatureDescriptor(longest_strike_below_mean(), "iv", 256, 128),
+            FeatureDescriptor(index_mass_quantile(0.5), "iv", 256, 128),
         ]
     )
     out = fc.calculate(ev, ts_col="ts")
@@ -443,10 +467,20 @@ def q_count_based_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.col("value__sum__w=256").cast("double").alias("sum_val"),
         F.col("value__count__w=256").cast("bigint").alias("cnt_val"),
+        F.col("iv__n_peaks_3__w=256").cast("bigint").alias("n_peaks"),
+        F.col("iv__strike_above__w=256").cast("bigint").alias("strike_above"),
+        F.col("iv__strike_below__w=256").cast("bigint").alias("strike_below"),
+        F.col("`iv__imq_0.5__w=256`").alias("imq"),
     )
 
 
 def _oracle_count_based_rolling() -> str:
+    # shape legs on iv = floor(value*100 + 0.5) (integral doubles →
+    # order-free exact sums): number_peaks(3) = strictly greater than
+    # all 3 neighbors each side, core positions 3..252 (shape.py:58);
+    # strikes = longest gaps-and-islands run vs the exact segment mean;
+    # imq = (first 0-based position whose cumulative |iv| reaches half
+    # the total, +1) / 256 (shape.py:97)
     w, s = 256, 128
     return f"""
 WITH d AS (SELECT ts, value, row_number() OVER (ORDER BY ts) - 1 AS rn FROM events),
@@ -459,9 +493,52 @@ agg AS (SELECT s_start,
                sum(CAST(d.value AS DECIMAL(18,2))) AS sum_dec,
                count(d.value) AS cnt
         FROM seg JOIN d ON d.rn >= s_start AND d.rn < s_start + {w}
-        GROUP BY s_start)
-SELECT t.ts, CAST(a.sum_dec AS DOUBLE) AS sum_val, a.cnt AS cnt_val
-FROM agg a LEFT JOIN d t ON t.rn = a.s_start + {w}
+        GROUP BY s_start),
+rows_ AS (SELECT s_start, d.rn - s_start AS p,
+                 floor(d.value * 100 + 0.5) AS iv
+          FROM seg JOIN d ON d.rn >= s_start AND d.rn < s_start + {w}),
+m AS (SELECT s_start, sum(iv) / {w} AS mu, sum(abs(iv)) AS tot
+      FROM rows_ GROUP BY s_start),
+pkc AS (SELECT s_start, p, iv,
+               lag(iv, 1) OVER sw AS l1, lead(iv, 1) OVER sw AS r1,
+               lag(iv, 2) OVER sw AS l2, lead(iv, 2) OVER sw AS r2,
+               lag(iv, 3) OVER sw AS l3, lead(iv, 3) OVER sw AS r3
+        FROM rows_ WINDOW sw AS (PARTITION BY s_start ORDER BY p)),
+pk AS (SELECT s_start,
+              CAST(sum(CASE WHEN p >= 3 AND p <= {w} - 4
+                        AND iv > l1 AND iv > r1 AND iv > l2 AND iv > r2
+                        AND iv > l3 AND iv > r3
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_peaks
+       FROM pkc GROUP BY s_start),
+sa AS (SELECT s_start, count(*) AS run FROM (
+         SELECT r.s_start, r.p,
+                r.p - row_number() OVER (PARTITION BY r.s_start ORDER BY r.p) AS g
+         FROM rows_ r JOIN m USING (s_start) WHERE r.iv > m.mu)
+       GROUP BY s_start, g),
+samax AS (SELECT s_start, max(run) AS strike_above FROM sa GROUP BY s_start),
+sb AS (SELECT s_start, count(*) AS run FROM (
+         SELECT r.s_start, r.p,
+                r.p - row_number() OVER (PARTITION BY r.s_start ORDER BY r.p) AS g
+         FROM rows_ r JOIN m USING (s_start) WHERE r.iv < m.mu)
+       GROUP BY s_start, g),
+sbmax AS (SELECT s_start, max(run) AS strike_below FROM sb GROUP BY s_start),
+cs AS (SELECT s_start, p,
+              sum(abs(iv)) OVER (PARTITION BY s_start ORDER BY p) AS csum
+       FROM rows_),
+imqt AS (SELECT cs.s_start, (min(cs.p) + 1) / {w}.0 AS imq
+         FROM cs JOIN m USING (s_start)
+         WHERE cs.csum >= 0.5 * m.tot GROUP BY cs.s_start)
+SELECT t.ts, CAST(a.sum_dec AS DOUBLE) AS sum_val, a.cnt AS cnt_val,
+       pk.n_peaks AS n_peaks,
+       coalesce(samax.strike_above, 0) AS strike_above,
+       coalesce(sbmax.strike_below, 0) AS strike_below,
+       imqt.imq AS imq
+FROM agg a
+JOIN pk USING (s_start)
+LEFT JOIN samax USING (s_start)
+LEFT JOIN sbmax USING (s_start)
+JOIN imqt USING (s_start)
+LEFT JOIN d t ON t.rn = a.s_start + {w}
 ORDER BY t.ts
 """
 
@@ -728,7 +805,14 @@ FROM events ORDER BY event_id
 
 
 def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """group_by_all mode (SURVEY §2.6): features per distinct event_type."""
+    """group_by_all mode (SURVEY §2.6): features per distinct event_type.
+
+    Round 8: the PRE-GROUPED input form ``calculate((df, keys))``
+    (§2.6 #40, reference accepting a pandas DataFrameGroupBy,
+    feature_collection.py:1095-1170) is promoted from pytest to this
+    hash gate — the same descriptors run through the tuple form and the
+    results join in as ``pg_*`` columns, so any divergence between the
+    two input paths (or a regression in either) breaks the value hash."""
     _utc(spark)
     fc = FeatureCollection(
         [
@@ -737,20 +821,28 @@ def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
             FeatureDescriptor("max", "value", "1h", "1h"),
         ]
     )
-    out = fc.calculate(
-        _events(spark, sf_dir).select(
-            "ts", "event_type", F.col("value").cast("decimal(18,2)").alias("value")
-        ),
-        ts_col="ts",
-        group_by_all="event_type",
+    ev = _events(spark, sf_dir).select(
+        "ts", "event_type", F.col("value").cast("decimal(18,2)").alias("value")
     )
+    out = fc.calculate(ev, ts_col="ts", group_by_all="event_type")
+    pre = fc.calculate((ev, "event_type"), ts_col="ts")
     sum_d = F.col("value__sum__w=manual").cast("double")
     cnt = F.col("value__count__w=manual").cast("bigint")
-    return out.select(
+    pleg = pre.select(
         "event_type",
-        (sum_d / cnt).alias("mean_val"),
-        cnt.alias("cnt_val"),
-        F.col("value__max__w=manual").cast("double").alias("max_val"),
+        sum_d.alias("pg_sum"),
+        cnt.alias("pg_cnt"),
+        F.col("value__max__w=manual").cast("double").alias("pg_max"),
+    )
+    return (
+        out.select(
+            "event_type",
+            (sum_d / cnt).alias("mean_val"),
+            cnt.alias("cnt_val"),
+            F.col("value__max__w=manual").cast("double").alias("max_val"),
+        )
+        .join(pleg, "event_type")
+        .orderBy("event_type")
     )
 
 
@@ -759,7 +851,10 @@ def _oracle_group_by_all() -> str:
 SELECT event_type,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS mean_val,
        count(value) AS cnt_val,
-       max(value)   AS max_val
+       max(value)   AS max_val,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS pg_sum,
+       count(value) AS pg_cnt,
+       max(value)   AS pg_max
 FROM events WHERE event_type IS NOT NULL
 GROUP BY event_type ORDER BY event_type
 """
