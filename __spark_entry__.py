@@ -441,6 +441,7 @@ def q_count_based_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     divides by a power of two — no tolerance anywhere."""
     _utc(spark)
     from tsflex_spark.features.shape import (
+        energy_ratio_chunks,
         index_mass_quantile,
         longest_strike_above_mean,
         longest_strike_below_mean,
@@ -460,6 +461,9 @@ def q_count_based_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
             FeatureDescriptor(longest_strike_above_mean(), "iv", 256, 128),
             FeatureDescriptor(longest_strike_below_mean(), "iv", 256, 128),
             FeatureDescriptor(index_mass_quantile(0.5), "iv", 256, 128),
+            # iv² ≤ 3.2e9, ×256 windows < 2^53 — the chunk/total energy
+            # sums are exact integers in doubles, the ratio one division
+            FeatureDescriptor(energy_ratio_chunks(10, 0), "iv", 256, 128),
         ]
     )
     out = fc.calculate(ev, ts_col="ts")
@@ -471,6 +475,7 @@ def q_count_based_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("iv__strike_above__w=256").cast("bigint").alias("strike_above"),
         F.col("iv__strike_below__w=256").cast("bigint").alias("strike_below"),
         F.col("`iv__imq_0.5__w=256`").alias("imq"),
+        F.col("iv__er_0_10__w=256").alias("er0"),
     )
 
 
@@ -527,17 +532,23 @@ cs AS (SELECT s_start, p,
        FROM rows_),
 imqt AS (SELECT cs.s_start, (min(cs.p) + 1) / {w}.0 AS imq
          FROM cs JOIN m USING (s_start)
-         WHERE cs.csum >= 0.5 * m.tot GROUP BY cs.s_start)
+         WHERE cs.csum >= 0.5 * m.tot GROUP BY cs.s_start),
+er AS (SELECT s_start,
+              sum(iv * iv) AS tot2,
+              sum(CASE WHEN p < 26 THEN iv * iv ELSE 0 END) AS band2
+       FROM rows_ GROUP BY s_start)
 SELECT t.ts, CAST(a.sum_dec AS DOUBLE) AS sum_val, a.cnt AS cnt_val,
        pk.n_peaks AS n_peaks,
        coalesce(samax.strike_above, 0) AS strike_above,
        coalesce(sbmax.strike_below, 0) AS strike_below,
-       imqt.imq AS imq
+       imqt.imq AS imq,
+       CASE WHEN er.tot2 > 0 THEN er.band2 / er.tot2 END AS er0
 FROM agg a
 JOIN pk USING (s_start)
 LEFT JOIN samax USING (s_start)
 LEFT JOIN sbmax USING (s_start)
 JOIN imqt USING (s_start)
+JOIN er USING (s_start)
 LEFT JOIN d t ON t.rn = a.s_start + {w}
 ORDER BY t.ts
 """
