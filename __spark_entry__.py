@@ -5301,10 +5301,14 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = sub.select(
         "user_id", (17 - F.col("rn")).alias("rn"), F.col("value").alias("b")
     )
+    # <=480 rows after the prefix filter: collapse to one partition so
+    # the calculate stages that follow don't schedule 32 empty tasks
+    # each (a bounded verification slice, not the production shape)
     ab = (
         sub.select("user_id", "rn", F.col("value").alias("a"))
         .join(rev, ["user_id", "rn"])
         .withColumn("rn", (F.col("rn") - 1).cast("long"))
+        .coalesce(1)
     )
     fc = FeatureCollection(
         [FeatureDescriptor(dtw_distance(), ("a", "b"), 16, 16)]
