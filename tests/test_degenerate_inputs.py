@@ -155,3 +155,41 @@ def test_distributed_helpers_degenerate(spark):
     assert exact_quantiles(empty.select("value"), "value", [0.5]).count() == 1
     assert anomaly_zscore(empty, "ts", "value", "60s", ["k"]).count() == 0
     assert lttb(empty, ts_col="ts", value_col="value", n_out=10).count() == 0
+
+
+def test_pack_and_tokens_reuse_degenerate(spark):
+    """Round-8 APIs: deterministic packing on empty/singleton/oversize
+    inputs, and the tokens= reuse paths on empty corpora."""
+    from pyspark.sql import functions as F
+    from tsflex_spark.datapipe.dedup import span_gram_rows
+    from tsflex_spark.datapipe.text import pack_sequences, top_ngrams
+
+    empty = spark.createDataFrame([], "doc_id long, n_tok long")
+    out = pack_sequences(
+        empty, "n_tok", budget=100, deterministic=True,
+        id_col="doc_id", num_buckets=4,
+    )
+    assert out.count() == 0 and "bin_id" in out.columns
+
+    one = spark.createDataFrame([(7, 1000)], "doc_id long, n_tok long")
+    row = pack_sequences(
+        one, "n_tok", budget=100, deterministic=True,
+        id_col="doc_id", num_buckets=4,
+    ).collect()[0]
+    # oversize row gets a bin of its own; bucket rides the high bits
+    assert row["bin_id"] & ((1 << 40) - 1) == 0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="num_buckets"):
+        pack_sequences(
+            one, "n_tok", budget=100, deterministic=True,
+            id_col="doc_id", num_buckets=0,
+        )
+
+    etok = spark.createDataFrame([], "doc_id long, __t array<string>")
+    assert span_gram_rows(
+        None, "text", "doc_id", n=3, tokens=etok
+    ).count() == 0
+    edocs = spark.createDataFrame([], "doc_id long, text string")
+    assert top_ngrams(edocs, n=2, k=5, tokens=etok).count() == 0
