@@ -26,6 +26,13 @@ def _utc(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def _nan_null(c):
+    """NaN → NULL canonicalization for gate columns whose oracle side
+    produces SQL NULL on degenerate windows (DuckDB CASE guards) while
+    the engine produces float NaN (numpy)."""
+    return F.when(~F.isnan(c), c)
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tsflex_spark.sources import read_events
 
@@ -53,7 +60,7 @@ def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             FeatureDescriptor("max", "value", "1h", "30m"),
         ]
     )
-    out = fc.calculate(ev, ts_col="ts")
+    out = fc.calculate(ev, ts_col="ts", approve_sparsity=True)
     sum_d = F.col("value__sum__w=1h").cast("double")
     cnt = F.col("value__count__w=1h").cast("bigint")
     return out.select(
@@ -119,7 +126,7 @@ def q_rolling_pop_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             FeatureDescriptor("argmax", "value", "2h", "1h"),
         ]
     )
-    out = fc.calculate(ev, ts_col="ts")
+    out = fc.calculate(ev, ts_col="ts", approve_sparsity=True)
     s1 = F.col("valued__sum__w=2h").cast("double")
     s2 = F.col("value2__sum__w=2h").cast("double")
     n = F.col("valued__count__w=2h").cast("bigint")
@@ -251,7 +258,7 @@ def q_rolling_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
             FeatureDescriptor("sum", "v4", "2h", "2h"),
         ]
     )
-    out = fc.calculate(ev, ts_col="ts")
+    out = fc.calculate(ev, ts_col="ts", approve_sparsity=True)
     n = F.col("v1__count__w=2h").cast("bigint")
     mu = F.try_divide(F.col("v1__sum__w=2h").cast("double"), n)
     r2 = F.try_divide(F.col("v2__sum__w=2h").cast("double"), n)
@@ -333,7 +340,7 @@ def q_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             FeatureDescriptor("count", "vc", "4h", "4h"),
         ]
     )
-    out = fc.calculate(ev, ts_col="ts")
+    out = fc.calculate(ev, ts_col="ts", approve_sparsity=True)
     n = F.col("vc__count__w=4h").cast("bigint")
     sx, sxx = F.col("xd__sum__w=4h"), F.col("xx__sum__w=4h")
     sxy, sy = F.col("xv__sum__w=4h"), F.col("vc__sum__w=4h")
@@ -474,8 +481,12 @@ def q_count_based_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("iv__n_peaks_3__w=256").cast("bigint").alias("n_peaks"),
         F.col("iv__strike_above__w=256").cast("bigint").alias("strike_above"),
         F.col("iv__strike_below__w=256").cast("bigint").alias("strike_below"),
-        F.col("`iv__imq_0.5__w=256`").alias("imq"),
-        F.col("iv__er_0_10__w=256").alias("er0"),
+        # NaN → NULL: the engine yields NaN on zero-mass / zero-energy
+        # windows (shape.py); the oracle yields SQL NULL for the same
+        # windows (tot > 0 / tot2 > 0 guards) — canonicalize here so the
+        # hash gate compares like with like on degenerate windows.
+        _nan_null(F.col("`iv__imq_0.5__w=256`")).alias("imq"),
+        _nan_null(F.col("iv__er_0_10__w=256")).alias("er0"),
     )
 
 
@@ -532,7 +543,10 @@ cs AS (SELECT s_start, p,
        FROM rows_),
 imqt AS (SELECT cs.s_start, (min(cs.p) + 1) / {w}.0 AS imq
          FROM cs JOIN m USING (s_start)
-         WHERE cs.csum >= 0.5 * m.tot GROUP BY cs.s_start),
+         -- m.tot > 0 mirrors the engine (shape.py index_mass_quantile
+         -- returns NaN on zero-mass windows; csum >= 0 would otherwise
+         -- be satisfied at p=0 and yield imq = 1/w)
+         WHERE m.tot > 0 AND cs.csum >= 0.5 * m.tot GROUP BY cs.s_start),
 er AS (SELECT s_start,
               sum(iv * iv) AS tot2,
               sum(CASE WHEN p < 26 THEN iv * iv ELSE 0 END) AS band2
@@ -547,7 +561,7 @@ FROM agg a
 JOIN pk USING (s_start)
 LEFT JOIN samax USING (s_start)
 LEFT JOIN sbmax USING (s_start)
-JOIN imqt USING (s_start)
+LEFT JOIN imqt USING (s_start)
 JOIN er USING (s_start)
 LEFT JOIN d t ON t.rn = a.s_start + {w}
 ORDER BY t.ts
@@ -684,7 +698,7 @@ def q_udf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ]
     )
-    out = fc.calculate(ev, ts_col="ts", bound_method="outer")
+    out = fc.calculate(ev, ts_col="ts", bound_method="outer", approve_sparsity=True)
 
     def denan(c):
         col = F.col(c)
@@ -3764,7 +3778,7 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             FeatureDescriptor("count", "va", "4h", "2h"),
         ]
     )
-    out = fc.calculate(ev, ts_col="ts")
+    out = fc.calculate(ev, ts_col="ts", approve_sparsity=True)
     n = F.col("va__count__w=4h").cast("bigint")
     return out.select(
         "ts",
@@ -4057,7 +4071,7 @@ def q_robust_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             FeatureDescriptor("count", "value", "1h", "1h"),
         ]
     )
-    out = fc.calculate(ev, ts_col="ts")
+    out = fc.calculate(ev, ts_col="ts", approve_sparsity=True)
     rm = F.col("value__robust_mean__w=1h")
     return out.select(
         "ts",
@@ -4134,7 +4148,7 @@ def q_intersample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             FeatureDescriptor("sum_abs_diff", ("vd", "vd_lag"), "6h", "6h"),
         ]
     )
-    out = fc.calculate(ev, ts_col="ts")
+    out = fc.calculate(ev, ts_col="ts", approve_sparsity=True)
     n = F.col("gap__count__w=6h").cast("bigint")
     return out.select(
         "ts",
@@ -4629,7 +4643,7 @@ def q_categorical_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         + [FeatureDescriptor("count", f"is_{c}", "6h", "6h") for c in cats]
         + [FeatureDescriptor("n_unique", "user_id", "6h", "6h")]
     )
-    out = fc.calculate(proj, ts_col="ts", bound_method="outer")
+    out = fc.calculate(proj, ts_col="ts", bound_method="outer", approve_sparsity=True)
     return out.select(
         "ts",
         F.col("event_type__count__w=6h").cast("bigint").alias("n_total"),
@@ -4886,7 +4900,7 @@ def q_sliding_fine_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
             FeatureDescriptor("corr", ("va", "vb"), "4h", "10m"),
         ]
     )
-    out = fc.calculate(ev, ts_col="ts")
+    out = fc.calculate(ev, ts_col="ts", approve_sparsity=True)
     return out.select(
         "ts",
         F.coalesce(F.col("value__sum__w=4h").cast("double"), F.lit(0.0)).alias("sum_val"),
@@ -5051,7 +5065,7 @@ def q_time_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             FeatureDescriptor("count", "value", "6h", "6h"),
         ]
     )
-    out = fc.calculate(ev, ts_col="ts")
+    out = fc.calculate(ev, ts_col="ts", approve_sparsity=True)
     twm = F.col("value__twm__w=6h")
     return out.select(
         "ts",
@@ -5301,14 +5315,17 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = sub.select(
         "user_id", (17 - F.col("rn")).alias("rn"), F.col("value").alias("b")
     )
-    # <=480 rows after the prefix filter: collapse to one partition so
-    # the calculate stages that follow don't schedule 32 empty tasks
-    # each (a bounded verification slice, not the production shape)
+    # <=480 rows after the prefix filter: repartition to 4 partitions
+    # keyed by user so the gate exercises MULTI-partition DTW execution
+    # (the oracle is per-user and each user's 16x16 DP runs entirely
+    # inside its own group, so parallelism cannot reorder any float op)
+    # while the calculate stages that follow still don't schedule 32
+    # near-empty tasks each
     ab = (
         sub.select("user_id", "rn", F.col("value").alias("a"))
         .join(rev, ["user_id", "rn"])
         .withColumn("rn", (F.col("rn") - 1).cast("long"))
-        .coalesce(1)
+        .repartition(4, "user_id")
     )
     fc = FeatureCollection(
         [FeatureDescriptor(dtw_distance(), ("a", "b"), 16, 16)]

@@ -312,10 +312,11 @@ def ngram_jaccard(
         # the pruned slice feeds THREE consumers (sizes, side-a, side-b):
         # checkpoint it so the semi-join prune of the full shingle table
         # runs once, not three times (the full table is often itself a
-        # lazily checkpointed branch shared with sketch generation). Pass
-        # prune_checkpoint=False when the pairs cover most of the corpus —
-        # there the prune keeps ~everything and the extra materialization
-        # costs more than the three scans it saves.
+        # lazily checkpointed branch shared with sketch generation). When
+        # the pairs cover most of the corpus, pass prune=False — the prune
+        # keeps ~everything, so skip the distinct + semi-join entirely
+        # (prune_checkpoint=False alone still runs them three times; it
+        # only controls the materialization trade-off of the pruned slice).
         sh = sh.join(involved, id_col, "left_semi")
         if prune_checkpoint:
             sh = sh.localCheckpoint(eager=False)

@@ -5,6 +5,7 @@ hot path, safe at 100 TB.
 
 from __future__ import annotations
 
+import warnings
 from typing import Optional, Sequence
 
 import numpy as np
@@ -272,6 +273,20 @@ def winnow_candidates(
     """
     if fps is None:
         fps = winnow_fingerprints(df, text_col, id_col, k=k, window=window)
+    if max_doc_freq is None:
+        # Full MOSS recall is the default CONTRACT, but the self-join is
+        # quadratic in per-fingerprint document frequency — one boilerplate
+        # fp shared by m docs emits m²/2 pairs (measured ~90 s vs
+        # sub-second at sf0.1 with a cap of 20). Warn so corpus-scale
+        # callers opt in knowingly; zero-cost (no extra scan).
+        warnings.warn(
+            "winnow_candidates(max_doc_freq=None): full-recall self-join is "
+            "quadratic in per-fingerprint doc frequency; at corpus scale "
+            "pass max_doc_freq (e.g. 100) to drop boilerplate fingerprints "
+            "before the join.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     rows = fps.select(F.col(id_col), F.explode("fps").alias("__fp")).dropDuplicates(
         [id_col, "__fp"]
     )
