@@ -9,8 +9,10 @@ decimals on BOTH sides to absorb summation-order differences.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2712,10 +2714,44 @@ def q_passage_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("__rb").cast("long").alias("n_occ"),
         F.lit(None).cast("double").alias("val"),
     )
+    # fifth block (round 9): BPE TRAINING behind a hash check — the
+    # driver-side merge loop (bpe.train_bpe) runs on a planted
+    # micro-corpus (the Sennrich et al. 2016 running example: low x5,
+    # lower x2, newest x6, widest x3) whose word-frequency table is
+    # computed DISTRIBUTED (word_frequencies); the learned merge
+    # sequence and a probe-word encoding are emitted as rows, and the
+    # oracle carries the expected sequence as literals derived from an
+    # independent reference implementation of the paper's Algorithm 1
+    # (see NOTES_DEV round-9 ledger). Any drift in pair counting,
+    # tie-breaking (max freq, ties -> lexicographically largest pair)
+    # or the encode loop's lowest-rank-leftmost rule flips a row.
+    from tsflex_spark.datapipe.bpe import train_bpe
+
+    micro = spark.createDataFrame(
+        [(("low " * 5) + ("lower " * 2) + ("newest " * 6) + ("widest " * 3),)],
+        "text string",
+    )
+    btok = train_bpe(micro, "text", num_merges=10)
+    bpe_rows = [
+        ("bpe_merge", i, f"{a} {b}") for i, (a, b) in enumerate(btok.merges)
+    ] + [("bpe_tok", i, t) for i, t in enumerate(btok.encode_word("lowest"))]
+    bdf = spark.createDataFrame(
+        bpe_rows, "kind string, doc_id long, ngram string"
+    ).select(
+        "kind",
+        "doc_id",
+        F.lit(None).cast("long").alias("span_start"),
+        F.lit(None).cast("long").alias("span_end"),
+        F.lit(None).cast("long").alias("n_grams"),
+        "ngram",
+        F.lit(None).cast("long").alias("n_occ"),
+        F.lit(None).cast("double").alias("val"),
+    )
     return (
         sp.unionByName(ng)
         .unionByName(hrows)
         .unionByName(dsp)
+        .unionByName(bdf)
         .orderBy("kind", "doc_id", "span_start", "ngram")
     )
 
@@ -2830,7 +2866,26 @@ despan AS (
          CAST(NULL AS VARCHAR) AS ngram,
          CAST(length(rb) AS BIGINT) AS n_occ,
          CAST(NULL AS DOUBLE) AS val
-  FROM rd_rb)
+  FROM rd_rb),
+-- BPE training replay: expected merge sequence + probe encoding for the
+-- planted micro-corpus {{low:5, lower:2, newest:6, widest:3}}, derived
+-- from an INDEPENDENT reference implementation of Sennrich et al. 2016
+-- Algorithm 1 (get_stats/merge_vocab as in the paper's pseudocode; ties
+-- at equal frequency -> lexicographically largest pair, the engine's
+-- documented contract) and hand-checked merge-by-merge
+bpe AS (
+  SELECT kind, CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(NULL AS BIGINT) AS span_start, CAST(NULL AS BIGINT) AS span_end,
+         CAST(NULL AS BIGINT) AS n_grams, ngram,
+         CAST(NULL AS BIGINT) AS n_occ, CAST(NULL AS DOUBLE) AS val
+  FROM (VALUES
+    ('bpe_merge', 0, 't </w>'), ('bpe_merge', 1, 's t</w>'),
+    ('bpe_merge', 2, 'e st</w>'), ('bpe_merge', 3, 'o w'),
+    ('bpe_merge', 4, 'l ow'), ('bpe_merge', 5, 'w est</w>'),
+    ('bpe_merge', 6, 'n e'), ('bpe_merge', 7, 'ne west</w>'),
+    ('bpe_merge', 8, 'low </w>'), ('bpe_merge', 9, 'w i'),
+    ('bpe_tok', 0, 'low'), ('bpe_tok', 1, 'est</w>')
+  ) AS t(kind, doc_id, ngram))
 SELECT * FROM spans
 UNION ALL
 SELECT * FROM topn
@@ -2838,6 +2893,8 @@ UNION ALL
 SELECT * FROM hemb
 UNION ALL
 SELECT * FROM despan
+UNION ALL
+SELECT * FROM bpe
 ORDER BY kind, doc_id, span_start, ngram
 """
 
@@ -4292,6 +4349,79 @@ FROM a ORDER BY user_id
 """
 
 
+def _plant_warc_archives(spark: SparkSession, sf_dir: str, n_arcs: int = 8) -> str:
+    """Write deterministic gzipped WARC archives derived from the
+    documents table into a scratch dir and return that dir.
+
+    Per doc, THREE records ride one archive: a ``request`` (must be
+    filtered out by ``record_types`` — if the filter broke, the gate's
+    per-doc join would fan out and rows_match would fail loudly), a
+    ``response`` whose payload is the doc text, and a ``conversion``
+    (the WET record type) whose payload is ``text[::-1]`` — distinct
+    per record type so each read leg verifies its own path. Every
+    record is its own gzip MEMBER (CommonCrawl layout), exercising the
+    reader's multi-member streaming branch.
+
+    This is a TEST-FIXTURE generator for the oracle gate (the archive
+    content is a pure function of the parquet rows, so DuckDB replays
+    the expected records from ``documents`` alone). The ``.collect()``
+    is the eager fixture write — bounded at one row per archive — not
+    an engine pattern; on a real cluster the fixture would live on
+    shared storage. Archives regenerate on every call (same file
+    names, atomic replace), so stale fixtures cannot leak between SFs
+    or test-data versions.
+    """
+    import shutil
+    import tempfile
+
+    sf_name = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    out_dir = os.path.join(tempfile.gettempdir(), "tsflex_warc_gate", sf_name)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def _record(wtype: str, did: int, payload: bytes) -> bytes:
+        head = (
+            f"WARC/1.0\r\n"
+            f"WARC-Type: {wtype}\r\n"
+            f"WARC-Record-ID: <urn:test:{did}>\r\n"
+            f"WARC-Target-URI: <http://example.com/doc/{did}>\r\n"
+            f"WARC-Date: 2025-01-01T00:00:00Z\r\n"
+            f"Content-Type: text/plain\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode("ascii")
+        return head + payload + b"\r\n\r\n"
+
+    def write_arcs(batches):
+        import gzip
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        chunks = []
+        n = 0
+        for pdf in batches:
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                body = str(txt).encode("utf-8")
+                chunks.append(gzip.compress(_record("request", did, b"GET /")))
+                chunks.append(gzip.compress(_record("response", did, body)))
+                chunks.append(gzip.compress(_record("conversion", did, body[::-1])))
+                n += 1
+        if chunks:
+            path = os.path.join(out_dir, f"arc_{pid}.warc.gz")
+            with open(path + ".tmp", "wb") as fh:
+                fh.write(b"".join(chunks))
+            os.replace(path + ".tmp", path)
+            yield pd.DataFrame({"path": [path], "n": [n]})
+
+    docs.repartition(n_arcs).mapInPandas(write_arcs, "path string, n long").collect()
+    return out_dir
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column plumbing (SURVEY north-star): documents
     encoded as opaque blobs -> mapInPandas decode (deterministic 8x8 fake
@@ -4306,7 +4436,21 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the header-strip branch) and hash-compares the ENTIRE extracted
     text: block removal, tag→newline structure, entity decode order,
     and whitespace collapse are all replayed in SQL (the whole regexp
-    chain is RE2-compatible by construction)."""
+    chain is RE2-compatible by construction).
+
+    Third op (round 9): the WARC/WET source (``sources/warc.py``) —
+    previously the largest operator with no oracle gate — runs its REAL
+    path end-to-end: deterministic gzipped archives planted from the
+    documents table (see ``_plant_warc_archives``) are read back through
+    ``binaryFile`` → multi-member gzip streaming → header parse →
+    record-type filter, three legs: ``read_warc`` (response records;
+    payload must byte-equal the doc text), ``read_wet`` (conversion
+    records; payload is the REVERSED text, so the WET decode path is
+    verified distinctly), and ``read_warc(max_payload_bytes=64)``
+    (payload truncation capped at parse time while ``content_length``
+    keeps the declared full length). doc_id is recovered by parsing the
+    WARC-Target-URI, so the URI/record-id angle-bracket strip and the
+    header round-trip are all on the hash path."""
     _utc(spark)
     from tsflex_spark.datapipe.multimodal import (
         audio_features,
@@ -4358,13 +4502,40 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__ht").alias("html_clean"),
         F.length("__ht").cast("long").alias("html_chars"),
     )
+    # WARC/WET legs: plant archives, read them back through the real
+    # parse path, key every record by the doc_id parsed from its URI
+    from tsflex_spark.sources.warc import read_warc, read_wet
+
+    arc_dir = _plant_warc_archives(spark, sf_dir)
+    uri_id = F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long")
+    wr = read_warc(spark, arc_dir, record_types=("response",)).select(
+        uri_id.alias("doc_id"),
+        F.col("record_id").alias("warc_record_id"),
+        F.col("content_length").alias("warc_clen"),
+        F.decode("payload", "UTF-8").alias("warc_text"),
+    )
+    wet = read_wet(spark, arc_dir).select(
+        uri_id.alias("doc_id"), F.col("text").alias("wet_text")
+    )
+    tr = read_warc(
+        spark, arc_dir, record_types=("response",), max_payload_bytes=64
+    ).select(
+        uri_id.alias("doc_id"),
+        F.col("content_length").alias("trunc_clen"),
+        F.decode("payload", "UTF-8").alias("trunc_text"),
+    )
     return (
         out.join(rs_sum, on="doc_id")
         .join(au, on="doc_id")
         .join(ht, on="doc_id")
+        .join(wr, on="doc_id")
+        .join(wet, on="doc_id")
+        .join(tr, on="doc_id")
         .select(
             "doc_id", "img_mean", "img_std", "resize_sum", "audio_rms",
             "audio_zcr", "html_clean", "html_chars",
+            "warc_record_id", "warc_clen", "warc_text",
+            "wet_text", "trunc_clen", "trunc_text",
         )
         .orderBy("doc_id")
     )
@@ -4406,11 +4577,28 @@ a2 AS (
                                         i -> (w[i] < 0) != (w[i+1] < 0))) AS DOUBLE)
                    / (len(w) - 1)
               ELSE 0.0 END AS audio_zcr
-  FROM aud)
+  FROM aud),
+wrc AS (
+  -- the planted WARC fixture is a pure function of the documents rows:
+  -- response payload = text, conversion (WET) payload = reverse(text),
+  -- truncated read caps the payload at 64 bytes (docs are pure ASCII,
+  -- checked by the xxh64 oracle precedent) while content_length keeps
+  -- the DECLARED length
+  SELECT doc_id,
+         'urn:test:' || doc_id AS warc_record_id,
+         CAST(strlen(text) AS BIGINT) AS warc_clen,
+         text AS warc_text,
+         reverse(text) AS wet_text,
+         CAST(strlen(text) AS BIGINT) AS trunc_clen,
+         substr(text, 1, 64) AS trunc_text
+  FROM documents)
 SELECT s.doc_id, m AS img_mean, sqrt(greatest(m2 - m * m, 0)) AS img_std, resize_sum,
-       audio_rms, audio_zcr, h.html_clean, h.html_chars
+       audio_rms, audio_zcr, h.html_clean, h.html_chars,
+       w.warc_record_id, w.warc_clen, w.warc_text,
+       w.wet_text, w.trunc_clen, w.trunc_text
 FROM s JOIN a2 ON s.doc_id = a2.doc_id
 JOIN ({_html_leg_sql()}) h ON h.doc_id = s.doc_id
+JOIN wrc w ON w.doc_id = s.doc_id
 ORDER BY s.doc_id
 """
 
@@ -5425,6 +5613,208 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: strided-rolling multi-agg
     feature extraction over the events stream."""
     return q_rolling_stats(spark, "/root/testdata/sf0.001")
+
+
+def query_legs() -> dict[str, dict[str, Callable[[SparkSession, str], DataFrame]]]:
+    """Per-gate verification-leg profiles for the heavy multi-leg gates.
+
+    bench.py times each leg ONCE (warm) and records the split in
+    BENCH_FULL.json under ``verification_legs`` so a verdict can separate
+    engine cost from verification cost mechanically instead of relying on
+    ad-hoc NOTES_DEV measurements. Each thunk is SELF-CONTAINED (rebuilds
+    its sub-plan from the parquet scans); legs share upstream fragments
+    with each other and with the gate, so leg times are a PROFILE, not a
+    partition — they need not sum to the gate time.
+    """
+
+    def _docs(spark, sf_dir):
+        _utc(spark)
+        return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # ----- sketch_dedup ---------------------------------------------
+    def sk_sketch(spark, sf_dir):
+        from tsflex_spark.datapipe.dedup import shingle_rows, sketch_signatures
+
+        docs = _docs(spark, sf_dir)
+        sh = shingle_rows(docs, "text", "doc_id")
+        return sketch_signatures(docs, "text", "doc_id", num_hashes=128, shingles=sh)
+
+    def sk_mh_cands(spark, sf_dir):
+        from tsflex_spark.datapipe.dedup import minhash_lsh_candidates
+
+        sk = sk_sketch(spark, sf_dir).localCheckpoint(eager=False)
+        return minhash_lsh_candidates(
+            sk.select("doc_id", "minhash"), "doc_id", num_bands=16
+        )
+
+    def sk_sim_cands(spark, sf_dir):
+        from tsflex_spark.datapipe.dedup import simhash_pairs
+
+        sk = sk_sketch(spark, sf_dir).localCheckpoint(eager=False)
+        return simhash_pairs(
+            sk.select("doc_id", "simhash"), id_col="doc_id", max_hamming=8
+        ).select("id_a", "id_b")
+
+    def sk_xor(spark, sf_dir):
+        sk = sk_sketch(spark, sf_dir).localCheckpoint(eager=False)
+        return (
+            sk.select(F.explode("minhash").alias("__v"))
+            .agg(F.expr("bit_xor(__v)").alias("mh_xor"))
+            .join(F.broadcast(sk.agg(F.expr("bit_xor(simhash)").alias("sim_xor"))))
+        )
+
+    # ----- ngram_jaccard --------------------------------------------
+    def nj_consec(spark, sf_dir):
+        from tsflex_spark.datapipe.dedup import ngram_jaccard, shingle_rows
+
+        docs = _docs(spark, sf_dir)
+        pairs = (
+            docs.select(F.col("doc_id").alias("id_a"))
+            .where(F.col("id_a") % 2 == 0)
+            .withColumn("id_b", F.col("id_a") + 1)
+            .join(
+                docs.select(F.col("doc_id").alias("id_b")), on="id_b", how="left_semi"
+            )
+        )
+        sh = shingle_rows(docs, "text", "doc_id").localCheckpoint(eager=False)
+        return ngram_jaccard(
+            docs, pairs, "text", id_col="doc_id", shingles=sh, prune=False
+        )
+
+    def nj_fuzzy(spark, sf_dir):
+        from tsflex_spark.datapipe.dedup import fuzzy_join, shingle_rows
+
+        docs = _docs(spark, sf_dir)
+        small = docs.where(F.col("doc_id") < 200)
+        left = small.where(F.col("doc_id") % 2 == 0).select(
+            F.col("doc_id").alias("id_a"), "text"
+        )
+        right = small.where(F.col("doc_id") % 2 == 1).select(
+            F.col("doc_id").alias("id_b"), "text"
+        )
+        small_sh = shingle_rows(small, "text", "doc_id")
+        lsh = small_sh.where(F.col("doc_id") % 2 == 0).select(
+            F.col("doc_id").alias("id_a"), "__s"
+        )
+        rsh = small_sh.where(F.col("doc_id") % 2 == 1).select(
+            F.col("doc_id").alias("id_b"), "__s"
+        )
+        return fuzzy_join(
+            left, right, "text", "id_a", "id_b", threshold=0.5, shingle_k=5,
+            method="exact", left_shingles=lsh, right_shingles=rsh,
+        )
+
+    def nj_edit(spark, sf_dir):
+        from tsflex_spark.datapipe.dedup import edit_similarity
+
+        docs = _docs(spark, sf_dir)
+        pairs = nj_consec(spark, sf_dir).withColumn("kind", F.lit("consec"))
+        return edit_similarity(pairs, docs, "text", "doc_id", prefix_len=128)
+
+    # ----- dup_clusters ---------------------------------------------
+    def dc_edges(spark, sf_dir):
+        from tsflex_spark.datapipe.dedup import ngram_jaccard, shingle_rows
+
+        docs = _docs(spark, sf_dir)
+        pairs = (
+            docs.select(F.col("doc_id").alias("id_a"))
+            .withColumn("id_b", F.col("id_a") + 1)
+            .join(
+                docs.select(F.col("doc_id").alias("id_b")), on="id_b", how="left_semi"
+            )
+        )
+        sh = shingle_rows(docs, "text", "doc_id").localCheckpoint(eager=False)
+        return ngram_jaccard(
+            docs, pairs, "text", id_col="doc_id", shingles=sh,
+            prune_checkpoint=False,
+        ).where(F.col("jaccard") >= 0.2)
+
+    def dc_cc(spark, sf_dir):
+        from tsflex_spark.datapipe.dedup import connected_components
+
+        edges = dc_edges(spark, sf_dir).localCheckpoint(eager=False)
+        return connected_components(edges, "id_a", "id_b")
+
+    def dc_pagerank(spark, sf_dir):
+        from tsflex_spark.datapipe.graph import pagerank
+
+        edges = dc_edges(spark, sf_dir).localCheckpoint(eager=False)
+        return pagerank(edges, "id_a", "id_b", damping=0.85, iters=6)
+
+    # ----- passage_spans --------------------------------------------
+    def ps_spans(spark, sf_dir):
+        from tsflex_spark.datapipe.dedup import duplicate_spans
+
+        docs = _docs(spark, sf_dir)
+        return duplicate_spans(docs, "text", id_col="doc_id", n=8, min_occurrences=2)
+
+    def ps_top_ngrams(spark, sf_dir):
+        from tsflex_spark.datapipe.text import top_ngrams
+
+        return top_ngrams(
+            _docs(spark, sf_dir), n=3, k=50, text_col="text", min_count=2
+        )
+
+    def ps_hash_embed(spark, sf_dir):
+        from tsflex_spark.datapipe.text import hash_embed
+
+        return hash_embed(
+            _docs(spark, sf_dir), "text", id_col="doc_id", dim=16, ngram=3
+        )
+
+    # ----- quality_score --------------------------------------------
+    def qs_quality(spark, sf_dir):
+        from tsflex_spark.datapipe.text import quality_score
+
+        return quality_score(_docs(spark, sf_dir), "text", id_col="doc_id")
+
+    def qs_langid(spark, sf_dir):
+        from tsflex_spark.datapipe.text import language_id
+
+        return language_id(_docs(spark, sf_dir), "text", id_col="doc_id")
+
+    def qs_repetition(spark, sf_dir):
+        from tsflex_spark.datapipe.text import repetition_stats
+
+        return repetition_stats(_docs(spark, sf_dir), "text", id_col="doc_id")
+
+    def qs_dsir(spark, sf_dir):
+        from tsflex_spark.datapipe.dsir import fit_bucket_logratio, importance_weights
+
+        docs = _docs(spark, sf_dir)
+        target = docs.where(F.col("doc_id") % 10 == 0).select("text")
+        lr = fit_bucket_logratio(target, docs.select("text"), "text", num_buckets=64)
+        return importance_weights(docs, lr, "text", id_col="doc_id", num_buckets=64)
+
+    return {
+        "sketch_dedup": {
+            "sketch": sk_sketch,
+            "mh_cands": sk_mh_cands,
+            "sim_cands": sk_sim_cands,
+            "xor": sk_xor,
+        },
+        "ngram_jaccard": {
+            "consec": nj_consec,
+            "fuzzy": nj_fuzzy,
+            "edit": nj_edit,
+        },
+        "dup_clusters": {
+            "edges": dc_edges,
+            "cc": dc_cc,
+            "pagerank": dc_pagerank,
+        },
+        "passage_spans": {
+            "spans": ps_spans,
+            "top_ngrams": ps_top_ngrams,
+            "hash_embed": ps_hash_embed,
+        },
+        "quality_score": {
+            "quality": qs_quality,
+            "langid": qs_langid,
+            "repetition": qs_repetition,
+            "dsir": qs_dsir,
+        },
+    }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -23,6 +23,27 @@ import __spark_entry__ as entry_mod
 from tsflex_spark.session import get_spark
 
 
+def _sentinel(spark, sf_dir: str):
+    """Fixed reference query — a constant parquet scan + hash-agg whose
+    plan never changes with engine code. Interleaved once per round so
+    host drift is measurable FROM THE ARTIFACT: if the sentinel's
+    per-round times vary, the variance is the container, not the code
+    (the r8 +18% headline could only be attributed to drift via an
+    out-of-band A/B; this makes that attribution mechanical)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor, not sum: summing xxhash64 longs overflows under
+            # Spark 4's default ANSI mode
+            F.expr("bit_xor(xxhash64(event_id))").alias("h"),
+            F.expr("bit_xor(xxhash64(cast(value as string)))").alias("hv"),
+        )
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -83,7 +104,23 @@ def main() -> None:
     # artifact.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     samples: dict[str, list[float]] = {}
+    loads: dict[str, list[float]] = {}
+    sentinel_sec: list[float] = []
+    sentinel_load: list[float] = []
+
+    def _run_sentinel() -> None:
+        t0 = time.perf_counter()
+        _sentinel(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        sentinel_sec.append(round(time.perf_counter() - t0, 4))
+        sentinel_load.append(loadavg())
+
+    # warm the sentinel once too — its first run pays codegen like any
+    # other query and would otherwise read as round-1 "drift"
+    _run_sentinel()
+    sentinel_sec.clear()
+    sentinel_load.clear()
     for _round in range(max(1, runs)):
+        _run_sentinel()
         for name, fn in queries.items():
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
@@ -91,6 +128,7 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             el = time.perf_counter() - t0
             samples.setdefault(name, []).append(el)
+            loads.setdefault(name, []).append(loadavg())
             # isolate queries: drop caches + nudge the ContextCleaner so
             # one query's broadcasts don't GC-thrash the next
             spark.catalog.clearCache()
@@ -98,11 +136,39 @@ def main() -> None:
                 spark.sparkContext._jvm.System.gc()
             except Exception:
                 pass
+    # one trailing sentinel sample brackets the window end-to-end
+    _run_sentinel()
     # min is the headline (throughput signal — a regression is a plan
     # change, not scheduler noise); the mean rides alongside so the gap
     # between them measures how noisy the window was.
     timings = {k: round(min(v), 4) for k, v in samples.items()}
     means = {k: round(sum(v) / len(v), 4) for k, v in samples.items()}
+    sent_var = (
+        round((max(sentinel_sec) - min(sentinel_sec)) / min(sentinel_sec), 4)
+        if sentinel_sec and min(sentinel_sec) > 0
+        else None
+    )
+
+    # optional per-gate verification-leg split: __spark_entry__ may expose
+    # query_legs() -> {gate: {leg: fn(spark, sf_dir) -> DataFrame}} for
+    # the heavy multi-leg verification gates; each leg is timed once
+    # (warm) so verdicts can separate engine cost from verification cost
+    # mechanically. Legs share upstream plan fragments, so leg times need
+    # NOT sum to the gate time — they are a profile, not a partition.
+    legs_out: dict[str, dict[str, float]] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_LEGS", "1") != "0" and hasattr(
+        entry_mod, "query_legs"
+    ):
+        for gate, legs in entry_mod.query_legs().items():
+            legs_out[gate] = {}
+            for leg, fn in legs.items():
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                legs_out[gate][leg] = {
+                    "sec": round(time.perf_counter() - t0, 4),
+                    "loadavg": loadavg(),
+                }
+            spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -112,6 +178,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_mean": means,
+        "queries_all": {k: [round(x, 4) for x in v] for k, v in samples.items()},
+        "queries_loadavg": loads,
+        "sentinel_sec": sentinel_sec,
+        "sentinel_loadavg": sentinel_load,
+        "sentinel_variance": sent_var,
+        "verification_legs": legs_out,
         "mean_total_sec": round(sum(means.values()), 4),
         "loadavg_start": load_start,
         "loadavg_end": loadavg(),
@@ -137,6 +209,8 @@ def main() -> None:
         "mean_total_sec": full["mean_total_sec"],
         "loadavg_start": load_start,
         "loadavg_end": full["loadavg_end"],
+        "sentinel_min": round(min(sentinel_sec), 4) if sentinel_sec else None,
+        "sentinel_var": sent_var,
         "rounds": max(1, runs),
         "n_queries": len(timings),
         "detail_file": "BENCH_FULL.json",
