@@ -447,20 +447,31 @@ def q_count_based_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum exact in any order, so window mean / cumulative mass / strict
     comparisons are bit-identical between numpy's pairwise summation
     and DuckDB's sequential one, and the (idx+1)/256 quantile index
-    divides by a power of two — no tolerance anywhere."""
+    divides by a power of two — no tolerance anywhere.
+
+    Round 9: ``c3(1)`` and ``time_reversal_asymmetry(1)`` leave the
+    honest-residue list — they are POLYNOMIAL (multiply/add/one final
+    division, no libm), so on the coarser integral series ``jv =
+    floor(value + 0.5)`` (|jv| ≤ 561 ⇒ per-term products ≤ 1.8e8, the
+    254-term sums ≤ 9e10 ≪ 2^53) every intermediate is an exactly-
+    representable integer in BOTH engines regardless of summation
+    order, and the single final division by 254 rounds identically."""
     _utc(spark)
     from tsflex_spark.features.shape import (
+        c3,
         energy_ratio_chunks,
         index_mass_quantile,
         longest_strike_above_mean,
         longest_strike_below_mean,
         number_peaks,
+        time_reversal_asymmetry,
     )
 
     ev = _events(spark, sf_dir).select(
         "ts",
         F.col("value").cast("decimal(18,2)").alias("value"),
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("double").alias("iv"),
+        F.floor(F.col("value") + F.lit(0.5)).cast("double").alias("jv"),
     )
     fc = FeatureCollection(
         [
@@ -473,6 +484,10 @@ def q_count_based_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
             # iv² ≤ 3.2e9, ×256 windows < 2^53 — the chunk/total energy
             # sums are exact integers in doubles, the ratio one division
             FeatureDescriptor(energy_ratio_chunks(10, 0), "iv", 256, 128),
+            # cubic terms ride the COARSER jv series so the 254-term
+            # sums stay ≪ 2^53 (see docstring round-9 note)
+            FeatureDescriptor(c3(1), "jv", 256, 128),
+            FeatureDescriptor(time_reversal_asymmetry(1), "jv", 256, 128),
         ]
     )
     out = fc.calculate(ev, ts_col="ts")
@@ -489,6 +504,8 @@ def q_count_based_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         # hash gate compares like with like on degenerate windows.
         _nan_null(F.col("`iv__imq_0.5__w=256`")).alias("imq"),
         _nan_null(F.col("iv__er_0_10__w=256")).alias("er0"),
+        F.col("jv__c3_1__w=256").alias("c3_1"),
+        F.col("jv__tra_1__w=256").alias("tra_1"),
     )
 
 
@@ -552,19 +569,36 @@ imqt AS (SELECT cs.s_start, (min(cs.p) + 1) / {w}.0 AS imq
 er AS (SELECT s_start,
               sum(iv * iv) AS tot2,
               sum(CASE WHEN p < 26 THEN iv * iv ELSE 0 END) AS band2
-       FROM rows_ GROUP BY s_start)
+       FROM rows_ GROUP BY s_start),
+-- c3/tra on jv = floor(value + 0.5): every product and partial sum is
+-- an exact integer (|jv| <= 561 -> cubic terms <= 1.8e8, 254-term sums
+-- <= 9e10 << 2^53), so summation order is irrelevant and the single
+-- final division by 254 rounds identically in both engines
+rj AS (SELECT s_start, d.rn - s_start AS p,
+              floor(d.value + 0.5) AS jv
+       FROM seg JOIN d ON d.rn >= s_start AND d.rn < s_start + {w}),
+cub AS (SELECT a.s_start,
+               sum(a.jv * b.jv * c.jv) / ({w} - 2.0) AS c3_1,
+               sum(c.jv * c.jv * b.jv - b.jv * a.jv * a.jv)
+                 / ({w} - 2.0) AS tra_1
+        FROM rj a
+        JOIN rj b ON b.s_start = a.s_start AND b.p = a.p + 1
+        JOIN rj c ON c.s_start = a.s_start AND c.p = a.p + 2
+        GROUP BY a.s_start)
 SELECT t.ts, CAST(a.sum_dec AS DOUBLE) AS sum_val, a.cnt AS cnt_val,
        pk.n_peaks AS n_peaks,
        coalesce(samax.strike_above, 0) AS strike_above,
        coalesce(sbmax.strike_below, 0) AS strike_below,
        imqt.imq AS imq,
-       CASE WHEN er.tot2 > 0 THEN er.band2 / er.tot2 END AS er0
+       CASE WHEN er.tot2 > 0 THEN er.band2 / er.tot2 END AS er0,
+       cub.c3_1 AS c3_1, cub.tra_1 AS tra_1
 FROM agg a
 JOIN pk USING (s_start)
 LEFT JOIN samax USING (s_start)
 LEFT JOIN sbmax USING (s_start)
 LEFT JOIN imqt USING (s_start)
 JOIN er USING (s_start)
+JOIN cub USING (s_start)
 LEFT JOIN d t ON t.rn = a.s_start + {w}
 ORDER BY t.ts
 """
