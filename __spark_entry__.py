@@ -4016,7 +4016,10 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (relational.py:272) over TWO feature tables with a per-table dict
     tolerance — the leakage-free training-set assembly op; views carry a
     2h staleness tolerance (stale match -> NULL), purchases none. K
-    feature tables = K keyed window passes, never a fan-out join."""
+    feature tables = K keyed window passes, never a fan-out join.
+    Round 9 adds the fourth §2.3 leg: interval_join (interval×interval
+    overlap) — see the inline comment; sess_buckets is the per-session
+    count of overlapped 6h grid buckets, closed-form replayed."""
     _utc(spark)
     from tsflex_spark.relational import asof_join, point_in_time_join
 
@@ -4056,6 +4059,36 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     rj = range_join(clicks, sess, left_on="ts", by=["user_id"]).select(
         "event_id", F.col("start").alias("sess_start"), "sess_n"
     )
+    # fourth §2.3 leg (round 9): interval_join (interval×interval
+    # OVERLAP, both sides granule-bucketed, first-shared-bucket dedup —
+    # no post-join distinct, no BNLJ) overlaps every session interval
+    # with a global 6h tumbling grid; the per-session overlap COUNT has
+    # the closed form floor(last/6h) − floor(first/6h) + 1, which the
+    # oracle replays in integer microseconds — any missed, duplicated,
+    # or phantom overlap pair changes the count
+    from tsflex_spark.relational import interval_join
+
+    h6 = 6 * H1
+    # one 1-row min/max aggregate -> sequence/explode grid (span/6h rows);
+    # bucket index via exact integer floor-div (x - pmod(x, g)) / g so the
+    # grid aligns bit-for-bit with the oracle's integer division
+    def _bidx(c):
+        return ((c - F.pmod(c, F.lit(h6))) / F.lit(h6)).cast("long")
+
+    grid = (
+        ev.agg(
+            _bidx(F.min(ts_micros("ts"))).alias("lo_b"),
+            _bidx(F.max(ts_micros("ts"))).alias("hi_b"),
+        )
+        .select(F.explode(F.sequence("lo_b", "hi_b")).alias("b"))
+        .select((F.col("b") * h6).alias("start"), ((F.col("b") + 1) * h6).alias("end"))
+    )
+    ij = interval_join(
+        sess.select("user_id", "start", "end"), grid, granule=h6
+    )
+    ijb = ij.groupBy("user_id", F.col("start").alias("sess_start")).agg(
+        F.count(F.lit(1)).alias("sess_buckets")
+    )
     return (
         plain.select(
             "event_id",
@@ -4065,6 +4098,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(pit, "event_id")
         .join(rj, "event_id")
+        .join(ijb, ["user_id", "sess_start"])
         .orderBy("event_id")
     )
 
@@ -4093,7 +4127,13 @@ SELECT j2.event_id, j2.user_id, vv AS view_value, vt AS view_ts,
        CASE WHEN j2.ts - vt <= INTERVAL 2 HOUR THEN vv END AS pit_view_value,
        CASE WHEN j2.ts - vt <= INTERVAL 2 HOUR THEN vt END AS pit_view_ts,
        pv AS purch_value, pt AS purch_ts,
-       sg.sess_start, sg.sess_n
+       sg.sess_start, sg.sess_n,
+       -- interval_join leg closed form: a session [start, end+1us) over
+       -- a 6h tumbling grid touches exactly floor(last/6h) -
+       -- floor(first/6h) + 1 buckets (integer microseconds)
+       CAST(epoch_us(sg.sess_end) // 21600000000
+            - epoch_us(sg.sess_start) // 21600000000 + 1 AS BIGINT)
+         AS sess_buckets
 FROM j2 JOIN sg ON sg.user_id = j2.user_id
                 AND j2.ts BETWEEN sg.sess_start AND sg.sess_end
 ORDER BY j2.event_id

@@ -28,3 +28,13 @@ def test_oracles_subset_of_queries():
 
 def test_entry_callable_defined():
     assert callable(entry_mod.entry)
+
+
+def test_query_legs_contract():
+    """query_legs() gates must exist in queries(); every leg is callable.
+    bench.py times these into BENCH_FULL.json verification_legs."""
+    legs = entry_mod.query_legs()
+    q = set(entry_mod.queries())
+    assert set(legs) <= q, set(legs) - q
+    for gate, m in legs.items():
+        assert m and all(callable(f) for f in m.values()), gate
