@@ -5836,6 +5836,13 @@ def query_legs() -> dict[str, dict[str, Callable[[SparkSession, str], DataFrame]
             _docs(spark, sf_dir), "text", id_col="doc_id", dim=16, ngram=3
         )
 
+    def ps_despan(spark, sf_dir):
+        from tsflex_spark.datapipe.dedup import remove_duplicate_spans
+
+        return remove_duplicate_spans(
+            _docs(spark, sf_dir), "text", id_col="doc_id", n=8, out_col="__rb"
+        )
+
     # ----- quality_score --------------------------------------------
     def qs_quality(spark, sf_dir):
         from tsflex_spark.datapipe.text import quality_score
@@ -5881,6 +5888,7 @@ def query_legs() -> dict[str, dict[str, Callable[[SparkSession, str], DataFrame]
             "spans": ps_spans,
             "top_ngrams": ps_top_ngrams,
             "hash_embed": ps_hash_embed,
+            "despan": ps_despan,
         },
         "quality_score": {
             "quality": qs_quality,
