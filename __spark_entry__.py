@@ -3617,8 +3617,48 @@ def q_sketch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("bit_xor(__v)").alias("mh_xor"))
         .join(F.broadcast(sk.agg(F.expr("bit_xor(simhash)").alias("sim_xor"))))
     )
+    # store leg (round 9): incremental dedup vs a PERSISTENT band store
+    # (dedup_against_store — previously pytest-only). Bootstrap the
+    # parquet store from the EVEN docs (within_batch=False: every even
+    # doc's 16 band hashes are appended), then probe the ODD docs
+    # read-only: an odd doc survives iff NONE of its band hashes
+    # collides with any even doc's same-band hash. The oracle replays
+    # the ENTIRE chain engine-independently — 64-bin OPH signatures
+    # from raw text, Spark's array→string cast ("[v0, v1, v2, v3]"),
+    # and xxhash64 of that string per band via the recursive-CTE XXH64
+    # — so a single wrong signature slot, band split, or store-join bug
+    # adds/drops a survivor row. The store lives in a scratch dir
+    # (removed at call start: repeat calls are deterministic).
+    import shutil
+    import tempfile
+
+    from tsflex_spark.datapipe.dedup import dedup_against_store
+
+    store_dir = os.path.join(
+        tempfile.gettempdir(),
+        "tsflex_store_gate",
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+    )
+    shutil.rmtree(store_dir, ignore_errors=True)
+    even = docs.where(F.col("doc_id") % 2 == 0)
+    odd = docs.where(F.col("doc_id") % 2 == 1)
+    dedup_against_store(
+        even, store_dir, "text", "doc_id",
+        num_hashes=64, num_bands=16, within_batch=False,
+    )
+    sur = dedup_against_store(
+        odd, store_dir, "text", "doc_id",
+        num_hashes=64, num_bands=16, within_batch=False, update_store=False,
+    )
+    strows = sur.select(
+        F.lit("store").alias("method"),
+        F.col("doc_id").alias("id_a"),
+        F.lit(-1).cast("long").alias("id_b"),
+        F.lit(None).cast("double").alias("jaccard"),
+    )
     return (
         tagged.select(F.explode(methods).alias("method"), "id_a", "id_b", "jaccard")
+        .unionByName(strows)
         .join(F.broadcast(sig))
         .orderBy("method", "id_a", "id_b")
     )
@@ -3641,6 +3681,12 @@ def _oracle_sketch_dedup() -> str:
     mf_chain = _xxh64_cte_chain(
         "mh_grid", _xxh64_long_steps("mf", "dm", "fill", int_value="j"), "mfc"
     )
+    # store leg: densify fill for the 64-bin OPH grid + xxhash64 of the
+    # band STRING (Spark's array->string cast of each 4-slot slice)
+    mg_chain = _xxh64_cte_chain(
+        "mh64_grid", _xxh64_long_steps("mg", "dm", "fill64", int_value="j"), "mgc"
+    )
+    bx_chain = _xxh64_str_cte("bsv", "rid", "bs", "bx")
     pops = ",\n         ".join(
         f"sum((hsu >> {b}) % 2) AS p{b}" for b in range(64)
     )
@@ -3698,12 +3744,46 @@ sim_fp AS (
                THEN fpu - 18446744073709551616::HUGEINT
                ELSE fpu END)::BIGINT AS fp
   FROM (SELECT doc_id, ({fp_terms}) AS fpu FROM sim_pop)),
-sim_x AS (SELECT bit_xor(fp) AS sim_xor FROM sim_fp)
+sim_x AS (SELECT bit_xor(fp) AS sim_xor FROM sim_fp),
+-- store leg: 64-bin OPH (same per-shingle hash hm), Spark band strings
+-- '[v0, v1, v2, v3]', xxhash64-of-string band hashes; an odd doc
+-- survives iff no band hash collides with any even doc's same band
+mh64_rows AS (SELECT doc_id, hm, ((hm % 64) + 64) % 64 AS bin FROM mxc_fin),
+mh64_bin AS (SELECT doc_id, bin, min(hm) AS mn FROM mh64_rows GROUP BY doc_id, bin),
+mh64_doc AS (SELECT doc_id, min(hm) AS dm FROM mh64_rows GROUP BY doc_id),
+mh64_grid AS (SELECT d.doc_id, d.dm, r.range AS j
+              FROM mh64_doc d CROSS JOIN range(64) r),
+{mg_chain},
+mh64_slot AS (
+  SELECT g.doc_id, g.j, coalesce(b0.mn, b1.mn, b2.mn, g.fill64) AS v
+  FROM mgc_fin g
+  LEFT JOIN mh64_bin b0 ON b0.doc_id = g.doc_id AND b0.bin = g.j
+  LEFT JOIN mh64_bin b1 ON b1.doc_id = g.doc_id AND b1.bin = (g.j + 1) % 64
+  LEFT JOIN mh64_bin b2 ON b2.doc_id = g.doc_id AND b2.bin = (g.j + 2) % 64),
+bstr AS (
+  SELECT doc_id, j // 4 AS band,
+         '[' || string_agg(v::VARCHAR, ', ' ORDER BY j) || ']' AS bs
+  FROM mh64_slot GROUP BY doc_id, j // 4),
+bsv AS (SELECT bs, row_number() OVER (ORDER BY bs) AS rid
+        FROM (SELECT DISTINCT bs FROM bstr)),
+{bx_chain},
+bh AS (SELECT bstr.doc_id, bstr.band, o.bx_h
+       FROM bstr JOIN bsv USING (bs) JOIN bx_out o ON o.rid = bsv.rid),
+surv AS (
+  SELECT d.doc_id FROM documents d
+  WHERE d.doc_id % 2 = 1
+    AND NOT EXISTS (
+      SELECT 1 FROM bh o JOIN bh e ON e.band = o.band AND e.bx_h = o.bx_h
+      WHERE o.doc_id = d.doc_id AND e.doc_id % 2 = 0))
 SELECT 'minhash' AS method, id_a, id_b, jaccard, mh_x.mh_xor, sim_x.sim_xor
 FROM tp CROSS JOIN mh_x CROSS JOIN sim_x
 UNION ALL
 SELECT 'simhash' AS method, id_a, id_b, jaccard, mh_x.mh_xor, sim_x.sim_xor
 FROM tp CROSS JOIN mh_x CROSS JOIN sim_x
+UNION ALL
+SELECT 'store' AS method, surv.doc_id AS id_a, CAST(-1 AS BIGINT) AS id_b,
+       CAST(NULL AS DOUBLE) AS jaccard, mh_x.mh_xor, sim_x.sim_xor
+FROM surv CROSS JOIN mh_x CROSS JOIN sim_x
 ORDER BY method, id_a, id_b
 """
 
