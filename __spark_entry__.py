@@ -3644,11 +3644,12 @@ def q_sketch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     odd = docs.where(F.col("doc_id") % 2 == 1)
     dedup_against_store(
         even, store_dir, "text", "doc_id",
-        num_hashes=64, num_bands=16, within_batch=False,
+        num_hashes=64, num_bands=16, within_batch=False, shingles=sh,
     )
     sur = dedup_against_store(
         odd, store_dir, "text", "doc_id",
         num_hashes=64, num_bands=16, within_batch=False, update_store=False,
+        shingles=sh,
     )
     strows = sur.select(
         F.lit("store").alias("method"),

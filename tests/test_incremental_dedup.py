@@ -114,3 +114,39 @@ def test_foreach_batch_stream_shape(spark, tmp_path):
     # 2/OTHER exactly once, 12 always
     assert 12 in ids and 2 in ids
     assert len(ids & {1, 10}) == 1
+
+
+def test_shingles_reuse_superset_pruned(spark, tmp_path):
+    """shingles= may cover a SUPERSET of the batch (the corpus-wide
+    checkpointed table callers share across dedup stages); it must be
+    semi-join-pruned to the batch and produce the identical survivor
+    set and store content as the no-reuse path."""
+    from tsflex_spark.datapipe.dedup import shingle_rows
+
+    all_docs = _docs(
+        spark, [(1, BASE), (2, OTHER), (10, NEAR), (11, OTHER), (12, THIRD)]
+    )
+    corpus_sh = shingle_rows(all_docs, "text", "doc_id")
+    b1 = all_docs.where(F.col("doc_id") < 10)
+    b2 = all_docs.where(F.col("doc_id") >= 10)
+
+    store_a = str(tmp_path / "a")
+    dedup_against_store(b1, store_a, "text", "doc_id")
+    sa = dedup_against_store(b2, store_a, "text", "doc_id")
+
+    store_b = str(tmp_path / "b")
+    dedup_against_store(b1, store_b, "text", "doc_id", shingles=corpus_sh)
+    sb = dedup_against_store(b2, store_b, "text", "doc_id", shingles=corpus_sh)
+
+    assert {r["doc_id"] for r in sa.collect()} == {
+        r["doc_id"] for r in sb.collect()
+    } == {12}
+    rows_a = sorted(
+        (r["band"], r["band_hash"], r["id"])
+        for r in spark.read.parquet(store_a).collect()
+    )
+    rows_b = sorted(
+        (r["band"], r["band_hash"], r["id"])
+        for r in spark.read.parquet(store_b).collect()
+    )
+    assert rows_a == rows_b

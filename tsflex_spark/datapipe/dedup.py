@@ -1270,11 +1270,17 @@ def dedup_against_store(
     within_batch: bool = True,
     threshold: float = 0.8,
     update_store: bool = True,
+    shingles: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Incremental near-dup dedup: drop arriving documents that LSH-
     collide with ANYTHING already accepted into the store, dedup the
     batch against itself, and append the survivors' band hashes —
     the "dedup the incoming crawl against the corpus" loop.
+
+    Pass a precomputed ``shingles`` frame (``shingle_rows`` output —
+    may cover a SUPERSET of ``new_docs``; it is semi-join-pruned to the
+    batch) to reuse an existing shingle pass instead of re-running the
+    tokenizer — the same reuse contract as ``ngram_jaccard``.
 
     The store is a parquet table of (band, band_hash, id) partitioned
     by ``band``: the membership check is an equi-join on
@@ -1297,9 +1303,14 @@ def dedup_against_store(
     join, and the append is idempotent per epoch if ids are unique.
     """
     spark = new_docs.sparkSession
+    if shingles is not None:
+        shingles = shingles.join(
+            new_docs.select(id_col), on=id_col, how="left_semi"
+        )
     sig = minhash_signatures(
         new_docs, text_col, id_col,
         num_hashes=num_hashes, shingle_k=shingle_k, seed=seed,
+        shingles=shingles,
     )
     bands = band_rows(sig, id_col, num_bands).localCheckpoint(eager=False)
 
