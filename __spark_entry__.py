@@ -3657,9 +3657,35 @@ def q_sketch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).cast("long").alias("id_b"),
         F.lit(None).cast("double").alias("jaccard"),
     )
+    # mh_dedup leg (round 9): the END-PRODUCT of the flagship near-dup
+    # op — minhash_dedup's SURVIVOR set ("drop the higher id of every
+    # confirmed pair"). prefilter_margin=None keeps the path exact (the
+    # signature-estimate prefilter is a probabilistic recall trade the
+    # oracle can't replay); the oracle's survivor set is documents minus
+    # every id_b of the all-pairs exact-Jaccard >= 0.8 set — so a band
+    # miss, a verify bug, or a keep-rule regression all change rows.
+    from tsflex_spark.datapipe.dedup import minhash_dedup
+
+    # num_bands=16 over 64 hashes (4 rows/band, S-curve threshold 0.5):
+    # every planted pair sits at J >= 0.9 where the catch probability is
+    # 1 - (1 - 0.9^4)^16 ≈ 1 - 4e-8 — and banding is xxhash-deterministic
+    # per corpus, so green on the fixed test corpora means green forever
+    # (the auto 8-band choice missed one J≈0.9 pair at sf0.01: ~1%
+    # per-pair gap, deterministic, not flakiness)
+    mhd = minhash_dedup(
+        docs, "text", id_col="doc_id", threshold=0.8, num_hashes=64,
+        num_bands=16, shingles=sh, prefilter_margin=None,
+    )
+    mdrows = mhd.select(
+        F.lit("mh_dedup").alias("method"),
+        F.col("doc_id").alias("id_a"),
+        F.lit(-1).cast("long").alias("id_b"),
+        F.lit(None).cast("double").alias("jaccard"),
+    )
     return (
         tagged.select(F.explode(methods).alias("method"), "id_a", "id_b", "jaccard")
         .unionByName(strows)
+        .unionByName(mdrows)
         .join(F.broadcast(sig))
         .orderBy("method", "id_a", "id_b")
     )
@@ -3775,7 +3801,13 @@ surv AS (
   WHERE d.doc_id % 2 = 1
     AND NOT EXISTS (
       SELECT 1 FROM bh o JOIN bh e ON e.band = o.band AND e.bx_h = o.bx_h
-      WHERE o.doc_id = d.doc_id AND e.doc_id % 2 = 0))
+      WHERE o.doc_id = d.doc_id AND e.doc_id % 2 = 0)),
+-- minhash_dedup survivors: drop the higher id of every exact-Jaccard
+-- >= 0.8 pair (the engine's keep rule over its LSH+verify confirmed
+-- set, which the candidate-superset contract pins to tp)
+mds AS (
+  SELECT d.doc_id FROM documents d
+  WHERE d.doc_id NOT IN (SELECT id_b FROM tp))
 SELECT 'minhash' AS method, id_a, id_b, jaccard, mh_x.mh_xor, sim_x.sim_xor
 FROM tp CROSS JOIN mh_x CROSS JOIN sim_x
 UNION ALL
@@ -3785,6 +3817,10 @@ UNION ALL
 SELECT 'store' AS method, surv.doc_id AS id_a, CAST(-1 AS BIGINT) AS id_b,
        CAST(NULL AS DOUBLE) AS jaccard, mh_x.mh_xor, sim_x.sim_xor
 FROM surv CROSS JOIN mh_x CROSS JOIN sim_x
+UNION ALL
+SELECT 'mh_dedup' AS method, mds.doc_id AS id_a, CAST(-1 AS BIGINT) AS id_b,
+       CAST(NULL AS DOUBLE) AS jaccard, mh_x.mh_xor, sim_x.sim_xor
+FROM mds CROSS JOIN mh_x CROSS JOIN sim_x
 ORDER BY method, id_a, id_b
 """
 
