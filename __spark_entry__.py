@@ -3640,16 +3640,31 @@ def q_sketch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.basename(sf_dir.rstrip("/")) or "sf",
     )
     shutil.rmtree(store_dir, ignore_errors=True)
-    even = docs.where(F.col("doc_id") % 2 == 0)
-    odd = docs.where(F.col("doc_id") % 2 == 1)
+    # bounded verification slice (doc_id < 1000, oracle replays the same
+    # bound — the edit-prefix-128 precedent): the collision semantics
+    # being verified (signature slots, band split, array->string cast,
+    # store membership join) are not scale-dependent, and the slice
+    # keeps the per-gate store write + checkpoint barriers ~constant
+    # across SFs. ONE 64-bin signature pass feeds both batches
+    # (signatures= reuse); the slice is shingled directly so the
+    # doc_id predicate reaches the parquet scan.
+    from tsflex_spark.datapipe.dedup import minhash_signatures
+
+    s_docs = docs.where(F.col("doc_id") < 1000)
+    sig64 = minhash_signatures(
+        s_docs, "text", "doc_id", num_hashes=64,
+        shingles=shingle_rows(s_docs, "text", "doc_id"),
+    ).localCheckpoint(eager=False)
+    even = s_docs.where(F.col("doc_id") % 2 == 0)
+    odd = s_docs.where(F.col("doc_id") % 2 == 1)
     dedup_against_store(
         even, store_dir, "text", "doc_id",
-        num_hashes=64, num_bands=16, within_batch=False, shingles=sh,
+        num_hashes=64, num_bands=16, within_batch=False, signatures=sig64,
     )
     sur = dedup_against_store(
         odd, store_dir, "text", "doc_id",
         num_hashes=64, num_bands=16, within_batch=False, update_store=False,
-        shingles=sh,
+        signatures=sig64,
     )
     strows = sur.select(
         F.lit("store").alias("method"),
@@ -3666,15 +3681,19 @@ def q_sketch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # miss, a verify bug, or a keep-rule regression all change rows.
     from tsflex_spark.datapipe.dedup import minhash_dedup
 
-    # num_bands=16 over 64 hashes (4 rows/band, S-curve threshold 0.5):
-    # every planted pair sits at J >= 0.9 where the catch probability is
-    # 1 - (1 - 0.9^4)^16 ≈ 1 - 4e-8 — and banding is xxhash-deterministic
-    # per corpus, so green on the fixed test corpora means green forever
-    # (the auto 8-band choice missed one J≈0.9 pair at sf0.01: ~1%
-    # per-pair gap, deterministic, not flakiness)
+    # 128 hashes / 16 bands (8 rows/band) = EXACTLY the banding whose
+    # full recall the minhash leg's candidate-superset contract already
+    # certifies on these corpora — and it reuses the gate's fused
+    # signatures (signatures=sk), so the dedup leg adds a band self-join
+    # + verify on the ~tp-sized candidate set, not a second corpus
+    # signature pass. (First attempts, both deterministic per corpus:
+    # auto 8-band/64-hash missed one J≈0.9 pair at sf0.01 — 0.989/pair
+    # catch; 16-band/64-hash had full recall but 4-row bands balloon the
+    # moderate-similarity candidates ~250x, measured +30 s at sf0.1.)
     mhd = minhash_dedup(
-        docs, "text", id_col="doc_id", threshold=0.8, num_hashes=64,
-        num_bands=16, shingles=sh, prefilter_margin=None,
+        docs, "text", id_col="doc_id", threshold=0.8, num_hashes=128,
+        num_bands=16, shingles=sh, signatures=sk.select("doc_id", "minhash"),
+        prefilter_margin=None,
     )
     mdrows = mhd.select(
         F.lit("mh_dedup").alias("method"),
@@ -3775,7 +3794,8 @@ sim_x AS (SELECT bit_xor(fp) AS sim_xor FROM sim_fp),
 -- store leg: 64-bin OPH (same per-shingle hash hm), Spark band strings
 -- '[v0, v1, v2, v3]', xxhash64-of-string band hashes; an odd doc
 -- survives iff no band hash collides with any even doc's same band
-mh64_rows AS (SELECT doc_id, hm, ((hm % 64) + 64) % 64 AS bin FROM mxc_fin),
+mh64_rows AS (SELECT doc_id, hm, ((hm % 64) + 64) % 64 AS bin
+              FROM mxc_fin WHERE doc_id < 1000),
 mh64_bin AS (SELECT doc_id, bin, min(hm) AS mn FROM mh64_rows GROUP BY doc_id, bin),
 mh64_doc AS (SELECT doc_id, min(hm) AS dm FROM mh64_rows GROUP BY doc_id),
 mh64_grid AS (SELECT d.doc_id, d.dm, r.range AS j
@@ -3798,7 +3818,7 @@ bh AS (SELECT bstr.doc_id, bstr.band, o.bx_h
        FROM bstr JOIN bsv USING (bs) JOIN bx_out o ON o.rid = bsv.rid),
 surv AS (
   SELECT d.doc_id FROM documents d
-  WHERE d.doc_id % 2 = 1
+  WHERE d.doc_id % 2 = 1 AND d.doc_id < 1000
     AND NOT EXISTS (
       SELECT 1 FROM bh o JOIN bh e ON e.band = o.band AND e.bx_h = o.bx_h
       WHERE o.doc_id = d.doc_id AND e.doc_id % 2 = 0)),

@@ -356,10 +356,18 @@ def minhash_dedup(
     shingle_k: int = 5,
     shingles: Optional[DataFrame] = None,
     prefilter_margin: Optional[float] = 0.15,
+    signatures: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Near-dup removal: LSH candidates → signature-estimate prefilter →
     exact Jaccard ≥ threshold → connected-ish grouping (min-id
     representative) → keep representatives.
+
+    Pass precomputed ``signatures`` (an ``(id, minhash)`` frame from
+    ``minhash_signatures``/``sketch_signatures`` with matching
+    ``num_hashes``) and/or ``shingles`` to reuse existing passes — the
+    sketch family's standard reuse contract; a pipeline that already
+    computed fused sketches for candidate generation should not pay a
+    second corpus signature pass to also dedup.
 
     ``num_bands`` defaults to the divisor of ``num_hashes`` whose LSH
     S-curve threshold (1/b)^(b/num_hashes) is closest to ``threshold`` in
@@ -400,9 +408,12 @@ def minhash_dedup(
     )
     # the LSH banding self-joins the signature table (a ⋈ b) — without a
     # checkpoint the 64-min-agg subtree executes once per join side
-    sigs = minhash_signatures(
-        df, text_col, id_col, num_hashes, shingle_k, shingles=sh
-    ).localCheckpoint(eager=False)
+    if signatures is not None:
+        sigs = signatures.select(id_col, "minhash").localCheckpoint(eager=False)
+    else:
+        sigs = minhash_signatures(
+            df, text_col, id_col, num_hashes, shingle_k, shingles=sh
+        ).localCheckpoint(eager=False)
     # candidate pairs are tiny by LSH design (two id columns) but their
     # PLAN is the whole signature+self-join DAG; the verification stage
     # references them in three joins — the checkpoint materializes them
@@ -1271,6 +1282,7 @@ def dedup_against_store(
     threshold: float = 0.8,
     update_store: bool = True,
     shingles: Optional[DataFrame] = None,
+    signatures: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Incremental near-dup dedup: drop arriving documents that LSH-
     collide with ANYTHING already accepted into the store, dedup the
@@ -1280,7 +1292,12 @@ def dedup_against_store(
     Pass a precomputed ``shingles`` frame (``shingle_rows`` output —
     may cover a SUPERSET of ``new_docs``; it is semi-join-pruned to the
     batch) to reuse an existing shingle pass instead of re-running the
-    tokenizer — the same reuse contract as ``ngram_jaccard``.
+    tokenizer — the same reuse contract as ``ngram_jaccard``. Or pass
+    ``signatures`` (an ``(id, minhash)`` frame with matching
+    ``num_hashes``/``seed``, also superset-prunable) to skip the
+    signature pass entirely — the right shape when one sketch pass
+    feeds several store batches: the per-batch work collapses to a
+    1-row/doc semi-join + the band equi-join.
 
     The store is a parquet table of (band, band_hash, id) partitioned
     by ``band``: the membership check is an equi-join on
@@ -1303,15 +1320,20 @@ def dedup_against_store(
     join, and the append is idempotent per epoch if ids are unique.
     """
     spark = new_docs.sparkSession
-    if shingles is not None:
-        shingles = shingles.join(
+    if signatures is not None:
+        sig = signatures.select(id_col, "minhash").join(
             new_docs.select(id_col), on=id_col, how="left_semi"
         )
-    sig = minhash_signatures(
-        new_docs, text_col, id_col,
-        num_hashes=num_hashes, shingle_k=shingle_k, seed=seed,
-        shingles=shingles,
-    )
+    else:
+        if shingles is not None:
+            shingles = shingles.join(
+                new_docs.select(id_col), on=id_col, how="left_semi"
+            )
+        sig = minhash_signatures(
+            new_docs, text_col, id_col,
+            num_hashes=num_hashes, shingle_k=shingle_k, seed=seed,
+            shingles=shingles,
+        )
     bands = band_rows(sig, id_col, num_bands).localCheckpoint(eager=False)
 
     # Probe existence via the Hadoop FS API instead of catching every
