@@ -5874,6 +5874,51 @@ def query_legs() -> dict[str, dict[str, Callable[[SparkSession, str], DataFrame]
             .join(F.broadcast(sk.agg(F.expr("bit_xor(simhash)").alias("sim_xor"))))
         )
 
+    def sk_store(spark, sf_dir):
+        import shutil
+        import tempfile
+
+        from tsflex_spark.datapipe.dedup import (
+            dedup_against_store,
+            minhash_signatures,
+            shingle_rows,
+        )
+
+        docs = _docs(spark, sf_dir).where(F.col("doc_id") < 1000)
+        store_dir = os.path.join(tempfile.gettempdir(), "tsflex_store_leg")
+        shutil.rmtree(store_dir, ignore_errors=True)
+        sig64 = minhash_signatures(
+            docs, "text", "doc_id", num_hashes=64,
+            shingles=shingle_rows(docs, "text", "doc_id"),
+        ).localCheckpoint(eager=False)
+        dedup_against_store(
+            docs.where(F.col("doc_id") % 2 == 0), store_dir, "text", "doc_id",
+            num_hashes=64, num_bands=16, within_batch=False, signatures=sig64,
+        )
+        return dedup_against_store(
+            docs.where(F.col("doc_id") % 2 == 1), store_dir, "text", "doc_id",
+            num_hashes=64, num_bands=16, within_batch=False,
+            update_store=False, signatures=sig64,
+        )
+
+    def sk_mh_dedup(spark, sf_dir):
+        from tsflex_spark.datapipe.dedup import (
+            minhash_dedup,
+            shingle_rows,
+            sketch_signatures,
+        )
+
+        docs = _docs(spark, sf_dir)
+        sh = shingle_rows(docs, "text", "doc_id").localCheckpoint(eager=False)
+        sk = sketch_signatures(
+            docs, "text", "doc_id", num_hashes=128, shingles=sh
+        ).localCheckpoint(eager=False)
+        return minhash_dedup(
+            docs, "text", id_col="doc_id", threshold=0.8, num_hashes=128,
+            num_bands=16, shingles=sh,
+            signatures=sk.select("doc_id", "minhash"), prefilter_margin=None,
+        )
+
     # ----- ngram_jaccard --------------------------------------------
     def nj_consec(spark, sf_dir):
         from tsflex_spark.datapipe.dedup import ngram_jaccard, shingle_rows
@@ -6010,6 +6055,8 @@ def query_legs() -> dict[str, dict[str, Callable[[SparkSession, str], DataFrame]
             "mh_cands": sk_mh_cands,
             "sim_cands": sk_sim_cands,
             "xor": sk_xor,
+            "store": sk_store,
+            "mh_dedup": sk_mh_dedup,
         },
         "ngram_jaccard": {
             "consec": nj_consec,
