@@ -3520,3 +3520,35 @@ def test_pack_and_chunk_fuzz_invariants(spark):
         assert rebuilt == toks, (max_tokens, overlap, rebuilt)
 
     prop_chunk()
+
+
+def test_minhash_dedup_signatures_reuse_identical(spark):
+    """signatures= (a precomputed (id, minhash) frame with matching
+    num_hashes) must produce the identical survivor set as the
+    self-computed path — the sketch-family reuse contract."""
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 5
+    near = base.replace("lazy", "sleepy")
+    other = "completely different content about spark dataframes and catalyst " * 5
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1, 2], "text": [base, near, other]})
+    )
+    from tsflex_spark.datapipe.dedup import (
+        minhash_dedup,
+        minhash_signatures,
+        shingle_rows,
+        sketch_signatures,
+    )
+
+    plain = minhash_dedup(
+        df, "text", "doc_id", threshold=0.5, num_hashes=32, num_bands=8
+    ).toPandas()
+    sh = shingle_rows(df, "text", "doc_id")
+    for sig in (
+        minhash_signatures(df, "text", "doc_id", num_hashes=32, shingles=sh),
+        sketch_signatures(df, "text", "doc_id", num_hashes=32, shingles=sh),
+    ):
+        reused = minhash_dedup(
+            df, "text", "doc_id", threshold=0.5, num_hashes=32, num_bands=8,
+            shingles=sh, signatures=sig,
+        ).toPandas()
+        assert set(reused["doc_id"]) == set(plain["doc_id"]) == {0, 2}
