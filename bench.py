@@ -50,18 +50,42 @@ def main() -> None:
 
     # the shared host has documented phantom-load windows (loadavg 5-9 at
     # ~95% guest idle) that inflate wall times 1.3-2x; stamp loadavg into
-    # the artifact so a noisy BENCH_r{N} is identifiable as noise, and if
-    # the host is visibly busy at start, wait once for a quieter window.
+    # the artifact so a noisy BENCH_r{N} is identifiable as noise.
     def loadavg() -> float:
         try:
             return round(os.getloadavg()[0], 2)
         except OSError:
             return -1.0
 
-    load_start = loadavg()
-    if load_start > 1.5:
-        time.sleep(float(os.environ.get("SPARK_GRAFT_BENCH_BUSY_WAIT", "60")))
-        load_start = loadavg()
+    # QUIESCENCE GATE (round 10): r9 proved mechanically (sentinel +
+    # per-query loadavg) that bench drift is host steal, but never
+    # captured a clean headline. So: before EACH measurement round, wait
+    # for 1-min loadavg to fall below a threshold, drawing on one shared
+    # bounded budget (default 900 s total — the protocol must terminate
+    # on a never-quiet host). If the budget runs dry the fact is recorded
+    # in the artifact (quiescence.timed_out) so the "this number is
+    # noisy" claim is itself machine-checkable, per the r9 verdict.
+    q_threshold = float(os.environ.get("SPARK_GRAFT_BENCH_QUIESCE_LOAD", "2.0"))
+    q_budget = [float(os.environ.get("SPARK_GRAFT_BENCH_QUIESCE_SEC", "900"))]
+    q_waited = [0.0]
+    q_timeouts = [0]
+    q_poll = 10.0
+
+    def quiesce() -> float:
+        """Block until loadavg < q_threshold or the shared budget is
+        spent; return the loadavg observed on exit."""
+        lv = loadavg()
+        while lv >= q_threshold and q_budget[0] > 0:
+            step = min(q_poll, q_budget[0])
+            time.sleep(step)
+            q_budget[0] -= step
+            q_waited[0] += step
+            lv = loadavg()
+        if lv >= q_threshold:
+            q_timeouts[0] += 1
+        return lv
+
+    load_start = quiesce()
 
     spark = get_spark("bench")
 
@@ -96,15 +120,17 @@ def main() -> None:
     # different rounds instead of poisoning both runs of one query —
     # measured on this shared host, external loadavg spikes with ~95%
     # idle guest CPU inflate whatever happens to be running by 1.3-2x.
-    # 3 interleaved rounds: the shared host's phantom-load bursts inflate
-    # whole MINUTES of wall time regardless of loadavg at start (three
-    # same-code runs measured 100.2 / 104.2 / 118.9 s totals); with
-    # min-of-3 a burst must span all three visits to a query to poison
-    # its number. Costs ~2 min of bench wall — worth it for a trustworthy
-    # artifact.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # 5 interleaved rounds (r10, was 3): the shared host's phantom-load
+    # bursts inflate whole MINUTES of wall time regardless of loadavg at
+    # start (three same-code runs measured 100.2 / 104.2 / 118.9 s
+    # totals); with min-of-5 plus the per-round quiescence gate a burst
+    # must span five separately-quiesced visits to a query to poison its
+    # number. Costs ~4 min of extra bench wall — the price of a durable
+    # anchor artifact.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     samples: dict[str, list[float]] = {}
     loads: dict[str, list[float]] = {}
+    round_start_load: list[float] = []
     sentinel_sec: list[float] = []
     sentinel_load: list[float] = []
 
@@ -120,6 +146,7 @@ def main() -> None:
     sentinel_sec.clear()
     sentinel_load.clear()
     for _round in range(max(1, runs)):
+        round_start_load.append(quiesce())
         _run_sentinel()
         for name, fn in queries.items():
             t0 = time.perf_counter()
@@ -155,7 +182,7 @@ def main() -> None:
     # (warm) so verdicts can separate engine cost from verification cost
     # mechanically. Legs share upstream plan fragments, so leg times need
     # NOT sum to the gate time — they are a profile, not a partition.
-    legs_out: dict[str, dict[str, float]] = {}
+    legs_out: dict[str, dict[str, dict[str, float]]] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_LEGS", "1") != "0" and hasattr(
         entry_mod, "query_legs"
     ):
@@ -187,6 +214,18 @@ def main() -> None:
         "mean_total_sec": round(sum(means.values()), 4),
         "loadavg_start": load_start,
         "loadavg_end": loadavg(),
+        "quiescence": {
+            "threshold_load": q_threshold,
+            "waited_sec": round(q_waited[0], 1),
+            "budget_sec": float(
+                os.environ.get("SPARK_GRAFT_BENCH_QUIESCE_SEC", "900")
+            ),
+            # rounds that STARTED above threshold because the shared wait
+            # budget was exhausted — nonzero means the host never went
+            # quiet and the headline should be read as an upper bound
+            "timed_out_rounds": q_timeouts[0],
+            "round_start_loadavg": round_start_load,
+        },
         "rounds": max(1, runs),
         "sf": sf_val,
     }
@@ -211,6 +250,8 @@ def main() -> None:
         "loadavg_end": full["loadavg_end"],
         "sentinel_min": round(min(sentinel_sec), 4) if sentinel_sec else None,
         "sentinel_var": sent_var,
+        "quiesce_wait_sec": round(q_waited[0], 1),
+        "quiesce_timeouts": q_timeouts[0],
         "rounds": max(1, runs),
         "n_queries": len(timings),
         "detail_file": "BENCH_FULL.json",

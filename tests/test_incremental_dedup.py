@@ -150,3 +150,45 @@ def test_shingles_reuse_superset_pruned(spark, tmp_path):
         for r in spark.read.parquet(store_b).collect()
     )
     assert rows_a == rows_b
+
+
+def test_within_batch_single_sketch_pass(spark, tmp_path, monkeypatch):
+    """One sketch pass per batch (ADVICE r9): dedup_against_store must
+    forward its signature frame (and shingles) into the within-batch
+    minhash_dedup instead of recomputing — asserted structurally by
+    counting minhash_signatures/shingle_rows invocations."""
+    import tsflex_spark.datapipe.dedup as dd
+
+    calls = {"sig": 0, "sh": 0}
+    orig_sig, orig_sh = dd.minhash_signatures, dd.shingle_rows
+
+    def count_sig(*a, **k):
+        calls["sig"] += 1
+        return orig_sig(*a, **k)
+
+    def count_sh(*a, **k):
+        calls["sh"] += 1
+        return orig_sh(*a, **k)
+
+    monkeypatch.setattr(dd, "minhash_signatures", count_sig)
+    monkeypatch.setattr(dd, "shingle_rows", count_sh)
+
+    store = str(tmp_path / "store")
+    b = _docs(spark, [(1, BASE), (2, NEAR), (3, OTHER)])
+    kept = dd.dedup_against_store(b, store, "text", "doc_id", threshold=0.6)
+    assert {r["doc_id"] for r in kept.collect()} == {1, 3}
+    assert calls["sig"] == 1, calls  # inner dedup reused the forwarded frame
+    assert calls["sh"] == 1, calls
+
+
+def test_within_batch_honors_caller_seed(spark, tmp_path):
+    """With a non-default seed, the forwarded signature frame keeps the
+    within-batch pass on the caller's seed (pre-fix the inner pass
+    silently re-signed with seed 42). Equivalent survivor set either
+    way on clear-cut dups; this pins the path stays green end-to-end."""
+    store = str(tmp_path / "store")
+    b = _docs(spark, [(1, BASE), (2, NEAR), (3, OTHER)])
+    kept = dedup_against_store(
+        b, store, "text", "doc_id", threshold=0.6, seed=7
+    )
+    assert {r["doc_id"] for r in kept.collect()} == {1, 3}

@@ -3552,3 +3552,64 @@ def test_minhash_dedup_signatures_reuse_identical(spark):
             shingles=sh, signatures=sig,
         ).toPandas()
         assert set(reused["doc_id"]) == set(plain["doc_id"]) == {0, 2}
+
+
+def test_minhash_recall_warning(spark):
+    """The LSH recall contract must be LOUD (r9 verdict #3): when the
+    banding's per-pair catch probability 1-(1-t^r)^b at the requested
+    threshold is below 0.999, minhash_dedup warns naming the number and
+    a num_bands that would fix it; a banding at/above 0.999 is silent."""
+    import warnings
+
+    from tsflex_spark.datapipe.dedup import minhash_dedup
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["alpha " * 20, "beta " * 20]})
+    )
+    # 8 bands x 8 rows at threshold 0.8 -> catch 0.770 (the auto choice
+    # that deterministically missed a J~0.9 pair while gating in r9)
+    with pytest.warns(RuntimeWarning, match=r"0\.7699.*num_bands=16"):
+        minhash_dedup(df, "text", "doc_id", threshold=0.8, num_hashes=64, num_bands=8)
+    # the AUTO banding picks exactly that 8-band point -> must also warn
+    with pytest.warns(RuntimeWarning, match=r"num_bands=16"):
+        minhash_dedup(df, "text", "doc_id", threshold=0.8, num_hashes=64)
+    # 16 bands x 4 rows -> catch 0.9998 >= 0.999 -> silent
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        minhash_dedup(df, "text", "doc_id", threshold=0.8, num_hashes=64, num_bands=16)
+
+
+def test_minhash_dedup_superset_frames_pruned(spark):
+    """signatures=/shingles= may cover a SUPERSET of df (a corpus-wide
+    sketch pass feeding batches); they must be semi-join-pruned to df so
+    a df row is never dropped because its only near-dup lives OUTSIDE df
+    (ADVICE r9: the out-of-df dup had the lower id, making the df row the
+    id_b 'loser')."""
+    from tsflex_spark.datapipe.dedup import (
+        minhash_dedup,
+        minhash_signatures,
+        shingle_rows,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 5
+    near = base.replace("lazy", "sleepy")
+    other = "completely different content about spark dataframes and catalyst " * 5
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1, 2], "text": [base, near, other]})
+    )
+    # df excludes doc 0 -> doc 1's ONLY near-dup is outside df
+    df = corpus.where(F.col("doc_id") > 0)
+    corpus_sh = shingle_rows(corpus, "text", "doc_id")
+    corpus_sig = minhash_signatures(
+        corpus, "text", "doc_id", num_hashes=32, shingles=corpus_sh
+    )
+    for kwargs in (
+        {"signatures": corpus_sig},
+        {"shingles": corpus_sh},
+        {"signatures": corpus_sig, "shingles": corpus_sh},
+    ):
+        kept = minhash_dedup(
+            df, "text", "doc_id", threshold=0.5, num_hashes=32, num_bands=8,
+            **kwargs,
+        ).toPandas()
+        assert set(kept["doc_id"]) == {1, 2}, kwargs.keys()

@@ -367,12 +367,31 @@ def minhash_dedup(
     ``num_hashes``) and/or ``shingles`` to reuse existing passes — the
     sketch family's standard reuse contract; a pipeline that already
     computed fused sketches for candidate generation should not pay a
-    second corpus signature pass to also dedup.
+    second corpus signature pass to also dedup. Both frames may cover a
+    SUPERSET of ``df`` (e.g. a corpus-wide sketch pass feeding several
+    batches): they are semi-join-pruned to ``df``'s ids, so rows of
+    ``df`` are only ever deduped against other rows of ``df`` — the
+    same contract as ``dedup_against_store``. (Use
+    ``dedup_against_store`` when you DO want cross-batch dedup.)
 
     ``num_bands`` defaults to the divisor of ``num_hashes`` whose LSH
     S-curve threshold (1/b)^(b/num_hashes) is closest to ``threshold`` in
     log space — fewer bands = fewer false candidates to verify, but bands
     must stay fine enough to catch pairs at the requested similarity.
+
+    **Recall contract (loud by design):** LSH banding is probabilistic —
+    a pair with true Jaccard J is caught with probability
+    ``1 - (1 - J**r)**b`` (b bands of r = num_hashes/num_bands rows).
+    When that probability *at the requested* ``threshold`` falls below
+    0.999, a :class:`RuntimeWarning` names the computed catch
+    probability and the smallest ``num_bands`` that would reach 0.999
+    (if any divisor does) — the default S-curve-centred banding sits
+    near 63% catch AT the threshold itself (that is what "S-curve
+    threshold ≈ threshold" means), which silently misses ~1% of pairs
+    even well above it (e.g. 8 bands × 8 rows at 64 hashes catches a
+    J=0.9 pair with p=0.989). Pass an explicit ``num_bands`` (more
+    bands = higher recall, more candidates to verify) to pick your
+    point on the curve and silence the warning.
 
     ``prefilter_margin``: candidates whose signature-estimated Jaccard
     falls below ``threshold - prefilter_margin`` are dropped BEFORE the
@@ -387,12 +406,31 @@ def minhash_dedup(
     near-dups (single-hop union — documents chained A~B~C keep min per
     edge-closure hop; sufficient for dedup filtering semantics)."""
     import math
+    import warnings
 
+    divisors = [b for b in range(2, num_hashes + 1) if num_hashes % b == 0]
     if num_bands is None:
-        divisors = [b for b in range(2, num_hashes + 1) if num_hashes % b == 0]
         num_bands = min(
             divisors,
             key=lambda b: abs(math.log((1.0 / b) ** (b / num_hashes)) - math.log(threshold)),
+        )
+    catch = lambda b: 1.0 - (1.0 - threshold ** (num_hashes / b)) ** b  # noqa: E731
+    p_catch = catch(num_bands)
+    if p_catch < 0.999:
+        enough = [b for b in divisors if catch(b) >= 0.999]
+        fix = (
+            f"; num_bands={min(enough)} would reach {catch(min(enough)):.4f}"
+            if enough
+            else f"; no divisor of num_hashes={num_hashes} reaches 0.999 — raise num_hashes"
+        )
+        warnings.warn(
+            f"minhash_dedup: LSH banding ({num_bands} bands x "
+            f"{num_hashes // num_bands} rows) catches a pair at the requested "
+            f"threshold J={threshold} with probability only {p_catch:.4f} "
+            f"(1-(1-J^r)^b){fix}. Pairs near the threshold will be missed "
+            f"silently; pass num_bands explicitly to accept or fix this.",
+            RuntimeWarning,
+            stacklevel=2,
         )
     # the shingle table feeds BOTH the signature pass and the Jaccard
     # verification — checkpoint it (localCheckpoint truncates the lineage
@@ -407,13 +445,24 @@ def minhash_dedup(
         else shingle_rows(df, text_col, id_col, shingle_k).localCheckpoint(eager=False)
     )
     # the LSH banding self-joins the signature table (a ⋈ b) — without a
-    # checkpoint the 64-min-agg subtree executes once per join side
+    # checkpoint the 64-min-agg subtree executes once per join side.
+    # Reused frames may cover a SUPERSET of df (corpus-wide sketch pass
+    # feeding batches) — semi-join-prune to df's ids, else a df row
+    # whose only near-dup lives OUTSIDE df would be silently dropped
+    # (dedup_against_store's contract, applied here too).
     if signatures is not None:
-        sigs = signatures.select(id_col, "minhash").localCheckpoint(eager=False)
+        sigs = (
+            signatures.select(id_col, "minhash")
+            .join(df.select(id_col), on=id_col, how="left_semi")
+            .localCheckpoint(eager=False)
+        )
     else:
         sigs = minhash_signatures(
             df, text_col, id_col, num_hashes, shingle_k, shingles=sh
-        ).localCheckpoint(eager=False)
+        )
+        if shingles is not None:  # superset shingles ⇒ superset signatures
+            sigs = sigs.join(df.select(id_col), on=id_col, how="left_semi")
+        sigs = sigs.localCheckpoint(eager=False)
     # candidate pairs are tiny by LSH design (two id columns) but their
     # PLAN is the whole signature+self-join DAG; the verification stage
     # references them in three joins — the checkpoint materializes them
@@ -1297,7 +1346,11 @@ def dedup_against_store(
     ``num_hashes``/``seed``, also superset-prunable) to skip the
     signature pass entirely — the right shape when one sketch pass
     feeds several store batches: the per-batch work collapses to a
-    1-row/doc semi-join + the band equi-join.
+    1-row/doc semi-join + the band equi-join. The batch's signature
+    frame (and shingles, when available) is forwarded into the
+    ``within_batch`` dedup too, so ONE sketch pass feeds both the
+    store check and the within-batch pass — ``minhash_dedup``
+    semi-join-prunes the forwarded frames to the survivors.
 
     The store is a parquet table of (band, band_hash, id) partitioned
     by ``band``: the membership check is an equi-join on
@@ -1329,6 +1382,11 @@ def dedup_against_store(
             shingles = shingles.join(
                 new_docs.select(id_col), on=id_col, how="left_semi"
             )
+        else:
+            # compute once here (not inside minhash_signatures) so the
+            # same frame can feed the within-batch verify stage below —
+            # one shingle pass per batch, not two
+            shingles = shingle_rows(new_docs, text_col, id_col, shingle_k)
         sig = minhash_signatures(
             new_docs, text_col, id_col,
             num_hashes=num_hashes, shingle_k=shingle_k, seed=seed,
@@ -1363,10 +1421,16 @@ def dedup_against_store(
         survivors = new_docs
 
     if within_batch:
+        # forward the batch's signature frame (and any caller shingles)
+        # so one sketch pass feeds BOTH the store check and the
+        # within-batch dedup — minhash_dedup semi-join-prunes them to
+        # the survivors; this also keeps a caller-supplied seed
+        # consistent (minhash_dedup would otherwise re-sign with the
+        # default seed).
         survivors = minhash_dedup(
             survivors, text_col, id_col=id_col, threshold=threshold,
             num_hashes=num_hashes, num_bands=num_bands,
-            shingle_k=shingle_k,
+            shingle_k=shingle_k, signatures=sig, shingles=shingles,
         )
     # materialize survivors BEFORE appending their bands: the append
     # must not re-observe itself through the store read above
