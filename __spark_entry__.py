@@ -5713,19 +5713,162 @@ def q_wide_long_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     cats = ["click", "view", "purchase", "error", "signup"]
     wide = long_to_wide(ev, series_names=cats)
     back = wide_to_long(wide, series_cols=cats)
-    return back.groupBy("series_name").agg(
+    main = back.groupBy("series_name").agg(
         F.count(F.lit(1)).alias("n_samples"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_val"),
-    ).orderBy("series_name")
+    )
+    # scalar-utility legs (r10, r9 verdict task 8): profile_columns,
+    # check_rules, and feature_drift join the board as '~'-prefixed rows
+    # on this small gate — each is a one-aggregate-scan op with a trivial
+    # SQL replay. Deliberately ungated: approx_count_distinct (an HLL
+    # estimate no oracle can replay) and quantile-DERIVED drift edges
+    # (percentile_approx sketch) — the gate pins literal edges instead,
+    # which is also the production monitoring shape (edges computed once
+    # from the training reference, reused verbatim every window).
+    from tsflex_spark.utils.drift import feature_drift
+    from tsflex_spark.utils.profile import profile_columns
+    from tsflex_spark.utils.validate import check_rules, in_range, matches, not_null
+
+    ev_all = _events(spark, sf_dir)
+    prof = profile_columns(ev_all, ["user_id", "value", "event_type"])
+    prows = prof.select(
+        F.concat(F.lit("~profile:"), "column").alias("series_name"),
+        F.col("n_null").alias("n_samples"),
+        F.col("null_frac").alias("sum_val"),
+    )
+    mmrows = (
+        prof.where(F.col("column").isin("user_id", "value"))
+        .select(
+            "column",
+            "n_rows",
+            F.col("min").cast("double").alias("mn"),
+            F.col("max").cast("double").alias("mx"),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.concat(F.lit("~profile_min:"), "column").alias(
+                            "series_name"
+                        ),
+                        F.col("n_rows").alias("n_samples"),
+                        F.col("mn").alias("sum_val"),
+                    ),
+                    F.struct(
+                        F.concat(F.lit("~profile_max:"), "column").alias(
+                            "series_name"
+                        ),
+                        F.col("n_rows").alias("n_samples"),
+                        F.col("mx").alias("sum_val"),
+                    ),
+                )
+            ).alias("r")
+        )
+        .select("r.*")
+    )
+    rep = check_rules(
+        ev_all,
+        {
+            "user_id_not_null": not_null("user_id"),
+            "value_in_0_100": in_range("value", 0, 100),
+            "event_type_lower": matches("event_type", "^[a-z]+$"),
+        },
+    )
+    vrows = spark.createDataFrame(
+        [
+            (f"~expect:{k}", int(v), float(rep["n_rows"]))
+            for k, v in sorted(rep["violations"].items())
+        ],
+        "series_name string, n_samples long, sum_val double",
+    )
+    dr = feature_drift(
+        ev_all.where(F.col("user_id") % 2 == 0),
+        ev_all.where(F.col("user_id") % 2 == 1),
+        cols=["value"],
+        edges={"value": [50.0, 100.0, 200.0]},
+    )[0]
+    drows = spark.createDataFrame(
+        [
+            ("~drift:psi:value", int(dr["n_ref"]), float(dr["psi"])),
+            ("~drift:js:value", int(dr["n_cur"]), float(dr["js"])),
+        ],
+        "series_name string, n_samples long, sum_val double",
+    )
+    return (
+        main.unionByName(prows)
+        .unionByName(mmrows)
+        .unionByName(vrows)
+        .unionByName(drows)
+        .orderBy("series_name")
+    )
 
 
 def _oracle_wide_long_roundtrip() -> str:
+    # '~' legs: profile (null counts/fracs + min/max round-tripped
+    # through the engine's string cast), expectations (violation counts
+    # under the engine's NULL-is-violation rule), and pinned-edge PSI/JS
+    # drift (4 bins over literal edges 50/100/200, epsilon 1e-4 floor,
+    # ln-sum replayed per bin — cross-engine libm differences sit ~1e-16,
+    # far inside the gate's 1e-6 rounding)
     return """
+WITH dh AS (
+  SELECT (CASE WHEN value > 50 THEN 1 ELSE 0 END
+        + CASE WHEN value > 100 THEN 1 ELSE 0 END
+        + CASE WHEN value > 200 THEN 1 ELSE 0 END) AS b,
+         user_id % 2 AS grp
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+dcounts AS (
+  SELECT gs.b,
+         coalesce(dc.r, 0) AS r, coalesce(dc.q, 0) AS q
+  FROM (SELECT unnest(range(4)) AS b) gs
+  LEFT JOIN (SELECT b, count(*) FILTER (WHERE grp = 0) AS r,
+                    count(*) FILTER (WHERE grp = 1) AS q
+             FROM dh GROUP BY b) dc USING (b)),
+dtot AS (SELECT sum(r) AS nr, sum(q) AS nq FROM dcounts),
+dpq AS (
+  SELECT greatest(CAST(r AS DOUBLE) / nr, 0.0001) AS p,
+         greatest(CAST(q AS DOUBLE) / nq, 0.0001) AS q2
+  FROM dcounts CROSS JOIN dtot),
+drift AS (
+  SELECT sum((p - q2) * ln(p / q2)) AS psi,
+         sum(0.5 * p * ln(p / (0.5 * (p + q2)))
+           + 0.5 * q2 * ln(q2 / (0.5 * (p + q2)))) AS js
+  FROM dpq),
+prof AS (
+  SELECT count(*) AS n,
+         count(*) FILTER (WHERE user_id IS NULL) AS nu,
+         count(*) FILTER (WHERE value IS NULL) AS nv,
+         count(*) FILTER (WHERE event_type IS NULL) AS ne,
+         CAST(CAST(min(user_id) AS VARCHAR) AS DOUBLE) AS umin,
+         CAST(CAST(max(user_id) AS VARCHAR) AS DOUBLE) AS umax,
+         CAST(CAST(min(value) AS VARCHAR) AS DOUBLE) AS vmin,
+         CAST(CAST(max(value) AS VARCHAR) AS DOUBLE) AS vmax,
+         count(*) FILTER (WHERE value IS NULL OR value < 0 OR value > 100)
+           AS viol_range,
+         count(*) FILTER (WHERE event_type IS NULL
+                          OR NOT regexp_matches(event_type, '^[a-z]+$'))
+           AS viol_re
+  FROM events)
 SELECT event_type AS series_name,
        count(*) AS n_samples,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
 FROM events WHERE value IS NOT NULL
-GROUP BY event_type ORDER BY series_name
+GROUP BY event_type
+UNION ALL SELECT '~profile:user_id', nu, CAST(nu AS DOUBLE) / n FROM prof
+UNION ALL SELECT '~profile:value', nv, CAST(nv AS DOUBLE) / n FROM prof
+UNION ALL SELECT '~profile:event_type', ne, CAST(ne AS DOUBLE) / n FROM prof
+UNION ALL SELECT '~profile_min:user_id', n, umin FROM prof
+UNION ALL SELECT '~profile_max:user_id', n, umax FROM prof
+UNION ALL SELECT '~profile_min:value', n, vmin FROM prof
+UNION ALL SELECT '~profile_max:value', n, vmax FROM prof
+UNION ALL SELECT '~expect:user_id_not_null', nu, CAST(n AS DOUBLE) FROM prof
+UNION ALL SELECT '~expect:value_in_0_100', viol_range, CAST(n AS DOUBLE) FROM prof
+UNION ALL SELECT '~expect:event_type_lower', viol_re, CAST(n AS DOUBLE) FROM prof
+UNION ALL SELECT '~drift:psi:value', (SELECT CAST(nr AS BIGINT) FROM dtot),
+          psi FROM drift
+UNION ALL SELECT '~drift:js:value', (SELECT CAST(nq AS BIGINT) FROM dtot),
+          js FROM drift
+ORDER BY series_name
 """
 
 

@@ -110,3 +110,31 @@ def test_categorical_drift_null_handling(spark):
     d = categorical_drift(ref, cur, ["cat"])[0]
     assert d["n_cur"] == 3  # NULLs counted in __other
     assert d["psi"] > 0.2
+
+
+def test_pinned_edges(spark):
+    """edges= pins the buckets (the production-monitoring shape): the
+    result must equal a manual histogram over those exact edges, and an
+    unlisted column still falls back to reference quantiles."""
+    import math
+
+    from tsflex_spark.utils.drift import feature_drift
+
+    ref = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+    cur = spark.createDataFrame([(float(i) + 50.0,) for i in range(100)], "x double")
+    d = feature_drift(ref, cur, ["x"], edges={"x": [25.0, 50.0, 75.0]})[0]
+    # manual replay: ref bins (26,25,25,24)/100, cur bins (0,1,25,74)/100
+    eps = 1e-4
+    p = [26 / 100, 25 / 100, 25 / 100, 24 / 100]
+    q = [max(0 / 100, eps), max(1 / 100, eps), 25 / 100, 74 / 100]
+    psi = sum((pi - qi) * math.log(pi / qi) for pi, qi in zip(p, q))
+    assert abs(d["psi"] - psi) < 1e-12
+    assert d["n_ref"] == d["n_cur"] == 100
+    # unlisted column -> quantile fallback still works alongside
+    both = feature_drift(
+        ref.withColumn("y", ref.x * 2.0),
+        cur.withColumn("y", cur.x * 2.0),
+        ["x", "y"],
+        edges={"x": [25.0, 50.0, 75.0]},
+    )
+    assert {r["column"] for r in both} == {"x", "y"}

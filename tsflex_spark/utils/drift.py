@@ -72,6 +72,7 @@ def feature_drift(
     cols: Optional[Sequence[str]] = None,
     bins: int = 10,
     epsilon: float = 1e-4,
+    edges: Optional[Dict[str, List[float]]] = None,
 ) -> List[dict]:
     """Per-column drift between ``reference`` and ``current``:
     ``[{column, psi, js, n_ref, n_cur}, ...]`` sorted by PSI descending.
@@ -79,6 +80,13 @@ def feature_drift(
     Bins are reference-frame quantiles (equal mass on the reference, so
     PSI is scale-free); empty bins are smoothed with ``epsilon`` mass
     before the log-ratios, the standard PSI convention.
+
+    Pass ``edges`` ({column: sorted bin edges}) to pin the buckets
+    instead of deriving them — the production-monitoring shape: edges
+    are computed ONCE from the training reference and reused verbatim
+    across every serving window, so day-over-day PSI moves only when
+    the DATA moves, never because the approximate quantile sketch
+    re-drew the bins (``bins`` is then ignored for those columns).
     """
     if cols is None:
         from pyspark.sql.types import NumericType
@@ -94,7 +102,13 @@ def feature_drift(
     cols = list(cols)
     if not cols:
         return []
-    edges = _edges(reference, cols, bins)
+    if edges is None:
+        edges = _edges(reference, cols, bins)
+    else:
+        missing = [c for c in cols if c not in edges]
+        edges = {c: [float(v) for v in e] for c, e in edges.items() if c in cols}
+        if missing:
+            edges.update(_edges(reference, missing, bins))
     h_ref = _hist(reference, cols, edges)
     h_cur = _hist(current, cols, edges)
     out = []
