@@ -112,6 +112,43 @@ def _replicate(spark, sf_dir: str, out_dir: str, factor: int) -> None:
         ).write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
 
 
+def _stages(spark) -> list:
+    """Completed-stage metrics via the status REST API (needs
+    SPARK_GRAFT_UI=true; returns [] when the UI is off)."""
+    import json as _json
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return []
+    app_id = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app_id}/stages", timeout=10
+        ) as r:
+            return _json.load(r)
+    except Exception:
+        return []
+
+
+def _shuffle_delta(spark, before_keys: set) -> tuple[dict, set]:
+    """Sum + peak shuffle bytes over stages not in ``before_keys``."""
+    stages = _stages(spark)
+    keys = {(s["stageId"], s["attemptId"]) for s in stages}
+    new = [s for s in stages if (s["stageId"], s["attemptId"]) not in before_keys]
+    return (
+        {
+            "shuffle_write_bytes": sum(s.get("shuffleWriteBytes", 0) for s in new),
+            "shuffle_read_bytes": sum(s.get("shuffleReadBytes", 0) for s in new),
+            "peak_stage_shuffle_write": max(
+                (s.get("shuffleWriteBytes", 0) for s in new), default=0
+            ),
+            "n_stages": len(new),
+        },
+        keys,
+    )
+
+
 def gates_main() -> None:
     args = [a for a in sys.argv[2:]]
     factor = int(args[0]) if args and args[0].isdigit() else 10
@@ -140,6 +177,9 @@ def gates_main() -> None:
 
     results: dict[str, dict] = {}
     alerts: list[str] = []
+    seen_stages: set = {
+        (s["stageId"], s["attemptId"]) for s in _stages(spark)
+    }
     for name, fn in queries.items():
         row: dict = {}
         for tag, d in (("t1", d1), ("tN", dn)):
@@ -150,6 +190,9 @@ def gates_main() -> None:
             except Exception as e:
                 row[tag] = None
                 row["err"] = str(e)[:200]
+            sh, seen_stages = _shuffle_delta(spark, seen_stages)
+            if sh["n_stages"]:
+                row[f"shuffle_{tag}"] = sh
             spark.catalog.clearCache()
             # GC nudge between gates (same isolation as bench.py): the r6
             # all-50 run showed late-session gates inflated 2-4x by

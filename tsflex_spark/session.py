@@ -35,7 +35,10 @@ def get_spark(app_name: str = "tsflex_spark", shuffle_partitions: int | None = N
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (port + memory overhead in tests); probes set
+        # SPARK_GRAFT_UI=true to read per-stage shuffle bytes via the
+        # status REST API
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
