@@ -161,8 +161,13 @@ def gates_main() -> None:
     spark = get_spark("scale_probe_gates")
     base = os.environ.get("SPARK_GRAFT_PROBE_DIR", "/tmp/scale_probe")
     d1, dn = f"{base}/1x", f"{base}/{factor}x"
-    _replicate(spark, sf_dir, d1, 1)
-    _replicate(spark, sf_dir, dn, factor)
+    # SPARK_GRAFT_PROBE_REUSE=1 skips re-replication when the copies are
+    # already on disk (resuming an interrupted probe run)
+    reuse = os.environ.get("SPARK_GRAFT_PROBE_REUSE") == "1"
+    if not (reuse and os.path.isdir(f"{d1}/events.parquet")):
+        _replicate(spark, sf_dir, d1, 1)
+    if not (reuse and os.path.isdir(f"{dn}/events.parquet")):
+        _replicate(spark, sf_dir, dn, factor)
 
     queries = entry_mod.queries()
     if only:
