@@ -6042,7 +6042,7 @@ def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("ts").alias("snap_ts"), F.col("value").alias("snap_value")
     )
     out = shape.join(F.broadcast(snap), "user_id", "left")
-    return out.select(
+    mrows = out.select(
         "user_id",
         F.col("bin").cast("long").alias("bin"),
         "first_ts",
@@ -6053,12 +6053,80 @@ def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_val",
         "snap_ts",
         "snap_value",
-    ).orderBy("user_id", "bin")
+    )
+    # LTTB leg (r10): exact LTTB promoted from pytest to a hash leg via a
+    # PLANTED integer series (the dyadic-EWMA precedent, adapted to
+    # sequential argmax): 256 points t = doc_id·1e6 µs, v = (doc_id·37)
+    # mod 101 — every bucket mean is an exact-integer sum over ≤19 rows
+    # divided once, every triangle area a fixed two-product expression
+    # tree, so BOTH engines produce bit-identical doubles and the
+    # argmax/tie-break (first index) cascade deterministically. The
+    # oracle replays the 14 sequential bucket picks as a recursive CTE
+    # with the numpy-linspace bucket bounds inlined as literals
+    # (data-independent for fixed n=256, n_out=16). Sentinel user_id -1.
+    from pyspark.sql import Window as _W
+
+    from tsflex_spark.processing.downsample import lttb
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    ser = docs.where(F.col("doc_id") < 256).select(
+        F.timestamp_micros((F.col("doc_id") * 1_000_000).cast("long")).alias(
+            "ts"
+        ),
+        ((F.col("doc_id") * 37) % 101).cast("double").alias("value"),
+    )
+    kept = lttb(ser, "ts", "value", n_out=16)
+    lrows = kept.select(
+        F.lit(-1).cast("long").alias("user_id"),
+        F.row_number().over(_W.orderBy("ts")).cast("long").alias("bin"),
+        F.col("ts").alias("first_ts"),
+        F.col("value").alias("first_val"),
+        F.col("ts").alias("last_ts"),
+        F.col("value").alias("last_val"),
+        F.col("value").alias("min_val"),
+        F.col("value").alias("max_val"),
+        F.lit(None).cast("timestamp").alias("snap_ts"),
+        F.lit(None).cast("double").alias("snap_value"),
+    )
+    return mrows.unionByName(lrows).orderBy("user_id", "bin")
 
 
 def _oracle_m4_downsample() -> str:
-    return """
-WITH v AS (SELECT user_id, ts, value, epoch_us(ts) AS tsn
+    # LTTB leg literals: numpy-linspace bucket bounds for n=256, n_out=16
+    # (data-independent; inlining skips replaying linspace's fp in SQL)
+    import numpy as np
+
+    n, n_out = 256, 16
+    bounds = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+    brows = []
+    for i in range(n_out - 2):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        nlo = int(bounds[i + 1])
+        nhi = int(bounds[i + 2]) if i + 2 < len(bounds) else n
+        brows.append(f"({i}, {lo}, {hi}, {nlo}, {nhi})")
+    vals = ", ".join(brows)
+    return f"""
+WITH RECURSIVE
+lt AS (SELECT doc_id AS i, CAST(doc_id * 1000000 AS DOUBLE) AS t,
+              CAST((doc_id * 37) % 101 AS DOUBLE) AS vv
+       FROM documents WHERE doc_id < 256),
+ltb(step, lo, hi, nlo, nhi) AS (SELECT * FROM (VALUES {vals})),
+ltg AS (SELECT b.step, avg(l.t) AS at, avg(l.vv) AS av
+        FROM ltb b JOIN lt l ON l.i >= b.nlo AND l.i < b.nhi GROUP BY b.step),
+ltsel(step, a) AS (
+  SELECT -1, 0
+  UNION ALL
+  SELECT p.step + 1,
+    (SELECT l.i
+     FROM lt l, lt anch, ltb b, ltg g
+     WHERE b.step = p.step + 1 AND g.step = p.step + 1
+       AND l.i >= b.lo AND l.i < b.hi AND anch.i = p.a
+     ORDER BY abs((anch.t - g.at) * (l.vv - anch.vv)
+                - (anch.t - l.t) * (g.av - anch.vv)) DESC, l.i ASC
+     LIMIT 1)
+  FROM ltsel p WHERE p.step < {n_out - 3}),
+ltk AS (SELECT DISTINCT a AS i FROM ltsel UNION SELECT {n - 1}),
+v AS (SELECT user_id, ts, value, epoch_us(ts) AS tsn
            FROM events WHERE event_type = 'view'),
 b AS (SELECT user_id, min(tsn) AS lo, max(tsn) AS hi FROM v GROUP BY user_id),
 d AS (SELECT v.*, CASE WHEN b.hi = b.lo THEN 0
@@ -6078,7 +6146,15 @@ s AS (SELECT user_id, arg_max(ts, ts) AS snap_ts, arg_max(value, ts) AS snap_val
       FROM v WHERE ts <= TIMESTAMP '2024-01-15 00:00:00' GROUP BY user_id)
 SELECT m.*, s.snap_ts, s.snap_value
 FROM m LEFT JOIN s ON m.user_id = s.user_id
-ORDER BY m.user_id, m.bin
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS user_id,
+       CAST(row_number() OVER (ORDER BY k.i) AS BIGINT) AS bin,
+       make_timestamp(k.i * 1000000) AS first_ts, l.vv AS first_val,
+       make_timestamp(k.i * 1000000) AS last_ts, l.vv AS last_val,
+       l.vv AS min_val, l.vv AS max_val,
+       CAST(NULL AS TIMESTAMP) AS snap_ts, CAST(NULL AS DOUBLE) AS snap_value
+FROM ltk k JOIN lt l ON l.i = k.i
+ORDER BY user_id, bin
 """
 
 

@@ -135,9 +135,17 @@ def main() -> None:
     sentinel_load: list[float] = []
 
     def _run_sentinel() -> None:
-        t0 = time.perf_counter()
-        _sentinel(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        sentinel_sec.append(round(time.perf_counter() - t0, 4))
+        # min-of-3 back-to-back runs: a single 0.2 s query has ±50 ms of
+        # ordinary scheduler jitter that would read as "host drift"; the
+        # per-visit MIN isolates the sustained-steal signal the sentinel
+        # exists to measure (r9 criterion: cross-round variance < 0.10)
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _sentinel(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+        sentinel_sec.append(round(best, 4))
         sentinel_load.append(loadavg())
 
     # warm the sentinel once too — its first run pays codegen like any

@@ -674,3 +674,28 @@ def test_short_output_alignment_by_tier(spark):
     # both rows at the duplicate instant take the FIRST value kept there
     assert list(out3["v_dup"][:2]) == [1.0, 1.0]
     assert np.isnan(out3["v_dup"].iloc[2])
+
+
+def test_resample_origin_start_past_span(spark):
+    """Origin-aligned grid start beyond the key's last sample: the key's
+    grid is legitimately empty — must yield zero rows, not a Spark
+    sequence() error (hypothesis-found: period 3, origin 0, span [1,2])."""
+    from tsflex_spark.processing.resample import resample_interpolate
+
+    pdf = pd.DataFrame({"k": [0, 0], "ts": [1, 2], "v": [1.0, 2.0]})
+    out = resample_interpolate(
+        spark.createDataFrame(pdf), ts_col="ts", value_col="v",
+        period=3, key_cols=["k"], origin=0,
+    ).toPandas()
+    assert len(out) == 0
+    # mixed spans: one key empty, one key populated
+    pdf2 = pd.DataFrame(
+        {"k": [0, 0, 1, 1], "ts": [1, 2, 0, 6], "v": [1.0, 2.0, 0.0, 6.0]}
+    )
+    out2 = resample_interpolate(
+        spark.createDataFrame(pdf2), ts_col="ts", value_col="v",
+        period=3, key_cols=["k"], origin=0,
+    ).toPandas().sort_values("ts")
+    assert list(out2["k"]) == [1, 1, 1]
+    assert list(out2["ts"]) == [0, 3, 6]
+    assert list(out2["v"]) == [0.0, 3.0, 6.0]

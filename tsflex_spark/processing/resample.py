@@ -66,11 +66,20 @@ def resample_interpolate(
         start = org_expr + F.ceil((F.col("__t0") - org_expr) / step).cast("long") * step
     else:
         start = F.col("__t0")
+    # an origin-aligned start can land BEYOND the key's last sample (all
+    # of the key's span between two lattice points) — that key's grid is
+    # legitimately empty, but Spark's sequence() throws on start > stop,
+    # so guard it (found by the hypothesis fuzz: period 3, origin 0,
+    # span [1, 2] -> start 3 > t1 2)
+    s_col = start.cast("long")
+    e_col = F.col("__t1").cast("long")
     grid = b.select(
         *key_cols,
-        F.explode(F.sequence(start.cast("long"), F.col("__t1").cast("long"), F.lit(step))).alias(
-            "__g"
-        ),
+        F.explode(
+            F.when(s_col <= e_col, F.sequence(s_col, e_col, F.lit(step))).otherwise(
+                F.array().cast("array<long>")
+            )
+        ).alias("__g"),
     )
 
     if key_cols:
