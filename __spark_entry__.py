@@ -6075,20 +6075,31 @@ def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ((F.col("doc_id") * 37) % 101).cast("double").alias("value"),
     )
-    kept = lttb(ser, "ts", "value", n_out=16)
-    lrows = kept.select(
-        F.lit(-1).cast("long").alias("user_id"),
-        F.row_number().over(_W.orderBy("ts")).cast("long").alias("bin"),
-        F.col("ts").alias("first_ts"),
-        F.col("value").alias("first_val"),
-        F.col("ts").alias("last_ts"),
-        F.col("value").alias("last_val"),
-        F.col("value").alias("min_val"),
-        F.col("value").alias("max_val"),
-        F.lit(None).cast("timestamp").alias("snap_ts"),
-        F.lit(None).cast("double").alias("snap_value"),
+    def _lttb_rows(kept, sentinel: int):
+        return kept.select(
+            F.lit(sentinel).cast("long").alias("user_id"),
+            F.row_number().over(_W.orderBy("ts")).cast("long").alias("bin"),
+            F.col("ts").alias("first_ts"),
+            F.col("value").alias("first_val"),
+            F.col("ts").alias("last_ts"),
+            F.col("value").alias("last_val"),
+            F.col("value").alias("min_val"),
+            F.col("value").alias("max_val"),
+            F.lit(None).cast("timestamp").alias("snap_ts"),
+            F.lit(None).cast("double").alias("snap_value"),
+        )
+
+    lrows = _lttb_rows(lttb(ser, "ts", "value", n_out=16), -1)
+    # MinMaxLTTB scale path (ratio=2): the JVM-side min/max preselect
+    # keeps exactly 64 survivors on this series (8 distinct values per
+    # fine bin — 37 is invertible mod 101, so min_by/max_by never tie),
+    # then exact LTTB runs over them; the oracle replays bin assignment,
+    # arg_min/arg_max survivor selection, and the 14-step pick cascade.
+    # Sentinel user_id -2.
+    l2rows = _lttb_rows(lttb(ser, "ts", "value", n_out=16, ratio=2), -2)
+    return (
+        mrows.unionByName(lrows).unionByName(l2rows).orderBy("user_id", "bin")
     )
-    return mrows.unionByName(lrows).orderBy("user_id", "bin")
 
 
 def _oracle_m4_downsample() -> str:
@@ -6097,14 +6108,19 @@ def _oracle_m4_downsample() -> str:
     import numpy as np
 
     n, n_out = 256, 16
-    bounds = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
-    brows = []
-    for i in range(n_out - 2):
-        lo, hi = int(bounds[i]), int(bounds[i + 1])
-        nlo = int(bounds[i + 1])
-        nhi = int(bounds[i + 2]) if i + 2 < len(bounds) else n
-        brows.append(f"({i}, {lo}, {hi}, {nlo}, {nhi})")
-    vals = ", ".join(brows)
+
+    def _bounds_values(num: int) -> str:
+        bounds = np.linspace(1, num - 1, n_out - 1).astype(np.int64)
+        rows = []
+        for i in range(n_out - 2):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            nlo = int(bounds[i + 1])
+            nhi = int(bounds[i + 2]) if i + 2 < len(bounds) else num
+            rows.append(f"({i}, {lo}, {hi}, {nlo}, {nhi})")
+        return ", ".join(rows)
+
+    vals = _bounds_values(n)
+    vals2 = _bounds_values(64)  # MinMaxLTTB survivor count on this series
     return f"""
 WITH RECURSIVE
 lt AS (SELECT doc_id AS i, CAST(doc_id * 1000000 AS DOUBLE) AS t,
@@ -6126,6 +6142,29 @@ ltsel(step, a) AS (
      LIMIT 1)
   FROM ltsel p WHERE p.step < {n_out - 3}),
 ltk AS (SELECT DISTINCT a AS i FROM ltsel UNION SELECT {n - 1}),
+l2b AS (SELECT i, t, vv,
+               least(CAST(floor(t / 255000000.0 * 32.0) AS INT), 31) AS bin
+        FROM lt),
+l2s AS (SELECT arg_min(i, vv) AS i FROM l2b GROUP BY bin
+        UNION SELECT arg_max(i, vv) FROM l2b GROUP BY bin),
+l2 AS (SELECT row_number() OVER (ORDER BY l.i) - 1 AS r, l.i, l.t, l.vv
+       FROM lt l JOIN l2s USING (i)),
+ltb2(step, lo, hi, nlo, nhi) AS (SELECT * FROM (VALUES {vals2})),
+l2g AS (SELECT b.step, avg(l.t) AS at, avg(l.vv) AS av
+        FROM ltb2 b JOIN l2 l ON l.r >= b.nlo AND l.r < b.nhi GROUP BY b.step),
+l2sel(step, a) AS (
+  SELECT -1, 0
+  UNION ALL
+  SELECT p.step + 1,
+    (SELECT l.r
+     FROM l2 l, l2 anch, ltb2 b, l2g g
+     WHERE b.step = p.step + 1 AND g.step = p.step + 1
+       AND l.r >= b.lo AND l.r < b.hi AND anch.r = p.a
+     ORDER BY abs((anch.t - g.at) * (l.vv - anch.vv)
+                - (anch.t - l.t) * (g.av - anch.vv)) DESC, l.r ASC
+     LIMIT 1)
+  FROM l2sel p WHERE p.step < {n_out - 3}),
+l2k AS (SELECT DISTINCT a AS r FROM l2sel UNION SELECT 63),
 v AS (SELECT user_id, ts, value, epoch_us(ts) AS tsn
            FROM events WHERE event_type = 'view'),
 b AS (SELECT user_id, min(tsn) AS lo, max(tsn) AS hi FROM v GROUP BY user_id),
@@ -6154,6 +6193,14 @@ SELECT CAST(-1 AS BIGINT) AS user_id,
        l.vv AS min_val, l.vv AS max_val,
        CAST(NULL AS TIMESTAMP) AS snap_ts, CAST(NULL AS DOUBLE) AS snap_value
 FROM ltk k JOIN lt l ON l.i = k.i
+UNION ALL
+SELECT CAST(-2 AS BIGINT) AS user_id,
+       CAST(row_number() OVER (ORDER BY l.i) AS BIGINT) AS bin,
+       make_timestamp(l.i * 1000000) AS first_ts, l.vv AS first_val,
+       make_timestamp(l.i * 1000000) AS last_ts, l.vv AS last_val,
+       l.vv AS min_val, l.vv AS max_val,
+       CAST(NULL AS TIMESTAMP) AS snap_ts, CAST(NULL AS DOUBLE) AS snap_value
+FROM l2k k JOIN l2 l ON l.r = k.r
 ORDER BY user_id, bin
 """
 
