@@ -69,6 +69,7 @@ def main() -> None:
             sinfo.append(
                 f"s{sid}:{(s['executorRunTime']/1000):.1f}s/{s['numCompleteTasks']}t"
                 f"/r{s.get('shuffleReadBytes',0)//1024}k/w{s.get('shuffleWriteBytes',0)//1024}k"
+                f"[{(s.get('name') or '')[:40]}]"
             )
         print(f"job {j['jobId']:4d} {dur:6.2f}s  {' '.join(sinfo)}")
     print(f"sum of job wall times: {total:.2f}s (jobs={len(sel)})")

@@ -168,23 +168,32 @@ def minhash_signatures(
         )
     k = int(num_hashes)
     ex = ex.withColumn("__b", F.pmod(F.col("__h"), F.lit(k)).cast("int"))
-    g = ex.groupBy(id_col).agg(*_oph_aggs(F.col("__h"), k, "__b"))
+    g = ex.groupBy(id_col).agg(*_oph_aggs("__h", k, "__b"))
     return g.select(F.col(id_col), _oph_signature(k).alias("minhash"))
 
 
-def _oph_aggs(h: Column, k: int, bin_col: str) -> List[Column]:
+def _oph_aggs(h: str, k: int, bin_col: str) -> List[Column]:
     """ONE hash-aggregate with k conditional mins — map-side combine
     collapses each doc to a single k-wide buffer before the shuffle
     (the earlier two-level groupBy(id, bin) + collect_list shape
     shuffled ~k rows per doc and then densified through an INTERPRETED
-    higher-order lambda — 64 evals/doc; this form is all codegen).
+    higher-order lambda — 64 evals/doc; this form is all codegen;
+    re-measured r10: two-level 3.1 s vs this 0.9 s at sf0.1).
     ``bin_col`` must hold ``pmod(h, k)`` precomputed ONCE per row —
     inlining the pmod into each of the k conditions would evaluate it
-    k times per row."""
-    b = F.col(bin_col)
+    k times per row.
+
+    PERF (r10): every expression here is a parsed SQL string — ONE py4j
+    round trip per slot instead of ~5 Column-API calls each. Building
+    these trees through the Column API measured ~1.6 s of pure DRIVER
+    time per call at k=128 (the py4j chatter, paid again on every
+    invocation); the string form is ~30 ms with an identical analyzed
+    plan. ``h`` is the hash column's NAME for the same reason.
+    """
     return [
-        F.min(F.when(b == j, h)).alias(f"__m{j}") for j in range(k)
-    ] + [F.min(h).alias("__dm")]
+        F.expr(f"min(CASE WHEN {bin_col} = {j} THEN {h} END) AS __m{j}")
+        for j in range(k)
+    ] + [F.expr(f"min({h}) AS __dm")]
 
 
 def _oph_signature(k: int) -> Column:
@@ -193,18 +202,15 @@ def _oph_signature(k: int) -> Column:
     sentinel (a shared constant would make all short docs collide on
     densified band hashes → O(n²) false candidates among short docs at
     scale). Equal shingle sets still densify identically (same
-    doc_min_hash)."""
-    return F.array(
-        *[
-            F.coalesce(
-                F.col(f"__m{j}"),
-                F.col(f"__m{(j + 1) % k}"),
-                F.col(f"__m{(j + 2) % k}"),
-                F.xxhash64(F.col("__dm"), F.lit(j)),
-            )
-            for j in range(k)
-        ]
+    doc_min_hash). One parsed SQL string (see ``_oph_aggs`` PERF note:
+    the Column-API form of this assembly measured ~1.7 s of driver time
+    per call at k=128)."""
+    terms = ", ".join(
+        f"coalesce(__m{j}, __m{(j + 1) % k}, __m{(j + 2) % k}, "
+        f"xxhash64(__dm, {j}))"
+        for j in range(k)
     )
+    return F.expr(f"array({terms})")
 
 
 def minhash_lsh_candidates(
@@ -506,36 +512,39 @@ def simhash(
     # so only the raw bit is summed and the rescale happens per GROUP.
     sh = shingles if shingles is not None else shingle_rows(df, text_col, id_col, shingle_k)
     ex = sh.select(id_col, F.xxhash64("__s").alias("__h"))
-    g = ex.groupBy(id_col).agg(*_simhash_aggs(F.col("__h")))
+    g = ex.groupBy(id_col).agg(*_simhash_aggs("__h"))
     return g.select(F.col(id_col), _simhash_fingerprint().alias("simhash"))
 
 
-def _simhash_aggs(h: Column) -> List[Column]:
-    """16 lane-packed popcount sums + the shingle count (see ``simhash``)."""
+def _simhash_aggs(h: str) -> List[Column]:
+    """16 lane-packed popcount sums + the shingle count (see ``simhash``).
+    Parsed SQL strings, not Column-API trees — see ``_oph_aggs`` PERF
+    note. ``h`` is the hash column's name."""
     aggs = []
     for lane in range(16):  # lanes pack bits b, b+16, b+32, b+48
-        packed = F.lit(0).cast("long")
-        for slot in range(4):
-            b = lane + 16 * slot
-            packed = packed + F.shiftleft(
-                F.shiftright(h, b).bitwiseAND(F.lit(1)), 16 * slot
-            )
-        aggs.append(F.sum(packed).alias(f"__p{lane}"))
-    aggs.append(F.count(F.lit(1)).alias("__n"))
+        packed = " + ".join(
+            f"shiftleft(shiftright({h}, {lane + 16 * slot}) & 1, {16 * slot})"
+            for slot in range(4)
+        )
+        aggs.append(F.expr(f"sum(CAST(0 AS BIGINT) + {packed}) AS __p{lane}"))
+    aggs.append(F.expr("count(1) AS __n"))
     return aggs
 
 
 def _simhash_fingerprint() -> Column:
-    """Reassemble the 64-bit fingerprint from the 16 lane sums."""
-    fingerprint = F.lit(0).cast("long")
+    """Reassemble the 64-bit fingerprint from the 16 lane sums. One
+    parsed SQL string (see ``_oph_aggs`` PERF note). The bit-63 mask is
+    ``shiftleft(1, 63)`` — the SQL parser cannot spell the min-long
+    literal directly, and the shift is constant-folded to the same
+    value the Column form used."""
+    terms = []
     for b in range(64):
         lane, slot = b % 16, b // 16
-        popc = F.shiftright(F.col(f"__p{lane}"), 16 * slot).bitwiseAND(F.lit(0xFFFF))
-        mask = F.lit(-(2**63) if b == 63 else (1 << b)).cast("long")
-        fingerprint = fingerprint.bitwiseOR(
-            F.when(popc * 2 > F.col("__n"), mask).otherwise(F.lit(0).cast("long"))
+        terms.append(
+            f"(CASE WHEN (shiftright(__p{lane}, {16 * slot}) & 65535) * 2 > __n "
+            f"THEN shiftleft(CAST(1 AS BIGINT), {b}) ELSE CAST(0 AS BIGINT) END)"
         )
-    return fingerprint
+    return F.expr("CAST(0 AS BIGINT) | " + " | ".join(terms))
 
 
 def sketch_signatures(
@@ -563,7 +572,7 @@ def sketch_signatures(
         F.xxhash64("__s").alias("__hs"),
     ).withColumn("__b", F.pmod(F.col("__hm"), F.lit(k)).cast("int"))
     g = ex.groupBy(id_col).agg(
-        *_oph_aggs(F.col("__hm"), k, "__b"), *_simhash_aggs(F.col("__hs"))
+        *_oph_aggs("__hm", k, "__b"), *_simhash_aggs("__hs")
     )
     return g.select(
         F.col(id_col),
@@ -1433,14 +1442,36 @@ def dedup_against_store(
             shingle_k=shingle_k, signatures=sig, shingles=shingles,
         )
     # materialize survivors BEFORE appending their bands: the append
-    # must not re-observe itself through the store read above
-    survivors = survivors.localCheckpoint(eager=True)
+    # must not re-observe itself through the store read above. The
+    # barrier is only NEEDED when the survivors' plan actually contains
+    # that store read AND the append will happen (update_store against
+    # an existing store); a bootstrap call (no store yet) or a read-only
+    # probe (update_store=False) returns a lazy frame instead — one
+    # whole materialization pass of the batch (text and all) saved per
+    # call, with identical results (measured: gate store leg 7.7 → ~2 s
+    # at sf0.1 together with the single-file-per-band write below).
+    # (bootstrap + within_batch still checkpoints: the append below
+    # executes the within-batch dedup once for keep_ids, and without the
+    # barrier the caller's consumption would run it a second time)
+    if update_store and (have_store or within_batch):
+        survivors = survivors.localCheckpoint(eager=True)
 
     if update_store:
         keep_ids = survivors.select(id_col)
         out = bands.join(keep_ids, on=id_col, how="left_semi").select(
             "band", "band_hash", F.col(id_col).alias("id")
         )
+        # one output file per band per batch, not one per band per task:
+        # the store's rows are 3 longs, so a natural-parallelism
+        # partitionBy write fans out to (bands × tasks) KB-sized files
+        # (measured 1,026 files for 4.2 MB at sf0.1 — file-create
+        # overhead dominates the append, and every later probe pays the
+        # listing). The keyed repartition is a tiny (band,hash,id)
+        # shuffle; AQE coalesces it to ≤ num_bands tasks. Batches big
+        # enough to want >1 file per band should bump
+        # spark.sql.files.maxRecordsPerFile instead — the band layout
+        # (and the probe-side pruning) is unchanged either way.
+        out = out.repartition("band")
         out.write.mode("append").partitionBy("band").parquet(store_path)
     return survivors
 
