@@ -1807,11 +1807,66 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-perplexity: train AND score consume the same bigram explode —
     # checkpoint it once instead of exploding the corpus twice
     bg = bigram_rows(docs, "text", "doc_id").localCheckpoint(eager=False)
-    lm = train_ngram_lm(docs, "text", id_col="doc_id", bigrams=bg)
-    ppl = score_perplexity(
-        docs, lm, "text", id_col="doc_id", broadcast_model=True, bigrams=bg
-    )
-    out = base.join(bpe, on="doc_id").join(ppl, on="doc_id")
+
+    # r10: the Laplace-LM chain, the KN chain, and the exact-quantile
+    # selection are three independent eager-ish build chains (each ends
+    # in internal checkpoints whose stages run at build time under AQE);
+    # run them on a small driver pool so their job barriers overlap
+    # (guide §2.6) — ~1.5 s less build wall at sf0.1, identical plans.
+    # Concurrent first use of the shared bg checkpoint is safe (the
+    # block manager locks per-partition computation).
+    from concurrent.futures import ThreadPoolExecutor
+
+    from tsflex_spark.datapipe.lm import score_perplexity_kn, train_kn_lm
+    from tsflex_spark.utils.distributed import exact_quantiles as _eq
+
+    def _laplace_leg():
+        lm = train_ngram_lm(docs, "text", id_col="doc_id", bigrams=bg)
+        return score_perplexity(
+            docs, lm, "text", id_col="doc_id", broadcast_model=True, bigrams=bg
+        )
+
+    def _kn_leg():
+        kn = train_kn_lm(
+            docs,
+            "text",
+            id_col="doc_id",
+            order=2,
+            ngrams=bg.select(
+                "doc_id", F.col("w1").alias("g1"), F.col("w2").alias("g2")
+            ),
+        )
+        docs2 = docs.select(
+            "doc_id", F.concat(F.col("text"), F.lit(" zzqqunk")).alias("__t2")
+        )
+        return score_perplexity_kn(
+            docs2, kn, "__t2", id_col="doc_id", broadcast_model=True
+        ).select(
+            "doc_id",
+            F.col("n_ngrams").alias("kn_n"),
+            F.col("sum_logp_e6").alias("kn_sum_logp_e6"),
+            F.col("ppl").alias("kn_ppl"),
+        )
+
+    def _cuts_leg():
+        # quantiles from a MINIMAL projection straight off the scan —
+        # feeding the joined frame would re-execute the whole join once
+        # per selection pass (exact_quantiles is two-pass by construction)
+        lens = docs.select(F.length("text").alias("n_chars"))
+        return _eq(lens, "n_chars", [0.05, 0.95]).agg(
+            F.min(F.when(F.col("q") == 0.05, F.col("value"))).alias("p05_chars"),
+            F.max(F.when(F.col("q") == 0.95, F.col("value"))).alias("p95_chars"),
+        )
+
+    leg_pool = ThreadPoolExecutor(max_workers=3)
+    try:
+        ppl_fut = leg_pool.submit(_laplace_leg)
+        kn_fut = leg_pool.submit(_kn_leg)
+        cuts_fut = leg_pool.submit(_cuts_leg)
+    finally:
+        leg_pool.shutdown(wait=False)
+
+    out = base.join(bpe, on="doc_id").join(ppl_fut.result(), on="doc_id")
     from tsflex_spark.datapipe.text import chunk_documents
 
     ch = chunk_documents(docs, "text", id_col="doc_id", max_tokens=64, overlap=16)
@@ -1821,32 +1876,10 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("chunk_text")).cast("long").alias("sum_chunk_chars"),
     )
     out = out.join(cha, on="doc_id")
-    from tsflex_spark.datapipe.lm import score_perplexity_kn, train_kn_lm
-
     # KN training consumes the SAME bigram explode the Laplace leg
-    # checkpointed above — rename (w1,w2) to the g-col convention instead
-    # of re-exploding the corpus
-    kn = train_kn_lm(
-        docs,
-        "text",
-        id_col="doc_id",
-        order=2,
-        ngrams=bg.select(
-            "doc_id", F.col("w1").alias("g1"), F.col("w2").alias("g2")
-        ),
-    )
-    docs2 = docs.select(
-        "doc_id", F.concat(F.col("text"), F.lit(" zzqqunk")).alias("__t2")
-    )
-    knp = score_perplexity_kn(
-        docs2, kn, "__t2", id_col="doc_id", broadcast_model=True
-    ).select(
-        "doc_id",
-        F.col("n_ngrams").alias("kn_n"),
-        F.col("sum_logp_e6").alias("kn_sum_logp_e6"),
-        F.col("ppl").alias("kn_ppl"),
-    )
-    out = out.join(knp, on="doc_id")
+    # checkpointed above (g-col rename instead of re-exploding the
+    # corpus); the chain ran on the background pool started above
+    out = out.join(kn_fut.result(), on="doc_id")
     from tsflex_spark.datapipe.text import normalize_unicode
 
     nsrc = docs.select(
@@ -1896,15 +1929,8 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = out.join(bleg, on="doc_id")
-    # quantiles from a MINIMAL projection straight off the scan — feeding
-    # the joined frame would re-execute the whole join once per selection
-    # pass (exact_quantiles is two-pass by construction)
-    lens = docs.select(F.length("text").alias("n_chars"))
-    cuts = exact_quantiles(lens, "n_chars", [0.05, 0.95]).agg(
-        F.min(F.when(F.col("q") == 0.05, F.col("value"))).alias("p05_chars"),
-        F.max(F.when(F.col("q") == 0.95, F.col("value"))).alias("p95_chars"),
-    )
-    out = out.join(F.broadcast(cuts))
+    # quantile cutoffs from the background pool (see _cuts_leg above)
+    out = out.join(F.broadcast(cuts_fut.result()))
     return out.select(
         "doc_id",
         "n_chars",
@@ -2949,25 +2975,41 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from tsflex_spark.datapipe.similarity import knn_join
 
+    # r10: each leg below starts with an eager driver fetch (knn_join
+    # collects its bounded query side; bm25 collects its df table;
+    # pca_train its moments) — independent chains, so they run on a
+    # small driver pool and their fetch jobs overlap (guide §2.6).
+    from concurrent.futures import ThreadPoolExecutor
+
     # brute leg rides the same knn_join BLAS kernel as the batch leg
     # (one Arrow matmul per corpus partition + per-partition partial
     # top-k) — no interpreted zip_with/aggregate lambda anywhere in the
     # gate's plan (the HOF path measured ~20x slower per element)
-    q1 = emb.where(F.col("vec_id") == 0).select(
-        F.lit(0).cast("long").alias("q_id"), "embedding"
-    )
-    brute = knn_join(emb.where(F.col("vec_id") != 0), q1, k=10).select(
-        F.lit("brute").alias("method"), "q_id", "vec_id", "cosine", "rank"
-    )
+    def _brute_leg():
+        q1 = emb.where(F.col("vec_id") == 0).select(
+            F.lit(0).cast("long").alias("q_id"), "embedding"
+        )
+        return knn_join(emb.where(F.col("vec_id") != 0), q1, k=10).select(
+            F.lit("brute").alias("method"), "q_id", "vec_id", "cosine", "rank"
+        )
+
     # exact KNN JOIN: top-5 corpus neighbors for EVERY query in a 5-query
     # table at once (map-only corpus scan + BLAS partial top-k per
     # partition) — the batch retrieval-set builder
-    qs = emb.where(F.col("vec_id") <= 4).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding")
-    )
-    knn = knn_join(
-        emb.where(F.col("vec_id") > 4), qs, k=5, q_id_col="q_id"
-    ).select(F.lit("knn").alias("method"), "q_id", "vec_id", "cosine", "rank")
+    def _knn_leg():
+        qs = emb.where(F.col("vec_id") <= 4).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding")
+        )
+        return knn_join(
+            emb.where(F.col("vec_id") > 4), qs, k=5, q_id_col="q_id"
+        ).select(F.lit("knn").alias("method"), "q_id", "vec_id", "cosine", "rank")
+
+    leg_pool = ThreadPoolExecutor(max_workers=2)
+    try:
+        brute_fut = leg_pool.submit(_brute_leg)
+        knn_fut = leg_pool.submit(_knn_leg)
+    finally:
+        leg_pool.shutdown(wait=False)
     # PCA isometry leg: full-rank (k = d) PCA is an orthonormal rotation
     # of the centered space, so euclidean top-10 in PCA coordinates MUST
     # equal euclidean top-10 on the raw vectors (DuckDB computes the
@@ -3028,7 +3070,8 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        brute.unionByName(knn)
+        brute_fut.result()
+        .unionByName(knn_fut.result())
         .unionByName(pca_top)
         .unionByName(bm_top)
         .orderBy("method", "q_id", "rank")
@@ -3180,52 +3223,72 @@ def q_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from tsflex_spark.datapipe.embedding import kmeans_fit
 
-    init_pd = (
-        base.select("vec_id", "embedding").orderBy("vec_id").limit(_KM_K).toPandas()
+    # r10: ONE driver fetch feeds both the k-means init (first _KM_K
+    # rows) and the PQ codebook below (first _PQ_KSUB rows) — the two
+    # limits were separate toPandas jobs; and the whole k-means leg
+    # (5 sequential Lloyd collects + the assignment scan) runs from a
+    # second driver thread so its iteration barriers overlap the
+    # lsh/ivf/pq plan construction (guide §2.6). Joined via
+    # km_fut.result() before the union.
+    cb_pd = (
+        base.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(max(_KM_K, _PQ_KSUB))
+        .toPandas()
     )
-    C0 = np.asarray(init_pd["embedding"].tolist(), dtype="float64")
-    C, _ = kmeans_fit(
-        base, _KM_K, "embedding", iters=_KM_ITERS, tol=0.0, init_centroids=C0
-    )
+    C0 = np.asarray(cb_pd["embedding"].head(_KM_K).tolist(), dtype="float64")
 
-    def assign(batches):
-        norms = (C**2).sum(1)
-        cnt = np.zeros(len(C), dtype="int64")
-        sse = 0.0
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            X = np.asarray(pdf["embedding"].tolist(), dtype="float64")
-            d2 = -2.0 * (X @ C.T) + norms[None, :]
-            a = d2.argmin(1)
-            cnt_local = np.bincount(a, minlength=len(C))
-            cnt += cnt_local
-            sse += float((d2[np.arange(len(X)), a] + (X * X).sum(1)).sum())
-        yield pd.DataFrame(
-            {
-                "cid": np.arange(len(C)),
-                "cnt": cnt,
-                "sse": [sse] + [0.0] * (len(C) - 1),
-            }
+    def _kmeans_leg():
+        C, _ = kmeans_fit(
+            base, _KM_K, "embedding", iters=_KM_ITERS, tol=0.0, init_centroids=C0
         )
 
-    parts = (
-        base.select("embedding")
-        .mapInPandas(assign, "cid int, cnt long, sse double")
-        .groupBy("cid")
-        .agg(F.sum("cnt").alias("cnt"), F.sum("sse").alias("sse"))
-        .collect()
-    )
-    counts = {int(r["cid"]): int(r["cnt"]) for r in parts}
-    inertia = float(sum(r["sse"] for r in parts))
-    rows = [
-        ("kmeans", j, float((C[j] ** 2).sum()), counts.get(j, 0))
-        for j in range(_KM_K)
-    ]
-    rows.append(("kmeans_inertia", -1, inertia, sum(counts.values())))
-    km = spark.createDataFrame(
-        rows, "method string, vec_id long, metric double, rank int"
-    )
+        def assign(batches):
+            norms = (C**2).sum(1)
+            cnt = np.zeros(len(C), dtype="int64")
+            sse = 0.0
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = np.asarray(pdf["embedding"].tolist(), dtype="float64")
+                d2 = -2.0 * (X @ C.T) + norms[None, :]
+                a = d2.argmin(1)
+                cnt_local = np.bincount(a, minlength=len(C))
+                cnt += cnt_local
+                sse += float((d2[np.arange(len(X)), a] + (X * X).sum(1)).sum())
+            yield pd.DataFrame(
+                {
+                    "cid": np.arange(len(C)),
+                    "cnt": cnt,
+                    "sse": [sse] + [0.0] * (len(C) - 1),
+                }
+            )
+
+        parts = (
+            base.select("embedding")
+            .mapInPandas(assign, "cid int, cnt long, sse double")
+            .groupBy("cid")
+            .agg(F.sum("cnt").alias("cnt"), F.sum("sse").alias("sse"))
+            .collect()
+        )
+        counts = {int(r["cid"]): int(r["cnt"]) for r in parts}
+        inertia = float(sum(r["sse"] for r in parts))
+        rows = [
+            ("kmeans", j, float((C[j] ** 2).sum()), counts.get(j, 0))
+            for j in range(_KM_K)
+        ]
+        rows.append(("kmeans_inertia", -1, inertia, sum(counts.values())))
+        return spark.createDataFrame(
+            rows, "method string, vec_id long, metric double, rank int"
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    km_pool = ThreadPoolExecutor(max_workers=1)
+    try:
+        km_fut = km_pool.submit(_kmeans_leg)
+    finally:
+        km_pool.shutdown(wait=False)
     # pq / ivfpq legs (round 10, r9 verdict task 4): the PQ/ADC search
     # surface promoted from pytest-only to hash legs. The codebook is
     # PLANTED deterministically from the corpus itself — subspace s's
@@ -3252,13 +3315,11 @@ def q_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_search,
     )
 
-    cb_pd = (
-        base.select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .limit(_PQ_KSUB)
-        .toPandas()
+    # codebook rows come from the single driver fetch above (first
+    # _PQ_KSUB of the max(_KM_K, _PQ_KSUB) rows — same frame, same order)
+    Xcb = np.asarray(
+        cb_pd["embedding"].head(_PQ_KSUB).tolist(), dtype="float64"
     )
-    Xcb = np.asarray(cb_pd["embedding"].tolist(), dtype="float64")
     dsub = _ANN_DIM // _PQ_M
     cb = PQCodebook(
         np.stack([Xcb[:, s * dsub : (s + 1) * dsub] for s in range(_PQ_M)])
@@ -3310,6 +3371,7 @@ def q_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("r.*")
     )
+    km = km_fut.result()
     return (
         lsh.unionByName(ivf)
         .unionByName(km)
@@ -3558,6 +3620,23 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, pairs, "text", id_col="doc_id", shingles=sh, prune_checkpoint=False
     )
     edges = sim.where(F.col("jaccard") >= 0.2).localCheckpoint(eager=False)
+    # r10: PageRank's fixed-iteration loop only needs the edge
+    # checkpoint, not the CC labels — run it from a second driver
+    # thread so its per-iteration jobs overlap the union-find collect
+    # and split-hash legs below (guide §2.6; concurrent first use of
+    # the edges RDD is safe — the block manager locks per-partition
+    # computation). Joined via pr_fut.result() before the stats join.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from tsflex_spark.datapipe.graph import degrees, pagerank
+
+    pr_pool = ThreadPoolExecutor(max_workers=1)
+    try:
+        pr_fut = pr_pool.submit(
+            pagerank, edges, "id_a", "id_b", damping=0.85, iters=6
+        )
+    finally:
+        pr_pool.shutdown(wait=False)
     cc = connected_components(edges, "id_a", "id_b")
     labeled = docs.select("doc_id").join(
         cc, docs["doc_id"] == cc["node"], "left"
@@ -3569,10 +3648,9 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pytest-only to oracle-verified — PageRank mass (6 fixed power
     # iterations, damping 0.85, dangling-mass redistribution) and total
     # degree over the SAME candidate edge graph; the DuckDB oracle
-    # unrolls the identical iterations as a generated CTE chain
-    from tsflex_spark.datapipe.graph import degrees, pagerank
-
-    pr = pagerank(edges, "id_a", "id_b", damping=0.85, iters=6)
+    # unrolls the identical iterations as a generated CTE chain.
+    # (r10: the iterations ran on the background thread started above.)
+    pr = pr_fut.result()
     dg = degrees(edges, "id_a", "id_b").select(
         "node", (F.col("out_degree") + F.col("in_degree")).alias("dtot")
     )
