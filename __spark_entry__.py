@@ -2203,11 +2203,23 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pii_count").cast("long").alias("pii_count"),
         F.length("__red").cast("long").alias("n_chars_redacted"),
     )
-    from tsflex_spark.datapipe.dsir import fit_bucket_logratio, importance_weights
+    from tsflex_spark.datapipe.dsir import (
+        fit_bucket_logratio,
+        hashed_buckets,
+        importance_weights,
+    )
 
+    # r10: ONE corpus gram pass feeds both the log-ratio fit (raw side)
+    # and the per-doc weights — previously each exploded the corpus
+    # separately (hashed_buckets reuse; identical integers either way)
+    dbk = hashed_buckets(docs, "text", "doc_id", 64).localCheckpoint(eager=False)
     target = docs.where(F.col("doc_id") % 10 == 0).select("text")
-    lr = fit_bucket_logratio(target, docs.select("text"), "text", num_buckets=64)
-    dw = importance_weights(docs, lr, "text", id_col="doc_id", num_buckets=64).select(
+    lr = fit_bucket_logratio(
+        target, docs.select("text"), "text", num_buckets=64, raw_buckets=dbk
+    )
+    dw = importance_weights(
+        docs, lr, "text", id_col="doc_id", num_buckets=64, buckets=dbk
+    ).select(
         "doc_id",
         F.col("n_grams").alias("dsir_n_grams"),
         F.col("logw_e6").alias("dsir_logw_e6"),

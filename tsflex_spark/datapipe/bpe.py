@@ -116,7 +116,9 @@ def word_frequencies(
     t = F.col(text_col)
     if lowercase:
         t = F.lower(t)
-    words = df.select(F.explode(F.split(F.trim(t), r"\s+")).alias("word")).where(
+    from tsflex_spark.utils.data import fan_out
+
+    words = fan_out(df).select(F.explode(F.split(F.trim(t), r"\s+")).alias("word")).where(
         F.col("word") != ""
     )
     counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("count"))

@@ -27,6 +27,8 @@ double (from an exact integer hash — same double everywhere).
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -44,12 +46,32 @@ def _hashed_buckets(df: DataFrame, text_col: str, id_col: str, num_buckets: int)
         lambda a, b: F.concat_ws(" ", a, b),
     )
     grams = F.concat(uni, big)
-    g = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    # fan_out before the compute-amplifying explode: a single-file
+    # parquet scan is ONE partition, so without it the whole corpus
+    # tokenize+explode+hash ran on one core (two 1-task 1.2 s stages
+    # observed in the quality_score gate at sf0.1 — guide §2.5 input
+    # skew; every other explode-heavy operator already does this)
+    from tsflex_spark.utils.data import fan_out
+
+    g = fan_out(df).select(F.col(id_col), F.explode(grams).alias("gram"))
     return (
         g.select(id_col, F.pmod(F.xxhash64("gram"), F.lit(num_buckets)).alias("bucket"))
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+
+
+def hashed_buckets(
+    df: DataFrame, text_col: str, id_col: str, num_buckets: int
+) -> DataFrame:
+    """Public reuse surface for the per-document hashed-gram bucket
+    counts (``(id, bucket, c)``): compute once, checkpoint, and pass to
+    ``fit_bucket_logratio(raw_buckets=...)`` AND
+    ``importance_weights(buckets=...)`` — the ``signatures=`` reuse
+    contract of the sketch family, applied to DSIR (fit + weights over
+    the same corpus otherwise tokenize + explode it twice — r10
+    optimization, one full corpus gram pass saved)."""
+    return _hashed_buckets(df, text_col, id_col, num_buckets)
 
 
 def fit_bucket_logratio(
@@ -59,19 +81,29 @@ def fit_bucket_logratio(
     *,
     num_buckets: int = 10_000,
     alpha: float = 1.0,
+    raw_buckets: Optional[DataFrame] = None,
 ) -> DataFrame:
     """(bucket, lr_e6): micro-nat fixed-point ln(p_bucket/q_bucket) with
     additive ``alpha`` smoothing over the bucket simplex. Tiny (≤
-    ``num_buckets`` rows) — always broadcastable."""
+    ``num_buckets`` rows) — always broadcastable.
+
+    ``raw_buckets``: a precomputed ``hashed_buckets`` frame for the SAME
+    ``raw`` corpus and ``num_buckets`` — skips the raw-side gram pass
+    (the bucket histogram is the per-doc counts summed, so the ids in
+    the frame are irrelevant and the resulting integers are identical).
+    """
     tid, rid = "__tid", "__rid"
     t = _hashed_buckets(
         target.select(F.monotonically_increasing_id().alias(tid), F.col(text_col)),
         text_col, tid, num_buckets,
     ).groupBy("bucket").agg(F.sum("c").alias("tc"))
-    r = _hashed_buckets(
-        raw.select(F.monotonically_increasing_id().alias(rid), F.col(text_col)),
-        text_col, rid, num_buckets,
-    ).groupBy("bucket").agg(F.sum("c").alias("rc"))
+    if raw_buckets is not None:
+        r = raw_buckets.groupBy("bucket").agg(F.sum("c").alias("rc"))
+    else:
+        r = _hashed_buckets(
+            raw.select(F.monotonically_increasing_id().alias(rid), F.col(text_col)),
+            text_col, rid, num_buckets,
+        ).groupBy("bucket").agg(F.sum("c").alias("rc"))
     j = t.join(r, on="bucket", how="full")
     tc = F.coalesce(F.col("tc"), F.lit(0)).cast("double")
     rc = F.coalesce(F.col("rc"), F.lit(0)).cast("double")
@@ -98,10 +130,13 @@ def importance_weights(
     id_col: str = "doc_id",
     *,
     num_buckets: int = 10_000,
+    buckets: Optional[DataFrame] = None,
 ) -> DataFrame:
     """(id, n_grams, logw_e6): exact integer per-doc importance scores
-    Σ c_bucket · lr_e6. Docs with no n-grams get logw_e6 = 0."""
-    b = _hashed_buckets(raw, text_col, id_col, num_buckets)
+    Σ c_bucket · lr_e6. Docs with no n-grams get logw_e6 = 0.
+    ``buckets``: a precomputed ``hashed_buckets`` frame for ``raw``
+    (same ``id_col``/``num_buckets``) — skips the gram pass."""
+    b = buckets if buckets is not None else _hashed_buckets(raw, text_col, id_col, num_buckets)
     scored = b.join(F.broadcast(logratio), on="bucket", how="left")
     per = scored.groupBy(id_col).agg(
         F.sum("c").alias("n_grams"),

@@ -60,7 +60,12 @@ def bigram_rows(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.slice(toks, 1, F.greatest(n - 1, F.lit(0))).alias("w1"),
         F.slice(toks, 2, F.greatest(n - 1, F.lit(0))).alias("w2"),
     )
-    return df.select(F.col(id_col), F.explode(z).alias("__b")).select(
+    from tsflex_spark.utils.data import fan_out
+
+    # fan_out before the explode: a single-file parquet scan is ONE
+    # partition, so the corpus tokenize+explode otherwise runs on one
+    # core (guide §2.5 input skew)
+    return fan_out(df).select(F.col(id_col), F.explode(z).alias("__b")).select(
         id_col, F.col("__b.w1").alias("w1"), F.col("__b.w2").alias("w2")
     )
 
@@ -122,7 +127,9 @@ def train_ngram_lm(
     )
     contexts = pairs_all.groupBy("w1").agg(F.sum("c").alias("cc"))
     pairs = pairs_all.filter(F.col("c") >= int(min_count)) if min_count > 1 else pairs_all
-    toks = docs.select(
+    from tsflex_spark.utils.data import fan_out
+
+    toks = fan_out(docs).select(
         F.explode(F.transform(_tokens(F.col(text_col)), F.lower)).alias("w")
     )
     vocab = toks.agg(F.count_distinct("w").alias("v"))
@@ -364,7 +371,9 @@ def ngram_rows(
     z = F.arrays_zip(
         *[F.slice(toks, i + 1, width).alias(f"g{i + 1}") for i in range(order)]
     )
-    out = df.select(F.col(id_col), F.explode(z).alias("__g"))
+    from tsflex_spark.utils.data import fan_out
+
+    out = fan_out(df).select(F.col(id_col), F.explode(z).alias("__g"))
     return out.select(
         id_col, *[F.col(f"__g.g{i + 1}").alias(f"g{i + 1}") for i in range(order)]
     )
@@ -492,7 +501,9 @@ def train_kn_lm(
         # all but each doc's trailing words. The trailing-type loss is
         # O(docs) grams vs O(tokens): the standard sentence-internal
         # approximation (KenLM pads with </s>; we document instead).
-    toks = docs.select(
+    from tsflex_spark.utils.data import fan_out
+
+    toks = fan_out(docs).select(
         F.explode(F.transform(_tokens(F.col(text_col)), F.lower)).alias("w")
     )
     vrow = toks.agg((F.count_distinct("w") + F.lit(1)).alias("v"))  # +1 unk

@@ -56,7 +56,10 @@ def doc_frequencies(
     bounded by vocabulary size, not corpus size. Persist it once per
     corpus snapshot; every query scores against it.
     """
-    terms = df.select(
+    from tsflex_spark.utils.data import fan_out
+
+    # fan_out: single-file scans are one partition (guide §2.5)
+    terms = fan_out(df).select(
         F.explode(F.array_distinct(_tokens_col(F.col(text_col)))).alias("term")
     )
     return terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -192,7 +195,9 @@ def build_postings(
     bucketed by ``term`` (``io.write_bucketed``) and batch scoring
     becomes a co-located join.
     """
-    toks = df.select(
+    from tsflex_spark.utils.data import fan_out
+
+    toks = fan_out(df).select(
         F.col(id_col),
         F.explode(_tokens_col(F.col(text_col))).alias("term"),
         F.size(_tokens_col(F.col(text_col))).alias("dl"),
