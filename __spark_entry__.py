@@ -796,7 +796,7 @@ def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value__sum__w=1hour").cast("double").alias("sum_val"),
         F.col("value__count__w=1hour").cast("bigint").alias("cnt_val"),
         F.col("value__max__w=1hour").cast("double").alias("max_val"),
-    ).orderBy("win_start")
+    ).coalesce(1).orderBy("win_start")
 
 
 def _oracle_streaming_window() -> str:
@@ -903,7 +903,7 @@ def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value__max__w=manual").cast("double").alias("max_val"),
         )
         .join(pleg, "event_type")
-        .orderBy("event_type")
+        .coalesce(1).orderBy("event_type")
     )
 
 
@@ -1285,7 +1285,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(tmix, "keep_id", "left")
         .withColumn("tmix_kept", F.coalesce("tmix_kept", F.lit(0)))
         .join(url_leg, "keep_id")
-        .orderBy("keep_id")
+        .coalesce(1).orderBy("keep_id")
     )
 
 
@@ -1956,7 +1956,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_chars") >= F.col("p05_chars"))
             & (F.col("n_chars") <= F.col("p95_chars"))
         ).cast("int").alias("in_band"),
-    ).orderBy("doc_id")
+    ).coalesce(1).orderBy("doc_id")
 
 
 def _oracle_text_stats() -> str:
@@ -2229,7 +2229,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(rep, on="doc_id")
         .join(red, on="doc_id")
         .join(dw, on="doc_id")
-        .orderBy("doc_id")
+        .coalesce(1).orderBy("doc_id")
     )
 
 
@@ -2473,17 +2473,22 @@ def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # utils/ml_metrics.binary_auc verified against the same Mann-Whitney
     # rank computation in SQL (label = doc_id parity, score = n_chars —
     # the VALUE checks the tie-handling rank math, not a model)
-    from tsflex_spark.utils.ml_metrics import binary_auc
+    from tsflex_spark.utils.ml_metrics import binary_auc_frame
 
-    auc = binary_auc(
+    # r10: the AUC rides the plan as a broadcast 1-row frame instead of
+    # a blocking driver collect at build time (identical double — the
+    # lazy frame replays binary_auc's scalar derivation in the same
+    # arithmetic order; guide §5 no collects in query paths)
+    auc_df = binary_auc_frame(
         docs.select(
             (F.col("doc_id") % 2).cast("double").alias("label"),
             F.col("n_chars").cast("double").alias("score"),
         ),
         "label",
         "score",
+        out_col="auc_parity",
     )
-    return agg.crossJoin(n_win).withColumn("auc_parity", F.lit(float(auc)))
+    return agg.crossJoin(n_win).crossJoin(F.broadcast(auc_df))
 
 
 def _oracle_fingerprint_dedup() -> str:
@@ -2629,7 +2634,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("kind", F.lit("fuzzy"))
     allp = consec.unionByName(fz)
     out = edit_similarity(allp, docs, "text", "doc_id", prefix_len=128)
-    return out.orderBy("kind", "id_a", "id_b")
+    return out.coalesce(1).orderBy("kind", "id_a", "id_b")
 
 
 def _oracle_ngram_jaccard() -> str:
@@ -2824,7 +2829,7 @@ def q_passage_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(hrows)
         .unionByName(dsp)
         .unionByName(bdf)
-        .orderBy("kind", "doc_id", "span_start", "ngram")
+        .coalesce(1).orderBy("kind", "doc_id", "span_start", "ngram")
     )
 
 
@@ -3086,7 +3091,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(knn_fut.result())
         .unionByName(pca_top)
         .unionByName(bm_top)
-        .orderBy("method", "q_id", "rank")
+        .coalesce(1).orderBy("method", "q_id", "rank")
     )
 
 
@@ -3390,7 +3395,7 @@ def q_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pqrows)
         .unionByName(ipqrows)
         .unionByName(pqchk)
-        .orderBy("method", "rank", "vec_id")
+        .coalesce(1).orderBy("method", "rank", "vec_id")
     )
 
 
@@ -3685,7 +3690,7 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("split").alias("split"),
             F.count_distinct("split").alias("n_splits"),
         )
-        .orderBy("cluster_id")
+        .coalesce(1).orderBy("cluster_id")
     )
 
 
@@ -4014,7 +4019,7 @@ def q_sketch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(strows)
         .unionByName(mdrows)
         .join(F.broadcast(sig))
-        .orderBy("method", "id_a", "id_b")
+        .coalesce(1).orderBy("method", "id_a", "id_b")
     )
 
 
@@ -4382,7 +4387,7 @@ def q_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "n_name", F.col("_rev").cast("double").alias("revenue"), "n_items"
-    ).orderBy("n_name")
+    ).coalesce(1).orderBy("n_name")
 
 
 def _oracle_revenue_per_nation() -> str:
@@ -4420,7 +4425,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("cosine"),
     )
     pairs = out.select(F.lit("pairs").alias("method"), "id_a", "id_b", "cosine")
-    return pairs.unionByName(drops).orderBy("method", "id_a", "id_b")
+    return pairs.unionByName(drops).coalesce(1).orderBy("method", "id_a", "id_b")
 
 
 def _oracle_embedding_neardup() -> str:
@@ -4547,7 +4552,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(pit, "event_id")
         .join(rj, "event_id")
         .join(ijb, ["user_id", "sess_start"])
-        .orderBy("event_id")
+        .coalesce(1).orderBy("event_id")
     )
 
 
@@ -4906,7 +4911,7 @@ def q_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).alias("max_val"),
     )
     return (
-        stat_rows.unionByName(urows).unionByName(krows).orderBy("user_id")
+        stat_rows.unionByName(urows).unionByName(krows).coalesce(1).orderBy("user_id")
     )
 
 
@@ -5153,7 +5158,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "warc_record_id", "warc_clen", "warc_text",
             "wet_text", "trunc_clen", "trunc_text",
         )
-        .orderBy("doc_id")
+        .coalesce(1).orderBy("doc_id")
     )
 
 
@@ -5616,7 +5621,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("contaminated").cast("int").alias("contaminated"),
         )
         .join(sq, on="doc_id")
-        .orderBy("doc_id")
+        .coalesce(1).orderBy("doc_id")
     )
 
 
@@ -5910,7 +5915,7 @@ def q_wide_long_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(mmrows)
         .unionByName(vrows)
         .unionByName(drows)
-        .orderBy("series_name")
+        .coalesce(1).orderBy("series_name")
     )
 
 
@@ -6209,7 +6214,7 @@ def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Sentinel user_id -2.
     l2rows = _lttb_rows(lttb(ser, "ts", "value", n_out=16, ratio=2), -2)
     return (
-        mrows.unionByName(lrows).unionByName(l2rows).orderBy("user_id", "bin")
+        mrows.unionByName(lrows).unionByName(l2rows).coalesce(1).orderBy("user_id", "bin")
     )
 
 

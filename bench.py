@@ -253,9 +253,14 @@ def main() -> None:
         "metric": "total_query_sec",
         "value": total,
         "unit": "sec",
+        # per-query seconds in the contract line (r10): rounded to 2dp
+        # the 50-entry map is ~1.2k chars, fitting the driver's ~2000-
+        # char tail capture alongside the summary fields (the full-
+        # precision min/mean/all detail stays in BENCH_FULL.json — the
+        # 4dp min+mean variant measured >4000 chars and truncated
+        # BENCH_r06 into parsed:null)
+        "queries": {k: round(v, 2) for k, v in timings.items()},
         "mean_total_sec": full["mean_total_sec"],
-        "loadavg_start": load_start,
-        "loadavg_end": full["loadavg_end"],
         "sentinel_min": round(min(sentinel_sec), 4) if sentinel_sec else None,
         "sentinel_var": sent_var,
         "quiesce_wait_sec": round(q_waited[0], 1),

@@ -129,6 +129,11 @@ def redact_pii(
     from the edits when patterns overlap).
     """
     out_col = out_col or text_col
+    # fan_out: the regex chain is narrow but compute-heavy per byte — on
+    # a single-file scan (one partition) it otherwise runs on one core
+    # (guide §2.5); at scale the input already has many splits and this
+    # is a no-op
+    df = fan_out(df)
     pats = [p for p in _PII_PATTERNS if kinds is None or p[0] in kinds]
     col = F.col(text_col)
     for _, rx, tok in pats:
@@ -719,6 +724,9 @@ def normalize_unicode(
     """
     if form not in ("NFC", "NFKC", "NFD", "NFKD"):
         raise ValueError(f"form must be NFC/NFKC/NFD/NFKD, got {form!r}")
+    # fan_out: one Arrow task per input partition — a single-file scan
+    # would funnel the whole corpus through one Python worker
+    df = fan_out(df)
     out = out_col or text_col
     fields = [f"{fld.name} {fld.dataType.simpleString()}" for fld in df.schema.fields]
     if out not in df.columns:

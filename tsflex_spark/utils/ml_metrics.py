@@ -80,3 +80,56 @@ def binary_auc(
         )
     u = float(row["rank_sum_pos"]) - n_pos * (n_pos + 1) / 2.0
     return u / (n_pos * n_neg)
+
+
+def binary_auc_frame(
+    df: DataFrame,
+    label_col: str = "label",
+    score_col: str = "score",
+    round_scores: Optional[int] = None,
+    out_col: str = "auc",
+) -> DataFrame:
+    """``binary_auc`` as a LAZY one-row DataFrame (r10 optimization):
+    the same rank aggregation, with the final scalar derivation
+    ``(rank_sum − n⁺(n⁺+1)/2) / (n⁺·n⁻)`` expressed in identical
+    double-arithmetic order as Spark expressions — bit-identical to the
+    eager float, but composable into a plan (crossJoin/broadcast)
+    without a blocking driver collect in the query path (guide §5).
+    Degenerate inputs (a single class) yield NULL instead of raising —
+    callers that need the loud error should use ``binary_auc``."""
+    y = F.col(label_col).cast("double")
+    s = F.col(score_col).cast("double")
+    if round_scores is not None:
+        s = F.round(s, int(round_scores))
+    per_score = (
+        df.select(s.alias("__s"), y.alias("__y"))
+        .where(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+        .groupBy("__s")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__y").alias("__np"),
+        )
+    )
+    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_score.select(
+        "__n",
+        "__np",
+        (
+            F.coalesce(F.sum("__n").over(w), F.lit(0)).cast("double")
+            + (F.col("__n") + 1) / 2.0
+        ).alias("__r"),
+    )
+    agg = ranked.agg(
+        F.sum(F.col("__np") * F.col("__r")).alias("rank_sum_pos"),
+        F.coalesce(F.sum("__np"), F.lit(0.0)).cast("double").alias("n_pos"),
+        F.coalesce(F.sum(F.col("__n") - F.col("__np")), F.lit(0.0))
+        .cast("double")
+        .alias("n_neg"),
+    )
+    u = F.col("rank_sum_pos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0
+    return agg.select(
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            u / (F.col("n_pos") * F.col("n_neg")),
+        ).alias(out_col)
+    )
