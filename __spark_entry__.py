@@ -1806,7 +1806,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bpe = token_count_bpe_ish(docs, "text", id_col="doc_id")
     # self-perplexity: train AND score consume the same bigram explode —
     # checkpoint it once instead of exploding the corpus twice
-    bg = bigram_rows(docs, "text", "doc_id").localCheckpoint(eager=False)
+    bg = bigram_rows(docs, "text", "doc_id").localCheckpoint(eager=True)
 
     # r10: the Laplace-LM chain, the KN chain, and the exact-quantile
     # selection are three independent eager-ish build chains (each ends
@@ -1956,7 +1956,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_chars") >= F.col("p05_chars"))
             & (F.col("n_chars") <= F.col("p95_chars"))
         ).cast("int").alias("in_band"),
-    ).coalesce(1).orderBy("doc_id")
+    ).repartition(1).orderBy("doc_id")
 
 
 def _oracle_text_stats() -> str:
@@ -2212,7 +2212,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r10: ONE corpus gram pass feeds both the log-ratio fit (raw side)
     # and the per-doc weights — previously each exploded the corpus
     # separately (hashed_buckets reuse; identical integers either way)
-    dbk = hashed_buckets(docs, "text", "doc_id", 64).localCheckpoint(eager=False)
+    dbk = hashed_buckets(docs, "text", "doc_id", 64).localCheckpoint(eager=True)
     target = docs.where(F.col("doc_id") % 10 == 0).select("text")
     lr = fit_bucket_logratio(
         target, docs.select("text"), "text", num_buckets=64, raw_buckets=dbk
@@ -2229,7 +2229,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(rep, on="doc_id")
         .join(red, on="doc_id")
         .join(dw, on="doc_id")
-        .coalesce(1).orderBy("doc_id")
+        .repartition(1).orderBy("doc_id")
     )
 
 
@@ -2457,7 +2457,7 @@ def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tsflex_spark.datapipe.text import winnow_candidates, winnow_fingerprints
 
     wf = winnow_fingerprints(docs, "text", id_col="doc_id", k=5, window=4)
-    wf = wf.localCheckpoint(eager=False)  # feeds the distinct count AND the pairing
+    wf = wf.localCheckpoint(eager=True)  # feeds the distinct count AND the pairing
     n_win = wf.select(F.explode("fps").alias("f")).agg(
         F.count_distinct("f").alias("n_winnow")
     )
@@ -2604,7 +2604,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the shingle table feeds three plan branches — materialize it once;
     # pairs touch every doc, so the involved-doc prune checkpoint inside
     # ngram_jaccard would just re-materialize the whole table
-    sh = shingle_rows(docs, "text", "doc_id").localCheckpoint(eager=False)
+    sh = shingle_rows(docs, "text", "doc_id").localCheckpoint(eager=True)
     # prune=False: the consecutive pairs touch EVERY doc, so the
     # involved-docs semi-join would keep 100% of the shingle table
     consec = ngram_jaccard(
@@ -2730,11 +2730,11 @@ def q_passage_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = (
         fan_out(docs)
         .select("doc_id", _tokens(F.lower(F.col("text"))).alias("__t"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     pos_rows = span_gram_rows(
         docs, "text", "doc_id", n=8, tokens=tok
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     spans = duplicate_spans(
         docs, "text", id_col="doc_id", n=8, min_occurrences=2,
         positions=pos_rows,
@@ -2804,7 +2804,13 @@ def q_passage_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # or the encode loop's lowest-rank-leftmost rule flips a row.
     from tsflex_spark.datapipe.bpe import train_bpe
 
-    micro = spark.createDataFrame(
+    from tsflex_spark.utils.data import local_rows_df
+
+    # local_rows_df: JVM-local literal frames (a list createDataFrame is
+    # a 32-partition Python-RDD — every consumption pays per-partition
+    # Python-worker round trips; see utils.data.local_rows_df)
+    micro = local_rows_df(
+        spark,
         [(("low " * 5) + ("lower " * 2) + ("newest " * 6) + ("widest " * 3),)],
         "text string",
     )
@@ -2812,8 +2818,8 @@ def q_passage_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     bpe_rows = [
         ("bpe_merge", i, f"{a} {b}") for i, (a, b) in enumerate(btok.merges)
     ] + [("bpe_tok", i, t) for i, t in enumerate(btok.encode_word("lowest"))]
-    bdf = spark.createDataFrame(
-        bpe_rows, "kind string, doc_id long, ngram string"
+    bdf = local_rows_df(
+        spark, bpe_rows, "kind string, doc_id long, ngram string"
     ).select(
         "kind",
         "doc_id",
@@ -3295,8 +3301,10 @@ def q_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(_KM_K)
         ]
         rows.append(("kmeans_inertia", -1, inertia, sum(counts.values())))
-        return spark.createDataFrame(
-            rows, "method string, vec_id long, metric double, rank int"
+        from tsflex_spark.utils.data import local_rows_df
+
+        return local_rows_df(
+            spark, rows, "method string, vec_id long, metric double, rank int"
         )
 
     from concurrent.futures import ThreadPoolExecutor
@@ -3343,7 +3351,7 @@ def q_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ivf_idx = IVFIndex(Xcb[:_IVFPQ_NLIST])
     # one encode pass feeds all four legs (pq_code + __cell side by side)
-    enc = ivf_assign(pq_assign(base, cb), ivf_idx).localCheckpoint(eager=False)
+    enc = ivf_assign(pq_assign(base, cb), ivf_idx).localCheckpoint(eager=True)
     wpq = Window.orderBy(F.col("approx_dist").asc(), F.col("vec_id"))
     pqrows = pq_search(enc, cb, qv, k=10).select(
         F.lit("pq").alias("method"),
@@ -3630,13 +3638,13 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # shingle rows feed three plan branches (sizes + both join sides);
     # checkpoint once instead of recomputing the explode+distinct 3x
-    sh = shingle_rows(docs, "text", "doc_id").localCheckpoint(eager=False)
+    sh = shingle_rows(docs, "text", "doc_id").localCheckpoint(eager=True)
     # pairs cover EVERY doc (consecutive ids): the involved-doc prune keeps
     # the whole table, so skip its checkpoint — the caller's is enough
     sim = ngram_jaccard(
         docs, pairs, "text", id_col="doc_id", shingles=sh, prune_checkpoint=False
     )
-    edges = sim.where(F.col("jaccard") >= 0.2).localCheckpoint(eager=False)
+    edges = sim.where(F.col("jaccard") >= 0.2).localCheckpoint(eager=True)
     # r10: PageRank's fixed-iteration loop only needs the edge
     # checkpoint, not the CC labels — run it from a second driver
     # thread so its per-iteration jobs overlap the union-find collect
@@ -3865,7 +3873,7 @@ def q_sketch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig64 = minhash_signatures(
             s_docs, "text", "doc_id", num_hashes=64,
             shingles=shingle_rows(s_docs, "text", "doc_id"),
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=True)
         even = s_docs.where(F.col("doc_id") % 2 == 0)
         odd = s_docs.where(F.col("doc_id") % 2 == 1)
         dedup_against_store(
@@ -3889,10 +3897,10 @@ def q_sketch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # groupBy(doc_id) aggregate over that table (sketch_signatures): one
     # scan + one doc-keyed exchange instead of two of each, and the tiny
     # (1 row/doc) fused result is the checkpoint both band branches read.
-    sh = shingle_rows(docs, "text", "doc_id").localCheckpoint(eager=False)
+    sh = shingle_rows(docs, "text", "doc_id").localCheckpoint(eager=True)
     sk = sketch_signatures(
         docs, "text", "doc_id", num_hashes=128, shingles=sh
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     mh_pre = minhash_lsh_candidates(sk.select("doc_id", "minhash"), "doc_id", num_bands=16)
     sh_cand = simhash_pairs(
         sk.select("doc_id", "simhash"), id_col="doc_id", max_hamming=8
@@ -3915,7 +3923,7 @@ def q_sketch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("id_a", "id_b")
         .agg(F.max("__m").alias("__m"), F.max("__s").alias("__s"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     ver = ngram_jaccard(
         docs, cands.select("id_a", "id_b"), "text", id_col="doc_id", shingles=sh
@@ -4425,7 +4433,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("cosine"),
     )
     pairs = out.select(F.lit("pairs").alias("method"), "id_a", "id_b", "cosine")
-    return pairs.unionByName(drops).coalesce(1).orderBy("method", "id_a", "id_b")
+    return pairs.unionByName(drops).repartition(1).orderBy("method", "id_a", "id_b")
 
 
 def _oracle_embedding_neardup() -> str:
@@ -4911,7 +4919,7 @@ def q_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).alias("max_val"),
     )
     return (
-        stat_rows.unionByName(urows).unionByName(krows).coalesce(1).orderBy("user_id")
+        stat_rows.unionByName(urows).unionByName(krows).repartition(1).orderBy("user_id")
     )
 
 
@@ -5890,7 +5898,10 @@ def q_wide_long_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type_lower": matches("event_type", "^[a-z]+$"),
         },
     )
-    vrows = spark.createDataFrame(
+    from tsflex_spark.utils.data import local_rows_df
+
+    vrows = local_rows_df(
+        spark,
         [
             (f"~expect:{k}", int(v), float(rep["n_rows"]))
             for k, v in sorted(rep["violations"].items())
@@ -5903,7 +5914,8 @@ def q_wide_long_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols=["value"],
         edges={"value": [50.0, 100.0, 200.0]},
     )[0]
-    drows = spark.createDataFrame(
+    drows = local_rows_df(
+        spark,
         [
             ("~drift:psi:value", int(dr["n_ref"]), float(dr["psi"])),
             ("~drift:js:value", int(dr["n_cur"]), float(dr["js"])),
@@ -6214,7 +6226,7 @@ def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Sentinel user_id -2.
     l2rows = _lttb_rows(lttb(ser, "ts", "value", n_out=16, ratio=2), -2)
     return (
-        mrows.unionByName(lrows).unionByName(l2rows).coalesce(1).orderBy("user_id", "bin")
+        mrows.unionByName(lrows).unionByName(l2rows).repartition(1).orderBy("user_id", "bin")
     )
 
 
@@ -6529,7 +6541,7 @@ def query_legs() -> dict[str, dict[str, Callable[[SparkSession, str], DataFrame]
     def sk_mh_cands(spark, sf_dir):
         from tsflex_spark.datapipe.dedup import minhash_lsh_candidates
 
-        sk = sk_sketch(spark, sf_dir).localCheckpoint(eager=False)
+        sk = sk_sketch(spark, sf_dir).localCheckpoint(eager=True)
         return minhash_lsh_candidates(
             sk.select("doc_id", "minhash"), "doc_id", num_bands=16
         )
@@ -6537,13 +6549,13 @@ def query_legs() -> dict[str, dict[str, Callable[[SparkSession, str], DataFrame]
     def sk_sim_cands(spark, sf_dir):
         from tsflex_spark.datapipe.dedup import simhash_pairs
 
-        sk = sk_sketch(spark, sf_dir).localCheckpoint(eager=False)
+        sk = sk_sketch(spark, sf_dir).localCheckpoint(eager=True)
         return simhash_pairs(
             sk.select("doc_id", "simhash"), id_col="doc_id", max_hamming=8
         ).select("id_a", "id_b")
 
     def sk_xor(spark, sf_dir):
-        sk = sk_sketch(spark, sf_dir).localCheckpoint(eager=False)
+        sk = sk_sketch(spark, sf_dir).localCheckpoint(eager=True)
         return (
             sk.select(F.explode("minhash").alias("__v"))
             .agg(F.expr("bit_xor(__v)").alias("mh_xor"))
@@ -6566,7 +6578,7 @@ def query_legs() -> dict[str, dict[str, Callable[[SparkSession, str], DataFrame]
         sig64 = minhash_signatures(
             docs, "text", "doc_id", num_hashes=64,
             shingles=shingle_rows(docs, "text", "doc_id"),
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=True)
         dedup_against_store(
             docs.where(F.col("doc_id") % 2 == 0), store_dir, "text", "doc_id",
             num_hashes=64, num_bands=16, within_batch=False, signatures=sig64,
@@ -6585,10 +6597,10 @@ def query_legs() -> dict[str, dict[str, Callable[[SparkSession, str], DataFrame]
         )
 
         docs = _docs(spark, sf_dir)
-        sh = shingle_rows(docs, "text", "doc_id").localCheckpoint(eager=False)
+        sh = shingle_rows(docs, "text", "doc_id").localCheckpoint(eager=True)
         sk = sketch_signatures(
             docs, "text", "doc_id", num_hashes=128, shingles=sh
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=True)
         import warnings as _w
 
         # same narrow suppression as the gate leg: 128h/16b recall is
@@ -6614,7 +6626,7 @@ def query_legs() -> dict[str, dict[str, Callable[[SparkSession, str], DataFrame]
                 docs.select(F.col("doc_id").alias("id_b")), on="id_b", how="left_semi"
             )
         )
-        sh = shingle_rows(docs, "text", "doc_id").localCheckpoint(eager=False)
+        sh = shingle_rows(docs, "text", "doc_id").localCheckpoint(eager=True)
         return ngram_jaccard(
             docs, pairs, "text", id_col="doc_id", shingles=sh, prune=False
         )
@@ -6661,7 +6673,7 @@ def query_legs() -> dict[str, dict[str, Callable[[SparkSession, str], DataFrame]
                 docs.select(F.col("doc_id").alias("id_b")), on="id_b", how="left_semi"
             )
         )
-        sh = shingle_rows(docs, "text", "doc_id").localCheckpoint(eager=False)
+        sh = shingle_rows(docs, "text", "doc_id").localCheckpoint(eager=True)
         return ngram_jaccard(
             docs, pairs, "text", id_col="doc_id", shingles=sh,
             prune_checkpoint=False,
@@ -6670,13 +6682,13 @@ def query_legs() -> dict[str, dict[str, Callable[[SparkSession, str], DataFrame]
     def dc_cc(spark, sf_dir):
         from tsflex_spark.datapipe.dedup import connected_components
 
-        edges = dc_edges(spark, sf_dir).localCheckpoint(eager=False)
+        edges = dc_edges(spark, sf_dir).localCheckpoint(eager=True)
         return connected_components(edges, "id_a", "id_b")
 
     def dc_pagerank(spark, sf_dir):
         from tsflex_spark.datapipe.graph import pagerank
 
-        edges = dc_edges(spark, sf_dir).localCheckpoint(eager=False)
+        edges = dc_edges(spark, sf_dir).localCheckpoint(eager=True)
         return pagerank(edges, "id_a", "id_b", damping=0.85, iters=6)
 
     # ----- passage_spans --------------------------------------------

@@ -267,12 +267,20 @@ def test_multi_column_global_shift(spark):
     assert out["a_lag"].iloc[0] is None or pd.isna(out["a_lag"].iloc[0])
     assert np.allclose(out["a_lag"].iloc[1:].to_numpy(), pdf["a"].iloc[:-1].to_numpy())
     assert (out["b_lag"].iloc[1:].to_numpy() == pdf["b"].iloc[:-1].to_numpy()).all()
-    # lead direction: the same single struct payload (the 3 checkpoint
-    # scans in the plan are the rows/edges/boundary consumers of ONE
-    # materialized range exchange — the multi-col form adds none)
+    # lead direction: the same single struct payload — the consumers all
+    # read ONE materialized range exchange (an eager localCheckpoint's
+    # LogicalRDD scan, or a cached InMemoryRelation). What must NEVER
+    # appear is a rangepartitioning exchange a CONSUMER inserted to meet
+    # its requirements (ENSURE_REQUIREMENTS) — that would mean a branch
+    # re-partitioned (and re-sampled) on its own, breaking
+    # consumer-stable pids.
     sdf = with_global_shift(df, ["a", "b"], "o", ["a_lag", "b_lag"], offset=1)
     plan = sdf._jdf.queryExecution().executedPlan().toString().lower()
-    assert plan.count("__shift_pack") >= 1 and "rangepartitioning" not in plan
+    assert plan.count("__shift_pack") >= 1
+    assert "existingrdd" in plan or "inmemorytablescan" in plan, plan
+    for ln in plan.splitlines():
+        if "rangepartitioning" in ln:
+            assert "ensure_requirements" not in ln, ln
     got = sdf.toPandas().sort_values("o").reset_index(drop=True)
     assert np.allclose(got["a_lag"].iloc[:-1].to_numpy(), pdf["a"].iloc[1:].to_numpy())
 

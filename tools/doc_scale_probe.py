@@ -68,7 +68,7 @@ def main() -> None:
     from tsflex_spark.datapipe.text import filter_lines
 
     def _self_ppl(d):
-        bg = bigram_rows(d, "text", "doc_id").localCheckpoint(eager=False)
+        bg = bigram_rows(d, "text", "doc_id").localCheckpoint(eager=True)
         lm = train_ngram_lm(d, "text", bigrams=bg)
         return score_perplexity(d, lm, "text", broadcast_model=True, bigrams=bg)
 
@@ -78,7 +78,7 @@ def main() -> None:
         return round(time.perf_counter() - t0, 2)
 
     def run(d, tag: str) -> dict:
-        sh = shingle_rows(d, "text", "doc_id").localCheckpoint(eager=False)
+        sh = shingle_rows(d, "text", "doc_id").localCheckpoint(eager=True)
         pairs = d.select(F.col("doc_id").alias("id_a")).withColumn(
             "id_b", F.col("id_a") + 1
         ).join(d.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi")

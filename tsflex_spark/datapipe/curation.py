@@ -101,7 +101,10 @@ def mix_sources(
     ``target_weights`` are dropped.
     """
     spark = df.sparkSession
-    w = spark.createDataFrame(
+    from tsflex_spark.utils.data import local_rows_df
+
+    w = local_rows_df(
+        spark,
         [(str(k), float(v)) for k, v in target_weights.items()],
         f"{source_col} string, __w double",
     )

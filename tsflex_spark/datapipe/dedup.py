@@ -325,7 +325,7 @@ def ngram_jaccard(
         # only controls the materialization trade-off of the pruned slice).
         sh = sh.join(involved, id_col, "left_semi")
         if prune_checkpoint:
-            sh = sh.localCheckpoint(eager=False)
+            sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
     sha = sh.select(F.col(id_col).alias("id_a"), F.col("__s"))
     shb = sh.select(F.col(id_col).alias("id_b"), F.col("__s"))
@@ -439,16 +439,19 @@ def minhash_dedup(
             stacklevel=2,
         )
     # the shingle table feeds BOTH the signature pass and the Jaccard
-    # verification — checkpoint it (localCheckpoint truncates the lineage
-    # so the regex+explode shingling runs exactly once; plain cache still
-    # re-plans the subtree per consumer under AQE). LAZY (eager=False):
-    # the RDD caches on first computation inside the final action instead
-    # of paying three sequential job barriers up front — A/B at sf0.1
-    # showed the same minimum but eager spiking 2-3x on barrier scheduling
+    # verification — checkpoint it so the regex+explode shingling runs
+    # exactly once. EAGER, not eager=False: a lazy checkpoint
+    # materializing on an AQE broadcast-exchange thread can ABBA-deadlock
+    # against a concurrent stage submission visiting the same RDD
+    # (RDDCheckpointData$ vs per-RDD locks — observed live, jstack in
+    # plans/r10/evidence/); eager materializes synchronously before the
+    # frame is ever multi-consumed. persist() is no alternative: it keeps
+    # the full logical plan (no truncation) and its session-global
+    # CacheManager lookups stall deep chains for minutes.
     sh = (
         shingles
         if shingles is not None
-        else shingle_rows(df, text_col, id_col, shingle_k).localCheckpoint(eager=False)
+        else shingle_rows(df, text_col, id_col, shingle_k).localCheckpoint(eager=True)
     )
     # the LSH banding self-joins the signature table (a ⋈ b) — without a
     # checkpoint the 64-min-agg subtree executes once per join side.
@@ -460,7 +463,7 @@ def minhash_dedup(
         sigs = (
             signatures.select(id_col, "minhash")
             .join(df.select(id_col), on=id_col, how="left_semi")
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
     else:
         sigs = minhash_signatures(
@@ -468,13 +471,13 @@ def minhash_dedup(
         )
         if shingles is not None:  # superset shingles ⇒ superset signatures
             sigs = sigs.join(df.select(id_col), on=id_col, how="left_semi")
-        sigs = sigs.localCheckpoint(eager=False)
+        sigs = sigs.localCheckpoint(eager=True)
     # candidate pairs are tiny by LSH design (two id columns) but their
     # PLAN is the whole signature+self-join DAG; the verification stage
-    # references them in three joins — the checkpoint materializes them
-    # once and TRUNCATES the lineage, so the DAG is neither re-planned nor
-    # re-executed per consumer (cache alone still re-plans it under AQE)
-    cands = minhash_lsh_candidates(sigs, id_col, num_bands).localCheckpoint(eager=False)
+    # references them in three joins — the eager checkpoint materializes
+    # them once and TRUNCATES the lineage (consumers plan against a
+    # LogicalRDD leaf, not the full DAG)
+    cands = minhash_lsh_candidates(sigs, id_col, num_bands).localCheckpoint(eager=True)
     if prefilter_margin is not None:
         cands = (
             minhash_est_jaccard(cands, sigs, id_col)
@@ -846,7 +849,11 @@ def _cc_driver(e: DataFrame) -> DataFrame:
             T.StructField("component", e.schema["u"].dataType),
         ]
     )
-    return e.sparkSession.createDataFrame(out, schema)
+    from tsflex_spark.utils.data import local_rows_df
+
+    # JVM-local result frame: the labels feed several joins, and a
+    # Python-RDD frame would pay worker round trips per consumer
+    return local_rows_df(e.sparkSession, out, schema)
 
 
 def connected_components(
@@ -1097,7 +1104,7 @@ def span_gram_rows(
     ``xxhash64`` of the word n-gram starting there — the shared heavy
     stage (tokenize + explode + hash) of :func:`duplicate_spans` and
     :func:`remove_duplicate_spans`. A pipeline running detection AND
-    removal should compute this once, ``localCheckpoint`` it, and pass
+    removal should compute this once, ``persist`` it, and pass
     it to both via ``positions=`` — halving the dominant corpus scan.
     ``n`` must match the consumers' ``n``. ``tokens`` (an
     ``(id, __t array<string>)`` frame of lowercased whitespace tokens)
@@ -1401,7 +1408,7 @@ def dedup_against_store(
             num_hashes=num_hashes, shingle_k=shingle_k, seed=seed,
             shingles=shingles,
         )
-    bands = band_rows(sig, id_col, num_bands).localCheckpoint(eager=False)
+    bands = band_rows(sig, id_col, num_bands).localCheckpoint(eager=True)
 
     # Probe existence via the Hadoop FS API instead of catching every
     # read error: a transient failure (permissions, network, corrupt

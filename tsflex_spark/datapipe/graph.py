@@ -7,11 +7,14 @@ CommonCrawl-style companion to ``text.domain_filter``): crawl edges →
 Scale design: the edge list is the only big table. Each PageRank
 iteration is (ranks ⋈ out-degrees on src) → contributions → groupBy dst
 — two keyed shuffles of ``(node, double)`` pairs per iteration, never
-anything wider; lineage is cut per iteration with a lazy
-``localCheckpoint`` (the connected-components recipe from
-``dedup.connected_components``). Dangling mass (nodes without
-out-edges) is one scalar aggregate per iteration, redistributed
-uniformly — the textbook formulation (Page et al. 1999).
+anything wider; lineage is cut every second iteration with an eager
+``localCheckpoint`` (the recipe from ``dedup.connected_components``:
+eager, because a lazy checkpoint materializing on an AQE broadcast
+thread can deadlock against concurrent stage submission, and a plain
+``persist`` leaves the logical plan growing 3^i across iterations).
+Dangling mass (nodes without out-edges) is one scalar aggregate per
+iteration, redistributed uniformly — the textbook formulation
+(Page et al. 1999).
 """
 
 from __future__ import annotations
@@ -57,7 +60,7 @@ def pagerank(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     n = nodes.count()
     if n == 0:
@@ -66,7 +69,7 @@ def pagerank(
         F.count(F.lit(1)).alias("od")
     )
     # (node, od) with od NULL for dangling nodes
-    base = nodes.join(out_deg, "node", "left").localCheckpoint(eager=False)
+    base = nodes.join(out_deg, "node", "left").localCheckpoint(eager=True)
 
     ranks = base.withColumn("rank", F.lit(1.0 / n))
     for _it in range(iters):
@@ -107,8 +110,18 @@ def pagerank(
         # iterations on the dup_clusters gate at sf0.1). Deeper
         # intervals re-double the plan per skipped cut — 2 is the
         # sweet spot before planning time comes back.
+        # localCheckpoint(eager=True), NOT persist() and NOT eager=False:
+        # persist keeps the full logical plan, so the per-iteration
+        # analysis cost grows as 3^i (20 default iterations hang the
+        # analyzer); only a checkpoint truncates the plan to a LogicalRDD.
+        # And a LAZY checkpoint here materializes inside the dangling
+        # mass's broadcast-exchange thread, which can ABBA-deadlock with
+        # the concurrent contribs map-stage submission (RDDCheckpointData$
+        # vs per-RDD locks). Eager materializes synchronously on this
+        # thread before the frame is ever multi-consumed — the same safe
+        # recipe as connected_components' convergence barriers.
         if _it % 2 == 1 or _it == iters - 1:
-            ranks = ranks.localCheckpoint(eager=False)
+            ranks = ranks.localCheckpoint(eager=True)
         if tol is not None:
             moved = (
                 ranks.select("node", "rank")

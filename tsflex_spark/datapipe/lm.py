@@ -51,7 +51,7 @@ def bigram_rows(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     tokens, built in-row with slice + arrays_zip (codegen, no window).
 
     Public so a caller that both TRAINS and SCORES on the same corpus
-    (self-perplexity) can compute the explode once, checkpoint it, and
+    (self-perplexity) can compute the explode once, persist it, and
     pass it to ``train_ngram_lm(bigrams=...)`` and
     ``score_perplexity(bigrams=...)`` — halving the corpus explode."""
     toks = F.transform(_tokens(F.col(text_col)), F.lower)
@@ -118,12 +118,13 @@ def train_ngram_lm(
     """
     bg = bigrams if bigrams is not None else bigram_rows(docs, text_col, id_col)
     # pair counts feed BOTH the model table and the context rollup —
-    # checkpoint (lazily: no job until first use) so the corpus explode
-    # + big shuffle runs once, not once per consumer
+    # eager checkpoint so the corpus explode + big shuffle runs once, not
+    # once per consumer (eager: a lazy checkpoint can deadlock against
+    # concurrent AQE stage submission — see dedup.py minhash_dedup)
     pairs_all = (
         bg.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     contexts = pairs_all.groupBy("w1").agg(F.sum("c").alias("cc"))
     pairs = pairs_all.filter(F.col("c") >= int(min_count)) if min_count > 1 else pairs_all
@@ -344,7 +345,7 @@ def ppl_buckets(
             broadcast_model=broadcast_model, hash_keys=hash_keys,
             bigrams=bigrams,
         )
-    scored = scored_df.select(id_col, "ppl").localCheckpoint(eager=False)
+    scored = scored_df.select(id_col, "ppl").localCheckpoint(eager=True)
     qs = exact_quantiles(scored.where(F.col("ppl").isNotNull()), "ppl", list(cuts))
     cuts_row = qs.groupBy().agg(F.array_sort(F.collect_list("value")).alias("__cuts"))
     out = docs.join(scored, on=id_col, how="left").join(F.broadcast(cuts_row))
@@ -467,7 +468,7 @@ def train_kn_lm(
     top = (
         ng.groupBy(*gcols)
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     ctx: dict = {}
     ctx[N] = top.groupBy(*gcols[:-1]).agg(
@@ -487,7 +488,7 @@ def train_kn_lm(
         cont = (
             shifted.groupBy(*kcols)
             .agg(F.count(F.lit(1)).alias("cc"))
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
         tables[k] = cont
         if k >= 2:
@@ -532,7 +533,7 @@ def train_kn_lm(
         )
         drows = dk if drows is None else drows.join(dk)
         dcols.append(f"d{k}")
-    consts = vrow.join(urow).join(drows).localCheckpoint(eager=False)
+    consts = vrow.join(urow).join(drows).localCheckpoint(eager=True)
     return KNModel(order=N, top=top, tables=tables, ctx=ctx, consts=consts)
 
 

@@ -413,12 +413,22 @@ class FeatureCollection:
             data.select(ts_col, *key_cols, *required), ts_col, domain
         ).drop(ts_col)
         # bounds are O(#keys) rows but their plan is a full scan; both the
-        # segment-assignment and the spine consume them — checkpoint so the
-        # scan never runs twice per config. LAZY: no job at plan-build
-        # time; materializes with the first real action (ADVICE r2)
-        bounds = seg.make_bounds(data_n, required, key_cols, bound_method).localCheckpoint(
-            eager=False
-        )
+        # segment-assignment and the spine consume them — materialize so the
+        # scan never runs twice per config. EAGER, not eager=False: one
+        # consumer broadcasts this frame while another shuffles it, so AQE
+        # submits both stages concurrently — a LAZY checkpoint
+        # materializing on the broadcast-exchange thread can ABBA-deadlock
+        # with the DAG scheduler's concurrent stage submission over the
+        # RDDCheckpointData$ / per-RDD locks (observed live as a
+        # permanently hung driver; jstack in plans/r10/evidence/).
+        # Eager materializes synchronously before the frame is ever
+        # multi-consumed, and costs only the result stage: the lazy form
+        # already ran the aggregate's shuffle job at build under AQE.
+        # (persist() would also be lock-free but keeps the full logical
+        # plan and registers in the session-global CacheManager, whose
+        # per-query canonicalized lookups get expensive — measured as
+        # multi-minute analysis stalls on the deep datapipe chains.)
+        bounds = seg.make_bounds(data_n, required, key_cols, bound_method).localCheckpoint(eager=True)
 
         manual = segment_start_idxs is not None or segment_end_idxs is not None
 
@@ -1158,12 +1168,12 @@ class FeatureCollection:
         # assignment, output-ts stitch); without materialization each
         # consumer re-runs the global-sort row-number pass (no common-
         # subexpression reuse across a DAG in Spark) — one checkpointed
-        # pass is the scale-correct trade at any data size. LAZY: the
-        # cache+lineage-truncate happens with the first action, not at
-        # plan-build (ADVICE r2)
+        # pass is the scale-correct trade at any data size. EAGER: a lazy
+        # checkpoint can ABBA-deadlock against concurrent AQE stage
+        # submission (see the bounds comment in calculate)
         pos = with_global_row_number(
             data_n, TSN, "__rn", key_cols=key_cols, zero_based=True
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=True)
         pos_map = pos.select(*key_cols, F.col("__rn").alias(OUT_IDX), F.col(TSN).alias("__out_tsn"))
         data_ps = pos.drop(TSN).withColumnRenamed("__rn", TSN)
 

@@ -316,7 +316,7 @@ class SeriesProcessor:
         d = (
             df.repartitionByRange(_n_range_parts(df), F.col(ts_col))
             .withColumn("__pid", F.spark_partition_id())
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
         w_asc = Window.partitionBy("__pid").orderBy(F.col(ts_col).asc())
         w_desc = Window.partitionBy("__pid").orderBy(F.col(ts_col).desc())

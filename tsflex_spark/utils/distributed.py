@@ -68,7 +68,10 @@ def _n_range_parts(df: DataFrame) -> int:
 
 def _ranged(df: DataFrame, order_col: str) -> DataFrame:
     """Range-partition by ``order_col`` and stamp the post-shuffle
-    partition id, then MATERIALIZE (lazy localCheckpoint).
+    partition id, then MATERIALIZE (eager localCheckpoint — eager because
+    a lazy checkpoint materializing on an AQE broadcast-exchange thread
+    can ABBA-deadlock against concurrent stage submission; see
+    feature_collection's bounds comment).
 
     The checkpoint is load-bearing for correctness, not a perf knob:
     every helper reads this frame from >= 2 plan branches (rows + a
@@ -86,7 +89,7 @@ def _ranged(df: DataFrame, order_col: str) -> DataFrame:
     return (
         df.repartitionByRange(_n_range_parts(df), F.col(order_col))
         .withColumn(PID, F.spark_partition_id())
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
 
 
@@ -347,7 +350,7 @@ def with_global_carry(
     d = (
         df.repartitionByRange(_n_range_parts(df), *[F.col(c) for c in order_cols])
         .withColumn(PID, F.spark_partition_id())
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     wloc = (
         W.partitionBy(PID)
@@ -445,7 +448,7 @@ def exact_quantiles(df: DataFrame, col: str, qs: Sequence[float]) -> DataFrame:
     d = (
         df.select(col)
         .where(F.col(col).isNotNull())
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     n_df = d.agg(F.count(F.lit(1)).alias("__n"))
     qdf = n_df.select(
@@ -535,7 +538,7 @@ def with_global_ewma(
         df.repartitionByRange(_n_range_parts(df), *[F.col(c) for c in order_cols])
         .sortWithinPartitions(*[F.col(c) for c in order_cols])
         .withColumn(PID, F.spark_partition_id())
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     from pyspark.sql import types as T
 

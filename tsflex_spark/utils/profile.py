@@ -60,7 +60,12 @@ def profile_columns(df: DataFrame, cols: Optional[Sequence[str]] = None) -> Data
             )
         )
     spark = df.sparkSession
-    return spark.createDataFrame(
+    from tsflex_spark.utils.data import local_rows_df
+
+    # JVM-local result frame (a list createDataFrame is a Python-RDD
+    # whose every consumption pays Python-worker round trips)
+    return local_rows_df(
+        spark,
         out,
         "column string, dtype string, n_rows long, n_null long, "
         "null_frac double, approx_distinct long, min string, max string",
