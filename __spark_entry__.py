@@ -1956,7 +1956,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_chars") >= F.col("p05_chars"))
             & (F.col("n_chars") <= F.col("p95_chars"))
         ).cast("int").alias("in_band"),
-    ).repartition(1).orderBy("doc_id")
+    ).orderBy("doc_id")
 
 
 def _oracle_text_stats() -> str:
@@ -2229,7 +2229,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(rep, on="doc_id")
         .join(red, on="doc_id")
         .join(dw, on="doc_id")
-        .repartition(1).orderBy("doc_id")
+        .orderBy("doc_id")
     )
 
 
@@ -6226,7 +6226,7 @@ def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Sentinel user_id -2.
     l2rows = _lttb_rows(lttb(ser, "ts", "value", n_out=16, ratio=2), -2)
     return (
-        mrows.unionByName(lrows).unionByName(l2rows).repartition(1).orderBy("user_id", "bin")
+        mrows.unionByName(lrows).unionByName(l2rows).orderBy("user_id", "bin")
     )
 
 
