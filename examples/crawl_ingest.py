@@ -93,7 +93,7 @@ def main(out_dir: str | None = None) -> None:
         "doc_id",
         min_quality_score=0.2,
         near_dup_threshold=None,
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
 
     # 3. leakage-safe split: near-dup CLUSTERS assign splits, not rows
     sig = minhash_signatures(cleaned, "text", "doc_id", num_hashes=64)

@@ -45,7 +45,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         sig = minhash_signatures(
             batch, "text", "doc_id", num_hashes=64,
             shingles=shingle_rows(batch, "text", "doc_id"),
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=True)
         kept = dedup_against_store(
             batch, store, "text", "doc_id",
             num_hashes=64, num_bands=16, signatures=sig,

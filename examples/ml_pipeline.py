@@ -42,7 +42,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         key_cols=["user_id"],
         include_empty_windows=False,
         approve_sparsity=True,
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     feat_cols = [c for c in feats.columns if "__" in c]
 
     # label events: is this event's value in the corpus's top half?

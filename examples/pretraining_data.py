@@ -54,13 +54,13 @@ def main(sf_dir: str = "/root/testdata/sf0.001", out_dir: str | None = None) -> 
     # the cleaned+scored+mixed frame feeds several actions below — without
     # the lineage cut each one re-runs the whole curation DAG
     mixed = temperature_mix(kept, "source", "doc_id", alpha=0.7).localCheckpoint(
-        eager=False
+        eager=True
     )
 
     # 4. deterministic epoch shuffle, then context windows + packing
     shuffled = shuffle_corpus(mixed, "doc_id", seed=0)
     chunks = chunk_documents(shuffled, "text", "doc_id", max_tokens=64).localCheckpoint(
-        eager=False
+        eager=True
     )
     packed = pack_sequences(chunks, "n_chunk_tokens", budget=256)
 
