@@ -53,6 +53,39 @@ def _col_name(series_tuple: Tuple[str, ...], output_name: str, win_str: str) -> 
     return f"{'|'.join(series_tuple)}__{output_name}__w={win_str}"
 
 
+def _materialize_bounds(bounds_plan: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """Materialize the per-key (START, END) bounds frame for multi-consumer
+    reuse (segment assignment broadcasts it, the spine explodes it — and
+    the two subtrees use different exchange kinds, so without
+    materialization the full scan behind the aggregate runs once per
+    consumer at any scale).
+
+    Unkeyed bounds are AT MOST ONE ROW regardless of data size (a global
+    aggregate), so they are collected and rebuilt as a JVM-local Arrow
+    literal frame: the materializing job is the same aggregate the eager
+    checkpoint ran, but every downstream consumer then reads a
+    LocalTableScan — the broadcast build collects driver-locally with no
+    task, and the spine explode needs no checkpoint-RDD scan stage
+    (measured ~0.2-0.4 s of per-gate build barriers removed at sf0.1).
+    Keyed bounds are O(#keys) rows — unbounded at scale, so they keep the
+    eager localCheckpoint (EAGER, not eager=False: one consumer broadcasts
+    this frame while another shuffles it, so AQE submits both stages
+    concurrently — a LAZY checkpoint materializing on the
+    broadcast-exchange thread can ABBA-deadlock with the DAG scheduler's
+    concurrent stage submission over the RDDCheckpointData$ / per-RDD
+    locks; jstack in plans/r10/evidence/. persist() would also be
+    lock-free but keeps the full logical plan and registers in the
+    session-global CacheManager, whose per-query canonicalized lookups
+    get expensive — measured as multi-minute analysis stalls on the deep
+    datapipe chains.)"""
+    if key_cols:
+        return bounds_plan.localCheckpoint(eager=True)
+    from tsflex_spark.utils.data import local_rows_df
+
+    rows = bounds_plan.collect()  # <= 1 row by construction (global agg)
+    return local_rows_df(bounds_plan.sparkSession, rows, bounds_plan.schema)
+
+
 # daemon threads waiting on in-flight sparsity observations (module-level:
 # FeatureCollection must stay cloudpickle-serializable, threads are not)
 _SPARSITY_WATCHERS: List = []
@@ -414,21 +447,20 @@ class FeatureCollection:
         ).drop(ts_col)
         # bounds are O(#keys) rows but their plan is a full scan; both the
         # segment-assignment and the spine consume them — materialize so the
-        # scan never runs twice per config. EAGER, not eager=False: one
-        # consumer broadcasts this frame while another shuffles it, so AQE
-        # submits both stages concurrently — a LAZY checkpoint
-        # materializing on the broadcast-exchange thread can ABBA-deadlock
-        # with the DAG scheduler's concurrent stage submission over the
-        # RDDCheckpointData$ / per-RDD locks (observed live as a
-        # permanently hung driver; jstack in plans/r10/evidence/).
-        # Eager materializes synchronously before the frame is ever
-        # multi-consumed, and costs only the result stage: the lazy form
-        # already ran the aggregate's shuffle job at build under AQE.
-        # (persist() would also be lock-free but keeps the full logical
-        # plan and registers in the session-global CacheManager, whose
-        # per-query canonicalized lookups get expensive — measured as
-        # multi-minute analysis stalls on the deep datapipe chains.)
-        bounds = seg.make_bounds(data_n, required, key_cols, bound_method).localCheckpoint(eager=True)
+        # scan never runs twice per config (see _materialize_bounds for the
+        # literal-frame vs eager-checkpoint split). DEFERRED (r11): a
+        # count-based config computes its own bounds in position space and
+        # never reads this one — building it up front paid a full
+        # scan+aggregate job per gate for nothing on count-only calls.
+        bounds_cell: List[Optional[DataFrame]] = [None]
+
+        def _bounds() -> DataFrame:
+            if bounds_cell[0] is None:
+                bounds_cell[0] = _materialize_bounds(
+                    seg.make_bounds(data_n, required, key_cols, bound_method),
+                    key_cols,
+                )
+            return bounds_cell[0]
 
         manual = segment_start_idxs is not None or segment_end_idxs is not None
 
@@ -502,7 +534,7 @@ class FeatureCollection:
             with log_execution(funcs, series, win_lbl, stride_lbl, outs, logging_file_path):
                 if cfg[0] == "manual":
                     out = self._run_manual_config(
-                        data_n, bounds, entries, cfg[1], segment_start_idxs,
+                        data_n, _bounds(), entries, cfg[1], segment_start_idxs,
                         segment_end_idxs, key_cols, window_idx, domain, ts_col,
                     )
                 elif cfg[0] == "count":
@@ -514,7 +546,7 @@ class FeatureCollection:
                 else:
                     window_n, strides_n = cfg
                     out = self._run_grid_config(
-                        data_n, bounds, entries, window_n, list(strides_n),
+                        data_n, _bounds(), entries, window_n, list(strides_n),
                         include_final_window, key_cols, window_idx, domain, ts_col,
                         check_sparsity=check_sparsity,
                         include_empty_windows=include_empty_windows,
@@ -1178,6 +1210,12 @@ class FeatureCollection:
         data_ps = pos.drop(TSN).withColumnRenamed("__rn", TSN)
 
         bounds = seg.make_bounds(data_ps, needed, key_cols, bound_method)
+        if not key_cols:
+            # <=1 row (global agg over the checkpointed positions): collect
+            # and rebuild as a literal frame — assignment + spine then read
+            # a LocalTableScan instead of re-running the aggregate subtree
+            # once per consumer inside the action (see _materialize_bounds)
+            bounds = _materialize_bounds(bounds, key_cols)
         assigned = seg.assign_segments(
             data_ps.select(TSN, *key_cols, *needed),
             bounds, window_c, strides_c, include_final_window, key_cols,

@@ -123,7 +123,13 @@ def local_rows_df(spark, rows, schema):
     import pandas as pd
 
     if isinstance(schema, str):
-        names = [f.split()[0].strip("`") for f in schema.split(",")]
+        # parse the DDL properly — a naive split(",") yields garbage names
+        # for comma-bearing types (decimal(10,2), map<string,int>, ...)
+        from pyspark.sql.types import StructType, _parse_datatype_string
+
+        parsed = _parse_datatype_string(schema)
+        assert isinstance(parsed, StructType), f"not a struct schema: {schema!r}"
+        names = [f.name for f in parsed.fields]
     else:  # StructType
         names = [f.name for f in schema.fields]
     pdf = pd.DataFrame([tuple(r) for r in rows], columns=names, dtype=object)
