@@ -1815,7 +1815,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (guide §2.6) — ~1.5 s less build wall at sf0.1, identical plans.
     # Concurrent first use of the shared bg checkpoint is safe (the
     # block manager locks per-partition computation).
-    from concurrent.futures import ThreadPoolExecutor
+    from tsflex_spark.utils.pool import LegPool
 
     from tsflex_spark.datapipe.lm import score_perplexity_kn, train_kn_lm
     from tsflex_spark.utils.distributed import exact_quantiles as _eq
@@ -1858,15 +1858,12 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("q") == 0.95, F.col("value"))).alias("p95_chars"),
         )
 
-    leg_pool = ThreadPoolExecutor(max_workers=3)
-    try:
-        ppl_fut = leg_pool.submit(_laplace_leg)
-        kn_fut = leg_pool.submit(_kn_leg)
-        cuts_fut = leg_pool.submit(_cuts_leg)
-    finally:
-        leg_pool.shutdown(wait=False)
+    leg_pool = LegPool(3, "text_stats")
+    ppl_fut = leg_pool.submit(_laplace_leg)
+    kn_fut = leg_pool.submit(_kn_leg)
+    cuts_fut = leg_pool.submit(_cuts_leg)
 
-    out = base.join(bpe, on="doc_id").join(ppl_fut.result(), on="doc_id")
+    out = base.join(bpe, on="doc_id").join(leg_pool.result(ppl_fut), on="doc_id")
     from tsflex_spark.datapipe.text import chunk_documents
 
     ch = chunk_documents(docs, "text", id_col="doc_id", max_tokens=64, overlap=16)
@@ -1879,7 +1876,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # KN training consumes the SAME bigram explode the Laplace leg
     # checkpointed above (g-col rename instead of re-exploding the
     # corpus); the chain ran on the background pool started above
-    out = out.join(kn_fut.result(), on="doc_id")
+    out = out.join(leg_pool.result(kn_fut), on="doc_id")
     from tsflex_spark.datapipe.text import normalize_unicode
 
     nsrc = docs.select(
@@ -1930,7 +1927,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = out.join(bleg, on="doc_id")
     # quantile cutoffs from the background pool (see _cuts_leg above)
-    out = out.join(F.broadcast(cuts_fut.result()))
+    out = out.join(F.broadcast(leg_pool.result(cuts_fut)))
     return out.select(
         "doc_id",
         "n_chars",
@@ -2211,8 +2208,13 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # r10: ONE corpus gram pass feeds both the log-ratio fit (raw side)
     # and the per-doc weights — previously each exploded the corpus
-    # separately (hashed_buckets reuse; identical integers either way)
-    dbk = hashed_buckets(docs, "text", "doc_id", 64).localCheckpoint(eager=True)
+    # separately (hashed_buckets reuse; identical integers either way).
+    # r11: the eager checkpoint is gone — both consumers hold the SAME
+    # (id, bucket) groupBy subtree, so Catalyst's ReuseExchange executes
+    # its shuffle once inside the main action (ReusedExchange in the
+    # after-plan); the build-time barrier job the checkpoint paid is
+    # removed and the gram pass overlaps the per-doc legs on all cores.
+    dbk = hashed_buckets(docs, "text", "doc_id", 64)
     target = docs.where(F.col("doc_id") % 10 == 0).select("text")
     lr = fit_bucket_logratio(
         target, docs.select("text"), "text", num_buckets=64, raw_buckets=dbk
@@ -3002,7 +3004,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collects its bounded query side; bm25 collects its df table;
     # pca_train its moments) — independent chains, so they run on a
     # small driver pool and their fetch jobs overlap (guide §2.6).
-    from concurrent.futures import ThreadPoolExecutor
+    from tsflex_spark.utils.pool import LegPool
 
     # brute leg rides the same knn_join BLAS kernel as the batch leg
     # (one Arrow matmul per corpus partition + per-partition partial
@@ -3027,12 +3029,9 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb.where(F.col("vec_id") > 4), qs, k=5, q_id_col="q_id"
         ).select(F.lit("knn").alias("method"), "q_id", "vec_id", "cosine", "rank")
 
-    leg_pool = ThreadPoolExecutor(max_workers=2)
-    try:
-        brute_fut = leg_pool.submit(_brute_leg)
-        knn_fut = leg_pool.submit(_knn_leg)
-    finally:
-        leg_pool.shutdown(wait=False)
+    leg_pool = LegPool(2, "cosine_topk")
+    brute_fut = leg_pool.submit(_brute_leg)
+    knn_fut = leg_pool.submit(_knn_leg)
     # PCA isometry leg: full-rank (k = d) PCA is an orthonormal rotation
     # of the centered space, so euclidean top-10 in PCA coordinates MUST
     # equal euclidean top-10 on the raw vectors (DuckDB computes the
@@ -3093,8 +3092,8 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        brute_fut.result()
-        .unionByName(knn_fut.result())
+        leg_pool.result(brute_fut)
+        .unionByName(leg_pool.result(knn_fut))
         .unionByName(pca_top)
         .unionByName(bm_top)
         .coalesce(1).orderBy("method", "q_id", "rank")
@@ -3252,7 +3251,7 @@ def q_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (5 sequential Lloyd collects + the assignment scan) runs from a
     # second driver thread so its iteration barriers overlap the
     # lsh/ivf/pq plan construction (guide §2.6). Joined via
-    # km_fut.result() before the union.
+    # km_pool.result(km_fut) before the union.
     cb_pd = (
         base.select("vec_id", "embedding")
         .orderBy("vec_id")
@@ -3307,13 +3306,10 @@ def q_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, rows, "method string, vec_id long, metric double, rank int"
         )
 
-    from concurrent.futures import ThreadPoolExecutor
+    from tsflex_spark.utils.pool import LegPool
 
-    km_pool = ThreadPoolExecutor(max_workers=1)
-    try:
-        km_fut = km_pool.submit(_kmeans_leg)
-    finally:
-        km_pool.shutdown(wait=False)
+    km_pool = LegPool(1, "ann_kmeans")
+    km_fut = km_pool.submit(_kmeans_leg)
     # pq / ivfpq legs (round 10, r9 verdict task 4): the PQ/ADC search
     # surface promoted from pytest-only to hash legs. The codebook is
     # PLANTED deterministically from the corpus itself — subspace s's
@@ -3396,7 +3392,7 @@ def q_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("r.*")
     )
-    km = km_fut.result()
+    km = km_pool.result(km_fut)
     return (
         lsh.unionByName(ivf)
         .unionByName(km)
@@ -3650,18 +3646,15 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # thread so its per-iteration jobs overlap the union-find collect
     # and split-hash legs below (guide §2.6; concurrent first use of
     # the edges RDD is safe — the block manager locks per-partition
-    # computation). Joined via pr_fut.result() before the stats join.
-    from concurrent.futures import ThreadPoolExecutor
+    # computation). Joined via pr_pool.result(pr_fut) before the stats join.
+    from tsflex_spark.utils.pool import LegPool
 
     from tsflex_spark.datapipe.graph import degrees, pagerank
 
-    pr_pool = ThreadPoolExecutor(max_workers=1)
-    try:
-        pr_fut = pr_pool.submit(
-            pagerank, edges, "id_a", "id_b", damping=0.85, iters=6
-        )
-    finally:
-        pr_pool.shutdown(wait=False)
+    pr_pool = LegPool(1, "dup_pagerank")
+    pr_fut = pr_pool.submit(
+        lambda: pagerank(edges, "id_a", "id_b", damping=0.85, iters=6)
+    )
     cc = connected_components(edges, "id_a", "id_b")
     labeled = docs.select("doc_id").join(
         cc, docs["doc_id"] == cc["node"], "left"
@@ -3675,7 +3668,7 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # degree over the SAME candidate edge graph; the DuckDB oracle
     # unrolls the identical iterations as a generated CTE chain.
     # (r10: the iterations ran on the background thread started above.)
-    pr = pr_fut.result()
+    pr = pr_pool.result(pr_fut)
     dg = degrees(edges, "id_a", "id_b").select(
         "node", (F.col("out_degree") + F.col("in_degree")).alias("dtot")
     )
@@ -3845,7 +3838,7 @@ def q_sketch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signature materialization are EAGER — run serially they add ~3 s
     # of build-time barriers during which the main legs' jobs leave the
     # cores idle (guide §2.6: independent jobs overlap; the Spark
-    # scheduler is thread-safe). Joined via store_fut.result() below —
+    # scheduler is thread-safe). Joined via store_pool.result(store_fut) below —
     # same plans, same store contents, ~2.5 s less wall at sf0.1.
     # Bounded verification slice (doc_id < 1000, oracle replays the same
     # bound — the edit-prefix-128 precedent): the collision semantics
@@ -3857,9 +3850,9 @@ def q_sketch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc_id predicate reaches the parquet scan.
     import shutil
     import tempfile
-    from concurrent.futures import ThreadPoolExecutor
 
     from tsflex_spark.datapipe.dedup import dedup_against_store, minhash_signatures
+    from tsflex_spark.utils.pool import LegPool
 
     store_dir = os.path.join(
         tempfile.gettempdir(),
@@ -3886,11 +3879,8 @@ def q_sketch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             update_store=False, signatures=sig64,
         )
 
-    store_pool = ThreadPoolExecutor(max_workers=1)
-    try:
-        store_fut = store_pool.submit(_store_leg)
-    finally:
-        store_pool.shutdown(wait=False)
+    store_pool = LegPool(1, "sketch_store")
+    store_fut = store_pool.submit(_store_leg)
 
     # all stages consume the same (id, shingle-hash) table — shingle
     # once, lazily checkpoint, share. Both sketches come from ONE fused
@@ -3960,7 +3950,7 @@ def q_sketch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the main legs' checkpoints — guide §2.6: its eager bootstrap write
     # overlaps the main legs' jobs instead of serializing ~3 s of
     # barriers); collect its survivors frame here.
-    sur = store_fut.result()
+    sur = store_pool.result(store_fut)
     strows = sur.select(
         F.lit("store").alias("method"),
         F.col("doc_id").alias("id_a"),
@@ -4517,7 +4507,15 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("chunk_end") + F.expr("INTERVAL 1 MICROSECOND")).alias("end"),
         F.col("n_samples").alias("sess_n"),
     )
-    rj = range_join(clicks, sess, left_on="ts", by=["user_id"]).select(
+    # explicit granule (r11): the default granule is a blocking driver
+    # first() over max(session length) — i.e. the WHOLE chunk_data chain
+    # executed as a serial job at plan-build time. Any granule >= 1 is
+    # result-identical (the exact range predicate re-checks); 6h keeps
+    # the bucket fan-out tiny for sub-day sessions while removing the
+    # build barrier entirely.
+    rj = range_join(
+        clicks, sess, left_on="ts", by=["user_id"], granule=6 * H1
+    ).select(
         "event_id", F.col("start").alias("sess_start"), "sess_n"
     )
     # fourth §2.3 leg (round 9): interval_join (interval×interval

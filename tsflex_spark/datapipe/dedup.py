@@ -19,6 +19,8 @@ from typing import List, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from tsflex_spark.utils.data import cut_lineage
 from pyspark.sql import types as T
 
 
@@ -103,10 +105,25 @@ def shingle_rows(
     transform triggers InferFiltersFromGenerate, which re-inlines the whole
     shingle expression into the scan filter (O(n^2) regex per row measured
     220s at sf0.1 -> this shape: ~2s).
-    """
-    from tsflex_spark.utils.data import fan_out
 
-    d = fan_out(df).withColumn(
+    PERF (r11, guide §2.3/§2.4 — shuffle the payload once, never the
+    exploded form): the input is hash-repartitioned BY ID before the
+    explode, so the dedup aggregation runs as one partition-local pass —
+    ``HashPartitioning(id)`` satisfies the (id, hash) clustered
+    distribution, Spark inserts NO exchange for the dropDuplicates, and
+    downstream ``groupBy(id)`` sketch aggregates reuse the same
+    partitioning. The old shape (round-robin fan-out + keyed dedup
+    exchange) shuffled the full exploded (id, hash) table — ~16 bytes per
+    CHARACTER of corpus text, the peak stage of the 100x scale probe at
+    9.6 GB — where the keyed repartition moves each doc's text exactly
+    once (~25x fewer shuffle bytes on that stage; a whole-doc row never
+    spans input splits, so per-doc dedup is exact partition-locally at
+    any scale). Skew note: one doc = one partition's worth of work is the
+    explode's inherent granularity (it was already doc-local post
+    fan-out); pathological single-doc skew belongs to the input, not the
+    plan.
+    """
+    d = df.repartition(F.col(id_col)).withColumn(
         "__norm", F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
     )
     d = d.select(
@@ -325,7 +342,7 @@ def ngram_jaccard(
         # only controls the materialization trade-off of the pruned slice).
         sh = sh.join(involved, id_col, "left_semi")
         if prune_checkpoint:
-            sh = sh.localCheckpoint(eager=True)
+            sh = sh.transform(cut_lineage)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
     sha = sh.select(F.col(id_col).alias("id_a"), F.col("__s"))
     shb = sh.select(F.col(id_col).alias("id_b"), F.col("__s"))
@@ -451,7 +468,7 @@ def minhash_dedup(
     sh = (
         shingles
         if shingles is not None
-        else shingle_rows(df, text_col, id_col, shingle_k).localCheckpoint(eager=True)
+        else shingle_rows(df, text_col, id_col, shingle_k).transform(cut_lineage)
     )
     # the LSH banding self-joins the signature table (a ⋈ b) — without a
     # checkpoint the 64-min-agg subtree executes once per join side.
@@ -463,7 +480,7 @@ def minhash_dedup(
         sigs = (
             signatures.select(id_col, "minhash")
             .join(df.select(id_col), on=id_col, how="left_semi")
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
     else:
         sigs = minhash_signatures(
@@ -471,13 +488,13 @@ def minhash_dedup(
         )
         if shingles is not None:  # superset shingles ⇒ superset signatures
             sigs = sigs.join(df.select(id_col), on=id_col, how="left_semi")
-        sigs = sigs.localCheckpoint(eager=True)
+        sigs = sigs.transform(cut_lineage)
     # candidate pairs are tiny by LSH design (two id columns) but their
     # PLAN is the whole signature+self-join DAG; the verification stage
     # references them in three joins — the eager checkpoint materializes
     # them once and TRUNCATES the lineage (consumers plan against a
     # LogicalRDD leaf, not the full DAG)
-    cands = minhash_lsh_candidates(sigs, id_col, num_bands).localCheckpoint(eager=True)
+    cands = minhash_lsh_candidates(sigs, id_col, num_bands).transform(cut_lineage)
     if prefilter_margin is not None:
         cands = (
             minhash_est_jaccard(cands, sigs, id_col)
@@ -902,7 +919,7 @@ def connected_components(
         .where(F.col("u") != F.col("v"))
         .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     if driver_threshold:
         # e is checkpointed: the count re-reads persisted blocks only
@@ -945,7 +962,7 @@ def connected_components(
             .union(mins2.select("u", F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         new_sig = _sig(e_new)
         e = e_new
@@ -1104,8 +1121,10 @@ def span_gram_rows(
     ``xxhash64`` of the word n-gram starting there — the shared heavy
     stage (tokenize + explode + hash) of :func:`duplicate_spans` and
     :func:`remove_duplicate_spans`. A pipeline running detection AND
-    removal should compute this once, ``persist`` it, and pass
-    it to both via ``positions=`` — halving the dominant corpus scan.
+    removal should compute this once, cut its lineage with an eager
+    ``localCheckpoint()`` (not ``persist`` — see ``bigram_rows``), and
+    pass it to both via ``positions=`` — halving the dominant corpus
+    scan.
     ``n`` must match the consumers' ``n``. ``tokens`` (an
     ``(id, __t array<string>)`` frame of lowercased whitespace tokens)
     skips the tokenize — pass it when another corpus pass (e.g.
@@ -1408,7 +1427,7 @@ def dedup_against_store(
             num_hashes=num_hashes, shingle_k=shingle_k, seed=seed,
             shingles=shingles,
         )
-    bands = band_rows(sig, id_col, num_bands).localCheckpoint(eager=True)
+    bands = band_rows(sig, id_col, num_bands).transform(cut_lineage)
 
     # Probe existence via the Hadoop FS API instead of catching every
     # read error: a transient failure (permissions, network, corrupt
@@ -1431,6 +1450,17 @@ def dedup_against_store(
             )
             .select(id_col)
             .distinct()
+            # materialize the COLLIDING-ID set (tiny: <= batch ids), not
+            # the survivors: this freezes the store READ at call time, so
+            # (a) a read-only probe's results are snapshot-stable even if
+            # the caller appends to the store between the call and the
+            # consumption (the documented foreachBatch/audit-alongside-
+            # writer shape — previously the lazy plan re-read the store
+            # at every consumption), and (b) the update path's append can
+            # never re-observe itself through the survivors' plan, which
+            # no longer contains the store read at all. Cheaper than the
+            # r10 survivors checkpoint too: ids only, never the text.
+            .transform(cut_lineage)
         )
         survivors = new_docs.join(hit, on=id_col, how="left_anti")
     else:
@@ -1448,20 +1478,17 @@ def dedup_against_store(
             num_hashes=num_hashes, num_bands=num_bands,
             shingle_k=shingle_k, signatures=sig, shingles=shingles,
         )
-    # materialize survivors BEFORE appending their bands: the append
-    # must not re-observe itself through the store read above. The
-    # barrier is only NEEDED when the survivors' plan actually contains
-    # that store read AND the append will happen (update_store against
-    # an existing store); a bootstrap call (no store yet) or a read-only
-    # probe (update_store=False) returns a lazy frame instead — one
-    # whole materialization pass of the batch (text and all) saved per
-    # call, with identical results (measured: gate store leg 7.7 → ~2 s
-    # at sf0.1 together with the single-file-per-band write below).
-    # (bootstrap + within_batch still checkpoints: the append below
-    # executes the within-batch dedup once for keep_ids, and without the
-    # barrier the caller's consumption would run it a second time)
-    if update_store and (have_store or within_batch):
-        survivors = survivors.localCheckpoint(eager=True)
+    # the store read is already frozen in the checkpointed `hit` above,
+    # so the append can never re-observe itself. The only remaining
+    # double-execution hazard is the within-batch dedup: the append
+    # below executes it once for keep_ids, and without a barrier the
+    # caller's consumption would run it a second time — checkpoint
+    # survivors exactly then. Read-only probes and no-within-batch
+    # updates return a lazy frame (the anti-join against the literal
+    # hit set re-runs cheaply), saving a whole materialization pass of
+    # the batch (text and all) per call.
+    if update_store and within_batch:
+        survivors = survivors.transform(cut_lineage)
 
     if update_store:
         keep_ids = survivors.select(id_col)

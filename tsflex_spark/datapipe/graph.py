@@ -24,6 +24,8 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from tsflex_spark.utils.data import cut_lineage
+
 
 def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Per-node (out_degree, in_degree) — one aggregate per direction."""
@@ -60,7 +62,7 @@ def pagerank(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     n = nodes.count()
     if n == 0:
@@ -69,7 +71,7 @@ def pagerank(
         F.count(F.lit(1)).alias("od")
     )
     # (node, od) with od NULL for dangling nodes
-    base = nodes.join(out_deg, "node", "left").localCheckpoint(eager=True)
+    base = nodes.join(out_deg, "node", "left").transform(cut_lineage)
 
     ranks = base.withColumn("rank", F.lit(1.0 / n))
     for _it in range(iters):
@@ -121,7 +123,7 @@ def pagerank(
         # thread before the frame is ever multi-consumed — the same safe
         # recipe as connected_components' convergence barriers.
         if _it % 2 == 1 or _it == iters - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.transform(cut_lineage)
         if tol is not None:
             moved = (
                 ranks.select("node", "rank")

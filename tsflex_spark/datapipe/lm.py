@@ -43,6 +43,8 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tsflex_spark.utils.data import cut_lineage
+
 from tsflex_spark.datapipe.text import _tokens
 
 
@@ -51,8 +53,11 @@ def bigram_rows(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     tokens, built in-row with slice + arrays_zip (codegen, no window).
 
     Public so a caller that both TRAINS and SCORES on the same corpus
-    (self-perplexity) can compute the explode once, persist it, and
-    pass it to ``train_ngram_lm(bigrams=...)`` and
+    (self-perplexity) can compute the explode once, cut its lineage with
+    an eager ``localCheckpoint()`` (NOT ``persist`` — persist keeps the
+    full logical plan and registers in the session-global CacheManager,
+    measured as multi-minute analysis stalls on deep chains), and pass
+    it to ``train_ngram_lm(bigrams=...)`` and
     ``score_perplexity(bigrams=...)`` — halving the corpus explode."""
     toks = F.transform(_tokens(F.col(text_col)), F.lower)
     n = F.size(toks)
@@ -124,7 +129,7 @@ def train_ngram_lm(
     pairs_all = (
         bg.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     contexts = pairs_all.groupBy("w1").agg(F.sum("c").alias("cc"))
     pairs = pairs_all.filter(F.col("c") >= int(min_count)) if min_count > 1 else pairs_all
@@ -345,7 +350,7 @@ def ppl_buckets(
             broadcast_model=broadcast_model, hash_keys=hash_keys,
             bigrams=bigrams,
         )
-    scored = scored_df.select(id_col, "ppl").localCheckpoint(eager=True)
+    scored = scored_df.select(id_col, "ppl").transform(cut_lineage)
     qs = exact_quantiles(scored.where(F.col("ppl").isNotNull()), "ppl", list(cuts))
     cuts_row = qs.groupBy().agg(F.array_sort(F.collect_list("value")).alias("__cuts"))
     out = docs.join(scored, on=id_col, how="left").join(F.broadcast(cuts_row))
@@ -468,7 +473,7 @@ def train_kn_lm(
     top = (
         ng.groupBy(*gcols)
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     ctx: dict = {}
     ctx[N] = top.groupBy(*gcols[:-1]).agg(
@@ -488,7 +493,7 @@ def train_kn_lm(
         cont = (
             shifted.groupBy(*kcols)
             .agg(F.count(F.lit(1)).alias("cc"))
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         tables[k] = cont
         if k >= 2:
@@ -533,7 +538,7 @@ def train_kn_lm(
         )
         drows = dk if drows is None else drows.join(dk)
         dcols.append(f"d{k}")
-    consts = vrow.join(urow).join(drows).localCheckpoint(eager=True)
+    consts = vrow.join(urow).join(drows).transform(cut_lineage)
     return KNModel(order=N, top=top, tables=tables, ctx=ctx, consts=consts)
 
 

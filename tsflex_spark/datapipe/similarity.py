@@ -29,6 +29,21 @@ def _f(v: float) -> str:
     return f"CAST('{float(v)!r}' AS DOUBLE)"
 
 
+def _qident(name: str) -> str:
+    """Backtick-quote a column NAME for interpolation into parsed SQL.
+
+    Plain identifiers pass through; anything else (spaces, hyphens,
+    dots, backticks) is quoted with embedded backticks doubled — the
+    Column-API path accepted such names, so the parsed-SQL fast path
+    must too (and raw interpolation of an untrusted name would
+    otherwise be an expression-injection surface)."""
+    import re
+
+    if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+        return name
+    return "`" + name.replace("`", "``") + "`"
+
+
 def _dot_lit(vec_col, q: Sequence[float]) -> Column:
     """<vec, q> with the literal query unrolled — left-to-right sum, exact
     expression-tree parity with the DuckDB oracle.
@@ -40,7 +55,7 @@ def _dot_lit(vec_col, q: Sequence[float]) -> Column:
     path; both build the same analyzed tree."""
     if not isinstance(vec_col, Column):
         terms = " + ".join(
-            f"CAST(element_at({vec_col}, {i + 1}) AS DOUBLE) * {_f(v)}"
+            f"CAST(element_at({_qident(vec_col)}, {i + 1}) AS DOUBLE) * {_f(v)}"
             for i, v in enumerate(q)
         )
         return F.expr(f"({terms})")
@@ -54,7 +69,7 @@ def _dot_lit(vec_col, q: Sequence[float]) -> Column:
 def _norm(vec_col) -> Column:
     if not isinstance(vec_col, Column):
         return F.expr(
-            f"sqrt(aggregate({vec_col}, 0.0D, "
+            f"sqrt(aggregate({_qident(vec_col)}, 0.0D, "
             f"(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
         )
     return F.sqrt(
@@ -124,7 +139,7 @@ def lsh_signature_col(vec_col, num_planes: int, dim: int, seed: int = 7) -> Colu
         for p in range(num_planes):
             arr = ", ".join(_f(s) for s in signs[p])
             proj = (
-                f"aggregate(zip_with({vec_col}, array({arr}), "
+                f"aggregate(zip_with({_qident(vec_col)}, array({arr}), "
                 f"(a, b) -> CAST(a AS DOUBLE) * b), 0.0D, (acc, x) -> acc + x)"
             )
             parts.append(

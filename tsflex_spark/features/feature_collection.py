@@ -79,7 +79,9 @@ def _materialize_bounds(bounds_plan: DataFrame, key_cols: Sequence[str]) -> Data
     get expensive — measured as multi-minute analysis stalls on the deep
     datapipe chains.)"""
     if key_cols:
-        return bounds_plan.localCheckpoint(eager=True)
+        from tsflex_spark.utils.data import cut_lineage
+
+        return cut_lineage(bounds_plan)
     from tsflex_spark.utils.data import local_rows_df
 
     rows = bounds_plan.collect()  # <= 1 row by construction (global agg)
@@ -1203,9 +1205,13 @@ class FeatureCollection:
         # pass is the scale-correct trade at any data size. EAGER: a lazy
         # checkpoint can ABBA-deadlock against concurrent AQE stage
         # submission (see the bounds comment in calculate)
-        pos = with_global_row_number(
-            data_n, TSN, "__rn", key_cols=key_cols, zero_based=True
-        ).localCheckpoint(eager=True)
+        from tsflex_spark.utils.data import cut_lineage
+
+        pos = cut_lineage(
+            with_global_row_number(
+                data_n, TSN, "__rn", key_cols=key_cols, zero_based=True
+            )
+        )
         pos_map = pos.select(*key_cols, F.col("__rn").alias(OUT_IDX), F.col(TSN).alias("__out_tsn"))
         data_ps = pos.drop(TSN).withColumnRenamed("__rn", TSN)
 

@@ -23,6 +23,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from tsflex_spark.utils.data import cut_lineage
 from pyspark.sql import types as T
 
 
@@ -316,7 +318,7 @@ class SeriesProcessor:
         d = (
             df.repartitionByRange(_n_range_parts(df), F.col(ts_col))
             .withColumn("__pid", F.spark_partition_id())
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         w_asc = Window.partitionBy("__pid").orderBy(F.col(ts_col).asc())
         w_desc = Window.partitionBy("__pid").orderBy(F.col(ts_col).desc())

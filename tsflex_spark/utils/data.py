@@ -107,6 +107,36 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df
 
 
+def cut_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Materialize a multi-consumer frame and truncate its lineage.
+
+    Default: ``localCheckpoint`` — blocks live on executors, fast, but
+    NOT fault-tolerant (an executor loss loses the blocks and fails the
+    job instead of recomputing lineage). That is the right local/batch
+    trade; on long 100 TB runs over preemptible nodes set BOTH::
+
+        spark.sparkContext.setCheckpointDir("hdfs://.../ckpt")
+        spark.conf.set("spark.tsflex.reliableCheckpoint", "true")
+
+    and every engine lineage cut becomes a RELIABLE ``checkpoint()`` to
+    the checkpoint dir — slower (a write + read-back per cut) but
+    recoverable after executor loss. The flag is read per call, so one
+    session can mix modes (e.g. enable it only around a multi-hour
+    stage). Eager by default for the same ABBA-deadlock reason every
+    call site documents: a lazy cut materializing on a broadcast
+    exchange thread can deadlock against concurrent AQE stage
+    submission.
+    """
+    spark = df.sparkSession
+    if str(
+        spark.conf.get("spark.tsflex.reliableCheckpoint", "false")
+    ).lower() == "true":
+        sc = spark.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isDefined():
+            return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 def local_rows_df(spark, rows, schema):
     """Tiny driver-side row list → a JVM-local DataFrame.
 

@@ -33,6 +33,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from tsflex_spark.utils.data import cut_lineage
+
 PID = "__gpid"
 
 __all__ = [
@@ -89,7 +91,7 @@ def _ranged(df: DataFrame, order_col: str) -> DataFrame:
     return (
         df.repartitionByRange(_n_range_parts(df), F.col(order_col))
         .withColumn(PID, F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
 
 
@@ -350,7 +352,7 @@ def with_global_carry(
     d = (
         df.repartitionByRange(_n_range_parts(df), *[F.col(c) for c in order_cols])
         .withColumn(PID, F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     wloc = (
         W.partitionBy(PID)
@@ -386,7 +388,14 @@ def with_global_carry(
     return out.drop(PID, *[f"__bnd_{c}" for c in cols])
 
 
-def _values_at_ranks(df: DataFrame, col: str, ranks_tiny: DataFrame) -> DataFrame:
+def _values_at_ranks(
+    df: DataFrame,
+    col: str,
+    ranks_tiny: DataFrame,
+    *,
+    pre_ranged: bool = False,
+    counts: Optional[DataFrame] = None,
+) -> DataFrame:
     """Exact global order statistics without a single-partition sort.
 
     ``ranks_tiny`` is a small DataFrame with one ``__rank`` column
@@ -397,9 +406,15 @@ def _values_at_ranks(df: DataFrame, col: str, ranks_tiny: DataFrame) -> DataFram
     ``row_number`` window (fully parallel) picks the value. Returns
     (``__rank``, ``__v``) — at most ``len(ranks)`` rows. Ranks beyond the
     row count yield no row (caller decides the semantics).
+
+    ``pre_ranged=True``: ``df`` is already a ``_ranged`` output (stamped
+    ``PID``, materialized, nulls dropped) — skip the second range
+    materialization; pass ``counts`` to reuse an existing per-partition
+    count table as well (exact_quantiles derives n from the same table).
     """
-    d = _ranged(df.select(col).where(F.col(col).isNotNull()), col)
-    counts = d.groupBy(PID).agg(F.count(F.lit(1)).alias("__cnt"))
+    d = df if pre_ranged else _ranged(df.select(col).where(F.col(col).isNotNull()), col)
+    if counts is None:
+        counts = d.groupBy(PID).agg(F.count(F.lit(1)).alias("__cnt"))
     offs = _prefix(counts, "__cnt", "__off")
     loc = (
         offs.join(
@@ -439,18 +454,21 @@ def exact_quantiles(df: DataFrame, col: str, qs: Sequence[float]) -> DataFrame:
     broadcasts. ``percentile``'s exact built-in buffers every value
     through a single merge — this keeps all heavy stages parallel.
 
-    The single-column input is lazily checkpointed: selection is a
-    multi-pass algorithm (count + ranked pick), and without the
-    checkpoint every pass re-executes the caller's upstream plan —
-    measured as ~6 redundant full scans when the input is itself a join.
-    The cached slice is one column, so the footprint is 8-16 B/row.
+    The single-column input is materialized ONCE, by the range exchange
+    the selection needs anyway (``_ranged``): selection is a multi-pass
+    algorithm (count + ranked pick), and without a materialization every
+    pass re-executes the caller's upstream plan — measured as ~6
+    redundant full scans when the input is itself a join. (r10 shipped a
+    separate eager checkpoint of the raw slice FOLLOWED by the ranged
+    checkpoint — two serialized materialization passes of the same
+    column; r11 folds them: n comes from the ranged frame's
+    per-partition counts, saving one full pass per call.) The cached
+    slice is one column, so the footprint is 8-16 B/row.
     """
-    d = (
-        df.select(col)
-        .where(F.col(col).isNotNull())
-        .localCheckpoint(eager=True)
-    )
-    n_df = d.agg(F.count(F.lit(1)).alias("__n"))
+    d = _ranged(df.select(col).where(F.col(col).isNotNull()), col)
+    counts = d.groupBy(PID).agg(F.count(F.lit(1)).alias("__cnt"))
+    n_df = counts.agg(F.sum("__cnt").cast("long").alias("__n"))
+    n_df = n_df.select(F.coalesce(F.col("__n"), F.lit(0)).alias("__n"))
     qdf = n_df.select(
         F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"), "__n"
     )
@@ -467,7 +485,7 @@ def exact_quantiles(df: DataFrame, col: str, qs: Sequence[float]) -> DataFrame:
         .where(F.col("__rank") >= 1)
         .distinct()
     )
-    vals = _values_at_ranks(d, col, ranks)
+    vals = _values_at_ranks(d, col, ranks, pre_ranged=True, counts=counts)
     lo = vals.select(F.col("__rank").alias("__lo"), F.col("__v").alias("__vlo"))
     hi = vals.select(F.col("__rank").alias("__hi"), F.col("__v").alias("__vhi"))
     out = qdf.join(F.broadcast(lo), on="__lo", how="left").join(
@@ -538,7 +556,7 @@ def with_global_ewma(
         df.repartitionByRange(_n_range_parts(df), *[F.col(c) for c in order_cols])
         .sortWithinPartitions(*[F.col(c) for c in order_cols])
         .withColumn(PID, F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     from pyspark.sql import types as T
 
