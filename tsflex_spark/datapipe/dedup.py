@@ -114,9 +114,10 @@ def shingle_rows(
     downstream ``groupBy(id)`` sketch aggregates reuse the same
     partitioning. The old shape (round-robin fan-out + keyed dedup
     exchange) shuffled the full exploded (id, hash) table — ~16 bytes per
-    CHARACTER of corpus text, the peak stage of the 100x scale probe at
-    9.6 GB — where the keyed repartition moves each doc's text exactly
-    once (~25x fewer shuffle bytes on that stage; a whole-doc row never
+    CHARACTER of corpus text, measured ~4.2 GB of the sketch gate's
+    shuffle write at the 100x scale probe — where the keyed repartition
+    moves each doc's text exactly
+    once (~16x fewer shuffle bytes on that stage; a whole-doc row never
     spans input splits, so per-doc dedup is exact partition-locally at
     any scale). Skew note: one doc = one partition's worth of work is the
     explode's inherent granularity (it was already doc-local post
@@ -308,11 +309,22 @@ def ngram_jaccard(
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (verification stage).
 
-    Pair-driven equi-joins over distinct (id, shingle) rows: intersection
-    size = count of shingles reached via BOTH pair sides; union =
-    |A| + |B| - inter. Codegen'd shuffle joins on (id, shingle) -- scales
-    to arbitrarily many candidate pairs (never materializes per-doc
-    arrays, never compares arrays in-row).
+    Intersections are computed in-row over per-doc shingle ARRAYS
+    (``collect_list`` once per doc, ``array_intersect`` per pair):
+    intersection size = |A ∩ B|, union = |A| + |B| - inter. Identical
+    integers to a pair-driven (id, shingle) equi-join — shingle rows are
+    distinct per (id, shingle) by construction, so the distinct-element
+    ``array_intersect`` cardinality equals the equi-join match count —
+    but the bytes moved are ~10x smaller: the equi-join shape replicated
+    doc A's FULL shingle set once per candidate pair through two shuffle
+    stages (measured 9.6 GB written / 10.8 GB read on one stage at the
+    100x scale probe — the dedup family's peak), where the array shape
+    shuffles the shingle table once (the groupBy collect) and then one
+    ~8 B x |shingles| array per pair side. Trade-off: a doc's whole
+    shingle set becomes one row (~8 B per distinct shingle — an 80 MB
+    row for a 10 MB doc); the pair-join shape only wins when single
+    documents approach GB scale, which an LLM-corpus pipeline should
+    reject upstream anyway.
 
     ``prune=False`` skips the involved-docs semi-join entirely — for
     pair sets that touch (nearly) every document the prune keeps
@@ -332,38 +344,33 @@ def ngram_jaccard(
             .union(pairs.select(F.col("id_b").alias(id_col)))
             .distinct()
         )
-        # the pruned slice feeds THREE consumers (sizes, side-a, side-b):
-        # checkpoint it so the semi-join prune of the full shingle table
-        # runs once, not three times (the full table is often itself a
-        # lazily checkpointed branch shared with sketch generation). When
-        # the pairs cover most of the corpus, pass prune=False — the prune
-        # keeps ~everything, so skip the distinct + semi-join entirely
-        # (prune_checkpoint=False alone still runs them three times; it
-        # only controls the materialization trade-off of the pruned slice).
         sh = sh.join(involved, id_col, "left_semi")
-        if prune_checkpoint:
-            sh = sh.transform(cut_lineage)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
-    sha = sh.select(F.col(id_col).alias("id_a"), F.col("__s"))
-    shb = sh.select(F.col(id_col).alias("id_b"), F.col("__s"))
-    inter = (
-        pairs.join(sha, "id_a")
-        .join(shb, ["id_b", "__s"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("__inter"))
-    )
-    na = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
-    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
+    # ONE corpus-shaped shuffle: group the (distinct) shingle rows into a
+    # per-doc array. Both pair sides consume the identical subtree, so
+    # either the checkpoint below materializes it once, or (un-
+    # checkpointed) runtime exchange reuse executes its shuffle once —
+    # the arrays are never rebuilt per side. xxhash64 never returns
+    # NULL, so collect_list counts exactly the grouped rows.
+    arr = sh.groupBy(id_col).agg(F.collect_list("__s").alias("__arr"))
+    if prune and prune_checkpoint:
+        # materialize the verification working set (one array row per
+        # involved doc — strictly smaller than the pruned shingle rows
+        # this used to checkpoint) so the semi-join prune of the full
+        # shingle table runs once. When the pairs cover most of the
+        # corpus, pass prune=False — the prune keeps ~everything, so
+        # skip the distinct + semi-join entirely.
+        arr = arr.transform(cut_lineage)
+    aa = arr.select(F.col(id_col).alias("id_a"), F.col("__arr").alias("__sa"))
+    bb = arr.select(F.col(id_col).alias("id_b"), F.col("__arr").alias("__sb"))
     out = (
-        pairs.join(inter, ["id_a", "id_b"], "left")
-        .join(na, "id_a")
-        .join(nb, "id_b")
-        .withColumn("__i", F.coalesce(F.col("__inter"), F.lit(0)).cast("double"))
+        pairs.join(aa, "id_a")
+        .join(bb, "id_b")
+        .withColumn("__i", F.size(F.array_intersect("__sa", "__sb")).cast("double"))
     )
     return out.select(
         "id_a",
         "id_b",
-        (F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i")).cast("double")).alias(
+        (F.col("__i") / (F.size("__sa") + F.size("__sb") - F.col("__i")).cast("double")).alias(
             "jaccard"
         ),
     )
