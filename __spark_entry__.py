@@ -2167,6 +2167,17 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the alpha-smoothed ln(p/q) table, and the per-doc Σ c·lr_e6."""
     _utc(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from tsflex_spark.datapipe.dsir import hashed_buckets as _hb
+    from tsflex_spark.utils.pool import LegPool
+
+    # DSIR gram-pass checkpoint on a background thread, submitted BEFORE
+    # the other legs' plan construction so the py4j build below overlaps
+    # the pass (guide §2.6); joined at the dsir section — see the
+    # race-on-exchange-reuse note there.
+    dsir_pool = LegPool(1, "quality_dsir")
+    dbk_fut = dsir_pool.submit(
+        lambda: _hb(docs, "text", "doc_id", 64).localCheckpoint(eager=True)
+    )
     from tsflex_spark.datapipe.text import (
         language_id,
         quality_score,
@@ -2202,19 +2213,23 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from tsflex_spark.datapipe.dsir import (
         fit_bucket_logratio,
-        hashed_buckets,
         importance_weights,
     )
 
     # r10: ONE corpus gram pass feeds both the log-ratio fit (raw side)
     # and the per-doc weights — previously each exploded the corpus
     # separately (hashed_buckets reuse; identical integers either way).
-    # r11: the eager checkpoint is gone — both consumers hold the SAME
-    # (id, bucket) groupBy subtree, so Catalyst's ReuseExchange executes
-    # its shuffle once inside the main action (ReusedExchange in the
-    # after-plan); the build-time barrier job the checkpoint paid is
-    # removed and the gram pass overlaps the per-doc legs on all cores.
-    dbk = hashed_buckets(docs, "text", "doc_id", 64)
+    # r11 (revised): the checkpoint-free shape relied on runtime
+    # exchange reuse, but the log-ratio fit consumes the gram exchange
+    # from inside a BROADCAST subtree that AQE materializes on a
+    # separate thread — stage-cache dedup is then a race, and a REST
+    # profile caught the full gram pass executing TWICE (two stages
+    # each writing the same 2.3 MB (id,bucket) shuffle). Checkpointing
+    # the aggregated dbk frame (n_docs x 64 rows — tiny) makes the
+    # single gram pass deterministic; the build ran on the background
+    # LegPool thread submitted at the top of this gate, so the four
+    # legs' plan construction above overlapped it (guide §2.6).
+    dbk = dsir_pool.result(dbk_fut)
     target = docs.where(F.col("doc_id") % 10 == 0).select("text")
     lr = fit_bucket_logratio(
         target, docs.select("text"), "text", num_buckets=64, raw_buckets=dbk
