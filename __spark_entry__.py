@@ -4826,16 +4826,20 @@ def q_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from tsflex_spark.streaming.stateful import running_stats_stream
 
-    # nanosecond-timestamp parquet: stream the micros-converted copy
-    # no watermark in this query, so ts never reaches the state op — drop
-    # it before the copy (skips the nanos→micros rewrite entirely)
-    ev = _events(spark, sf_dir).select("user_id", "value")
+    # r11: stream the ORIGINAL events parquet directly — the gate's state
+    # op needs only (user_id, value), and a user-supplied schema that
+    # omits the nanosecond ts column never touches it (column pruning at
+    # the parquet reader), so the old select+coalesce(4)+write source
+    # copy (~1 s of build wall per call) is pure overhead. The file
+    # source wants a DIRECTORY; pathGlobFilter pins it to the one file.
+    # Identical rows, and the Chan fixed-point merge is batch-boundary-
+    # independent, so results are unchanged by the source's file layout.
     tmp = tempfile.mkdtemp(prefix="tsfs_stateful_")
-    src = f"{tmp}/src"
-    # few large source files: the file-stream source lists/schedules per
-    # file, and the state op re-shuffles by key anyway
-    ev.coalesce(4).write.parquet(src)
-    stream = spark.readStream.schema("user_id long, value double").parquet(src)
+    stream = (
+        spark.readStream.schema("user_id long, value double")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
     # exact fixed-point state: identical results regardless of micro-batch
     # boundaries, and hash-identical to the SQL oracle's derived moments
     out = running_stats_stream(
