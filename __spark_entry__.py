@@ -3235,7 +3235,26 @@ def q_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = lsh_bucket_topk(
         base, q, k=10, num_planes=_ANN_PLANES, dim=_ANN_DIM, probe_hamming=2
     )
-    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    # r11: ONE driver fetch feeds the ivf/pq query vector (vec_id 0), the
+    # k-means init AND the PQ codebook — previously the query vector was
+    # its own blocking first() job before the codebook toPandas (two
+    # serial build-time driver jobs; guide §5 driver round trips).
+    import numpy as np
+    import pandas as pd
+
+    _n_head = max(_KM_K, _PQ_KSUB)
+    head_pd = (
+        emb.where(F.col("vec_id") == 0)
+        .select("vec_id", "embedding")
+        .unionByName(
+            base.select("vec_id", "embedding").orderBy("vec_id").limit(_n_head)
+        )
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    qv = [float(x) for x in head_pd["embedding"].iloc[0]]
+    cb_pd = head_pd.iloc[1:].reset_index(drop=True)
     ivf = ivf_topk(base, qv, k=10, nlist=16, nprobe=16)
     w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
     lsh = lsh.select(
@@ -3255,24 +3274,16 @@ def q_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     # norm + fresh-assignment count, plus a corpus inertia row — exact
     # verification of the iterative update, empty-cell keep-old rule,
     # and argmin tie-break (first index).
-    import numpy as np
-    import pandas as pd
-
     from tsflex_spark.datapipe.embedding import kmeans_fit
 
     # r10: ONE driver fetch feeds both the k-means init (first _KM_K
     # rows) and the PQ codebook below (first _PQ_KSUB rows) — the two
-    # limits were separate toPandas jobs; and the whole k-means leg
-    # (5 sequential Lloyd collects + the assignment scan) runs from a
-    # second driver thread so its iteration barriers overlap the
-    # lsh/ivf/pq plan construction (guide §2.6). Joined via
+    # limits were separate toPandas jobs (r11 folded the query-vector
+    # first() into the same fetch, see head_pd above); and the whole
+    # k-means leg (5 sequential Lloyd collects + the assignment scan)
+    # runs from a second driver thread so its iteration barriers overlap
+    # the lsh/ivf/pq plan construction (guide §2.6). Joined via
     # km_pool.result(km_fut) before the union.
-    cb_pd = (
-        base.select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .limit(max(_KM_K, _PQ_KSUB))
-        .toPandas()
-    )
     C0 = np.asarray(cb_pd["embedding"].head(_KM_K).tolist(), dtype="float64")
 
     def _kmeans_leg():
