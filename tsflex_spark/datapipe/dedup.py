@@ -124,24 +124,13 @@ def shingle_rows(
     fan-out); pathological single-doc skew belongs to the input, not the
     plan.
     """
-    # Scale-adaptive partition count for the keyed shuffle: without an
-    # explicit N, repartition(col) lands on spark.sql.shuffle.partitions
-    # — sized for post-aggregation data, NOT for a chain that explodes
-    # ~16x right after the exchange. When the scan has more splits than
-    # that (the 100 TB case), keep the scan's granularity so no task
-    # explodes more than one input split's worth of text (exactly the
-    # pre-keyed fan_out behavior); small inputs keep the bare
-    # REPARTITION_BY_COL form so AQE may still coalesce them.
-    if df.isStreaming:
-        d = df.repartition(F.col(id_col))
-    else:
-        sc = df.sparkSession.sparkContext
-        in_parts = df.rdd.getNumPartitions()
-        d = (
-            df.repartition(in_parts, F.col(id_col))
-            if in_parts > sc.defaultParallelism
-            else df.repartition(F.col(id_col))
-        )
+    # Keyed fan-out (scale-adaptive partition count — see
+    # utils.data.keyed_fan_out, extracted from this site r11 so the
+    # pattern is one implementation shared with the other explode+
+    # keyed-aggregate operators).
+    from tsflex_spark.utils.data import keyed_fan_out
+
+    d = keyed_fan_out(df, id_col)
     d = d.withColumn(
         "__norm", F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
     )

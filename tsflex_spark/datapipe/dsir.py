@@ -46,14 +46,18 @@ def _hashed_buckets(df: DataFrame, text_col: str, id_col: str, num_buckets: int)
         lambda a, b: F.concat_ws(" ", a, b),
     )
     grams = F.concat(uni, big)
-    # fan_out before the compute-amplifying explode: a single-file
-    # parquet scan is ONE partition, so without it the whole corpus
-    # tokenize+explode+hash ran on one core (two 1-task 1.2 s stages
-    # observed in the quality_score gate at sf0.1 — guide §2.5 input
-    # skew; every other explode-heavy operator already does this)
-    from tsflex_spark.utils.data import fan_out
+    # KEYED fan-out before the compute-amplifying explode (r10 used
+    # round-robin fan_out for the same input-skew reason — guide §2.5;
+    # r11 keys it by id): HashPartitioning(id) below the explode
+    # satisfies the (id, bucket) clustered distribution, so the groupBy
+    # needs NO second exchange over the exploded gram-bucket table —
+    # the only shuffle moves each doc's text once (guide §2.3/§2.4,
+    # the shingle_rows pattern).
+    from tsflex_spark.utils.data import keyed_fan_out
 
-    g = fan_out(df).select(F.col(id_col), F.explode(grams).alias("gram"))
+    g = keyed_fan_out(df, id_col).select(
+        F.col(id_col), F.explode(grams).alias("gram")
+    )
     return (
         g.select(id_col, F.pmod(F.xxhash64("gram"), F.lit(num_buckets)).alias("bucket"))
         .groupBy(id_col, "bucket")

@@ -335,14 +335,24 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     hot path. The previous shape unioned three explode branches, each
     re-running the ``\\s+`` tokenizer over the full text (3 corpus scans;
     measured 1.50 → 1.10 s at sf0.1, and at 100 TB the scan count is the
-    whole story). Counting is ONE hash-shuffle groupBy keyed on
-    (id, kind, xxhash64(gram)) — the gram string itself never rides the
-    shuffle, and map-side partial aggregation collapses repeats before
-    the exchange. Same scale story as ``shingle_rows``: per-doc work is
-    linear, the shuffle key is 3 longs, and nothing ever materializes a
-    per-doc frequency map in one row.
+    whole story). Same scale story as ``shingle_rows``: per-doc work is
+    linear and nothing ever materializes a per-doc frequency map in one
+    row.
+
+    r11: the input fan-out is KEYED by id (``keyed_fan_out`` — the
+    shingle_rows pattern). Per-gram counts barely combine map-side
+    (most grams are unique within a doc), so the old round-robin shape
+    shuffled ~one (id, kind, hash, count, len) row per token position
+    into the count groupBy and then paid two more keyed exchanges for
+    the per-(id, kind) stats and the pivot — measured 9.7 MB + 4.9 MB +
+    0.5 MB of exchanges at sf0.1. HashPartitioning(id) below the
+    explode satisfies all three groupings, so the only shuffle is the
+    whole-doc input (0.8 MB), and the count→stats→pivot chain fuses
+    into one exchange-free stage.
     """
-    df = fan_out(df)
+    from tsflex_spark.utils.data import keyed_fan_out
+
+    df = keyed_fan_out(df, id_col)
     toks = _tokens(F.col(text_col))
     n = F.size(toks)
     base = df.select(

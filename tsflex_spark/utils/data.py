@@ -107,6 +107,35 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df
 
 
+def keyed_fan_out(df: DataFrame, key_col: str) -> DataFrame:
+    """Hash-repartition by ``key_col`` before a compute-amplifying,
+    KEY-LOCAL chain (explode → aggregate/window keyed by ``key_col``).
+
+    Where :func:`fan_out` round-robins and the downstream aggregation
+    then pays its own exchange over the EXPLODED table,
+    ``HashPartitioning(key)`` below the explode satisfies every
+    clustered distribution whose keys include ``key_col`` — Spark
+    inserts NO further exchange for ``groupBy(key, ...)`` /
+    ``Window.partitionBy(key)`` chains, so the only shuffle moves the
+    narrow whole-row input once (guide §2.3/§2.4; the shingle_rows
+    pattern, measured −4.2 GB on the sketch gate's 100× probe).
+
+    Scale-adaptive count, same rule as ``shingle_rows``: when the scan
+    has more splits than ``defaultParallelism`` keep the scan's
+    granularity (no task explodes more than one input split's worth of
+    rows); small inputs keep the bare ``REPARTITION_BY_COL`` form so
+    AQE may still coalesce. Skew note: one key = one partition's worth
+    of work is the explode's inherent granularity either way.
+    """
+    if df.isStreaming:
+        return df.repartition(F.col(key_col))
+    sc = df.sparkSession.sparkContext
+    in_parts = df.rdd.getNumPartitions()
+    if in_parts > sc.defaultParallelism:
+        return df.repartition(in_parts, F.col(key_col))
+    return df.repartition(F.col(key_col))
+
+
 def cut_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
     """Materialize a multi-consumer frame and truncate its lineage.
 
